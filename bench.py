@@ -1,0 +1,71 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each timing covers full execution to a driver-side count/collect
+(``df.count()`` after a no-op cache-free plan), warm JVM, cold per-query
+plans. The headline set covers the warehouse view + its heaviest
+regroupings + the flagship join-agg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from customer_revenue_analysis_sql_tableau_spark.session import get_spark
+
+#: Headline subset (keys of __spark_entry__.queries()). The full registry
+#: runs in t2; bench tracks the expensive representative ones.
+HEADLINE = [
+    "flagship_revenue_by_region",
+    "view_customer_value_summary",
+    "q4_frequency_segmentation",
+    "q8_customer_cohorts",
+    "q9_revenue_by_nation",
+    "q11_avg_revenue_per_customer",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+    # JVM warmup on the tiniest SF so first-query JIT cost isn't billed.
+    queries["flagship_revenue_by_region"](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

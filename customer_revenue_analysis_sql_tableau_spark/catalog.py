@@ -1,0 +1,58 @@
+"""Testdata catalog: parquet-backed tables registered as temp views.
+
+Twin of the reference's ``USE sakila`` + InnoDB catalog
+(``queries_shan.sql:4``, ``sql/sakila-schema.sql:36-345``): the driver
+testdata (TESTDATA.md) is a TPC-H-ish star schema standing in for the
+Sakila snowflake — ``customer→nation→region`` plays
+``customer→address→city→country``, ``orders`` plays ``rental``,
+``lineitem`` plays ``payment``+``inventory``, ``part`` plays
+``film``+``category``.
+
+Scale posture: tables load lazily as columnar parquet scans (predicate
+pushdown + column pruning reach the scan), dims are hinted broadcastable;
+nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import apply_runtime_confs
+
+#: Every driver-testdata table (TESTDATA.md), one parquet file each.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any scale factor.
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TABLES,
+    register: bool = True,
+) -> dict[str, DataFrame]:
+    """Load testdata parquet tables; optionally register as temp views.
+
+    Applies engine runtime confs (UTC timezone, AQE) so results are
+    deterministic even when the host session was created elsewhere.
+    """
+    apply_runtime_confs(spark)
+    dfs: dict[str, DataFrame] = {}
+    for name in names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        dfs[name] = df
+        if register:
+            df.createOrReplaceTempView(name)
+    return dfs

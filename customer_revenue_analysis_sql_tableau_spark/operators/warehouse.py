@@ -1,0 +1,211 @@
+"""The analytical-view twin: ``customer_value_summary``.
+
+Reference: ``customer_revenue_summary`` (``queries_shan.sql:7-42``) — an
+8-table join chain + grouped aggregation + 3 correlated scalar subqueries.
+Mapping onto driver testdata (TESTDATA.md):
+
+    customer→address→city→country  →  customer→nation→region   (J1-J3)
+    rental (fact, inner)           →  orders                    (J4)
+    inventory→film (inner)         →  (o_orderdate carries the dates)
+    LEFT JOIN payment              →  LEFT JOIN lineitem        (J7)
+    LEFT JOIN film_category        →  LEFT JOIN part            (J8)
+    film.rental_duration late-fee  →  ship later than order+7d  (A6)
+    Most_Frequent_Category subquery→  top-1 p_type per customer (A1)
+
+Deliberately replicated semantics (SURVEY.md §7.4 hazards):
+- ``Total_Orders`` = COUNT(o.o_orderkey) counts POST-JOIN rows (the
+  reference's COUNT(r.rental_id), ``queries_shan.sql:11``, counts join
+  multiplicity by design — do not "fix" the fan-out).
+- ``Total_Line_Items`` = COUNT(l.l_linenumber) is NULL-skipping after the
+  left join (the COUNT(col) vs COUNT(*) distinction, A3).
+- Late-fee CASE falls to ELSE 0 on NULL dates (183 open rentals in the
+  reference; here: orders with no lineitem → NULL l_shipdate).
+- A1 tie-break: (count DESC, p_type ASC) — deterministic, documented.
+- First/Last_Order_Date fold into the main agg (A2): equivalent to the
+  reference's correlated MIN/MAX because the left joins never drop an
+  order row.
+
+Scale posture: one shuffle for the main groupBy (keyed on customer), one
+for the A1 sub-aggregation; nation/region/part broadcast; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions.money import money, round2_div, round2_div_sql, sum_money_as_double
+
+#: Days until a line counts as "late" (twin of film.rental_duration).
+LATE_AFTER_DAYS = 7
+#: Late fee per late day (reference: ``* 0.50``, queries_shan.sql:26).
+LATE_FEE_RATE = "0.50"
+
+#: The 13 output columns (mirrors data/dw.csv's 13-column shape).
+VIEW_COLUMNS = [
+    "Customer_ID",
+    "Customer_Name",
+    "Total_Orders",
+    "Total_Revenue",
+    "Avg_Spending_Per_Order",
+    "Total_Part_Types",
+    "Most_Frequent_Part_Type",
+    "Total_Late_Fees",
+    "First_Order_Date",
+    "Last_Order_Date",
+    "Total_Line_Items",
+    "Customer_Nation",
+    "Customer_Region",
+]
+
+
+def revenue_expr(l) -> "F.Column":
+    """Exact line revenue: extendedprice × (1 − discount), scale-4 decimal."""
+    one = F.lit(1.0).cast("decimal(3,2)")
+    return money(l.l_extendedprice) * (one - l.l_discount.cast("decimal(3,2)"))
+
+
+def late_fee_expr(l, o) -> "F.Column":
+    """Twin of the late-fee CASE (``queries_shan.sql:24-27``)."""
+    days = F.datediff(F.to_date(l.l_shipdate), F.to_date(o.o_orderdate))
+    rate = F.lit(LATE_FEE_RATE).cast("decimal(3,2)")
+    return F.when(days > LATE_AFTER_DAYS, (days - LATE_AFTER_DAYS) * rate).otherwise(
+        F.lit(0).cast("decimal(3,2)")
+    )
+
+
+def most_frequent_part_type(tables: dict[str, DataFrame]) -> DataFrame:
+    """A1 decorrelation: the reference's correlated top-1 subquery
+    (``queries_shan.sql:15-23``) rewritten as groupBy + window row_number.
+
+    Partitioned by customer — no global window, scales with key count.
+    """
+    o, l, p = tables["orders"], tables["lineitem"], tables["part"]
+    counts = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(o.o_custkey.alias("mfc_custkey"), p.p_type)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("mfc_custkey").orderBy(F.desc("cnt"), F.asc("p_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("mfc_custkey", F.col("p_type").alias("Most_Frequent_Part_Type"))
+    )
+
+
+def customer_value_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the view (twin of ``queries_shan.sql:7-42``)."""
+    t = load_tables(
+        spark, sf_dir, names=("customer", "nation", "region", "orders", "lineitem", "part")
+    )
+    c, n, r = t["customer"], t["nation"], t["region"]
+    o, l, p = t["orders"], t["lineitem"], t["part"]
+
+    base = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)  # J1 twin
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)  # J2-J3 twin
+        .join(o, c.c_custkey == o.o_custkey)  # J4 (fact, inner)
+        .join(l, o.o_orderkey == l.l_orderkey, "left")  # J7 (left)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey, "left")  # J8 (left)
+    )
+
+    grouped = base.groupBy(
+        c.c_custkey.alias("Customer_ID"),
+        c.c_name.alias("Customer_Name"),
+        n.n_name.alias("Customer_Nation"),
+        r.r_name.alias("Customer_Region"),
+    ).agg(
+        F.count(o.o_orderkey).alias("Total_Orders"),  # A3: post-join rows
+        F.sum(revenue_expr(l)).alias("_rev_sum"),  # scale-4 decimal, exact
+        F.count_distinct(p.p_type).alias("Total_Part_Types"),  # A4
+        F.round(
+            F.coalesce(F.sum(late_fee_expr(l, o)), F.lit(0).cast("decimal(3,2)")), 2
+        )
+        .cast("double")
+        .alias("Total_Late_Fees"),  # A6
+        F.min(o.o_orderdate).alias("First_Order_Date"),  # A2
+        F.max(o.o_orderdate).alias("Last_Order_Date"),  # A2
+        F.count(l.l_linenumber).alias("Total_Line_Items"),  # A3: NULL-skip
+    )
+
+    mfc = most_frequent_part_type(t)  # A1
+    out = (
+        grouped.join(mfc, grouped.Customer_ID == mfc.mfc_custkey, "left")
+        .withColumn("Total_Revenue", F.round(F.col("_rev_sum"), 2).cast("double"))
+        .withColumn(
+            "Avg_Spending_Per_Order",
+            round2_div(F.col("_rev_sum"), F.col("Total_Orders")),
+        )
+        .select(*VIEW_COLUMNS)
+    )
+    return out
+
+
+def register_view(spark: SparkSession, sf_dir: str, name: str = "customer_value_summary") -> DataFrame:
+    """V1 twin: CREATE OR REPLACE TEMP VIEW (``queries_shan.sql:5-7``)."""
+    df = customer_value_summary(spark, sf_dir)
+    df.createOrReplaceTempView(name)
+    return df
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle twin (ANSI SQL). Kept adjacent to the builder so the two
+# definitions evolve together; q1-q11 oracles reuse it as a CTE.
+# --------------------------------------------------------------------------
+
+_AVG_SQL = round2_div_sql("_rev_sum", "Total_Orders")
+
+VIEW_ORACLE_SQL = f"""
+WITH mfc AS (
+    SELECT mfc_custkey, p_type AS Most_Frequent_Part_Type FROM (
+        SELECT o.o_custkey AS mfc_custkey, p.p_type,
+               row_number() OVER (
+                   PARTITION BY o.o_custkey
+                   ORDER BY count(*) DESC, p.p_type ASC) AS rn
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY o.o_custkey, p.p_type
+    ) WHERE rn = 1
+), grouped AS (
+    SELECT
+        c.c_custkey AS Customer_ID,
+        c.c_name    AS Customer_Name,
+        n.n_name    AS Customer_Nation,
+        r.r_name    AS Customer_Region,
+        count(o.o_orderkey) AS Total_Orders,
+        sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
+            AS _rev_sum,
+        count(DISTINCT p.p_type) AS Total_Part_Types,
+        CAST(round(coalesce(sum(
+            CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE)) > {LATE_AFTER_DAYS}
+                 THEN (date_diff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE)) - {LATE_AFTER_DAYS})
+                      * CAST({LATE_FEE_RATE} AS DECIMAL(3,2))
+                 ELSE CAST(0 AS DECIMAL(3,2)) END),
+            CAST(0 AS DECIMAL(3,2))), 2) AS DOUBLE) AS Total_Late_Fees,
+        min(o.o_orderdate) AS First_Order_Date,
+        max(o.o_orderdate) AS Last_Order_Date,
+        count(l.l_linenumber) AS Total_Line_Items
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY c.c_custkey, c.c_name, n.n_name, r.r_name
+)
+SELECT
+    Customer_ID, Customer_Name, Total_Orders,
+    CAST(round(_rev_sum, 2) AS DOUBLE) AS Total_Revenue,
+    {_AVG_SQL} AS Avg_Spending_Per_Order,
+    Total_Part_Types, Most_Frequent_Part_Type, Total_Late_Fees,
+    First_Order_Date, Last_Order_Date, Total_Line_Items,
+    Customer_Nation, Customer_Region
+FROM grouped LEFT JOIN mfc ON grouped.Customer_ID = mfc.mfc_custkey
+"""

@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+The reference delegates execution to a single mysqld (InnoDB row store,
+``sql/sakila-schema.sql:51``); we delegate to Spark's Catalyst + Tungsten.
+Session defaults encode the 100 TB posture from SURVEY.md §7.4: AQE on
+(runtime re-plan, skew-join splitting), UTC session timezone (the Sakila
+DATETIMEs and driver testdata timestamps are timezone-naive), generous
+broadcast threshold (every dimension table is far below it at any SF —
+at 100 TB the dims are still ~MBs while facts are TBs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs, safe to (re)apply to an externally-provided
+#: session (the driver owns the session for `__spark_entry__` calls).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # dims (region/nation/customer/supplier/part) stay broadcastable well
+    # past sf0.1; at true 100 TB only region/nation/part metadata remain
+    # under this, which is exactly what we want broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked by the host session; keep going
+    return spark
+
+
+def get_spark(
+    app_name: str = "customer-revenue-analysis-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract)
+    or ``local[*]``.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)

