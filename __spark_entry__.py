@@ -13,8 +13,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from customer_revenue_analysis_sql_tableau_spark.operators import queries as _queries
+from customer_revenue_analysis_sql_tableau_spark.operators import procedures as _procedures
+from customer_revenue_analysis_sql_tableau_spark.operators import relational as _relational
 
-_REGISTRY_MODULES = [_queries]
+_REGISTRY_MODULES = [_queries, _relational, _procedures]
 
 
 def entry(spark: SparkSession) -> DataFrame:

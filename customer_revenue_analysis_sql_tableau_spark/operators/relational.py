@@ -1,0 +1,461 @@
+"""Extra relational coverage (SURVEY.md §2.5-§2.9 + free Spark builtins).
+
+The reference's operator surface is joins/aggs/sorts over one view; this
+module widens coverage to the full relational algebra a user of the
+engine gets: TPC-H-style multi-join analytics, semi/anti joins (the
+reference's only semi-join shape is the Streamlit top-50 cardinality cap,
+``data-mgmt-streamlit.py:194-198``; its anti-join shape is the
+``film_in_stock`` family, ``sql/sakila-schema.sql:591-678``), set
+operations (§2.7 — absent in the reference, Spark builtins), window
+functions (§2.9 — implied by the view's correlated subqueries),
+GROUP_CONCAT (A8, ``sql/sakila-schema.sql:365``), HAVING (F7,
+``sql/sakila-schema.sql:524-525``), LIKE filters (FULLTEXT stand-in,
+``sql/sakila-schema.sql:204``), scalar subqueries (V5/A9), and
+ROLLUP/CUBE (free extensions, SURVEY §2.5 note).
+
+Determinism: every LIMIT carries a total order; every money aggregate is
+decimal-exact; the above-average-balance comparison is rewritten as
+``bal·cnt > sum`` so no division result is ever compared.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions.money import money, round2_div, round2_div_sql
+from .warehouse import revenue_expr
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style analytics (classic Spark analytical workload)
+# --------------------------------------------------------------------------
+
+
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grand aggregation with derived averages (A0,A3,A5,A7)."""
+    l = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    f = l.filter(F.to_date(l.l_shipdate) <= F.lit("2001-09-02").cast("date"))
+    qty = money(f.l_quantity)
+    price = money(f.l_extendedprice)
+    disc_price = revenue_expr(f)
+    charge = disc_price * (F.lit(1.0).cast("decimal(3,2)") + f.l_tax.cast("decimal(3,2)"))
+    g = f.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+        round2_div(F.sum(qty), F.count(F.lit(1)), scale=2).alias("avg_qty"),
+        round2_div(F.sum(price), F.count(F.lit(1)), scale=2).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return g.orderBy("l_returnflag", "l_linestatus")
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join + top-10 by revenue (O5)."""
+    t = load_tables(spark, sf_dir, names=("customer", "orders", "lineitem"))
+    c, o, l = t["customer"], t["orders"], t["lineitem"]
+    cutoff = F.lit("1998-06-15").cast("date")
+    return (
+        c.filter(c.c_mktsegment == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .filter(F.to_date(o.o_orderdate) < cutoff)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .filter(F.to_date(l.l_shipdate) > cutoff)
+        .groupBy(o.o_orderkey, o.o_orderdate, o.o_orderpriority)
+        .agg(F.round(F.sum(revenue_expr(l)), 2).cast("double").alias("revenue"))
+        .select(
+            F.col("o_orderkey"),
+            F.col("revenue"),
+            F.col("o_orderdate"),
+            F.col("o_orderpriority"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join, supplier nation == customer nation."""
+    t = load_tables(
+        spark,
+        sf_dir,
+        names=("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    )
+    c, o, l = t["customer"], t["orders"], t["lineitem"]
+    s, n, r = t["supplier"], t["nation"], t["region"]
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .filter(
+            (F.to_date(o.o_orderdate) >= F.lit("1996-01-01").cast("date"))
+            & (F.to_date(o.o_orderdate) < F.lit("1998-01-01").cast("date"))
+        )
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"))
+        .agg(F.round(F.sum(revenue_expr(l)), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top-20."""
+    t = load_tables(spark, sf_dir, names=("customer", "orders", "lineitem", "nation"))
+    c, o, l, n = t["customer"], t["orders"], t["lineitem"], t["nation"]
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .filter(l.l_returnflag == "R")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(c.c_custkey, c.c_name, n.n_name.alias("nation"))
+        .agg(F.round(F.sum(revenue_expr(l)), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi/anti joins, set ops, scalar subquery
+# --------------------------------------------------------------------------
+
+
+def top_nations_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 twin: top-5 nations by customer count, then LEFT SEMI filter
+    (the Streamlit top-50 cardinality cap, ``data-mgmt-streamlit.py:194-198``)."""
+    t = load_tables(spark, sf_dir, names=("customer", "nation"))
+    c, n = t["customer"], t["nation"]
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    top = (
+        cn.groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("n_name"))
+        .limit(5)
+    )
+    return (
+        cn.join(F.broadcast(top), "n_name", "left_semi")
+        .select(
+            F.col("c_custkey"), F.col("c_name"), F.col("n_name").alias("nation")
+        )
+    )
+
+
+def parts_never_ordered_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join twin of ``film_not_in_stock``/``inventory_in_stock``
+    (``sql/sakila-schema.sql:612-678``): parts with no lineitem."""
+    t = load_tables(spark, sf_dir, names=("part", "lineitem"))
+    p, l = t["part"], t["lineitem"]
+    return p.join(l, p.p_partkey == l.l_partkey, "left_anti").select(
+        "p_partkey", "p_name", "p_type"
+    )
+
+
+def active_high_value_except_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op coverage (§2.7): high-revenue custkeys EXCEPT recently-active."""
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    o, l = t["orders"], t["lineitem"]
+    rev = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(o.o_custkey)
+        .agg(F.sum(revenue_expr(l)).alias("rev"))
+    )
+    high = rev.filter(F.col("rev") > 500000).select(F.col("o_custkey").alias("custkey"))
+    recent = (
+        o.filter(F.to_date(o.o_orderdate) >= F.lit("2001-01-01").cast("date"))
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return high.exceptAll(recent).distinct()
+
+
+def party_names_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL coverage: high-balance customer and supplier names."""
+    t = load_tables(spark, sf_dir, names=("customer", "supplier"))
+    c, s = t["customer"], t["supplier"]
+    a = c.filter(money(c.c_acctbal) > 9000).select(
+        c.c_name.alias("name"), F.lit("customer").alias("kind")
+    )
+    b = s.filter(money(s.s_acctbal) > 5000).select(
+        s.s_name.alias("name"), F.lit("supplier").alias("kind")
+    )
+    return a.unionAll(b)
+
+
+def customers_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery twin (V5/A9, ``sql/sakila-schema.sql:528``):
+    customers above the mean balance. Compared as ``bal·cnt > sum`` —
+    exact decimal math, no division, sign-safe."""
+    c = load_tables(spark, sf_dir, names=("customer",))["customer"]
+    stats = c.agg(
+        F.sum(money(c.c_acctbal)).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(money(c.c_acctbal) * F.col("n") > F.col("s"))
+        .select("c_custkey", "c_name", F.col("c_acctbal").alias("acctbal"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions, GROUP_CONCAT, HAVING, LIKE, rollup/cube
+# --------------------------------------------------------------------------
+
+
+def customer_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function family (§2.9): row_number / rank / dense_rank /
+    lag / lead / running sum per customer, ordered by order date."""
+    o = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_orderdate", 1).over(w).alias("prev_order_date"),
+        F.lead("o_orderdate", 1).over(w).alias("next_order_date"),
+        F.round(F.sum(money("o_totalprice")).over(wsum), 2)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+def nation_customer_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 GROUP_CONCAT twin (``sql/sakila-schema.sql:365,451-462``):
+    ordered, separator-joined customer list per nation."""
+    t = load_tables(spark, sf_dir, names=("customer", "nation"))
+    c, n = t["customer"], t["nation"]
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(n.n_name.alias("nation"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list(c.c_name)), ", ").alias(
+                "customer_list"
+            ),
+            F.count(F.lit(1)).alias("customer_count"),
+        )
+    )
+
+
+def nations_having_many_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 HAVING twin (``sql/sakila-schema.sql:524-525``): post-agg filter."""
+    t = load_tables(spark, sf_dir, names=("customer", "nation"))
+    c, n = t["customer"], t["nation"]
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(n.n_name.alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            F.round(F.sum(money(c.c_acctbal)), 2).cast("double").alias("total_balance"),
+        )
+        .filter((F.col("customer_count") > 3) & (F.col("total_balance") > 0))
+    )
+
+
+def promo_parts_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE/contains filter (FULLTEXT stand-in, ``sql/sakila-schema.sql:204``)."""
+    p = load_tables(spark, sf_dir, names=("part",))["part"]
+    return p.filter(p.p_type.like("PROMO%") | p.p_name.contains("econo")).select(
+        "p_partkey", "p_name", "p_type"
+    )
+
+
+def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (free extension; no grouping sets exist in the reference)."""
+    t = load_tables(
+        spark, sf_dir, names=("customer", "orders", "lineitem", "nation", "region")
+    )
+    c, o, l = t["customer"], t["orders"], t["lineitem"]
+    n, r = t["nation"], t["region"]
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+    )
+    return (
+        joined.rollup(r.r_name.alias("region"), n.n_name.alias("nation"))
+        .agg(F.round(F.sum(revenue_expr(l)), 2).cast("double").alias("revenue"))
+    )
+
+
+def lineitem_flag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with exact sums."""
+    l = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(revenue_expr(l)), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT / dropDuplicates coverage."""
+    c = load_tables(spark, sf_dir, names=("customer",))["customer"]
+    return c.select("c_mktsegment").distinct()
+
+
+# --------------------------------------------------------------------------
+# Registry + oracles
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
+    "top_nations_customers_semi": top_nations_customers_semi,
+    "parts_never_ordered_anti": parts_never_ordered_anti,
+    "active_high_value_except_recent": active_high_value_except_recent,
+    "party_names_union": party_names_union,
+    "customers_above_avg_balance": customers_above_avg_balance,
+    "customer_order_windows": customer_order_windows,
+    "nation_customer_list": nation_customer_list,
+    "nations_having_many_customers": nations_having_many_customers,
+    "promo_parts_like": promo_parts_like,
+    "revenue_rollup_region_nation": revenue_rollup_region_nation,
+    "lineitem_flag_status_cube": lineitem_flag_status_cube,
+    "distinct_segments": distinct_segments,
+}
+
+_AVG_QTY = round2_div_sql("sum(CAST(l_quantity AS DECIMAL(18,2)))", "count(*)", scale=2)
+_AVG_PRICE = round2_div_sql(
+    "sum(CAST(l_extendedprice AS DECIMAL(18,2)))", "count(*)", scale=2
+)
+
+ORACLES: dict[str, str] = {
+    "tpch_q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+            CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty,
+            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_base_price,
+            CAST(round(sum({_REV_SQL}),2) AS DOUBLE) AS sum_disc_price,
+            CAST(round(sum({_REV_SQL} * (CAST(1.0 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))),2) AS DOUBLE) AS sum_charge,
+            {_AVG_QTY} AS avg_qty,
+            {_AVG_PRICE} AS avg_price,
+            count(*) AS count_order
+        FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""",
+    "tpch_q3_shipping_priority": f"""
+        SELECT o.o_orderkey,
+               CAST(round(sum({_REV_SQL}),2) AS DOUBLE) AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND CAST(o.o_orderdate AS DATE) < DATE '1998-06-15'
+          AND CAST(l.l_shipdate AS DATE) > DATE '1998-06-15'
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderkey ASC LIMIT 10""",
+    "tpch_q5_local_supplier_volume": f"""
+        SELECT n.n_name AS nation,
+               CAST(round(sum({_REV_SQL}),2) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE c.c_nationkey = s.s_nationkey
+          AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+        GROUP BY n.n_name ORDER BY revenue DESC, nation ASC""",
+    "tpch_q10_returned_items": f"""
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               CAST(round(sum({_REV_SQL}),2) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20""",
+    "top_nations_customers_semi": """
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_name IN (
+            SELECT n2.n_name
+            FROM customer c2 JOIN nation n2 ON c2.c_nationkey = n2.n_nationkey
+            GROUP BY n2.n_name
+            ORDER BY count(*) DESC, n2.n_name ASC LIMIT 5)""",
+    "parts_never_ordered_anti": """
+        SELECT p.p_partkey, p.p_name, p.p_type FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""",
+    "active_high_value_except_recent": f"""
+        SELECT o_custkey AS custkey FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o_custkey HAVING sum({_REV_SQL}) > 500000
+        EXCEPT
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '2001-01-01'""",
+    "party_names_union": """
+        SELECT c_name AS name, 'customer' AS kind FROM customer
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 9000
+        UNION ALL
+        SELECT s_name AS name, 'supplier' AS kind FROM supplier
+        WHERE CAST(s_acctbal AS DECIMAL(18,2)) > 5000""",
+    "customers_above_avg_balance": """
+        SELECT c_custkey, c_name, c_acctbal AS acctbal FROM customer
+        WHERE CAST(c_acctbal AS DECIMAL(18,2))
+              * (SELECT count(*) FROM customer)
+              > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)""",
+    "customer_order_windows": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+            row_number() OVER w AS rn,
+            rank() OVER w AS rnk,
+            dense_rank() OVER w AS drnk,
+            lag(o_orderdate, 1) OVER w AS prev_order_date,
+            lead(o_orderdate, 1) OVER w AS next_order_date,
+            CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+                AS running_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "nation_customer_list": """
+        SELECT n.n_name AS nation,
+               string_agg(c.c_name, ', ' ORDER BY c.c_name) AS customer_list,
+               count(*) AS customer_count
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name""",
+    "nations_having_many_customers": """
+        SELECT n.n_name AS nation, count(*) AS customer_count,
+               CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))),2) AS DOUBLE)
+                   AS total_balance
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        HAVING count(*) > 3
+           AND CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))),2) AS DOUBLE) > 0""",
+    "promo_parts_like": """
+        SELECT p_partkey, p_name, p_type FROM part
+        WHERE p_type LIKE 'PROMO%' OR p_name LIKE '%econo%'""",
+    "revenue_rollup_region_nation": f"""
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(round(sum({_REV_SQL}),2) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY ROLLUP (region, nation)""",
+    "lineitem_flag_status_cube": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(sum({_REV_SQL}),2) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+}
