@@ -15,8 +15,22 @@ from pyspark.sql import DataFrame, SparkSession
 from customer_revenue_analysis_sql_tableau_spark.operators import queries as _queries
 from customer_revenue_analysis_sql_tableau_spark.operators import procedures as _procedures
 from customer_revenue_analysis_sql_tableau_spark.operators import relational as _relational
+from customer_revenue_analysis_sql_tableau_spark.operators import dedup as _dedup
+from customer_revenue_analysis_sql_tableau_spark.operators import multimodal as _multimodal
+from customer_revenue_analysis_sql_tableau_spark.operators import similarity as _similarity
+from customer_revenue_analysis_sql_tableau_spark.operators import text as _text
+from customer_revenue_analysis_sql_tableau_spark import streaming as _streaming
 
-_REGISTRY_MODULES = [_queries, _relational, _procedures]
+_REGISTRY_MODULES = [
+    _queries,
+    _relational,
+    _procedures,
+    _text,
+    _dedup,
+    _similarity,
+    _multimodal,
+    _streaming,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -16,6 +16,7 @@ nothing here collects to the driver.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .session import apply_runtime_confs
 
@@ -52,6 +53,13 @@ def load_tables(
     dfs: dict[str, DataFrame] = {}
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Nano-precision timestamps arrive as long (nanosAsLong conf);
+        # truncate to micros — the same thing DuckDB/Arrow do.
+        for field in df.schema.fields:
+            if field.name == "ts" and field.dataType.simpleString() == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
         dfs[name] = df
         if register:
             df.createOrReplaceTempView(name)

@@ -1,0 +1,387 @@
+"""Deduplication operators over ``documents``/``embeddings``
+(driver mandate, SURVEY §7.5).
+
+Five families, each a ``queries()`` entry:
+
+1. **Exact** — hash-groupBy on normalized text (md5). SQL-checked.
+2. **N-gram Jaccard** — word-3-shingle inverted-index pair join with
+   exact Jaccard ≥ τ. SQL-checked. This is also the *verify* stage the
+   LSH path reuses.
+3. **MinHash + LSH** — 64-permutation signature (xxhash64 over salted
+   shingles), 16 bands × 4 rows, band-bucket self-join for candidates,
+   exact-Jaccard verification. Rows-only for the driver (engine hash
+   functions differ); pytest asserts its output equals the exact
+   pair set from (2) — LSH recall at J≥0.8 with these parameters is
+   1-(1-J⁴)¹⁶ ≈ 0.9998.
+4. **SimHash** — 64-bit signature from token-hash votes, 4×16-bit block
+   LSH (hamming ≤ 3 ⇒ one block exact by pigeonhole), bit_count(xor)
+   verification. Rows-only + pytest.
+5. **Embedding cosine** — near-dup pairs with cosine ≥ τ, blocked by
+   ``label`` (the blocking a 100 TB run needs anyway). SQL-checked:
+   the fold-based dot product is bit-identical to DuckDB's
+   ``list_dot_product``.
+
+Scale posture: nothing here is quadratic in the corpus — candidate
+generation is bounded by shared shingles / LSH buckets / label blocks;
+at 100 TB, (2) runs only as the verifier behind (3)'s candidates (the
+docstring of each function says which side it plays). All hashing is
+JVM ``xxhash64``; no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from .text import TOKENS_EXPR, TOKENS_SQL
+
+#: Word-shingle width for near-dup detection.
+SHINGLE_K = 3
+#: Jaccard threshold for a "near duplicate".
+JACCARD_T = 0.8
+#: MinHash permutations and LSH banding (16 bands × 4 rows).
+NUM_PERM = 64
+LSH_BANDS = 16
+#: SimHash hamming radius.
+SIMHASH_RADIUS = 3
+#: Cosine threshold for embedding near-dups (testdata max ≈ 0.48).
+COSINE_T = 0.4
+
+#: 0-based k=3 word shingles, distinct, guarded for short docs.
+SHINGLES_EXPR = (
+    f"CASE WHEN size({TOKENS_EXPR}) < {SHINGLE_K} THEN array(array_join({TOKENS_EXPR}, ' ')) "
+    f"ELSE array_distinct(transform(sequence(0, size({TOKENS_EXPR}) - {SHINGLE_K}), "
+    f"i -> concat_ws(' ', {TOKENS_EXPR}[i], {TOKENS_EXPR}[i+1], {TOKENS_EXPR}[i+2]))) END"
+)
+#: DuckDB twin (1-based lists).
+SHINGLES_SQL = (
+    f"CASE WHEN len({TOKENS_SQL}) < {SHINGLE_K} THEN [array_to_string({TOKENS_SQL}, ' ')] "
+    f"ELSE list_distinct(list_transform(range(1, len({TOKENS_SQL}) - {SHINGLE_K - 2}), "
+    f"i -> {TOKENS_SQL}[i] || ' ' || {TOKENS_SQL}[i+1] || ' ' || {TOKENS_SQL}[i+2])) END"
+)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 over normalized text, keep min doc_id per group."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return (
+        d.selectExpr("doc_id", "md5(lower(trim(text))) AS text_hash")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _doc_shingles(d: DataFrame) -> DataFrame:
+    return d.selectExpr("doc_id", f"explode({SHINGLES_EXPR}) AS shingle")
+
+
+def _jaccard_pairs_from_candidates(
+    shingles: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (d1, d2) pairs."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = shingles.alias("s1")
+    s2 = shingles.alias("s2")
+    inter = (
+        candidates.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(
+            s2,
+            (F.col("d2") == F.col("s2.doc_id"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    z1 = sizes.alias("z1")
+    z2 = sizes.alias("z2")
+    return (
+        inter.join(z1, F.col("d1") == F.col("z1.doc_id"))
+        .join(z2, F.col("d2") == F.col("z2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("inter")
+                / (F.col("z1.n") + F.col("z2.n") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard via inverted shingle index.
+
+    Candidate pairs = pairs sharing ≥1 shingle (classic inverted-index
+    similarity join); exact at any scale where the index join fits —
+    at 100 TB this runs as the verifier behind the MinHash-LSH
+    candidates instead of the full index join.
+    """
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sh = _doc_shingles(d)
+    a, b = sh.alias("a"), sh.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    return _jaccard_pairs_from_candidates(sh, candidates, JACCARD_T)
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-permutation MinHash signature per doc: sig[i] = min over
+    shingles of xxhash64(i-salted shingle). One shuffle (groupBy doc)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sh = _doc_shingles(d)
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"p{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(NUM_PERM)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs, exact-Jaccard verified.
+
+    Banding: 16 bands of 4 rows; a pair lands in the same bucket for
+    band b iff their 4 signature rows agree → candidate. Candidates are
+    then exact-verified, so precision is 1.0 and recall at J≥0.8 is
+    ≈0.9998. The band join shuffles on (band, band_hash) — bounded by
+    bucket sizes, never all-pairs. Rows-only oracle (hash functions are
+    engine-specific); pytest proves equality with dedup_ngram_jaccard.
+    """
+    sig = _minhash_signatures(spark, sf_dir)
+    rows_per_band = NUM_PERM // LSH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return _jaccard_pairs_from_candidates(_doc_shingles(d), candidates, JACCARD_T)
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc: bit b is the sign of the vote sum of
+    token-hash bit b over all token occurrences (tf-weighted)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = d.selectExpr("doc_id", f"explode({TOKENS_EXPR}) AS token")
+    h = toks.select("doc_id", F.xxhash64("token").alias("h"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sig = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"v{b}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), b),  # b=63 wraps to Long.MIN
+                ).otherwise(F.lit(0).cast("long"))
+                for b in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming radius 3.
+
+    4×16-bit block LSH: any pair at hamming ≤3 shares ≥1 exact block
+    (pigeonhole), so candidates = same (block_idx, block_value);
+    verification is ``bit_count(xor) <= 3``. Rows-only + pytest.
+    """
+    sig = simhash_signatures(spark, sf_dir)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = sig.select("doc_id", "simhash", F.explode(blocks).alias("bb")).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.blk").alias("blk"),
+        F.col("bb.val").alias("val"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_RADIUS)
+    )
+
+
+#: Shared cosine expression: fold-based dot product over double arrays —
+#: bit-identical to DuckDB's list_dot_product (verified empirically).
+def _cos(a: str, b: str) -> F.Column:
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(F.col(x), F.col(y), lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ τ within a ``label`` block.
+
+    Blocking keeps the pair space linear-ish (B blocks of n/B rows);
+    at 100 TB the block key would come from coarse LSH/IVF assignment
+    (see similarity.py) instead of a given label.
+    """
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    ed = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = ed.alias("a"), ed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.col("a.label").alias("label"),
+            _cos("a.v", "b.v").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_T)
+    )
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over verified near-dup pairs → keep-list.
+
+    Driver-side union-find over the (small) verified pair set; at
+    100 TB-scale pair counts, replace with the iterative
+    large-star/small-star map-reduce algorithm. Returns
+    (doc_id, component_id = min doc_id in component).
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.d1), find(r.d2)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    mapping = [(k, find(k)) for k in parent]
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    if mapping:
+        m = spark.createDataFrame(mapping, "doc_id long, component_id long")
+        return (
+            d.select("doc_id")
+            .join(m, "doc_id", "left")
+            .selectExpr("doc_id", "coalesce(component_id, doc_id) AS component_id")
+        )
+    return d.selectExpr("doc_id", "doc_id AS component_id")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_components": dedup_components,
+}
+
+_DOT = "list_dot_product(a.v, b.v)"
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": """
+        SELECT md5(lower(trim(text))) AS text_hash,
+               min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        FROM documents GROUP BY 1""",
+    "dedup_ngram_jaccard": f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM documents),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT d1, d2, i / CAST(z1.n + z2.n - i AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes z1 ON d1 = z1.doc_id
+        JOIN sizes z2 ON d2 = z2.doc_id
+        WHERE i / CAST(z1.n + z2.n - i AS DOUBLE) >= {JACCARD_T}""",
+    # dedup_minhash_lsh / dedup_simhash: rows-only (engine-specific hash
+    # functions); pytest cross-verifies minhash output == exact pairs.
+    "dedup_embedding_cosine": f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+               {_DOT} / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_DOT} / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))) >= {COSINE_T}""",
+    "dedup_components": None,  # driver-side union-find: rows-only
+}
+ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -1,0 +1,151 @@
+"""Multimodal-column plumbing (driver mandate, SURVEY §7.5).
+
+The reference's one binary column is ``staff.picture`` BLOB
+(``sql/sakila-schema.sql:317``); this module generalizes it: media rows
+are ``{bytes: binary, mime: string, meta: ...}`` built here from
+``documents`` (the container ships no real image/audio assets). The
+Spark-side plumbing — schema, Arrow batching via ``mapInPandas``,
+partition-friendly per-row features — is real and tested; the actual
+codec step is STUBBED: a clearly-marked deterministic fake decoder, with
+the real-library hook raising ``NotImplementedError`` when Pillow/librosa
+are absent (they are not in this container).
+
+Scale posture: binary payloads stay columnar (parquet binary), decode
+runs as ``mapInPandas`` over Arrow record batches → per-partition
+streaming, no driver collection, batch size bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+
+#: Fake mime assignment: cycle by doc_id (deterministic).
+MIMES = ("text/plain", "image/png", "audio/wav")
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the multimodal table: opaque bytes + typed metadata."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    mime = F.element_at(
+        F.array(*[F.lit(m) for m in MIMES]),
+        (F.col("doc_id") % len(MIMES) + 1).cast("int"),
+    )
+    return d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("bytes"),
+        mime.alias("mime"),
+        F.create_map(
+            F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
+        ).alias("meta"),
+    )
+
+
+def multimodal_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mime byte statistics (SQL-checked: the binary plumbing —
+    encode → octet_length — agrees across engines)."""
+    m = media_table(spark, sf_dir)
+    return m.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("bytes")).alias("total_bytes"),
+        F.max(F.length("bytes")).cast("long").alias("max_bytes"),
+        F.min(F.length("bytes")).cast("long").alias("min_bytes"),
+    )
+
+
+def _fake_decode(payload: bytes, mime: str) -> list[int]:
+    """STUB decoder — deterministic fake features standing in for a real
+    codec (image decode / audio resample). Replace the body with
+    PIL/librosa calls when those libraries exist."""
+    head = payload[:64]
+    return [len(payload), head[0] if head else 0, payload[-1] if payload else 0,
+            sum(head) % 256]
+
+
+def real_decode(payload: bytes, mime: str):  # pragma: no cover - stub
+    """Hook for a real codec. Raises until media libraries are installed."""
+    raise NotImplementedError(
+        "real image/audio decoding requires Pillow/librosa, not present "
+        "in this environment; use _fake_decode (deterministic stub)"
+    )
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode: Arrow-batched feature extraction per asset.
+
+    The UDF signature/batching is the production shape; only the codec
+    body is the documented stub. Rows-only oracle (stub features), plus
+    pytest checks schema + determinism + batch integrity.
+    """
+    m = media_table(spark, sf_dir)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode(b, mm) for b, mm in zip(pdf["bytes"], pdf["mime"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": [f[0] for f in feats],
+                    "head_byte": [f[1] for f in feats],
+                    "tail_byte": [f[2] for f in feats],
+                    "checksum64": [f[3] for f in feats],
+                }
+            )
+
+    return m.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, mime string, n_bytes long, head_byte long, "
+            "tail_byte long, checksum64 long"
+        ),
+    )
+
+
+def multimodal_frame_sample(
+    spark: SparkSession, sf_dir: str, every: int = 32
+) -> DataFrame:
+    """Frame-sampling twin: slice every Nth byte-window of the payload as
+    a 'frame' (the video/audio frame-sample plumbing; the codec that
+    would decode real frames is the same stub boundary). JVM-side slice,
+    no UDF."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        "mime",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(length(bytes) / {every} AS INT) - 1),"
+                f" i -> substring(bytes, i * {every} + 1, 8))"
+            )
+        ).alias("frame_idx", "frame_bytes"),
+    ).withColumn("frame_idx", F.col("frame_idx").cast("long"))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "multimodal_size_stats": multimodal_size_stats,
+    "multimodal_decode_features": multimodal_decode_features,  # rows-only
+}
+
+_MIME_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'text/plain' WHEN 1 THEN 'image/png' "
+    "ELSE 'audio/wav' END"
+)
+
+ORACLES: dict[str, str] = {
+    "multimodal_size_stats": f"""
+        SELECT {_MIME_SQL} AS mime,
+               count(*) AS n_assets,
+               sum(octet_length(encode(text))) AS total_bytes,
+               max(octet_length(encode(text))) AS max_bytes,
+               min(octet_length(encode(text))) AS min_bytes
+        FROM documents GROUP BY 1""",
+}

@@ -1,0 +1,257 @@
+"""Text-analysis operators over ``documents`` (driver mandate, SURVEY §7.5).
+
+The reference's only text-search surface is a FULLTEXT index on
+``film_text`` (``sql/sakila-schema.sql:204``) and app-layer substring
+search (``data-mgmt-streamlit.py:56-62``); this family generalizes it to
+the text operators a training-data pipeline needs: tokenization, token
+and character statistics, quality scoring, language identification,
+per-source top terms (the A1 top-k-per-group pattern again), and content
+fingerprinting.
+
+All hot-path logic is JVM-side (``split``/``filter``/``aggregate``
+higher-order functions, whole-stage codegen) — no Python UDFs. Ratio
+columns are single double divisions of exact integers → bit-reproducible
+against the DuckDB oracle.
+
+Scale posture: everything is a per-row projection or a single
+groupBy(source/token) — embarrassingly parallel, no skew risk beyond
+token popularity (bounded by the top-k window partition on source).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions.money import round2_div, round2_div_sql
+
+#: Tokenization: lowercase, trim, split on whitespace runs. Shared by all
+#: text/dedup operators; the oracle uses the regexp-equivalent.
+TOKENS_EXPR = r"split(trim(lower(text)), '\\s+')"
+TOKENS_SQL = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+#: Punctuation class counted by the quality score.
+PUNCT_CLASS = r"[.,!?;:]"
+
+#: Stopword profiles for the language-ID heuristic (tiny, deterministic;
+#: per-language function-word lists + CJK script detection for zh).
+STOP_EN = ("the", "a", "of", "and", "to", "is")
+STOP_DE = ("der", "die", "das", "und", "ist", "ein")
+STOP_ES = ("el", "la", "de", "y", "es", "un")
+STOP_FR = ("le", "la", "et", "de", "est", "un")
+
+
+def _inlist(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics (token counting mandate)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return d.selectExpr(
+        "doc_id",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+        f"CAST(size({TOKENS_EXPR}) AS BIGINT) AS n_tokens",
+        f"CAST(size(array_distinct({TOKENS_EXPR})) AS BIGINT) AS n_distinct_tokens",
+        f"CAST(aggregate({TOKENS_EXPR}, 0, (acc, t) -> acc + length(t)) AS BIGINT)"
+        " AS n_token_chars",
+        # single double division of exact ints — reproducible
+        f"aggregate({TOKENS_EXPR}, 0, (acc, t) -> acc + length(t))"
+        f" / CAST(size({TOKENS_EXPR}) AS DOUBLE) AS avg_token_len",
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword ratios + composite score."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    stop = _inlist(STOP_EN)
+    return d.selectExpr(
+        "doc_id",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+        f"CAST(size({TOKENS_EXPR}) AS BIGINT) AS n_tokens",
+        f"size(filter({TOKENS_EXPR}, t -> t IN ({stop})))"
+        f" / CAST(size({TOKENS_EXPR}) AS DOUBLE) AS stop_ratio",
+        f"(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '')))"
+        " / CAST(length(text) AS DOUBLE) AS punct_ratio",
+        "(length(text) - length(regexp_replace(text, '[A-Z]', '')))"
+        " / CAST(length(text) AS DOUBLE) AS upper_ratio",
+    ).selectExpr(
+        "*",
+        # fixed expression tree, all-DOUBLE literals (a bare 0.4 parses as
+        # DECIMAL in both engines but with different mixed-type rules)
+        "stop_ratio * CAST(0.4 AS DOUBLE)"
+        " + least(n_tokens / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))"
+        " * CAST(0.4 AS DOUBLE)"
+        " + (CAST(1.0 AS DOUBLE) - punct_ratio) * CAST(0.2 AS DOUBLE)"
+        " AS quality_score",
+    )
+
+
+def lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language histogram over the declared ``lang`` column."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        round2_div(
+            F.sum("n_chars").cast("decimal(18,2)"), F.count(F.lit(1)), scale=2
+        ).alias("avg_chars"),
+    )
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-profile voting + CJK detection.
+
+    Deterministic argmax ladder (zh if CJK chars present, else the
+    profile with the highest hit count, ties broken in a fixed order).
+    The testdata vocabulary is synthetic so accuracy is not the point;
+    the operator shape (pure-SQL scoring, no UDF) is.
+    """
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    scored = d.selectExpr(
+        "doc_id",
+        "lang AS declared_lang",
+        f"CAST(size(filter({TOKENS_EXPR}, t -> t IN ({_inlist(STOP_EN)}))) AS BIGINT) AS s_en",
+        f"CAST(size(filter({TOKENS_EXPR}, t -> t IN ({_inlist(STOP_DE)}))) AS BIGINT) AS s_de",
+        f"CAST(size(filter({TOKENS_EXPR}, t -> t IN ({_inlist(STOP_ES)}))) AS BIGINT) AS s_es",
+        f"CAST(size(filter({TOKENS_EXPR}, t -> t IN ({_inlist(STOP_FR)}))) AS BIGINT) AS s_fr",
+        "CAST(length(regexp_replace(text, '[^\\\\u4e00-\\\\u9fff]', '')) AS BIGINT)"
+        " AS n_cjk",
+    )
+    return scored.selectExpr(
+        "doc_id",
+        "declared_lang",
+        "s_en",
+        "s_de",
+        "s_es",
+        "s_fr",
+        "n_cjk",
+        "CASE WHEN n_cjk > 0 THEN 'zh'"
+        " WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'"
+        " WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'"
+        " WHEN s_es >= s_fr THEN 'es'"
+        " ELSE 'fr' END AS predicted_lang",
+    )
+
+
+def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per source — the A1 top-k-per-group pattern over an
+    exploded token stream (tf per (source, token), window row_number)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = d.selectExpr("source", f"explode({TOKENS_EXPR}) AS token")
+    counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("source").orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("source", "token", "tf", "rank")
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 over the normalized token stream plus
+    a 64-bit prefix bucket (the document-fingerprint mandate; the
+    rolling-hash variant lives in dedup.simhash)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return d.selectExpr(
+        "doc_id",
+        f"md5(array_join({TOKENS_EXPR}, ' ')) AS fingerprint",
+        f"substring(md5(array_join({TOKENS_EXPR}, ' ')), 1, 8) AS bucket",
+    )
+
+
+def fulltext_search(spark: SparkSession, sf_dir: str, needle: str = "window") -> DataFrame:
+    """FULLTEXT stand-in (``sql/sakila-schema.sql:204``): token-match
+    search with tf scoring."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return d.selectExpr(
+        "doc_id",
+        "source",
+        f"CAST(size(filter({TOKENS_EXPR}, t -> t = '{needle}')) AS BIGINT) AS tf",
+    ).filter(F.col("tf") > 0)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_lang_histogram": lang_histogram,
+    "text_lang_id_ngram": lang_id_ngram,
+    "text_top_terms_per_source": top_terms_per_source,
+    "text_doc_fingerprint": doc_fingerprint,
+    "text_fulltext_search": fulltext_search,
+}
+
+_TOKCHARS = f"list_sum(list_transform({TOKENS_SQL}, t -> length(t)))"
+
+ORACLES: dict[str, str] = {
+    "text_token_stats": f"""
+        SELECT doc_id, length(text) AS n_chars,
+            len({TOKENS_SQL}) AS n_tokens,
+            CAST(len(list_distinct({TOKENS_SQL})) AS BIGINT) AS n_distinct_tokens,
+            CAST({_TOKCHARS} AS BIGINT) AS n_token_chars,
+            CAST({_TOKCHARS} AS BIGINT) / CAST(len({TOKENS_SQL}) AS DOUBLE)
+                AS avg_token_len
+        FROM documents""",
+    "text_quality_score": f"""
+        WITH base AS (
+            SELECT doc_id, length(text) AS n_chars,
+                len({TOKENS_SQL}) AS n_tokens,
+                len(list_filter({TOKENS_SQL},
+                    t -> t IN ({_inlist(STOP_EN)})))
+                    / CAST(len({TOKENS_SQL}) AS DOUBLE) AS stop_ratio,
+                (length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))
+                    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+                (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                    / CAST(length(text) AS DOUBLE) AS upper_ratio
+            FROM documents)
+        SELECT *, stop_ratio * CAST(0.4 AS DOUBLE)
+               + least(n_tokens / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 * CAST(0.4 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE) - punct_ratio) * CAST(0.2 AS DOUBLE)
+               AS quality_score
+        FROM base""",
+    "text_lang_histogram": f"""
+        SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+               {round2_div_sql("CAST(sum(n_chars) AS DECIMAL(18,2))", "count(*)", scale=2)}
+                   AS avg_chars
+        FROM documents GROUP BY lang""",
+    "text_lang_id_ngram": f"""
+        WITH s AS (
+            SELECT doc_id, lang AS declared_lang,
+                len(list_filter({TOKENS_SQL}, t -> t IN ({_inlist(STOP_EN)}))) AS s_en,
+                len(list_filter({TOKENS_SQL}, t -> t IN ({_inlist(STOP_DE)}))) AS s_de,
+                len(list_filter({TOKENS_SQL}, t -> t IN ({_inlist(STOP_ES)}))) AS s_es,
+                len(list_filter({TOKENS_SQL}, t -> t IN ({_inlist(STOP_FR)}))) AS s_fr,
+                length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS n_cjk
+            FROM documents)
+        SELECT doc_id, declared_lang, s_en, s_de, s_es, s_fr, n_cjk,
+            CASE WHEN n_cjk > 0 THEN 'zh'
+                 WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                 WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                 WHEN s_es >= s_fr THEN 'es'
+                 ELSE 'fr' END AS predicted_lang
+        FROM s""",
+    "text_top_terms_per_source": f"""
+        WITH toks AS (
+            SELECT source, unnest({TOKENS_SQL}) AS token FROM documents),
+        counts AS (
+            SELECT source, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        ranked AS (
+            SELECT source, token, tf, row_number() OVER (
+                PARTITION BY source ORDER BY tf DESC, token ASC) AS rank
+            FROM counts)
+        SELECT source, token, tf, rank FROM ranked WHERE rank <= 3""",
+    "text_doc_fingerprint": f"""
+        SELECT doc_id,
+               md5(array_to_string({TOKENS_SQL}, ' ')) AS fingerprint,
+               substring(md5(array_to_string({TOKENS_SQL}, ' ')), 1, 8) AS bucket
+        FROM documents""",
+    "text_fulltext_search": f"""
+        SELECT doc_id, source,
+               len(list_filter({TOKENS_SQL}, t -> t = 'window')) AS tf
+        FROM documents
+        WHERE len(list_filter({TOKENS_SQL}, t -> t = 'window')) > 0""",
+}

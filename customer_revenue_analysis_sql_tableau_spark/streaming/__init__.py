@@ -1,0 +1,29 @@
+"""Structured Streaming operators with batch twins (SURVEY.md §2.14).
+
+The reference is purely batch; the driver mandate adds stream
+processing over the ``events`` table. Batch-first design: every
+streaming operator has a batch twin with identical semantics — the
+DuckDB oracle checks the twin, and pytest proves stream ≡ batch by
+running the real ``readStream`` pipeline (availableNow trigger) against
+the same parquet input.
+"""
+
+from .windows import (
+    QUERIES,
+    ORACLES,
+    events_session_windows,
+    events_sliding_counts,
+    events_stream_dedup,
+    events_tumbling_counts,
+    run_tumbling_stream,
+)
+
+__all__ = [
+    "QUERIES",
+    "ORACLES",
+    "events_tumbling_counts",
+    "events_sliding_counts",
+    "events_session_windows",
+    "events_stream_dedup",
+    "run_tumbling_stream",
+]

@@ -1,0 +1,240 @@
+"""Windowed event-stream operators: tumbling, sliding, session windows,
+watermarked dedup — each with a batch twin the DuckDB oracle checks.
+
+Semantics notes (the hazards that decide oracle parity):
+- Spark ``F.window`` aligns tumbling/sliding windows to the epoch; the
+  DuckDB twin uses ``time_bucket`` (same alignment).
+- ``session_window`` ends at last_event + gap; the SQL twin is the
+  classic gaps-and-islands rewrite (lag + cumulative session counter).
+- Streaming dedup keeps the *first* event per key; the deterministic
+  batch twin is row_number over (ts, event_id).
+- ``value`` sums go through DECIMAL (exact, order-independent).
+
+Scale posture: watermarks bound state (``withWatermark`` before any
+stateful op); windows partition by (window, key) so state is sharded;
+the batch twins shuffle once on the same keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions.money import money
+
+#: Window geometry (pinned for the registered queries).
+TUMBLE = "10 minutes"
+SLIDE_DURATION = "10 minutes"
+SLIDE_STEP = "5 minutes"
+SESSION_GAP = "4 hours"
+WATERMARK = "30 minutes"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, names=("events",))["events"]
+
+
+def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows per event_type: count + exact sum."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(money("value")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min step): each event lands in
+    exactly duration/step = 2 windows."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", SLIDE_DURATION, SLIDE_STEP).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(money("value")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (4h inactivity gap).
+
+    Batch twin of ``F.session_window``: Spark's session ends at
+    last_event + gap, which the gaps-and-islands oracle reproduces.
+    """
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(money("value")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked-dedup batch twin: first event per (user_id,
+    event_type), deterministic tiebreak (ts, event_id) — the batch
+    semantics of ``dropDuplicatesWithinWatermark``."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string column extraction (the ``props`` column): per-key agg.
+
+    The reference has no JSON surface; the driver testdata adds it —
+    ``get_json_object`` stays JVM-side.
+    """
+    e = _events(spark, sf_dir)
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# The real streaming pipeline (tested in pytest against the batch twin)
+# --------------------------------------------------------------------------
+
+
+def run_tumbling_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Execute the tumbling-window aggregation as a true Structured
+    Streaming job: parquet file-source *directory* → watermark →
+    windowed agg → memory sink, availableNow trigger (drains the
+    source then stops).
+
+    Returns the sink contents; must equal ``events_tumbling_counts``
+    on the same events (pytest asserts this) — except events older
+    than the watermark horizon would be dropped in a live multi-batch
+    run; with a single availableNow batch nothing is late.
+    """
+    schema = spark.read.parquet(source_dir).schema
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(raw.dtypes).get("ts") == "bigint":  # nanosAsLong (see catalog)
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = (
+        raw.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(money("value")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("tumbling_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("tumbling_sink")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stream_tumbling_counts": events_tumbling_counts,
+    "stream_sliding_counts": events_sliding_counts,
+    "stream_session_windows": events_session_windows,
+    "stream_dedup_first": events_stream_dedup,
+    "events_json_extract": events_json_extract,
+}
+
+_VAL_SUM = "CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)"
+
+ORACLES: dict[str, str] = {
+    "stream_tumbling_counts": f"""
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+                   AS window_end,
+               event_type, count(*) AS n_events, {_VAL_SUM} AS total_value
+        FROM events GROUP BY 1, 2, 3""",
+    "stream_sliding_counts": f"""
+        WITH exploded AS (
+            SELECT unnest([
+                       time_bucket(INTERVAL '5 minutes', ts),
+                       time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+                   ]) AS window_start,
+                   value
+            FROM events)
+        SELECT window_start, window_start + INTERVAL '10 minutes' AS window_end,
+               count(*) AS n_events, {_VAL_SUM} AS total_value
+        FROM exploded GROUP BY 1, 2""",
+    "stream_session_windows": f"""
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL '4 hours'
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+            FROM events),
+        numbered AS (
+            SELECT *, sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM marked)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL '4 hours' AS session_end,
+               count(*) AS n_events, {_VAL_SUM} AS total_value
+        FROM numbered GROUP BY user_id, session_id""",
+    "stream_dedup_first": """
+        SELECT event_id, ts, user_id, event_type, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+            FROM events) WHERE rn = 1""",
+    "events_json_extract": """
+        SELECT event_type, count(*) AS n_events,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type""",
+}

@@ -1,0 +1,130 @@
+"""Extension-operator oracles that SQL can't express (SURVEY §7.5):
+cross-verification between probabilistic and exact methods, pandas-UDF
+plumbing, and stream ≡ batch equivalence."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
+    dedup_components,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+    simhash_signatures,
+)
+from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import (
+    multimodal_decode_features,
+    multimodal_frame_sample,
+    real_decode,
+)
+from customer_revenue_analysis_sql_tableau_spark.operators.similarity import (
+    TOP_K,
+    sim_bruteforce_topk,
+    sim_lsh_topk,
+)
+from customer_revenue_analysis_sql_tableau_spark.streaming import (
+    events_tumbling_counts,
+    run_tumbling_stream,
+)
+
+import pytest
+
+
+def _pairs(df):
+    return {(r.d1, r.d2) for r in df.select("d1", "d2").collect()}
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark, sf_dir):
+    """LSH recall at J>=0.8 with 16x4 banding is ~0.9998 and candidates
+    are exact-verified, so the output must equal the exact pair set."""
+    exact = _pairs(dedup_ngram_jaccard(spark, sf_dir))
+    lsh = _pairs(dedup_minhash_lsh(spark, sf_dir))
+    assert lsh == exact
+    assert len(exact) > 0  # planted near-dups exist in the testdata
+
+
+def test_simhash_pairs_are_close_and_deterministic(spark, sf_dir):
+    out = dedup_simhash(spark, sf_dir)
+    rows = out.collect()
+    assert all(r.hamming <= 3 for r in rows)
+    assert all(r.d1 < r.d2 for r in rows)
+    # signatures are a pure function of the text
+    s1 = {r.doc_id: r.simhash for r in simhash_signatures(spark, sf_dir).collect()}
+    s2 = {r.doc_id: r.simhash for r in simhash_signatures(spark, sf_dir).collect()}
+    assert s1 == s2
+    # simhash is a coarser filter than minhash (token-level, radius 3):
+    # it should still recover the bulk of the planted (J~0.99) near-dups
+    exact = _pairs(dedup_ngram_jaccard(spark, sf_dir))
+    found = {(r.d1, r.d2) for r in rows}
+    assert len(found & exact) >= int(0.6 * len(exact))
+
+
+def test_components_group_planted_dups(spark, sf_dir):
+    comp = {r.doc_id: r.component_id for r in dedup_components(spark, sf_dir).collect()}
+    for d1, d2 in _pairs(dedup_ngram_jaccard(spark, sf_dir)):
+        assert comp[d1] == comp[d2]
+    assert min(comp.values()) >= 0
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    exact = {
+        (r.query_id, r.neighbor_id) for r in sim_bruteforce_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in sim_lsh_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall} too low"
+    # every approx result is a real vector pair with rank <= k
+    assert all(r.rank <= TOP_K for r in sim_lsh_topk(spark, sf_dir).collect())
+
+
+def test_multimodal_decode_plumbing(spark, sf_dir):
+    out = multimodal_decode_features(spark, sf_dir)
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,mime:string,n_bytes:bigint,head_byte:bigint,"
+        "tail_byte:bigint,checksum64:bigint>"
+    )
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    # n_bytes equals the utf-8 length of the text (plumbing is lossless)
+    docs = {
+        r.doc_id: len(r.text.encode())
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for r in rows:
+        assert r.n_bytes == docs[r.doc_id]
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        real_decode(b"xx", "image/png")
+
+
+def test_multimodal_frame_sample(spark, sf_dir):
+    out = multimodal_frame_sample(spark, sf_dir, every=32)
+    row = out.first()
+    assert row.frame_idx == 0 and len(row.frame_bytes) <= 8
+    counts = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] >= 1 for r in counts)
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # file stream sources need a directory; stage the events table
+        src = f"{tmp}/events_src"
+        load_tables(spark, sf_dir, names=("events",), register=False)[
+            "events"
+        ].write.parquet(src)
+        streamed = run_tumbling_stream(spark, src, f"{tmp}/ckpt").collect()
+    batch = events_tumbling_counts(spark, sf_dir).collect()
+    key = lambda r: (r.window_start, r.event_type)  # noqa: E731
+    assert {key(r): (r.n_events, r.total_value) for r in streamed} == {
+        key(r): (r.n_events, r.total_value) for r in batch
+    }
