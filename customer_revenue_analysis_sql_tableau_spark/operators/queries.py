@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_tables
 from ..functions.money import money, round2_div, round2_div_sql
-from .warehouse import VIEW_ORACLE_SQL, customer_value_summary, revenue_expr
+from .warehouse import (
+    VIEW_ORACLE_SQL,
+    customer_value_summary,
+    most_frequent_part_type,
+    revenue_expr,
+)
 
 # Rental-frequency segmentation thresholds (``queries_shan.sql:70-74`` uses
 # 20/10 on rental counts; our post-join counts run ~40/customer, so 60/30
@@ -40,6 +45,24 @@ CHURN_ANCHOR = "2001-06-01"
 
 _VIEW_CTE = f"WITH cvs AS ({VIEW_ORACLE_SQL})"
 
+# Materialized-view layer: the reference materializes the view once
+# (data/dw.csv) and every downstream consumer (q1-q11, Streamlit,
+# Tableau) reads the materialization. Our twin: build + cache the view
+# DataFrame once per (session, sf_dir); q1-q11 regroup the cached rows.
+# The cached view is post-aggregation (one row per customer — ~600 rows
+# per sf0.001, 13 columns), so executor memory stays bounded at any
+# scale factor that fits a customer dimension.
+_VIEW_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    df = _VIEW_CACHE.get(key)
+    if df is None:
+        df = customer_value_summary(spark, sf_dir).cache()
+        _VIEW_CACHE[key] = df
+    return df
+
 
 def _sum_revenue() -> F.Column:
     """Order-independent SUM of the view's 2-dp Total_Revenue."""
@@ -51,7 +74,7 @@ _SUM_REV_SQL = "CAST(round(sum(CAST(Total_Revenue AS DECIMAL(18,2))), 2) AS DOUB
 
 def q1_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 revenue customers (``queries_shan.sql:46-52``, O5 top-k)."""
-    cvs = customer_value_summary(spark, sf_dir)
+    cvs = materialized_view(spark, sf_dir)
     return (
         cvs.select("Customer_Name", "Total_Revenue")
         .orderBy(F.desc("Total_Revenue"), F.asc("Customer_Name"))
@@ -61,7 +84,7 @@ def q1_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q1_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q1 without LIMIT — matches the golden export's 599-row shape."""
-    cvs = customer_value_summary(spark, sf_dir)
+    cvs = materialized_view(spark, sf_dir)
     return cvs.select("Customer_Name", "Total_Revenue").orderBy(
         F.desc("Total_Revenue"), F.asc("Customer_Name")
     )
@@ -69,13 +92,13 @@ def q1_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q2_most_frequent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most frequent renters twin (``queries_shan.sql:54-59``)."""
-    cvs = customer_value_summary(spark, sf_dir)
+    cvs = materialized_view(spark, sf_dir)
     return cvs.select("Customer_Name", "Total_Orders").orderBy(F.desc("Total_Orders"))
 
 
 def q3_top_late_fees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-fee ranking twin (``queries_shan.sql:61-66``)."""
-    cvs = customer_value_summary(spark, sf_dir)
+    cvs = materialized_view(spark, sf_dir)
     return cvs.select("Customer_Name", "Total_Late_Fees").orderBy(
         F.desc("Total_Late_Fees")
     )
@@ -83,7 +106,7 @@ def q3_top_late_fees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q4_frequency_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE-ladder segmentation + agg (``queries_shan.sql:68-79``)."""
-    cvs = customer_value_summary(spark, sf_dir)
+    cvs = materialized_view(spark, sf_dir)
     seg = (
         F.when(F.col("Total_Orders") >= SEG_HIGH, "Frequent Customers")
         .when(F.col("Total_Orders").between(SEG_LOW, SEG_HIGH - 1), "Regular Customers")
@@ -104,7 +127,7 @@ def q5_churn_risk(
     spark: SparkSession, sf_dir: str, anchor: str = CHURN_ANCHOR
 ) -> DataFrame:
     """Inactive >6 months (``queries_shan.sql:81-87``, F1 date filter)."""
-    cvs = customer_value_summary(spark, sf_dir)
+    cvs = materialized_view(spark, sf_dir)
     threshold = F.add_months(F.lit(anchor).cast("date"), -6)
     return (
         cvs.filter(F.col("Last_Order_Date") < threshold)
@@ -115,7 +138,7 @@ def q5_churn_risk(
 
 def q6_revenue_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by most-watched category twin (``queries_shan.sql:89-96``)."""
-    cvs = customer_value_summary(spark, sf_dir)
+    cvs = materialized_view(spark, sf_dir)
     return (
         cvs.groupBy("Most_Frequent_Part_Type")
         .agg(
@@ -128,7 +151,7 @@ def q6_revenue_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q7_customer_lifetime_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLV twin (``queries_shan.sql:98-106``)."""
-    cvs = customer_value_summary(spark, sf_dir)
+    cvs = materialized_view(spark, sf_dir)
     return (
         cvs.groupBy("Customer_Name", "First_Order_Date", "Last_Order_Date")
         .agg(_sum_revenue().alias("Lifetime_Spending"))
@@ -142,7 +165,7 @@ def q8_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     MySQL ``DATE_FORMAT('%Y-%m')`` → Spark ``date_format('yyyy-MM')``
     (lowercase yyyy — week-year 'YYYY' is the classic bug, SURVEY §7.4.6).
     """
-    cvs = customer_value_summary(spark, sf_dir)
+    cvs = materialized_view(spark, sf_dir)
     return (
         cvs.withColumn(
             "Customer_Cohort", F.date_format("First_Order_Date", "yyyy-MM")
@@ -158,7 +181,7 @@ def q8_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q9_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by country twin (``queries_shan.sql:117-124``)."""
-    cvs = customer_value_summary(spark, sf_dir)
+    cvs = materialized_view(spark, sf_dir)
     return (
         cvs.groupBy(F.col("Customer_Nation").alias("Nation"))
         .agg(
@@ -171,7 +194,7 @@ def q9_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q10_revenue_by_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by city twin (``queries_shan.sql:126-134``)."""
-    cvs = customer_value_summary(spark, sf_dir)
+    cvs = materialized_view(spark, sf_dir)
     return (
         cvs.groupBy(
             F.col("Customer_Nation").alias("Nation"),
@@ -191,7 +214,7 @@ def q11_avg_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     The division rounds via exact integer math (P3 hazard — see
     functions/money.py).
     """
-    cvs = customer_value_summary(spark, sf_dir)
+    cvs = materialized_view(spark, sf_dir)
     agg = cvs.groupBy(F.col("Customer_Nation").alias("Nation")).agg(
         F.count("Customer_ID").alias("Total_Customers"),
         F.sum(money(F.col("Total_Revenue"))).alias("_rev2"),
@@ -204,6 +227,17 @@ def q11_avg_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "Avg_Revenue_Per_Customer"
         ),
     ).orderBy(F.desc("Avg_Revenue_Per_Customer"))
+
+
+def mfc_window_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 as a standalone window operator (§2.9): the reference's
+    correlated ``ORDER BY COUNT(*) DESC LIMIT 1`` subquery
+    (``queries_shan.sql:15-23``) decorrelated to row_number over a
+    per-customer window. The view itself uses the cheaper
+    min(struct(-cnt, type)) argmax fold; this form is registered so the
+    window-function rewrite stays covered by the oracle gate."""
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem", "part"))
+    return most_frequent_part_type(t)
 
 
 def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,7 +267,7 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "view_customer_value_summary": customer_value_summary,
+    "view_customer_value_summary": materialized_view,
     "q1_top_revenue_customers": q1_top_revenue_customers,
     "q1_full": q1_full,
     "q2_most_frequent_customers": q2_most_frequent_customers,
@@ -246,6 +280,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q9_revenue_by_nation": q9_revenue_by_nation,
     "q10_revenue_by_nation_region": q10_revenue_by_nation_region,
     "q11_avg_revenue_per_customer": q11_avg_revenue_per_customer,
+    "mfc_window_top1": mfc_window_top1,
     "flagship_revenue_by_region": flagship_revenue_by_region,
 }
 
@@ -306,6 +341,17 @@ ORACLES: dict[str, str] = {
                {_SUM_REV_SQL} AS Total_Revenue,
                {_Q11_AVG_SQL} AS Avg_Revenue_Per_Customer
         FROM cvs GROUP BY 1 ORDER BY Avg_Revenue_Per_Customer DESC""",
+    "mfc_window_top1": """
+        SELECT mfc_custkey, p_type AS Most_Frequent_Part_Type FROM (
+            SELECT o.o_custkey AS mfc_custkey, p.p_type,
+                   row_number() OVER (
+                       PARTITION BY o.o_custkey
+                       ORDER BY count(*) DESC, p.p_type ASC) AS rn
+            FROM orders o
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY o.o_custkey, p.p_type
+        ) WHERE rn = 1""",
     "flagship_revenue_by_region": """
         SELECT r.r_name AS Region,
                CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))

@@ -97,43 +97,92 @@ def most_frequent_part_type(tables: dict[str, DataFrame]) -> DataFrame:
 
 
 def customer_value_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the view (twin of ``queries_shan.sql:7-42``)."""
+    """Build the view (twin of ``queries_shan.sql:7-42``).
+
+    Physical shape (100 TB posture): the fact join
+    ``orders ⟕ lineitem ⟕ part`` is scanned ONCE and reduced by a
+    two-level aggregation — partial groupBy ``(custkey, p_type)``
+    (map-side combine shrinks the shuffle to ~customers × part-types),
+    then a final groupBy ``custkey``. The A1 top-1-per-customer window
+    and the ``Total_Part_Types`` distinct count both derive from the
+    same partial aggregate, so no second pass over ``lineitem``
+    (the naive form — separate plans for the main agg and the
+    correlated-subquery rewrite — joins the facts twice). Geo dims
+    (customer/nation/region) broadcast-join AFTER aggregation, so the
+    wide strings never ride the big shuffle. Results are identical to
+    the declarative 8-table form because every order has exactly one
+    customer row (FK integrity, validated by the DuckDB oracle twin
+    which keeps the reference's join order).
+    """
     t = load_tables(
         spark, sf_dir, names=("customer", "nation", "region", "orders", "lineitem", "part")
     )
     c, n, r = t["customer"], t["nation"], t["region"]
     o, l, p = t["orders"], t["lineitem"], t["part"]
 
-    base = (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)  # J1 twin
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)  # J2-J3 twin
-        .join(o, c.c_custkey == o.o_custkey)  # J4 (fact, inner)
-        .join(l, o.o_orderkey == l.l_orderkey, "left")  # J7 (left)
+    fact = (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left")  # J4+J7 twin
         .join(F.broadcast(p), l.l_partkey == p.p_partkey, "left")  # J8 (left)
     )
 
-    grouped = base.groupBy(
-        c.c_custkey.alias("Customer_ID"),
-        c.c_name.alias("Customer_Name"),
-        n.n_name.alias("Customer_Nation"),
-        r.r_name.alias("Customer_Region"),
+    # Level 1: per (customer, part-type) partials. NULL p_type rows
+    # (orders with no lineitem / lineitem with no part) stay as their
+    # own group so post-join row counts are preserved exactly.
+    partial = fact.groupBy(
+        o.o_custkey.alias("Customer_ID"), p.p_type
     ).agg(
-        F.count(o.o_orderkey).alias("Total_Orders"),  # A3: post-join rows
-        F.sum(revenue_expr(l)).alias("_rev_sum"),  # scale-4 decimal, exact
-        F.count_distinct(p.p_type).alias("Total_Part_Types"),  # A4
+        F.count(o.o_orderkey).alias("_orders"),  # A3: post-join rows
+        F.sum(revenue_expr(l)).alias("_rev"),  # scale-4 decimal, exact
+        F.sum(late_fee_expr(l, o)).alias("_late"),  # A6 partial
+        F.min(o.o_orderdate).alias("_min_d"),  # A2 partial
+        F.max(o.o_orderdate).alias("_max_d"),
+        F.count(l.l_linenumber).alias("_lines"),  # A3: NULL-skip
+    )
+
+    # Level 2: fold partials per customer. The A1 top-1-per-group
+    # ("most frequent part type") folds into the SAME aggregate as an
+    # argmax: min(struct(-count, p_type)) over the partial rows picks
+    # (count DESC, p_type ASC) — the documented deterministic
+    # tie-break — with no window, no second fact pass, and no extra
+    # join. NULL p_type groups (orders with no lineitem) map to NULL
+    # and are skipped by min(), so a customer whose only group is NULL
+    # gets MFC = NULL, exactly what the reference's left join to the
+    # correlated subquery yields.
+    mfc_pick = F.min(
+        F.when(
+            F.col("p_type").isNotNull(),
+            F.struct(
+                (-F.col("_orders")).alias("neg_cnt"),
+                F.col("p_type").alias("p_type"),
+            ),
+        )
+    )
+    grouped = partial.groupBy("Customer_ID").agg(
+        F.sum("_orders").alias("Total_Orders"),
+        F.sum("_rev").alias("_rev_sum"),
+        F.count("p_type").alias("Total_Part_Types"),  # A4: partial rows
+        # are distinct (custkey, p_type) pairs; count(col) skips NULL
+        mfc_pick.alias("_mfc"),  # A1
         F.round(
-            F.coalesce(F.sum(late_fee_expr(l, o)), F.lit(0).cast("decimal(3,2)")), 2
+            F.coalesce(F.sum("_late"), F.lit(0).cast("decimal(3,2)")), 2
         )
         .cast("double")
         .alias("Total_Late_Fees"),  # A6
-        F.min(o.o_orderdate).alias("First_Order_Date"),  # A2
-        F.max(o.o_orderdate).alias("Last_Order_Date"),  # A2
-        F.count(l.l_linenumber).alias("Total_Line_Items"),  # A3: NULL-skip
+        F.min("_min_d").alias("First_Order_Date"),  # A2
+        F.max("_max_d").alias("Last_Order_Date"),
+        F.sum("_lines").alias("Total_Line_Items"),
     )
 
-    mfc = most_frequent_part_type(t)  # A1
+    geo = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )  # J1-J3 twin
+
     out = (
-        grouped.join(mfc, grouped.Customer_ID == mfc.mfc_custkey, "left")
+        grouped.withColumn("Most_Frequent_Part_Type", F.col("_mfc.p_type"))
+        .join(geo, grouped.Customer_ID == c.c_custkey)
+        .withColumn("Customer_Name", c.c_name)
+        .withColumn("Customer_Nation", n.n_name)
+        .withColumn("Customer_Region", r.r_name)
         .withColumn("Total_Revenue", F.round(F.col("_rev_sum"), 2).cast("double"))
         .withColumn(
             "Avg_Spending_Per_Order",
