@@ -32,6 +32,10 @@ SAKILA_TABLES = (
     "inventory",
     "payment",
     "rental",
+    "actor",
+    "film_actor",
+    "staff",
+    "store",
 )
 
 _VERSION_COMMENT = re.compile(r"/\*!\d+ .*?\*/", re.DOTALL)
@@ -105,6 +109,8 @@ def _num(tok: str) -> Any:
         return int(tok)
     if re.fullmatch(r"-?\d+\.\d+", tok):
         return float(tok)
+    if re.fullmatch(r"0[xX][0-9a-fA-F]+", tok):  # BLOB literal (staff.picture)
+        return bytes.fromhex(tok[2:])
     return tok  # unquoted keyword (shouldn't occur in this dump)
 
 
@@ -160,6 +166,16 @@ SAKILA_SCHEMAS: dict[str, str] = {
         "customer_id int, return_date timestamp, staff_id int, "
         "last_update timestamp"
     ),
+    "actor": "actor_id int, first_name string, last_name string, last_update timestamp",
+    "film_actor": "actor_id int, film_id int, last_update timestamp",
+    "staff": (
+        "staff_id int, first_name string, last_name string, address_id int, "
+        "picture binary, email string, store_id int, active boolean, "
+        "username string, password string, last_update timestamp"
+    ),
+    "store": (
+        "store_id int, manager_staff_id int, address_id int, last_update timestamp"
+    ),
 }
 
 _TS_COLS = {"last_update", "create_date", "payment_date", "rental_date", "return_date"}
@@ -184,6 +200,8 @@ def _coerce(rows: list[tuple], schema: str) -> list[tuple]:
                 vals.append(int(v))
             elif typ == "boolean":
                 vals.append(bool(int(v)))
+            elif typ == "binary":
+                vals.append(bytes(v) if isinstance(v, (bytes, bytearray)) else bytes(str(v), "utf-8"))
             else:
                 vals.append(str(v))
         coerced.append(tuple(vals))
