@@ -19,6 +19,7 @@ from customer_revenue_analysis_sql_tableau_spark.operators import dedup as _dedu
 from customer_revenue_analysis_sql_tableau_spark.operators import multimodal as _multimodal
 from customer_revenue_analysis_sql_tableau_spark.operators import similarity as _similarity
 from customer_revenue_analysis_sql_tableau_spark.operators import text as _text
+from customer_revenue_analysis_sql_tableau_spark import app_layer as _app_layer
 from customer_revenue_analysis_sql_tableau_spark import streaming as _streaming
 
 _REGISTRY_MODULES = [
@@ -30,6 +31,7 @@ _REGISTRY_MODULES = [
     _similarity,
     _multimodal,
     _streaming,
+    _app_layer,
 ]
 
 
