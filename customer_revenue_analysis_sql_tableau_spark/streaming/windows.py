@@ -181,6 +181,104 @@ def run_tumbling_stream(
     return spark.table("tumbling_sink")
 
 
+def _read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    schema = spark.read.parquet(source_dir).schema
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(raw.dtypes).get("ts") == "bigint":  # nanosAsLong (see catalog)
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def run_dedup_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming dedup: ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type) — keeps the first ARRIVAL per key, with
+    watermark-bounded state so old keys age out of memory.
+
+    Arrival order within a micro-batch is not event-time order, so the
+    surviving row per key is not deterministic; the pytest contract is
+    set-of-keys equality with the batch twin (`events_stream_dedup`),
+    which pins the deterministic (ts, event_id)-first variant.
+    """
+    stream = (
+        _read_events_stream(spark, source_dir)
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("dedup_sink")
+
+
+def run_stateful_user_counts(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    cumulative event count + exact value total, carried in explicit
+    GroupState across micro-batches (the arbitrary-stateful-processing
+    surface the built-in windows can't express).
+
+    Emits one row per (user, micro-batch) in update mode; the final
+    row per user (max cumulative count) must equal the batch
+    ``groupBy(user_id).count()`` — asserted in pytest. State is one
+    small tuple per user: memory scales with distinct keys, not events.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    stream = (
+        _read_events_stream(spark, source_dir)
+        .select("user_id", "ts", "value")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "user_id bigint, n_events bigint, total_value double",
+            "n bigint, total double",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("stateful_sink")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # update-mode memory sink appends one row per (user, batch); the
+    # final state per user is the max cumulative count.
+    sink = spark.table("stateful_sink")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling_counts": events_tumbling_counts,
     "stream_sliding_counts": events_sliding_counts,

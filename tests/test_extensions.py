@@ -113,6 +113,55 @@ def test_multimodal_frame_sample(spark, sf_dir):
     assert all(r["count"] >= 1 for r in counts)
 
 
+def test_streaming_dedup_matches_batch_keys(spark, sf_dir):
+    """dropDuplicatesWithinWatermark keeps one row per key; the kept
+    row is arrival-order-dependent, so the contract vs the batch twin
+    is key-set equality + one-row-per-key."""
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.streaming.windows import (
+        events_stream_dedup,
+        run_dedup_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events_src"
+        load_tables(spark, sf_dir, names=("events",), register=False)[
+            "events"
+        ].write.parquet(src)
+        streamed = run_dedup_stream(spark, src, f"{tmp}/ckpt").collect()
+    batch = events_stream_dedup(spark, sf_dir).collect()
+    skeys = [(r.user_id, r.event_type) for r in streamed]
+    assert len(skeys) == len(set(skeys))  # exactly one survivor per key
+    assert set(skeys) == {(r.user_id, r.event_type) for r in batch}
+
+
+def test_stateful_user_counts_equals_batch(spark, sf_dir):
+    """applyInPandasWithState cumulative per-user state: final counts
+    and exact totals must equal the batch aggregation."""
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.streaming.windows import (
+        run_stateful_user_counts,
+    )
+
+    events = load_tables(spark, sf_dir, names=("events",), register=False)["events"]
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events_src"
+        events.write.parquet(src)
+        streamed = run_stateful_user_counts(spark, src, f"{tmp}/ckpt").collect()
+    batch = {
+        r.user_id: (r.n, float(r.total))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    got = {r.user_id: (r.n_events, r.total_value) for r in streamed}
+    assert got.keys() == batch.keys()
+    for uid, (n, total) in batch.items():
+        gn, gtotal = got[uid]
+        assert gn == n
+        assert abs(gtotal - total) < 1e-6
+
+
 def test_streaming_tumbling_equals_batch(spark, sf_dir):
     from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
 
