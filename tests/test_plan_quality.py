@@ -1,0 +1,98 @@
+"""Physical-plan assertions (SURVEY.md §4, §7.4.7): the scale posture
+is part of the contract, not an aspiration. These tests freeze it:
+dims broadcast, filters and projections reach the parquet scan,
+semi/anti joins stay joins, and no row-at-a-time Python evaluation
+appears anywhere in the parity path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from customer_revenue_analysis_sql_tableau_spark.app_layer import top_n_filter
+from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+from customer_revenue_analysis_sql_tableau_spark.operators.queries import (
+    flagship_revenue_by_region,
+)
+from customer_revenue_analysis_sql_tableau_spark.operators.relational import (
+    parts_never_ordered_anti,
+    tpch_q3_shipping_priority,
+    top_nations_customers_semi,
+)
+from customer_revenue_analysis_sql_tableau_spark.operators.warehouse import (
+    customer_value_summary,
+)
+
+
+def plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_flagship_broadcasts_dims_and_prunes_columns(spark, sf_dir):
+    p = plan(flagship_revenue_by_region(spark, sf_dir))
+    assert "BroadcastHashJoin" in p  # nation/region never shuffle
+    assert "CartesianProduct" not in p
+    # lineitem scan must read only the join key + revenue columns
+    assert "l_extendedprice" in p and "l_comment" not in p
+    # codegen mode enumerates fused pipelines (AQE's formatted plan
+    # hides them pre-execution)
+    df = flagship_revenue_by_region(spark, sf_dir)
+    assert "WholeStageCodegen" in plan(df, "codegen")
+
+
+def test_view_reads_only_needed_columns(spark, sf_dir):
+    p = plan(customer_value_summary(spark, sf_dir))
+    # column pruning: lineitem has more columns than the view touches
+    for needed in ("l_orderkey", "l_partkey", "l_extendedprice", "l_discount",
+                   "l_shipdate", "l_linenumber"):
+        assert needed in p
+    assert "l_comment" not in p and "l_tax" not in p
+    # geo dims ride broadcast exchanges, never a shuffle
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_selective_filter_pushes_down(spark, sf_dir):
+    p = plan(tpch_q3_shipping_priority(spark, sf_dir))
+    assert "PushedFilters:" in p
+    # the segment/date predicates must reach a scan, not sit in a
+    # post-scan Filter only
+    assert any(
+        tok in p for tok in ("GreaterThan", "LessThan", "EqualTo")
+    ), "no comparison predicate reached the parquet scan"
+
+
+def test_semi_and_anti_joins_stay_joins(spark, sf_dir):
+    assert "LeftSemi" in plan(top_nations_customers_semi(spark, sf_dir))
+    assert "LeftAnti" in plan(parts_never_ordered_anti(spark, sf_dir))
+
+
+def test_top_n_filter_is_semi_join(spark, sf_dir):
+    part = load_tables(spark, sf_dir, names=("part",))["part"]
+    p = plan(top_n_filter(part, "p_brand", 5))
+    assert "LeftSemi" in p
+    assert "TakeOrderedAndProject" in p  # top-k, not a full sort
+
+
+def test_no_python_row_udfs_in_parity_path(spark, sf_dir):
+    """Every oracle-checked query must stay JVM-side: no BatchEvalPython
+    (row-at-a-time UDF). Arrow-batched pandas UDFs (ArrowEvalPython /
+    FlatMapGroupsInPandas) are allowed — they are the designed slow
+    path for the extension operators only."""
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    offenders = []
+    for name, fn in queries.items():
+        if name not in oracles:
+            continue  # rows-only extension ops may use pandas UDFs
+        try:
+            p = plan(fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            pytest.fail(f"{name}: plan build failed: {exc}")
+        if "BatchEvalPython" in p:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
