@@ -1,0 +1,55 @@
+"""Parquet fact layout for scale (SURVEY.md §7.4.7 posture).
+
+The reference's physical design is InnoDB B-trees + secondary indexes;
+the Spark-native equivalent at 100 TB is month-partitioned columnar
+facts: partition pruning replaces index range scans, parquet min/max +
+dictionary stats replace point-lookup indexes. This module is that
+layout policy, plus the golden-output materialization step (S8 — the
+reference commits `data/dw.csv` + `data/qN.csv`; our pipeline writes
+the same artifacts from the engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .csv import write_csv_single
+
+#: Partition column derived from the fact's event date.
+MONTH_COL = "part_month"
+
+
+def write_month_partitioned(
+    df: DataFrame, date_col: str, path: str, max_records_per_file: int = 5_000_000
+) -> None:
+    """Write a fact table partitioned by calendar month of ``date_col``.
+
+    Partition count stays bounded (months, not days) so the file
+    listing never explodes; ``maxRecordsPerFile`` bounds file size
+    inside hot months instead of letting one month become one giant
+    file. Readers filtering on ``part_month`` (or on ``date_col``
+    ranges the caller also expresses on ``part_month``) scan only the
+    matching directories — asserted in the plan test.
+    """
+    (
+        df.withColumn(MONTH_COL, F.date_format(F.col(date_col), "yyyy-MM"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(MONTH_COL)
+        .parquet(path)
+    )
+
+
+def read_months(spark: SparkSession, path: str, months: list[str]) -> DataFrame:
+    """Read only the requested month partitions (pruned scan)."""
+    df = spark.read.parquet(path)
+    return df.filter(F.col(MONTH_COL).isin(months))
+
+
+def materialize_golden_outputs(view: DataFrame, query_results: dict[str, DataFrame], out_dir: str) -> None:
+    """S8: the reference's committed artifacts — the view and each
+    query as single-file CSVs (`data/dw.csv`, `data/qN.csv`)."""
+    write_csv_single(view, f"{out_dir}/dw")
+    for name, df in query_results.items():
+        write_csv_single(df, f"{out_dir}/{name}")
