@@ -21,6 +21,7 @@ from customer_revenue_analysis_sql_tableau_spark.operators import similarity as 
 from customer_revenue_analysis_sql_tableau_spark.operators import text as _text
 from customer_revenue_analysis_sql_tableau_spark import app_layer as _app_layer
 from customer_revenue_analysis_sql_tableau_spark import streaming as _streaming
+from customer_revenue_analysis_sql_tableau_spark.functions import gallery as _gallery
 
 _REGISTRY_MODULES = [
     _queries,
@@ -32,6 +33,7 @@ _REGISTRY_MODULES = [
     _multimodal,
     _streaming,
     _app_layer,
+    _gallery,
 ]
 
 

@@ -47,6 +47,26 @@ def read_months(spark: SparkSession, path: str, months: list[str]) -> DataFrame:
     return df.filter(F.col(MONTH_COL).isin(months))
 
 
+def save_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 8
+) -> None:
+    """Bucketed layout for co-located fact-fact joins (§4 posture).
+
+    Both sides of a recurring join written with the same bucket count
+    on their join keys let Spark plan a SortMergeJoin with NO exchange
+    and NO per-query sort (buckets are pre-sorted) — the shuffle is
+    paid once at write time instead of per query. At 100 TB this is
+    the difference between re-shuffling the fact table on every run
+    and never shuffling it; asserted shuffle-free in the plan test.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
 def materialize_golden_outputs(view: DataFrame, query_results: dict[str, DataFrame], out_dir: str) -> None:
     """S8: the reference's committed artifacts — the view and each
     query as single-file CSVs (`data/dw.csv`, `data/qN.csv`)."""

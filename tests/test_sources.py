@@ -15,6 +15,7 @@ from customer_revenue_analysis_sql_tableau_spark.sources.parquet import (
     MONTH_COL,
     materialize_golden_outputs,
     read_months,
+    save_bucketed,
     write_month_partitioned,
 )
 
@@ -46,6 +47,28 @@ def test_month_partitioned_write_and_pruned_read(spark, sf_dir):
             F.date_format("o_orderdate", "yyyy-MM").isin(months)
         ).count()
         assert pruned.count() == expected
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Fact-fact join over same-bucketed tables: SortMergeJoin with no
+    Exchange and no per-query Sort — the write-once shuffle posture."""
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"), register=False)
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS bdb LOCATION '{tmp}/bdb'")
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            save_bucketed(t["orders"], "bdb.orders_b", "o_orderkey")
+            save_bucketed(t["lineitem"], "bdb.lineitem_b", "l_orderkey")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            ob, lb = spark.table("bdb.orders_b"), spark.table("bdb.lineitem_b")
+            joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+            p = _plan(joined)
+            assert "SortMergeJoin" in p
+            assert "Exchange" not in p, "bucketed join still shuffles"
+            assert joined.count() == t["lineitem"].count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+            spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
 
 
 def test_golden_output_materialization(spark):
