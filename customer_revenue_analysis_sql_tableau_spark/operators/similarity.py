@@ -137,9 +137,70 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF geometry: coarse cells and probed cells per query.
+IVF_NLIST = 16
+IVF_NPROBE = 8
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) search: an
+    MLlib KMeans coarse quantizer assigns every vector to its nearest
+    of ``IVF_NLIST`` centroids (the inverted lists); each query probes
+    its ``IVF_NPROBE`` nearest centroids and ranks exactly within those
+    cells only.
+
+    Scale shape: the per-query work drops from N to ~N·nprobe/nlist;
+    cell assignment is one shuffle-free model.transform; the only
+    driver-side data is the centroid matrix (nlist × dim floats). Like
+    LSH, recall < 1 by construction → rows-only oracle; pytest checks
+    recall against the brute-force baseline.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    feats = ed.withColumn("features", array_to_vector("v"))
+    model = KMeans(
+        k=IVF_NLIST, seed=LSH_SEED, featuresCol="features", predictionCol="cell"
+    ).fit(feats)
+    assigned = model.transform(feats).select("vec_id", "v", "cell")
+
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, cv array<double>",
+    )
+    l2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probed = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("d2", l2)
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .select("query_id", "qv", "cell")
+    )
+    cand = probed.join(
+        assigned, (probed.cell == assigned.cell) & (F.col("query_id") != assigned.vec_id)
+    ).select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", _cos("qv", "v").alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_topk": sim_lsh_topk,  # rows-only (probabilistic recall)
+    "sim_ivf_topk": sim_ivf_topk,  # rows-only (probabilistic recall)
 }
 
 ORACLES: dict[str, str] = {

@@ -82,6 +82,28 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     assert all(r.rank <= TOP_K for r in sim_lsh_topk(spark, sf_dir).collect())
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    from customer_revenue_analysis_sql_tableau_spark.operators.similarity import (
+        TOP_K,
+        sim_bruteforce_topk,
+        sim_ivf_topk,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id) for r in sim_bruteforce_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in sim_ivf_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} below floor"
+    # every query returns at most TOP_K, ranked rows
+    per_q = {}
+    for q, _ in approx:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(v <= TOP_K for v in per_q.values())
+
+
 def test_multimodal_decode_plumbing(spark, sf_dir):
     out = multimodal_decode_features(spark, sf_dir)
     assert out.schema.simpleString() == (
