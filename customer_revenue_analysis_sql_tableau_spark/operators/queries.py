@@ -242,21 +242,35 @@ def mfc_window_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship (SURVEY §7.1): revenue by region — scan, 4 joins (dims
-    broadcast), decimal-exact agg, exact distinct, global sort."""
+    broadcast), decimal-exact agg, exact distinct, global sort.
+
+    The distinct customer count is a two-level aggregation (partial by
+    (region, custkey), final by region) instead of ``count_distinct``:
+    same result, but no Expand row duplication, and the big shuffle
+    gets map-side combine on the composite key — measurably faster
+    locally and the shape that survives a 100× scale-up.
+    """
     t = load_tables(
         spark, sf_dir, names=("customer", "nation", "region", "orders", "lineitem")
     )
     c, n, r, o, l = t["customer"], t["nation"], t["region"], t["orders"], t["lineitem"]
-    return (
+    partial = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy(r.r_name.alias("Region"))
+        .groupBy(r.r_name.alias("Region"), c.c_custkey.alias("_ck"))
         .agg(
-            F.round(F.sum(revenue_expr(l)), 2).cast("double").alias("Total_Revenue"),
-            F.count_distinct(c.c_custkey).alias("Total_Customers"),
-            F.count(F.lit(1)).alias("Total_Line_Items"),
+            F.sum(revenue_expr(l)).alias("_rev"),
+            F.count(F.lit(1)).alias("_lines"),
+        )
+    )
+    return (
+        partial.groupBy("Region")
+        .agg(
+            F.round(F.sum("_rev"), 2).cast("double").alias("Total_Revenue"),
+            F.count(F.lit(1)).alias("Total_Customers"),
+            F.sum("_lines").alias("Total_Line_Items"),
         )
         .orderBy(F.desc("Total_Revenue"))
     )
