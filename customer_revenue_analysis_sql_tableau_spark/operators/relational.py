@@ -307,6 +307,27 @@ def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_mktsegment").distinct()
 
 
+def approx_distinct_customers_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB tier of exact COUNT(DISTINCT) (SURVEY.md §7.4.7):
+    HyperLogLog++ sketch via ``approx_count_distinct`` (2% rsd). A
+    sketch shuffles constant bytes per group where exact distinct
+    shuffles every key — the documented trade for distinct counts over
+    unbounded-cardinality columns. Rows-only registry entry; pytest
+    bounds the error against the exact count."""
+    o = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias(
+                "approx_customers"
+            ),
+        )
+        .orderBy("status")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------------
@@ -328,6 +349,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_rollup_region_nation": revenue_rollup_region_nation,
     "lineitem_flag_status_cube": lineitem_flag_status_cube,
     "distinct_segments": distinct_segments,
+    # rows-only: sketch values are implementation-defined
+    "approx_distinct_customers_by_nation": approx_distinct_customers_by_nation,
 }
 
 _AVG_QTY = round2_div_sql("sum(CAST(l_quantity AS DECIMAL(18,2)))", "count(*)", scale=2)
