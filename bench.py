@@ -32,6 +32,13 @@ HEADLINE = [
     "q8_customer_cohorts",
     "q9_revenue_by_nation",
     "q11_avg_revenue_per_customer",
+    # one representative per extension family
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "text_token_stats",
+    "dedup_exact",
+    "sim_bruteforce_topk",
+    "stream_tumbling_counts",
 ]
 
 

@@ -78,7 +78,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(d: DataFrame) -> DataFrame:
-    return d.selectExpr("doc_id", f"explode({SHINGLES_EXPR}) AS shingle")
+    # Tokenize ONCE into a column, then shingle from the column:
+    # inlining TOKENS_EXPR into the transform() lambda re-runs the
+    # split per element access (O(tokens²) regex work per doc — was
+    # the whole minhash pipeline's bottleneck).
+    toks = d.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+    shingles = (
+        f"CASE WHEN size(toks) < {SHINGLE_K} THEN array(array_join(toks, ' ')) "
+        f"ELSE array_distinct(transform(sequence(0, size(toks) - {SHINGLE_K}), "
+        f"i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) END"
+    )
+    # shingle identity is all downstream ops need (set intersection,
+    # min-hashing, bucket joins) — carry a 64-bit hash, not the string:
+    # joins and shuffles move 8 bytes per shingle and compare longs.
+    return toks.selectExpr(
+        "doc_id", f"explode(transform({shingles}, s -> xxhash64(s))) AS shingle"
+    )
 
 
 def _jaccard_pairs_from_candidates(
@@ -126,25 +141,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     sh = _doc_shingles(d)
     a, b = sh.alias("a"), sh.alias("b")
-    candidates = (
+    # shingles are distinct per doc, so grouping the index join by pair
+    # counts |intersection| DIRECTLY — no separate candidate list and
+    # no re-join of the shingle frame for verification.
+    inter = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return _jaccard_pairs_from_candidates(sh, candidates, JACCARD_T)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    z1, z2 = sizes.alias("z1"), sizes.alias("z2")
+    return (
+        inter.join(z1, F.col("d1") == F.col("z1.doc_id"))
+        .join(z2, F.col("d2") == F.col("z2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("inter")
+                / (F.col("z1.n") + F.col("z2.n") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
 
 
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-permutation MinHash signature per doc: sig[i] = min over
     shingles of xxhash64(i-salted shingle). One shuffle (groupBy doc)."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    sh = _doc_shingles(d)
+    sh = _doc_shingles(d)  # shingle is already a 64-bit hash
+    # each permutation re-hashes the fixed-width long (cheap) instead
+    # of re-hashing shingle strings NUM_PERM times per row.
     aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"p{i}|"), F.col("shingle")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(NUM_PERM)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
