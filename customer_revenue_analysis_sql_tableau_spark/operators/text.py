@@ -48,32 +48,40 @@ def _inlist(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+def _with_tokens(d: DataFrame) -> DataFrame:
+    """Materialize the token array ONCE per row. Inlining TOKENS_EXPR
+    into several select expressions re-runs the regex split per
+    expression (linear waste here; quadratic when inlined into
+    higher-order-function lambdas — see dedup._doc_shingles)."""
+    return d.withColumn("toks", F.expr(TOKENS_EXPR))
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token/char statistics (token counting mandate)."""
-    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    d = _with_tokens(load_tables(spark, sf_dir, names=("documents",))["documents"])
     return d.selectExpr(
         "doc_id",
         "CAST(length(text) AS BIGINT) AS n_chars",
-        f"CAST(size({TOKENS_EXPR}) AS BIGINT) AS n_tokens",
-        f"CAST(size(array_distinct({TOKENS_EXPR})) AS BIGINT) AS n_distinct_tokens",
-        f"CAST(aggregate({TOKENS_EXPR}, 0, (acc, t) -> acc + length(t)) AS BIGINT)"
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct_tokens",
+        "CAST(aggregate(toks, 0, (acc, t) -> acc + length(t)) AS BIGINT)"
         " AS n_token_chars",
         # single double division of exact ints — reproducible
-        f"aggregate({TOKENS_EXPR}, 0, (acc, t) -> acc + length(t))"
-        f" / CAST(size({TOKENS_EXPR}) AS DOUBLE) AS avg_token_len",
+        "aggregate(toks, 0, (acc, t) -> acc + length(t))"
+        " / CAST(size(toks) AS DOUBLE) AS avg_token_len",
     )
 
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword ratios + composite score."""
-    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    d = _with_tokens(load_tables(spark, sf_dir, names=("documents",))["documents"])
     stop = _inlist(STOP_EN)
     return d.selectExpr(
         "doc_id",
         "CAST(length(text) AS BIGINT) AS n_chars",
-        f"CAST(size({TOKENS_EXPR}) AS BIGINT) AS n_tokens",
-        f"size(filter({TOKENS_EXPR}, t -> t IN ({stop})))"
-        f" / CAST(size({TOKENS_EXPR}) AS DOUBLE) AS stop_ratio",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        f"size(filter(toks, t -> t IN ({stop})))"
+        " / CAST(size(toks) AS DOUBLE) AS stop_ratio",
         f"(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '')))"
         " / CAST(length(text) AS DOUBLE) AS punct_ratio",
         "(length(text) - length(regexp_replace(text, '[A-Z]', '')))"
@@ -110,14 +118,14 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     The testdata vocabulary is synthetic so accuracy is not the point;
     the operator shape (pure-SQL scoring, no UDF) is.
     """
-    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    d = _with_tokens(load_tables(spark, sf_dir, names=("documents",))["documents"])
     scored = d.selectExpr(
         "doc_id",
         "lang AS declared_lang",
-        f"CAST(size(filter({TOKENS_EXPR}, t -> t IN ({_inlist(STOP_EN)}))) AS BIGINT) AS s_en",
-        f"CAST(size(filter({TOKENS_EXPR}, t -> t IN ({_inlist(STOP_DE)}))) AS BIGINT) AS s_de",
-        f"CAST(size(filter({TOKENS_EXPR}, t -> t IN ({_inlist(STOP_ES)}))) AS BIGINT) AS s_es",
-        f"CAST(size(filter({TOKENS_EXPR}, t -> t IN ({_inlist(STOP_FR)}))) AS BIGINT) AS s_fr",
+        f"CAST(size(filter(toks, t -> t IN ({_inlist(STOP_EN)}))) AS BIGINT) AS s_en",
+        f"CAST(size(filter(toks, t -> t IN ({_inlist(STOP_DE)}))) AS BIGINT) AS s_de",
+        f"CAST(size(filter(toks, t -> t IN ({_inlist(STOP_ES)}))) AS BIGINT) AS s_es",
+        f"CAST(size(filter(toks, t -> t IN ({_inlist(STOP_FR)}))) AS BIGINT) AS s_fr",
         "CAST(length(regexp_replace(text, '[^\\\\u4e00-\\\\u9fff]', '')) AS BIGINT)"
         " AS n_cjk",
     )
@@ -155,11 +163,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprinting: md5 over the normalized token stream plus
     a 64-bit prefix bucket (the document-fingerprint mandate; the
     rolling-hash variant lives in dedup.simhash)."""
-    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    d = _with_tokens(load_tables(spark, sf_dir, names=("documents",))["documents"])
     return d.selectExpr(
         "doc_id",
-        f"md5(array_join({TOKENS_EXPR}, ' ')) AS fingerprint",
-        f"substring(md5(array_join({TOKENS_EXPR}, ' ')), 1, 8) AS bucket",
+        "md5(array_join(toks, ' ')) AS fingerprint",
+        "substring(md5(array_join(toks, ' ')), 1, 8) AS bucket",
     )
 
 
