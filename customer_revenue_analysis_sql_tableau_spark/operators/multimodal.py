@@ -130,9 +130,42 @@ def multimodal_frame_sample(
     ).withColumn("frame_idx", F.col("frame_idx").cast("long"))
 
 
+def multimodal_resize(
+    spark: SparkSession, sf_dir: str, factor: int = 4
+) -> DataFrame:
+    """Resize/downsample plumbing: emit a reduced payload (every Nth
+    byte — the stub for a real image resample) through the same
+    Arrow-batched ``mapInPandas`` boundary a real resizer would use.
+    Output carries the new payload as binary plus before/after sizes,
+    so downstream joins and writes see the production schema."""
+    m = media_table(spark, sf_dir)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            small = [bytes(b[::factor]) for b in pdf["bytes"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "orig_bytes": [len(b) for b in pdf["bytes"]],
+                    "resized": small,
+                    "resized_bytes": [len(s) for s in small],
+                }
+            )
+
+    return m.mapInPandas(
+        resize,
+        schema=(
+            "doc_id long, mime string, orig_bytes long, resized binary, "
+            "resized_bytes long"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_size_stats": multimodal_size_stats,
     "multimodal_decode_features": multimodal_decode_features,  # rows-only
+    "multimodal_resize": multimodal_resize,  # rows-only (stub codec)
 }
 
 _MIME_SQL = (

@@ -127,6 +127,19 @@ def test_multimodal_real_decode_is_stubbed():
         real_decode(b"xx", "image/png")
 
 
+def test_multimodal_resize_plumbing(spark, sf_dir):
+    from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import multimodal_resize
+
+    out = multimodal_resize(spark, sf_dir, factor=4)
+    rows = out.collect()
+    assert rows
+    for r in rows[:50]:
+        assert isinstance(r.resized, (bytes, bytearray))
+        assert r.resized_bytes == len(r.resized)
+        # every-4th-byte downsample: ceil(orig/4)
+        assert r.resized_bytes == (r.orig_bytes + 3) // 4
+
+
 def test_multimodal_frame_sample(spark, sf_dir):
     out = multimodal_frame_sample(spark, sf_dir, every=32)
     row = out.first()
