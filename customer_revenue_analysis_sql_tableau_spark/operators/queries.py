@@ -229,6 +229,55 @@ def q11_avg_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("Avg_Revenue_Per_Customer"))
 
 
+def tableau_g1_country_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 Graph1 twin (world map): revenue size + late-fee color per
+    country. Day/year extraction and these regroupings are the entire
+    engine obligation of the Tableau layer."""
+    cvs = materialized_view(spark, sf_dir)
+    return (
+        cvs.groupBy(F.col("Customer_Nation").alias("Nation"))
+        .agg(
+            _sum_revenue().alias("Total_Revenue"),
+            F.round(F.sum(money(F.col("Total_Late_Fees"))), 2)
+            .cast("double")
+            .alias("Total_Late_Fees"),
+        )
+        .orderBy("Nation")
+    )
+
+
+def tableau_g2_first_order_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 Graph2 twin: volume by day-of-month of the first order,
+    colored by part-type breadth."""
+    cvs = materialized_view(spark, sf_dir)
+    return (
+        cvs.groupBy(F.dayofmonth("First_Order_Date").alias("first_order_day"))
+        .agg(
+            F.sum("Total_Line_Items").alias("Total_Line_Items"),
+            F.sum("Total_Part_Types").alias("Total_Part_Types"),
+        )
+        .orderBy("first_order_day")
+    )
+
+
+def tableau_g5_spend_by_type_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 Graph5 twin: average order spend stacked by most-frequent
+    part type × year of last order."""
+    cvs = materialized_view(spark, sf_dir)
+    return (
+        cvs.groupBy(
+            "Most_Frequent_Part_Type",
+            F.year("Last_Order_Date").alias("last_order_year"),
+        )
+        .agg(
+            F.round(F.sum(money(F.col("Avg_Spending_Per_Order"))), 2)
+            .cast("double")
+            .alias("Sum_Avg_Spending"),
+        )
+        .orderBy("Most_Frequent_Part_Type", "last_order_year")
+    )
+
+
 def mfc_window_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 as a standalone window operator (§2.9): the reference's
     correlated ``ORDER BY COUNT(*) DESC LIMIT 1`` subquery
@@ -295,6 +344,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_revenue_by_nation_region": q10_revenue_by_nation_region,
     "q11_avg_revenue_per_customer": q11_avg_revenue_per_customer,
     "mfc_window_top1": mfc_window_top1,
+    "tableau_g1_country_map": tableau_g1_country_map,
+    "tableau_g2_first_order_day": tableau_g2_first_order_day,
+    "tableau_g5_spend_by_type_year": tableau_g5_spend_by_type_year,
     "flagship_revenue_by_region": flagship_revenue_by_region,
 }
 
@@ -355,6 +407,24 @@ ORACLES: dict[str, str] = {
                {_SUM_REV_SQL} AS Total_Revenue,
                {_Q11_AVG_SQL} AS Avg_Revenue_Per_Customer
         FROM cvs GROUP BY 1 ORDER BY Avg_Revenue_Per_Customer DESC""",
+    "tableau_g1_country_map": f"""{_VIEW_CTE}
+        SELECT Customer_Nation AS Nation,
+               {_SUM_REV_SQL} AS Total_Revenue,
+               CAST(round(sum(CAST(Total_Late_Fees AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS Total_Late_Fees
+        FROM cvs GROUP BY 1 ORDER BY Nation""",
+    "tableau_g2_first_order_day": f"""{_VIEW_CTE}
+        SELECT day(CAST(First_Order_Date AS DATE)) AS first_order_day,
+               sum(Total_Line_Items) AS Total_Line_Items,
+               sum(Total_Part_Types) AS Total_Part_Types
+        FROM cvs GROUP BY 1 ORDER BY first_order_day""",
+    "tableau_g5_spend_by_type_year": f"""{_VIEW_CTE}
+        SELECT Most_Frequent_Part_Type,
+               year(CAST(Last_Order_Date AS DATE)) AS last_order_year,
+               CAST(round(sum(CAST(Avg_Spending_Per_Order AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS Sum_Avg_Spending
+        FROM cvs GROUP BY 1, 2
+        ORDER BY Most_Frequent_Part_Type, last_order_year""",
     "mfc_window_top1": """
         SELECT mfc_custkey, p_type AS Most_Frequent_Part_Type FROM (
             SELECT o.o_custkey AS mfc_custkey, p.p_type,
