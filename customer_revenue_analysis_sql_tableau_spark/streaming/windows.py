@@ -219,6 +219,43 @@ def run_dedup_stream(
     return spark.table("dedup_sink")
 
 
+def run_session_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Session windows as a true stream: watermark + ``session_window``
+    grouping, update mode, availableNow drain. Sessions merge as events
+    arrive; state per (user, open session) is bounded by the watermark.
+    Must equal the batch twin (`events_session_windows`) when the whole
+    source drains in one pass — asserted in pytest."""
+    stream = (
+        _read_events_stream(spark, source_dir)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(money("value")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("session_sink")
+        .outputMode("complete")  # session windows reject update mode;
+        # append would hold back sessions newer than the watermark
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("session_sink")
+
+
 def run_stateful_user_counts(
     spark: SparkSession, source_dir: str, checkpoint_dir: str
 ) -> DataFrame:

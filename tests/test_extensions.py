@@ -170,6 +170,26 @@ def test_streaming_dedup_matches_batch_keys(spark, sf_dir):
     assert set(skeys) == {(r.user_id, r.event_type) for r in batch}
 
 
+def test_streaming_sessions_equal_batch(spark, sf_dir):
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.streaming.windows import (
+        events_session_windows,
+        run_session_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events_src"
+        load_tables(spark, sf_dir, names=("events",), register=False)[
+            "events"
+        ].write.parquet(src)
+        streamed = run_session_stream(spark, src, f"{tmp}/ckpt").collect()
+    batch = events_session_windows(spark, sf_dir).collect()
+    key = lambda r: (r.user_id, r.session_start)  # noqa: E731
+    assert {key(r): (r.session_end, r.n_events, r.total_value) for r in streamed} == {
+        key(r): (r.session_end, r.n_events, r.total_value) for r in batch
+    }
+
+
 def test_stateful_user_counts_equals_batch(spark, sf_dir):
     """applyInPandasWithState cumulative per-user state: final counts
     and exact totals must equal the batch aggregation."""
