@@ -47,8 +47,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
     queries = entrymod.queries()
-    # JVM warmup on the tiniest SF so first-query JIT cost isn't billed.
+    # JVM warmup on the tiniest SF so first-query JIT/codegen cost isn't
+    # billed to the measured scale factor (the view's generated code is
+    # the largest compile unit; sf0.001 keeps the warmup itself cheap).
     queries["flagship_revenue_by_region"](spark, "/root/testdata/sf0.001").count()
+    queries["view_customer_value_summary"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -376,6 +376,56 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.selectExpr("doc_id", "doc_id AS component_id")
 
 
+def dedup_components_distributed(
+    spark: SparkSession, sf_dir: str, max_iter: int = 10
+) -> DataFrame:
+    """Distributed connected components: iterative min-label
+    propagation over the verified near-dup edge set — the 100 TB path
+    the driver-side union-find (`dedup_components`) documents.
+
+    Each round every node takes the min label among itself and its
+    neighbors; labels converge to the component's min doc_id in at
+    most diameter rounds (near-dup components are near-cliques, so
+    2-3 rounds in practice; ``max_iter`` bounds adversarial chains).
+    Per round: one join + one groupBy — all executor-side;
+    ``localCheckpoint`` truncates the loop's lineage so plans stay
+    flat. The driver sees only the per-round changed-row count.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    labels = d.select("doc_id", F.col("doc_id").alias("component_id")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.d2 == labels.doc_id)
+            .groupBy(edges.d1.alias("doc_id"))
+            .agg(F.min("component_id").alias("_nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("_nbr_min"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -383,6 +433,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_components": dedup_components,
+    "dedup_components_distributed": dedup_components_distributed,  # rows-only
 }
 
 _DOT = "list_dot_product(a.v, b.v)"

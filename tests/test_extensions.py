@@ -69,6 +69,20 @@ def test_components_group_planted_dups(spark, sf_dir):
     assert min(comp.values()) >= 0
 
 
+def test_distributed_components_equal_unionfind(spark, sf_dir):
+    from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
+        dedup_components,
+        dedup_components_distributed,
+    )
+
+    uf = {r.doc_id: r.component_id for r in dedup_components(spark, sf_dir).collect()}
+    lp = {
+        r.doc_id: r.component_id
+        for r in dedup_components_distributed(spark, sf_dir).collect()
+    }
+    assert uf == lp
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     exact = {
         (r.query_id, r.neighbor_id) for r in sim_bruteforce_topk(spark, sf_dir).collect()
