@@ -209,12 +209,28 @@ def _coerce(rows: list[tuple], schema: str) -> list[tuple]:
 
 
 def load_sakila_tables(spark, dump_path: str, register: bool = True):
-    """Parse the dump and register each table as a temp view."""
+    """Parse the dump and register each table as a temp view.
+
+    ``film.special_features`` is MySQL's one non-scalar type (a SET,
+    ``sql/sakila-schema.sql:149``), stored comma-joined in the dump —
+    surfaced as ``special_features_arr ArrayType(StringType)`` next to
+    the raw string (SURVEY.md §1.2).
+    """
+    from pyspark.sql import functions as F
+
     raw = parse_dump(dump_path)
     dfs = {}
     for table, rows in raw.items():
         schema = SAKILA_SCHEMAS[table]
         df = spark.createDataFrame(_coerce(rows, schema), schema)
+        if table == "film":
+            df = df.withColumn(
+                "special_features_arr",
+                F.when(
+                    F.col("special_features").isNotNull(),
+                    F.split("special_features", ","),
+                ),
+            )
         dfs[table] = df
         if register:
             df.createOrReplaceTempView(table)
