@@ -52,11 +52,14 @@ _VIEW_CTE = f"WITH cvs AS ({VIEW_ORACLE_SQL})"
 # The cached view is post-aggregation (one row per customer — ~600 rows
 # per sf0.001, 13 columns), so executor memory stays bounded at any
 # scale factor that fits a customer dimension.
-_VIEW_CACHE: dict[tuple[int, str], DataFrame] = {}
+_VIEW_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # keyed on applicationId, not id(spark): a GC'd session's address
+    # can be reused, which would hand out DataFrames bound to a dead
+    # SparkContext; a restarted context always gets a fresh appId.
+    key = (spark.sparkContext.applicationId, sf_dir)
     df = _VIEW_CACHE.get(key)
     if df is None:
         df = customer_value_summary(spark, sf_dir).cache()
