@@ -17,8 +17,9 @@ Layout:
     functions/    portable (Spark + DuckDB) expression builders
     sources/      parquet/csv IO + MySQL-dump ingest for Sakila replay
     operators/    warehouse view, q1-q11, procedures, dedup, similarity, text
-    plans/        explain/plan-shape assertions (broadcast, pushdown)
     streaming/    structured-streaming windows with batch twins
+    (plan-shape assertions — broadcast, pushdown, codegen — live in
+    tests/test_plan_quality.py)
 """
 
 __version__ = "0.1.0"

@@ -50,13 +50,10 @@ SIMHASH_RADIUS = 3
 #: Cosine threshold for embedding near-dups (testdata max ≈ 0.48).
 COSINE_T = 0.4
 
-#: 0-based k=3 word shingles, distinct, guarded for short docs.
-SHINGLES_EXPR = (
-    f"CASE WHEN size({TOKENS_EXPR}) < {SHINGLE_K} THEN array(array_join({TOKENS_EXPR}, ' ')) "
-    f"ELSE array_distinct(transform(sequence(0, size({TOKENS_EXPR}) - {SHINGLE_K}), "
-    f"i -> concat_ws(' ', {TOKENS_EXPR}[i], {TOKENS_EXPR}[i+1], {TOKENS_EXPR}[i+2]))) END"
-)
-#: DuckDB twin (1-based lists).
+#: DuckDB twin of the Spark shingle expression built inside
+#: ``_doc_shingles`` (1-based lists). The Spark side intentionally has
+#: no exported string form: it must reference a materialized ``toks``
+#: column, never re-inline the tokenizer (see ``_doc_shingles``).
 SHINGLES_SQL = (
     f"CASE WHEN len({TOKENS_SQL}) < {SHINGLE_K} THEN [array_to_string({TOKENS_SQL}, ' ')] "
     f"ELSE list_distinct(list_transform(range(1, len({TOKENS_SQL}) - {SHINGLE_K - 2}), "
@@ -423,6 +420,12 @@ def dedup_components_distributed(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"component labels did not converge within {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter — "
+            "returning partial labels would silently under-merge"
+        )
     return labels
 
 

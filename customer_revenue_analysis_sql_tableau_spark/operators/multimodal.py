@@ -118,15 +118,19 @@ def multimodal_frame_sample(
     would decode real frames is the same stub boundary). JVM-side slice,
     no UDF."""
     m = media_table(spark, sf_dir)
+    # sequence(0, n-1) with n=0 yields the DESCENDING [0, -1], not an
+    # empty array — guard short payloads by clamping the sequence end
+    # to 0 and slicing to the true frame count (slice(_, 1, 0) = []).
+    n_frames = f"CAST(length(bytes) / {every} AS INT)"
+    frames = (
+        f"slice(transform(sequence(0, greatest({n_frames} - 1, 0)),"
+        f" i -> substring(bytes, i * {every} + 1, 8)),"
+        f" 1, greatest({n_frames}, 0))"
+    )
     return m.select(
         "doc_id",
         "mime",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, CAST(length(bytes) / {every} AS INT) - 1),"
-                f" i -> substring(bytes, i * {every} + 1, 8))"
-            )
-        ).alias("frame_idx", "frame_bytes"),
+        F.posexplode(F.expr(frames)).alias("frame_idx", "frame_bytes"),
     ).withColumn("frame_idx", F.col("frame_idx").cast("long"))
 
 

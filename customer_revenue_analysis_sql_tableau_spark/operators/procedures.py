@@ -98,10 +98,9 @@ def get_customer_balance(
     t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
     o, l = t["orders"], t["lineitem"]
     cutoff = F.lit(as_of).cast("date")
-    ol = (
-        o.filter(o.o_custkey == custkey)
-        .join(l, o.o_orderkey == l.l_orderkey, "left")
-    )
+    # inner join: the shipdate filter below discards NULL-extended rows
+    # anyway, and the empty-aggregate case is handled by COALESCE
+    ol = o.filter(o.o_custkey == custkey).join(l, o.o_orderkey == l.l_orderkey)
     shipped = ol.filter(F.to_date(l.l_shipdate) < cutoff)
     fees = shipped.agg(
         F.coalesce(F.sum(revenue_expr(l)), F.lit(0).cast("decimal(18,2)")).alias(
@@ -214,7 +213,7 @@ ORACLES: dict[str, str] = {
         WITH fees AS (
             SELECT coalesce(sum({_REV_SQL}), CAST(0 AS DECIMAL(18,2))) AS rev,
                    coalesce(sum({_LATE_SQL}), CAST(0 AS DECIMAL(18,2))) AS late
-            FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             WHERE o.o_custkey = {BALANCE_CUSTKEY}
               AND CAST(l.l_shipdate AS DATE) < DATE '{BALANCE_DATE}'),
         paid AS (

@@ -59,9 +59,19 @@ def materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed on applicationId, not id(spark): a GC'd session's address
     # can be reused, which would hand out DataFrames bound to a dead
     # SparkContext; a restarted context always gets a fresh appId.
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     df = _VIEW_CACHE.get(key)
     if df is None:
+        # evict entries from other applications (their contexts are, or
+        # will be, dead) so cached plans and persisted blocks don't pin
+        # memory across session restarts
+        for stale in [k for k in _VIEW_CACHE if k[0] != app_id]:
+            old = _VIEW_CACHE.pop(stale)
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # context already stopped
         df = customer_value_summary(spark, sf_dir).cache()
         _VIEW_CACHE[key] = df
     return df

@@ -40,7 +40,20 @@ def salted_join(
     derivation keeps reruns stable. The replicated side grows S× — use
     this only when that side is the (much) smaller one, which is the
     only situation where salting beats AQE anyway.
+
+    Only join types whose output is unaffected by replicating the
+    ``small`` side are allowed: inner/left preserve rows exactly, and
+    semi/anti test key existence (every salt replica carries the same
+    keys). right/full would surface each unmatched small-side row S
+    times — rejected.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "semi", "leftsemi", "left_anti", "anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; {how!r} would "
+            "multiply unmatched replicated-side rows by the salt count"
+        )
     salted = skewed.withColumn(
         "_salt", F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(salt))
     )

@@ -174,11 +174,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fulltext_search(spark: SparkSession, sf_dir: str, needle: str = "window") -> DataFrame:
     """FULLTEXT stand-in (``sql/sakila-schema.sql:204``): token-match
     search with tf scoring."""
-    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    return d.selectExpr(
-        "doc_id",
-        "source",
-        f"CAST(size(filter({TOKENS_EXPR}, t -> t = '{needle}')) AS BIGINT) AS tf",
+    d = _with_tokens(load_tables(spark, sf_dir, names=("documents",))["documents"])
+    # Column-API comparison, not f-string interpolation: a needle with a
+    # quote must be data, never expression text.
+    tf = F.size(F.filter(F.col("toks"), lambda t: t == F.lit(needle)))
+    return d.select(
+        "doc_id", "source", tf.cast("long").alias("tf")
     ).filter(F.col("tf") > 0)
 
 

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from ..functions.money import money, round2_div, round2_div_sql, sum_money_as_double
+from ..functions.money import money, round2_div, round2_div_sql
 
 #: Days until a line counts as "late" (twin of film.rental_duration).
 LATE_AFTER_DAYS = 7

@@ -346,7 +346,7 @@ ORACLES: dict[str, str] = {
         FROM exploded GROUP BY 1, 2""",
     "stream_session_windows": f"""
         WITH marked AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, value, event_id,
                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                           > INTERVAL '4 hours'
                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -355,7 +355,7 @@ ORACLES: dict[str, str] = {
             FROM events),
         numbered AS (
             SELECT *, sum(new_session) OVER (
-                PARTITION BY user_id ORDER BY ts
+                PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
             FROM marked)
         SELECT user_id, min(ts) AS session_start,

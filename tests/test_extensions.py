@@ -141,6 +141,15 @@ def test_multimodal_real_decode_is_stubbed():
         real_decode(b"xx", "image/png")
 
 
+def test_multimodal_frame_sample_short_payloads(spark, sf_dir):
+    """Payloads shorter than the frame stride must yield ZERO frames —
+    sequence(0, -1) in Spark is the descending [0, -1], which used to
+    produce two phantom frames per short document."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import multimodal_frame_sample
+
+    assert multimodal_frame_sample(spark, sf_dir, every=10_000_000).count() == 0
+
+
 def test_multimodal_resize_plumbing(spark, sf_dir):
     from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import multimodal_resize
 
