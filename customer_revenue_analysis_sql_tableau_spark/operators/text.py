@@ -159,6 +159,36 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf = in-doc count, idf =
+    ln(N / df) over distinct-doc frequency. Two aggregations (token
+    counts per doc; df per token) joined back — the inverted-index
+    shape; idf is a broadcastable token-level dim at any corpus size.
+    Ranked by the score itself, token tiebreak for determinism."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = _with_tokens(d).selectExpr("doc_id", "explode(toks) AS token")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # scalar; corpus row count is driver-safe
+    # JVM Math.log and libm log can differ in the final ulp; round the
+    # score to 9 dp in BOTH dialects so values and rank order agree.
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprinting: md5 over the normalized token stream plus
     a 64-bit prefix bucket (the document-fingerprint mandate; the
@@ -189,6 +219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_histogram": lang_histogram,
     "text_lang_id_ngram": lang_id_ngram,
     "text_top_terms_per_source": top_terms_per_source,
+    "text_tfidf_top_terms": tfidf_top_terms,
     "text_doc_fingerprint": doc_fingerprint,
     "text_fulltext_search": fulltext_search,
 }
@@ -253,6 +284,22 @@ ORACLES: dict[str, str] = {
                 PARTITION BY source ORDER BY tf DESC, token ASC) AS rank
             FROM counts)
         SELECT source, token, tf, rank FROM ranked WHERE rank <= 3""",
+    "text_tfidf_top_terms": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT doc_id, token, tf, df,
+                   round(tf * ln(CAST(n AS DOUBLE) / df), 9) AS tfidf
+            FROM tf JOIN df USING (token) CROSS JOIN n),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+            FROM scored)
+        SELECT doc_id, token, tf, df, tfidf, rank
+        FROM ranked WHERE rank <= 3""",
     "text_doc_fingerprint": f"""
         SELECT doc_id,
                md5(array_to_string({TOKENS_SQL}, ' ')) AS fingerprint,

@@ -219,6 +219,38 @@ def run_dedup_stream(
     return spark.table("dedup_sink")
 
 
+def run_sliding_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Sliding windows (10 min / 5 min step) as a true stream, complete
+    mode, availableNow drain; must equal `events_sliding_counts`."""
+    stream = (
+        _read_events_stream(spark, source_dir)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", SLIDE_DURATION, SLIDE_STEP).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(money("value")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("sliding_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("sliding_sink")
+
+
 def run_session_stream(
     spark: SparkSession, source_dir: str, checkpoint_dir: str
 ) -> DataFrame:

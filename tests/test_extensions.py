@@ -193,6 +193,25 @@ def test_streaming_dedup_matches_batch_keys(spark, sf_dir):
     assert set(skeys) == {(r.user_id, r.event_type) for r in batch}
 
 
+def test_streaming_sliding_equals_batch(spark, sf_dir):
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.streaming.windows import (
+        events_sliding_counts,
+        run_sliding_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events_src"
+        load_tables(spark, sf_dir, names=("events",), register=False)[
+            "events"
+        ].write.parquet(src)
+        streamed = run_sliding_stream(spark, src, f"{tmp}/ckpt").collect()
+    batch = events_sliding_counts(spark, sf_dir).collect()
+    assert {r.window_start: (r.n_events, r.total_value) for r in streamed} == {
+        r.window_start: (r.n_events, r.total_value) for r in batch
+    }
+
+
 def test_streaming_sessions_equal_batch(spark, sf_dir):
     from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
     from customer_revenue_analysis_sql_tableau_spark.streaming.windows import (
