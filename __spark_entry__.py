@@ -17,6 +17,7 @@ from customer_revenue_analysis_sql_tableau_spark.operators import procedures as 
 from customer_revenue_analysis_sql_tableau_spark.operators import relational as _relational
 from customer_revenue_analysis_sql_tableau_spark.operators import dedup as _dedup
 from customer_revenue_analysis_sql_tableau_spark.operators import multimodal as _multimodal
+from customer_revenue_analysis_sql_tableau_spark.operators import pipeline as _pipeline
 from customer_revenue_analysis_sql_tableau_spark.operators import similarity as _similarity
 from customer_revenue_analysis_sql_tableau_spark.operators import text as _text
 from customer_revenue_analysis_sql_tableau_spark import app_layer as _app_layer
@@ -31,6 +32,7 @@ _REGISTRY_MODULES = [
     _dedup,
     _similarity,
     _multimodal,
+    _pipeline,
     _streaming,
     _app_layer,
     _gallery,

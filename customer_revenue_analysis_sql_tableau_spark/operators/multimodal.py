@@ -170,6 +170,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_size_stats": multimodal_size_stats,
     "multimodal_decode_features": multimodal_decode_features,  # rows-only
     "multimodal_resize": multimodal_resize,  # rows-only (stub codec)
+    "multimodal_frame_sample": multimodal_frame_sample,  # rows-only
 }
 
 _MIME_SQL = (
