@@ -30,7 +30,7 @@ from .warehouse import (
     VIEW_ORACLE_SQL,
     customer_value_summary,
     most_frequent_part_type,
-    revenue_expr,
+    sum_revenue,
 )
 
 # Rental-frequency segmentation thresholds (``queries_shan.sql:70-74`` uses
@@ -323,7 +323,7 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(r.r_name.alias("Region"), c.c_custkey.alias("_ck"))
         .agg(
-            F.sum(revenue_expr(l)).alias("_rev"),
+            sum_revenue(l).alias("_rev"),
             F.count(F.lit(1)).alias("_lines"),
         )
     )
