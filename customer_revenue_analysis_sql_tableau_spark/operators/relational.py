@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_tables
 from ..functions.money import money, round2_div, round2_div_sql
-from .warehouse import revenue_expr
+from .warehouse import revenue_expr, sum_revenue
 
 _REV_SQL = (
     "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -72,7 +72,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, o.o_orderkey == l.l_orderkey)
         .filter(F.to_date(l.l_shipdate) > cutoff)
         .groupBy(o.o_orderkey, o.o_orderdate, o.o_orderpriority)
-        .agg(F.round(F.sum(revenue_expr(l)), 2).cast("double").alias("revenue"))
+        .agg(F.round(sum_revenue(l), 2).cast("double").alias("revenue"))
         .select(
             F.col("o_orderkey"),
             F.col("revenue"),
@@ -105,7 +105,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(n.n_name.alias("nation"))
-        .agg(F.round(F.sum(revenue_expr(l)), 2).cast("double").alias("revenue"))
+        .agg(F.round(sum_revenue(l), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("nation"))
     )
 
@@ -120,7 +120,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(l.l_returnflag == "R")
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(c.c_custkey, c.c_name, n.n_name.alias("nation"))
-        .agg(F.round(F.sum(revenue_expr(l)), 2).cast("double").alias("revenue"))
+        .agg(F.round(sum_revenue(l), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -168,7 +168,7 @@ def active_high_value_except_recent(spark: SparkSession, sf_dir: str) -> DataFra
     rev = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .groupBy(o.o_custkey)
-        .agg(F.sum(revenue_expr(l)).alias("rev"))
+        .agg(sum_revenue(l).alias("rev"))
     )
     high = rev.filter(F.col("rev") > 500000).select(F.col("o_custkey").alias("custkey"))
     recent = (
@@ -288,7 +288,7 @@ def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.rollup(r.r_name.alias("region"), n.n_name.alias("nation"))
-        .agg(F.round(F.sum(revenue_expr(l)), 2).cast("double").alias("revenue"))
+        .agg(F.round(sum_revenue(l), 2).cast("double").alias("revenue"))
     )
 
 
@@ -296,7 +296,7 @@ def lineitem_flag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus) with exact sums."""
     l = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
     return l.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum(revenue_expr(l)), 2).cast("double").alias("revenue"),
+        F.round(sum_revenue(l), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
