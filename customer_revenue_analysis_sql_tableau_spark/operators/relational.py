@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_tables
 from ..functions.money import money, round2_div, round2_div_sql
-from .warehouse import revenue_expr, sum_revenue
+from .warehouse import sum_revenue
 
 _REV_SQL = (
     "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -41,20 +41,37 @@ _REV_SQL = (
 
 
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: grand aggregation with derived averages (A0,A3,A5,A7)."""
+    """TPC-H Q1 shape: grand aggregation with derived averages
+    (A0,A3,A5,A7). All sums run in integer cents (see
+    warehouse.sum_revenue): qty/price/discount/tax are 2-dp, so the
+    products are exact at scale 4 (disc price) and 6 (charge) with one
+    decimal division per group; charge stays under 2^63 for any
+    realistic group (1e7-cent price × 1e4 × row count)."""
     l = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
     f = l.filter(F.to_date(l.l_shipdate) <= F.lit("2001-09-02").cast("date"))
-    qty = money(f.l_quantity)
-    price = money(f.l_extendedprice)
-    disc_price = revenue_expr(f)
-    charge = disc_price * (F.lit(1.0).cast("decimal(3,2)") + f.l_tax.cast("decimal(3,2)"))
+    qty_c = F.round(f.l_quantity * 100).cast("long")
+    price_c = F.round(f.l_extendedprice * 100).cast("long")
+    disc_c = F.round(f.l_discount * 100).cast("long")
+    tax_c = F.round(f.l_tax * 100).cast("long")
+
+    def _scaled(sum_col: F.Column, pow10: int, scale: int) -> F.Column:
+        return (sum_col.cast("decimal(38,0)") / F.lit(pow10)).cast(
+            f"decimal(38,{scale})"
+        )
+
+    sum_qty = _scaled(F.sum(qty_c), 100, 2)
+    sum_price = _scaled(F.sum(price_c), 100, 2)
+    sum_disc = _scaled(F.sum(price_c * (F.lit(100) - disc_c)), 10**4, 4)
+    sum_charge = _scaled(
+        F.sum(price_c * (F.lit(100) - disc_c) * (F.lit(100) + tax_c)), 10**6, 6
+    )
     g = f.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
-        F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
-        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
-        round2_div(F.sum(qty), F.count(F.lit(1)), scale=2).alias("avg_qty"),
-        round2_div(F.sum(price), F.count(F.lit(1)), scale=2).alias("avg_price"),
+        F.round(sum_qty, 2).cast("double").alias("sum_qty"),
+        F.round(sum_price, 2).cast("double").alias("sum_base_price"),
+        F.round(sum_disc, 2).cast("double").alias("sum_disc_price"),
+        F.round(sum_charge, 2).cast("double").alias("sum_charge"),
+        round2_div(sum_qty, F.count(F.lit(1)), scale=2).alias("avg_qty"),
+        round2_div(sum_price, F.count(F.lit(1)), scale=2).alias("avg_price"),
         F.count(F.lit(1)).alias("count_order"),
     )
     return g.orderBy("l_returnflag", "l_linestatus")
