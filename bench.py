@@ -53,16 +53,26 @@ def main() -> None:
     queries["flagship_revenue_by_region"](spark, "/root/testdata/sf0.001").count()
     queries["view_customer_value_summary"](spark, "/root/testdata/sf0.001").count()
 
+    # Queries that memoize state across calls get ONE timed run — a
+    # second call would measure their cache hit, not their work.
+    single_shot = {"view_customer_value_summary"}
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        # min of two runs elsewhere: single-shot numbers swing ±30%
+        # with host contention; the min is the noise-robust estimate.
+        best = None
+        for _ in range(1 if name in single_shot else 2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            assert n >= 0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
