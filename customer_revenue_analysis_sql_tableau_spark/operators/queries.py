@@ -273,6 +273,32 @@ def tableau_g2_first_order_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tableau_g3_revenue_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 Graph3 twin (box/strip plot): the per-customer revenue
+    points grouped by most-frequent type — a projection, the chart does
+    the distribution rendering."""
+    cvs = materialized_view(spark, sf_dir)
+    return cvs.select(
+        "Most_Frequent_Part_Type", "Customer_ID", "Total_Revenue"
+    ).orderBy("Most_Frequent_Part_Type", "Customer_ID")
+
+
+def tableau_g4_late_fees_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 Graph4 twin (bubble chart): late fees summed per
+    most-frequent type."""
+    cvs = materialized_view(spark, sf_dir)
+    return (
+        cvs.groupBy("Most_Frequent_Part_Type")
+        .agg(
+            F.round(F.sum(money(F.col("Total_Late_Fees"))), 2)
+            .cast("double")
+            .alias("Total_Late_Fees"),
+            F.count("Customer_ID").alias("Customers"),
+        )
+        .orderBy(F.desc("Total_Late_Fees"))
+    )
+
+
 def tableau_g5_spend_by_type_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.13 Graph5 twin: average order spend stacked by most-frequent
     part type × year of last order."""
@@ -359,6 +385,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mfc_window_top1": mfc_window_top1,
     "tableau_g1_country_map": tableau_g1_country_map,
     "tableau_g2_first_order_day": tableau_g2_first_order_day,
+    "tableau_g3_revenue_by_category": tableau_g3_revenue_by_category,
+    "tableau_g4_late_fees_by_category": tableau_g4_late_fees_by_category,
     "tableau_g5_spend_by_type_year": tableau_g5_spend_by_type_year,
     "flagship_revenue_by_region": flagship_revenue_by_region,
 }
@@ -431,6 +459,15 @@ ORACLES: dict[str, str] = {
                sum(Total_Line_Items) AS Total_Line_Items,
                sum(Total_Part_Types) AS Total_Part_Types
         FROM cvs GROUP BY 1 ORDER BY first_order_day""",
+    "tableau_g3_revenue_by_category": f"""{_VIEW_CTE}
+        SELECT Most_Frequent_Part_Type, Customer_ID, Total_Revenue
+        FROM cvs ORDER BY Most_Frequent_Part_Type, Customer_ID""",
+    "tableau_g4_late_fees_by_category": f"""{_VIEW_CTE}
+        SELECT Most_Frequent_Part_Type,
+               CAST(round(sum(CAST(Total_Late_Fees AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS Total_Late_Fees,
+               count(Customer_ID) AS Customers
+        FROM cvs GROUP BY 1 ORDER BY Total_Late_Fees DESC""",
     "tableau_g5_spend_by_type_year": f"""{_VIEW_CTE}
         SELECT Most_Frequent_Part_Type,
                year(CAST(Last_Order_Date AS DATE)) AS last_order_year,

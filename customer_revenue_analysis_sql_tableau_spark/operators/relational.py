@@ -318,6 +318,24 @@ def lineitem_flag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (completing §2.5's rollup/cube family):
+    per-(flag,status) totals plus per-flag subtotals in one pass —
+    neither a rollup (no grand total) nor a cube (no status-only set)."""
+    load_tables(spark, sf_dir, names=("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_lines,
+               CAST(round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                    AS DECIMAL(38,0)) / 100, 2) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
 def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT / dropDuplicates coverage."""
     c = load_tables(spark, sf_dir, names=("customer",))["customer"]
@@ -366,6 +384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_rollup_region_nation": revenue_rollup_region_nation,
     "lineitem_flag_status_cube": lineitem_flag_status_cube,
     "distinct_segments": distinct_segments,
+    "grouping_sets_flag_status": grouping_sets_flag_status,
     # rows-only: sketch values are implementation-defined
     "approx_distinct_customers_by_nation": approx_distinct_customers_by_nation,
 }
@@ -492,6 +511,14 @@ ORACLES: dict[str, str] = {
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         GROUP BY ROLLUP (region, nation)""",
+    "grouping_sets_flag_status": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_lines,
+               CAST(round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                    AS DECIMAL(38,0)) / 100, 2) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))
+        ORDER BY l_returnflag, l_linestatus""",
     "lineitem_flag_status_cube": f"""
         SELECT l_returnflag, l_linestatus,
                CAST(round(sum({_REV_SQL}),2) AS DOUBLE) AS revenue,
