@@ -1,0 +1,228 @@
+"""Dataset split / packing / redaction operators (training-data mandate).
+
+The reference has no train/test machinery (it is a BI warehouse); these
+are the remaining operators a large-scale training-data pipeline needs
+around the cleaning stages in ``pipeline.py``:
+
+- **Deterministic split** — hash each doc_id into train/validation/test
+  with an md5-derived bucket. Pure stateless projection: any executor
+  can place any row with no coordination, re-runs are reproducible, and
+  the split survives repartitioning — the only split design that works
+  at 100 TB (random() would differ per task retry).
+- **Per-source capped sampling** — top-k docs per source (the A1
+  top-1-per-group pattern, k>1): bounds any one source's contribution
+  to a training mix. Window partitions are per-source, never global.
+- **Sequence packing** — concat-and-chunk assignment of docs into
+  fixed-size budget bins via a per-source prefix sum. The window is
+  partitioned by source so state never exceeds one source's docs; a
+  global ORDER BY window would serialize the cluster.
+- **Document chunking** — explode long docs into fixed-width pieces
+  (context-window preparation). Row-local ``sequence``+``substring``,
+  embarrassingly parallel.
+- **PII redaction** — count and mask email-shaped and long-digit-run
+  substrings with JVM-side ``regexp_count``/``regexp_replace``.
+
+All five are whole-stage-codegen SQL (no Python UDFs) and each has a
+DuckDB oracle twin. Hash-bucket equivalence across engines comes from
+md5 hex (identical bytes in, identical hex out) parsed to an integer in
+each dialect; Spark ``conv(hex,16,10)`` and DuckDB ``('0x'||hex)::BIGINT``
+agree exactly for the 8-hex-char (32-bit) prefix used here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+
+#: Split thresholds over the 0-99 bucket: <90 train, <95 validation.
+TRAIN_PCT = 90
+VALID_PCT = 95
+
+#: Sequence-packing character budget per bin and chunk width.
+PACK_BUDGET = 1024
+CHUNK_WIDTH = 200
+
+#: Redaction patterns — RE2-safe subset so Java regex and DuckDB agree.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONGNUM_RE = r"[0-9]{6,}"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, names=("documents",))["documents"]
+
+
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shuffle_key, bucket, split): deterministic hash split.
+
+    ``shuffle_key`` doubles as a reproducible pseudo-random sort key for
+    example interleaving (ORDER BY shuffle_key at write time shuffles
+    the corpus identically on every run and every cluster size).
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("shuffle_key")
+    )
+    bucket = (
+        F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("bigint") % 100
+    )
+    return d.select(
+        "doc_id",
+        "shuffle_key",
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VALID_PCT, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def sample_per_source(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Top-k docs per source by (n_chars DESC, doc_id): caps any one
+    source's share of the training mix, deterministically."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET
+) -> DataFrame:
+    """Assign each doc a (source, pack_id, pack_offset) under a fixed
+    character budget: per-source prefix sum over doc_id order, bin =
+    floor(prefix / budget) — the concat-then-chunk packing used to fill
+    training context windows. floor() before the cast in BOTH dialects:
+    DuckDB CAST(double) rounds half-away while Spark truncates."""
+    d = _docs(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("prefix_chars")
+    return d.select("doc_id", "source", "n_chars", prefix).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "prefix_chars",
+        F.floor(F.col("prefix_chars") / F.lit(float(budget))).alias("pack_id"),
+        (F.col("prefix_chars") % budget).alias("pack_offset"),
+    )
+
+
+def chunk_documents(
+    spark: SparkSession, sf_dir: str, width: int = CHUNK_WIDTH
+) -> DataFrame:
+    """Explode each doc into fixed-width character chunks. Empty texts
+    are filtered first — sequence(0, -1) would generate a DESCENDING
+    range (phantom chunks), the same hazard fixed in multimodal
+    frame-sampling."""
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    chunks = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.length("text") - 1) / F.lit(float(width))),
+            )
+        ).alias("chunk_idx"),
+    )
+    piece = F.expr(f"substring(text, chunk_idx * {width} + 1, {width})")
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        piece.alias("chunk_text"),
+        F.length(piece).cast("bigint").alias("chunk_len"),
+    )
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and mask email-shaped and 6+-digit-run substrings. Emails
+    are replaced first in both dialects so a digit run inside a masked
+    email is never double-counted into the cleaned text."""
+    d = _docs(spark, sf_dir)
+    clean = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), LONGNUM_RE, "<NUM>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count("text", F.lit(LONGNUM_RE)).cast("bigint").alias("n_longnums"),
+        clean.alias("clean_text"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "split_train_test": split_train_test,
+    "split_sample_per_source": sample_per_source,
+    "split_pack_sequences": pack_sequences,
+    "split_chunk_documents": chunk_documents,
+    "split_pii_redact": pii_redact,
+}
+
+ORACLES: dict[str, str] = {
+    "split_train_test": f"""
+        WITH h AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents)
+        SELECT doc_id, shuffle_key,
+               ('0x' || substring(shuffle_key, 1, 8))::BIGINT % 100 AS bucket,
+               CASE WHEN ('0x' || substring(shuffle_key, 1, 8))::BIGINT % 100
+                         < {TRAIN_PCT} THEN 'train'
+                    WHEN ('0x' || substring(shuffle_key, 1, 8))::BIGINT % 100
+                         < {VALID_PCT} THEN 'validation'
+                    ELSE 'test' END AS split
+        FROM h""",
+    "split_sample_per_source": """
+        WITH ranked AS (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) AS rank
+            FROM documents)
+        SELECT source, doc_id, n_chars, rank FROM ranked WHERE rank <= 10""",
+    "split_pack_sequences": f"""
+        WITH p AS (
+            SELECT doc_id, source, n_chars,
+                   COALESCE(sum(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS prefix_chars
+            FROM documents)
+        SELECT doc_id, source, n_chars, prefix_chars,
+               CAST(floor(prefix_chars / CAST({PACK_BUDGET} AS DOUBLE))
+                    AS BIGINT) AS pack_id,
+               prefix_chars % {PACK_BUDGET} AS pack_offset
+        FROM p""",
+    "split_chunk_documents": f"""
+        WITH e AS (
+            SELECT doc_id, text,
+                   unnest(range(0,
+                       ((length(text) - 1) // {CHUNK_WIDTH}) + 1)) AS chunk_idx
+            FROM documents WHERE length(text) > 0)
+        SELECT doc_id, chunk_idx,
+               substring(text, CAST(chunk_idx * {CHUNK_WIDTH} + 1 AS INT),
+                         {CHUNK_WIDTH}) AS chunk_text,
+               CAST(length(substring(text,
+                   CAST(chunk_idx * {CHUNK_WIDTH} + 1 AS INT),
+                   {CHUNK_WIDTH})) AS BIGINT) AS chunk_len
+        FROM e""",
+    "split_pii_redact": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text, '{LONGNUM_RE}')) AS BIGINT)
+                   AS n_longnums,
+               regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{LONGNUM_RE}', '<NUM>', 'g') AS clean_text
+        FROM documents""",
+}
