@@ -20,6 +20,7 @@ from customer_revenue_analysis_sql_tableau_spark.operators import multimodal as 
 from customer_revenue_analysis_sql_tableau_spark.operators import pipeline as _pipeline
 from customer_revenue_analysis_sql_tableau_spark.operators import similarity as _similarity
 from customer_revenue_analysis_sql_tableau_spark.operators import splits as _splits
+from customer_revenue_analysis_sql_tableau_spark.operators import temporal as _temporal
 from customer_revenue_analysis_sql_tableau_spark.operators import text as _text
 from customer_revenue_analysis_sql_tableau_spark import app_layer as _app_layer
 from customer_revenue_analysis_sql_tableau_spark import streaming as _streaming
@@ -35,6 +36,7 @@ _REGISTRY_MODULES = [
     _multimodal,
     _pipeline,
     _splits,
+    _temporal,
     _streaming,
     _app_layer,
     _gallery,

@@ -1,0 +1,256 @@
+"""Temporal operators over ``events``: as-of join, range join, pivot,
+percentiles (driver mandate — operators Spark lacks as single builtins,
+re-expressed as compositions of DataFrame ops, SURVEY §7.5 pattern (a)).
+
+The reference is batch BI with no temporal joins; a training-data /
+event-analytics engine needs them:
+
+- **As-of join** — for each purchase, the latest click by the same user
+  at-or-before the purchase. Spark has no ASOF JOIN; the scalable form
+  is union-the-streams + per-user ordered window + ``last(ignorenulls)``
+  carry-forward: one shuffle on user_id, no pairwise blowup, works at
+  any history length. (A per-key ``applyInPandas`` merge would cap the
+  per-user history in executor memory; the window form streams it.)
+  Oracle: DuckDB's native ``ASOF LEFT JOIN``.
+- **Range join** — clicks within the 10 minutes preceding each error,
+  same user. Naive inequality joins explode (Spark would nested-loop);
+  the scale path bins both sides to window-width buckets and equi-joins
+  on (user, bin) with the click side exploded to its two candidate
+  bins, then applies the exact range filter. Shuffle is bounded by
+  bucket fan-out = 2.
+- **Pivot** — per-user event_type × sum(value) matrix with a FIXED
+  column list (never let ``pivot()`` scan for distinct values at 100 TB
+  — that is an extra full pass). Money-style decimal cast keeps sums
+  order-independent; the oracle is conditional aggregation.
+- **Percentiles** — exact interpolated ``percentile`` per event_type
+  (DuckDB ``quantile_cont`` twin). Exact percentile is a sort-based agg;
+  the sketch tier for 100 TB is ``approx_percentile`` (same shape as
+  the HLL tier in ``relational.approx_distinct_customers_by_nation``).
+
+Both engines interpolate at index p*(n-1); scores rounded to 9 dp as in
+``text.tfidf_top_terms`` (JVM vs libm last-ulp).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+
+#: Range-join window width (also the binning width — they must match).
+RANGE_MINUTES = 10
+
+#: Fixed pivot column list (event_type is a closed enum in this domain).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, names=("events",))["events"]
+
+
+def _clicks_dedup(e: DataFrame) -> DataFrame:
+    """One click per (user_id, ts) — max event_id — so the as-of pick
+    among same-instant clicks is deterministic in both engines."""
+    return (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+
+
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, user_id, ts, click_id, click_ts, gap_us): each
+    purchase matched to the latest same-user click with click.ts <= ts;
+    NULLs when no prior click exists (left as-of semantics)."""
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = _clicks_dedup(e)
+
+    # Tag and union the two streams; at equal ts the click sorts first
+    # (is_p 0 < 1) so an exactly-simultaneous click is matched (>=).
+    left = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_p"),
+        "event_id",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    right = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_p"),
+        F.lit(None).cast("long").alias("event_id"),
+        "click_id",
+        F.col("ts").alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = left.unionByName(right)
+    return (
+        u.withColumn("m_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("m_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("m_id").alias("click_id"),
+            F.col("m_ts").alias("click_ts"),
+            (F.unix_micros("ts") - F.unix_micros("m_ts")).alias("gap_us"),
+        )
+    )
+
+
+def range_join_clicks_before_errors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(event_id, user_id, ts, n_recent_clicks): same-user clicks in
+    [ts - 10 min, ts] counted per error event. Binned equi-join: a
+    click in bucket b can only serve errors in buckets {b, b+1}, so the
+    click side is exploded to those two keys and the join is a plain
+    hash join on (user_id, bin) — no inequality-join blowup."""
+    width_us = RANGE_MINUTES * 60 * 1_000_000
+    e = _events(spark, sf_dir)
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_micros("ts") / F.lit(width_us)).cast("long").alias("bin"),
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            (F.unix_micros("ts") / F.lit(width_us)).cast("long").alias("cbin"),
+        )
+        .select(
+            "c_user_id",
+            "click_ts",
+            F.explode(F.array(F.col("cbin"), F.col("cbin") + 1)).alias("c_bin"),
+        )
+    )
+    # Range predicate INSIDE the join condition: an error whose candidate
+    # clicks all fall outside the window must survive with count 0 (a
+    # post-join filter would drop it). Each (error, click) pair can match
+    # through at most one of the click's two emitted bins.
+    cond = (
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("bin") == F.col("c_bin"))
+        & (F.col("click_ts") <= F.col("ts"))
+        & (F.unix_micros("click_ts") >= F.unix_micros("ts") - F.lit(width_us))
+    )
+    joined = errors.join(clicks, cond, "left")
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.count("click_ts").alias("n_recent_clicks")
+    )
+
+
+def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user wide matrix: sum(value) per event_type as columns (the
+    warehouse pivot shape Tableau consumes). Decimal-cast before the
+    sum keeps the result order-independent; NULL where a user never
+    produced that event type."""
+    e = _events(spark, sf_dir)
+    piv = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")))
+    )
+    # Sum exactly in decimal, then ONE cast to double per cell so both
+    # engines materialize identical float64 (a Decimal object column
+    # sorts as text in the comparator and scrambles row order).
+    return piv.select(
+        "user_id",
+        *[F.col(t).cast("double").alias(f"{t}_value") for t in EVENT_TYPES],
+    )
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distribution summary: exact interpolated p50/p90 plus
+    min/max/count (the profiling pass a quality pipeline runs before
+    choosing filter thresholds)."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.round(F.expr("percentile(value, 0.5)"), 9).alias("p50_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 9).alias("p90_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "temporal_asof_join": asof_join_purchase_click,
+    "temporal_range_join": range_join_clicks_before_errors,
+    "temporal_pivot_user_values": pivot_user_event_values,
+    "temporal_value_percentiles": events_value_percentiles,
+}
+
+_CLICKS_SQL = """
+    SELECT user_id, ts, max(event_id) AS click_id
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2"""
+
+ORACLES: dict[str, str] = {
+    "temporal_asof_join": f"""
+        WITH purchases AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'),
+        clicks AS ({_CLICKS_SQL})
+        SELECT p.event_id, p.user_id, p.ts,
+               c.click_id, c.ts AS click_ts,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+            ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "temporal_range_join": f"""
+        WITH errors AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'error'),
+        clicks AS (
+            SELECT user_id, ts AS click_ts FROM events
+            WHERE event_type = 'click')
+        SELECT e.event_id, e.user_id, e.ts,
+               count(c.click_ts) AS n_recent_clicks
+        FROM errors e
+        LEFT JOIN clicks c
+            ON c.user_id = e.user_id
+            AND c.click_ts <= e.ts
+            AND epoch_us(c.click_ts) >=
+                epoch_us(e.ts) - {RANGE_MINUTES * 60 * 1_000_000}
+        GROUP BY 1, 2, 3""",
+    "temporal_pivot_user_values": """
+        SELECT user_id,
+            CAST(sum(CASE WHEN event_type = 'click'
+                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+                AS click_value,
+            CAST(sum(CASE WHEN event_type = 'error'
+                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+                AS error_value,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+                AS purchase_value,
+            CAST(sum(CASE WHEN event_type = 'signup'
+                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+                AS signup_value,
+            CAST(sum(CASE WHEN event_type = 'view'
+                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+                AS view_value
+        FROM events GROUP BY user_id""",
+    "temporal_value_percentiles": """
+        SELECT event_type, count(*) AS n_events,
+               min(value) AS min_value,
+               round(quantile_cont(value, 0.5), 9) AS p50_value,
+               round(quantile_cont(value, 0.9), 9) AS p90_value,
+               max(value) AS max_value
+        FROM events GROUP BY event_type""",
+}
