@@ -20,6 +20,13 @@ from customer_revenue_analysis_sql_tableau_spark.operators.relational import (
     tpch_q3_shipping_priority,
     top_nations_customers_semi,
 )
+from customer_revenue_analysis_sql_tableau_spark.operators.splits import (
+    split_train_test,
+)
+from customer_revenue_analysis_sql_tableau_spark.operators.temporal import (
+    asof_join_purchase_click,
+    range_join_clicks_before_errors,
+)
 from customer_revenue_analysis_sql_tableau_spark.operators.warehouse import (
     customer_value_summary,
 )
@@ -76,6 +83,35 @@ def test_top_n_filter_is_semi_join(spark, sf_dir):
     p = plan(top_n_filter(part, "p_brand", 5))
     assert "LeftSemi" in p
     assert "TakeOrderedAndProject" in p  # top-k, not a full sort
+
+
+def test_split_prunes_to_key_column(spark, sf_dir):
+    """The hash split derives everything from doc_id — the scan must
+    read doc_id ALONE (reading `text` here would drag the widest column
+    of a 100 TB corpus through a projection that never uses it)."""
+    p = plan(split_train_test(spark, sf_dir))
+    assert "ReadSchema: struct<doc_id:bigint>" in p
+    assert "text" not in p.split("ReadSchema")[1][:200]
+
+
+def test_asof_join_is_window_not_pairwise(spark, sf_dir):
+    """The as-of join must compile to union + window (shuffle on
+    user_id), never a join operator — any pairwise form is quadratic in
+    per-user history."""
+    p = plan(asof_join_purchase_click(spark, sf_dir))
+    assert "Window" in p
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The binned range join must stay an equi hash join with the range
+    predicate as a residual condition — BroadcastNestedLoopJoin here
+    means the binning failed and the plan is O(errors × clicks)."""
+    p = plan(range_join_clicks_before_errors(spark, sf_dir))
+    assert "NestedLoop" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p
 
 
 def test_no_python_row_udfs_in_parity_path(spark, sf_dir):
