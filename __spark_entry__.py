@@ -16,6 +16,7 @@ from customer_revenue_analysis_sql_tableau_spark.operators import queries as _qu
 from customer_revenue_analysis_sql_tableau_spark.operators import procedures as _procedures
 from customer_revenue_analysis_sql_tableau_spark.operators import relational as _relational
 from customer_revenue_analysis_sql_tableau_spark.operators import dedup as _dedup
+from customer_revenue_analysis_sql_tableau_spark.operators import embeddings as _embeddings
 from customer_revenue_analysis_sql_tableau_spark.operators import multimodal as _multimodal
 from customer_revenue_analysis_sql_tableau_spark.operators import pipeline as _pipeline
 from customer_revenue_analysis_sql_tableau_spark.operators import similarity as _similarity
@@ -33,6 +34,7 @@ _REGISTRY_MODULES = [
     _text,
     _dedup,
     _similarity,
+    _embeddings,
     _multimodal,
     _pipeline,
     _splits,
