@@ -175,6 +175,24 @@ def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, ts, event_id, event_type, value): each user's most
+    recent event — the CDC/upsert compaction primitive (incremental
+    ingest keeps only the latest state per key). Window top-1 per user:
+    one shuffle on the key, ties broken by event_id DESC so replays are
+    deterministic. At scale this is the operator that compacts a
+    changelog into a snapshot; partition count follows the key space."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+
+
 def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type distribution summary: exact interpolated p50/p90 plus
     min/max/count (the profiling pass a quality pipeline runs before
@@ -193,6 +211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_asof_join": asof_join_purchase_click,
     "temporal_range_join": range_join_clicks_before_errors,
     "temporal_pivot_user_values": pivot_user_event_values,
+    "temporal_latest_per_user": latest_event_per_user,
     "temporal_value_percentiles": events_value_percentiles,
 }
 
@@ -246,6 +265,15 @@ ORACLES: dict[str, str] = {
                 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
                 AS view_value
         FROM events GROUP BY user_id""",
+    "temporal_latest_per_user": """
+        WITH ranked AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+        SELECT user_id, ts, event_id, event_type, value
+        FROM ranked WHERE rn = 1""",
     "temporal_value_percentiles": """
         SELECT event_type, count(*) AS n_events,
                min(value) AS min_value,
