@@ -21,6 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+from customer_revenue_analysis_sql_tableau_spark.operators.queries import evict_view
 from customer_revenue_analysis_sql_tableau_spark.session import get_spark
 
 #: Headline subset (keys of __spark_entry__.queries()). The full registry
@@ -53,19 +54,19 @@ def main() -> None:
     queries["flagship_revenue_by_region"](spark, "/root/testdata/sf0.001").count()
     queries["view_customer_value_summary"](spark, "/root/testdata/sf0.001").count()
 
-    # Queries that memoize state across calls get ONE timed run — a
-    # second call would measure their cache hit, not their work.
-    single_shot = {"view_customer_value_summary"}
-
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        # min of two runs elsewhere: single-shot numbers swing ±30%
-        # with host contention; the min is the noise-robust estimate.
+        # min of two runs: single-shot numbers swing ±30% with host
+        # contention; the min is the noise-robust estimate. The view
+        # memoizes its materialization, so its cache is evicted before
+        # each run — both timings cover the honest fill.
         best = None
-        for _ in range(1 if name in single_shot else 2):
+        for _ in range(2):
+            if name == "view_customer_value_summary":
+                evict_view(spark, sf_dir)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
