@@ -1,0 +1,112 @@
+"""Property tests for the split/packing/temporal families (SURVEY §5.3.5
+pattern: invariants beyond the DuckDB hash check, which pins values but
+not the semantic contracts a pipeline relies on)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+from customer_revenue_analysis_sql_tableau_spark.operators.splits import (
+    PACK_BUDGET,
+    TRAIN_PCT,
+    chunk_documents,
+    pack_sequences,
+    split_train_test,
+)
+from customer_revenue_analysis_sql_tableau_spark.operators.temporal import (
+    asof_join_purchase_click,
+    latest_event_per_user,
+)
+
+
+def test_chunks_reassemble_to_original(spark, sf_dir):
+    """Concatenating a doc's chunks in index order must reproduce the
+    document exactly — no gaps, overlaps, or phantom chunks."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    rebuilt = (
+        chunk_documents(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ).chunk_text,
+                "",
+            ).alias("rebuilt")
+        )
+    )
+    joined = docs.filter(F.length("text") > 0).join(rebuilt, "doc_id", "left")
+    assert joined.filter(
+        F.col("rebuilt").isNull() | (F.col("rebuilt") != F.col("text"))
+    ).count() == 0
+
+
+def test_split_is_deterministic_and_total(spark, sf_dir):
+    """Same input → identical assignment on every run; every doc gets
+    exactly one split; the train share lands near the configured 90%."""
+    a = split_train_test(spark, sf_dir)
+    b = split_train_test(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    n = a.count()
+    counts = dict(
+        a.groupBy("split").count().rdd.map(lambda r: (r["split"], r["count"])).collect()
+    )
+    assert sum(counts.values()) == n
+    # md5 buckets are uniform; 500 docs at 90% → binomial sd ~0.67pp.
+    assert abs(counts.get("train", 0) / n - TRAIN_PCT / 100) < 0.06
+
+
+def test_pack_offsets_stay_under_budget(spark, sf_dir):
+    """pack_offset is a position INSIDE a budget-sized bin; prefix sums
+    must be consistent with (pack_id, pack_offset)."""
+    p = pack_sequences(spark, sf_dir)
+    assert p.filter(
+        (F.col("pack_offset") < 0) | (F.col("pack_offset") >= PACK_BUDGET)
+    ).count() == 0
+    assert p.filter(
+        F.col("prefix_chars")
+        != F.col("pack_id") * PACK_BUDGET + F.col("pack_offset")
+    ).count() == 0
+
+
+def test_asof_match_is_past_and_same_user(spark, sf_dir):
+    """Every matched click happened at-or-before its purchase (gap >= 0)
+    and unmatched purchases carry NULLs consistently."""
+    a = asof_join_purchase_click(spark, sf_dir)
+    assert a.filter(F.col("gap_us") < 0).count() == 0
+    assert a.filter(
+        F.col("click_id").isNull() != F.col("click_ts").isNull()
+    ).count() == 0
+
+
+def test_latest_per_user_is_the_max_timestamp(spark, sf_dir):
+    events = load_tables(spark, sf_dir, names=("events",))["events"]
+    latest = latest_event_per_user(spark, sf_dir)
+    maxes = events.groupBy("user_id").agg(F.max("ts").alias("max_ts"))
+    assert latest.join(maxes, "user_id").filter(
+        F.col("ts") != F.col("max_ts")
+    ).count() == 0
+    assert latest.count() == maxes.count()
+
+
+def test_split_export_partitions_by_split(spark, sf_dir):
+    """Write-side contract: exporting the split corpus partitioned by
+    the split column yields one directory per split (the layout a
+    training job consumes — split pruning without reading a byte of
+    the other splits)."""
+    out = split_train_test(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "corpus")
+        out.write.partitionBy("split").parquet(path)
+        parts = {d for d in os.listdir(path) if d.startswith("split=")}
+        assert parts == {"split=train", "split=validation", "split=test"}
+        back = spark.read.parquet(path)
+        pruned = back.filter(F.col("split") == "train")
+        # partition pruning must reach the scan
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(split" in plan
+        assert pruned.count() == out.filter(F.col("split") == "train").count()
