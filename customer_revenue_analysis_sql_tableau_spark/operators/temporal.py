@@ -207,12 +207,36 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sketch accuracy for the approx tier (rank error ≤ n/accuracy).
+APPROX_ACCURACY = 1000
+
+
+def events_value_percentiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch tier of ``events_value_percentiles`` (the 100 TB path —
+    exact percentile is a per-group sort; the GK sketch is mergeable,
+    one pass, bounded memory). Rows-only in the registry: sketch output
+    depends on merge order. pytest bounds its rank error against the
+    exact tier."""
+    e = _events(spark, sf_dir)
+    pair = F.expr(
+        f"approx_percentile(value, array(0.5, 0.9), {APPROX_ACCURACY})"
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pair[0].alias("p50_approx"),
+        pair[1].alias("p90_approx"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_asof_join": asof_join_purchase_click,
     "temporal_range_join": range_join_clicks_before_errors,
     "temporal_pivot_user_values": pivot_user_event_values,
     "temporal_latest_per_user": latest_event_per_user,
     "temporal_value_percentiles": events_value_percentiles,
+    "temporal_value_percentiles_approx": events_value_percentiles_approx,
 }
 
 _CLICKS_SQL = """

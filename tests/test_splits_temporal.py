@@ -19,6 +19,8 @@ from customer_revenue_analysis_sql_tableau_spark.operators.splits import (
 )
 from customer_revenue_analysis_sql_tableau_spark.operators.temporal import (
     asof_join_purchase_click,
+    events_value_percentiles,
+    events_value_percentiles_approx,
     latest_event_per_user,
 )
 
@@ -91,6 +93,26 @@ def test_latest_per_user_is_the_max_timestamp(spark, sf_dir):
         F.col("ts") != F.col("max_ts")
     ).count() == 0
     assert latest.count() == maxes.count()
+
+
+def test_approx_percentiles_bound_error_vs_exact(spark, sf_dir):
+    """The sketch tier must land within the GK rank-error bound of the
+    exact tier: with accuracy A, the returned value's rank is within
+    n/A of the target, so for a tolerance we accept a value between the
+    neighboring exact percentiles padded by that rank slack (here:
+    within 2% of the group's value range — generous but regression-
+    catching: a broken sketch or wrong column is far outside it)."""
+    exact = {
+        r["event_type"]: r
+        for r in events_value_percentiles(spark, sf_dir).collect()
+    }
+    rng = {
+        k: max(r["max_value"] - r["min_value"], 1e-9) for k, r in exact.items()
+    }
+    for r in events_value_percentiles_approx(spark, sf_dir).collect():
+        k = r["event_type"]
+        assert abs(r["p50_approx"] - exact[k]["p50_value"]) <= 0.02 * rng[k]
+        assert abs(r["p90_approx"] - exact[k]["p90_value"]) <= 0.02 * rng[k]
 
 
 def test_split_export_partitions_by_split(spark, sf_dir):
