@@ -348,6 +348,84 @@ def run_stateful_user_counts(
     )
 
 
+def run_latest_state_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming CDC compaction: the latest event per user carried as
+    explicit GroupState — the stream twin of
+    ``temporal.latest_event_per_user``. Each micro-batch compares
+    arrivals against the stored (ts, event_id) and keeps the max, so
+    the result is arrival-order independent (unlike dropDuplicates,
+    which keeps the FIRST arrival); state is one small tuple per key.
+    pytest asserts row-for-row equality with the batch operator.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        best = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                cand = (
+                    int(row.ts.value // 1000),  # pandas ns → micros
+                    int(row.event_id),
+                    str(row.event_type),
+                    float(row.value),
+                )
+                if best is None or cand[:2] > best[:2]:
+                    best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "ts_us": [best[0]],
+                "event_id": [best[1]],
+                "event_type": [best[2]],
+                "value": [best[3]],
+            }
+        )
+
+    stream = (
+        _read_events_stream(spark, source_dir)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "user_id bigint, ts_us bigint, event_id bigint,"
+            " event_type string, value double",
+            "ts_us bigint, event_id bigint, event_type string, value double",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("latest_state_sink")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    sink = spark.table("latest_state_sink")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling_counts": events_tumbling_counts,
     "stream_sliding_counts": events_sliding_counts,

@@ -95,6 +95,29 @@ def test_latest_per_user_is_the_max_timestamp(spark, sf_dir):
     assert latest.count() == maxes.count()
 
 
+def test_latest_state_stream_equals_batch(spark, sf_dir):
+    """The streaming CDC compaction (applyInPandasWithState) must end
+    in exactly the batch operator's snapshot, row for row."""
+    from customer_revenue_analysis_sql_tableau_spark.streaming.windows import (
+        run_latest_state_stream,
+    )
+
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events_src")
+        events.write.parquet(src)
+        streamed = run_latest_state_stream(
+            spark, src, os.path.join(tmp, "ckpt")
+        ).collect()
+    batch = latest_event_per_user(spark, sf_dir).collect()
+    as_map = lambda rows: {  # noqa: E731
+        r.user_id: (r.ts, r.event_id, r.event_type, r.value) for r in rows
+    }
+    assert as_map(streamed) == as_map(batch)
+
+
 def test_approx_percentiles_bound_error_vs_exact(spark, sf_dir):
     """The sketch tier must land within the GK rank-error bound of the
     exact tier: with accuracy A, the returned value's rank is within
