@@ -19,6 +19,7 @@ from customer_revenue_analysis_sql_tableau_spark.operators import dedup as _dedu
 from customer_revenue_analysis_sql_tableau_spark.operators import embeddings as _embeddings
 from customer_revenue_analysis_sql_tableau_spark.operators import multimodal as _multimodal
 from customer_revenue_analysis_sql_tableau_spark.operators import pipeline as _pipeline
+from customer_revenue_analysis_sql_tableau_spark.operators import quality as _quality
 from customer_revenue_analysis_sql_tableau_spark.operators import similarity as _similarity
 from customer_revenue_analysis_sql_tableau_spark.operators import splits as _splits
 from customer_revenue_analysis_sql_tableau_spark.operators import temporal as _temporal
@@ -37,6 +38,7 @@ _REGISTRY_MODULES = [
     _embeddings,
     _multimodal,
     _pipeline,
+    _quality,
     _splits,
     _temporal,
     _streaming,
