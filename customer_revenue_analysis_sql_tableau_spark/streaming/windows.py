@@ -426,6 +426,57 @@ def run_latest_state_stream(
     )
 
 
+def run_interval_join_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Stream-stream interval join: error events joined to same-user
+    clicks from the preceding 10 minutes — the streaming twin of
+    ``temporal.range_join_clicks_before_errors``'s pair set. Both sides
+    carry watermarks and the join condition time-bounds the click
+    against the error, so state for either side is evicted once the
+    watermark passes the interval (bounded memory at any stream
+    length). Inner join: append mode, exact pair semantics; pytest
+    asserts set equality with the batch inequality join.
+    """
+    src = _read_events_stream(spark, source_dir)
+    errors = (
+        src.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", WATERMARK)
+    )
+    clicks = (
+        _read_events_stream(spark, source_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    joined = errors.join(
+        clicks,
+        F.expr(
+            "e_user_id = c_user_id AND click_ts <= error_ts"
+            " AND click_ts >= error_ts - INTERVAL 10 MINUTES"
+        ),
+    ).select("error_id", "e_user_id", "error_ts", "click_id", "click_ts")
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("interval_join_sink")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("interval_join_sink")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling_counts": events_tumbling_counts,
     "stream_sliding_counts": events_sliding_counts,

@@ -118,6 +118,46 @@ def test_latest_state_stream_equals_batch(spark, sf_dir):
     assert as_map(streamed) == as_map(batch)
 
 
+def test_interval_join_stream_equals_batch_pairs(spark, sf_dir):
+    """The stream-stream interval join must produce exactly the pairs
+    of the batch inequality join (same-user clicks in the 10 minutes
+    before each error)."""
+    from customer_revenue_analysis_sql_tableau_spark.streaming.windows import (
+        run_interval_join_stream,
+    )
+
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events_src")
+        events.write.parquet(src)
+        streamed = run_interval_join_stream(
+            spark, src, os.path.join(tmp, "ckpt")
+        ).collect()
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    batch = errors.join(
+        clicks,
+        (F.col("e_user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("error_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("error_ts") - F.expr("INTERVAL 10 MINUTES")
+        ),
+    ).collect()
+    pairs = lambda rows: {(r.error_id, r.click_id) for r in rows}  # noqa: E731
+    assert pairs(streamed) == pairs(batch)
+
+
 def test_approx_percentiles_bound_error_vs_exact(spark, sf_dir):
     """The sketch tier must land within the GK rank-error bound of the
     exact tier: with accuracy A, the returned value's rank is within
