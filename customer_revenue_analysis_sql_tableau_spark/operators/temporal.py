@@ -207,6 +207,54 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unpivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the pivot back to long form: (user_id, event_type,
+    total_value) — wide→long is how a per-metric matrix re-enters a
+    grouped pipeline. ``DataFrame.unpivot`` with the same fixed column
+    list; NULL cells (type never seen for the user) are dropped so the
+    roundtrip equals the plain grouped sum."""
+    wide = pivot_user_event_values(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "user_id",
+            [f"{t}_value" for t in EVENT_TYPES],
+            "event_type",
+            "total_value",
+        )
+        .filter(F.col("total_value").isNotNull())
+        .select(
+            "user_id",
+            F.regexp_replace("event_type", "_value$", "").alias("event_type"),
+            "total_value",
+        )
+    )
+
+
+def rolling_value_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time rolling aggregate: per event, the same-user sum/count
+    of value over [ts − 10 min, ts] — a RANGE window frame on the epoch
+    key (rows frames count rows; range frames bound event TIME, the
+    form feature pipelines need). Frame peers at an identical timestamp
+    are included regardless of sort-tie order, so the result is
+    deterministic; decimal sum keeps it order-independent. One shuffle
+    on user_id; frame state is bounded by the 10-minute span."""
+    width_us = RANGE_MINUTES * 60 * 1_000_000
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-width_us, 0)
+    )
+    val = F.col("value").cast("decimal(18,2)")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(val).over(w).cast("double").alias("rolling_value_10min"),
+        F.count(F.lit(1)).over(w).cast("long").alias("rolling_events_10min"),
+    )
+
+
 #: Sketch accuracy for the approx tier (rank error ≤ n/accuracy).
 APPROX_ACCURACY = 1000
 
@@ -234,6 +282,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_asof_join": asof_join_purchase_click,
     "temporal_range_join": range_join_clicks_before_errors,
     "temporal_pivot_user_values": pivot_user_event_values,
+    "temporal_unpivot_user_values": unpivot_user_event_values,
+    "temporal_rolling_value_10min": rolling_value_10min,
     "temporal_latest_per_user": latest_event_per_user,
     "temporal_value_percentiles": events_value_percentiles,
     "temporal_value_percentiles_approx": events_value_percentiles_approx,
@@ -289,6 +339,21 @@ ORACLES: dict[str, str] = {
                 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
                 AS view_value
         FROM events GROUP BY user_id""",
+    "temporal_unpivot_user_values": """
+        SELECT user_id, event_type,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_value
+        FROM events GROUP BY user_id, event_type""",
+    "temporal_rolling_value_10min": f"""
+        SELECT event_id, user_id, ts,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   AS rolling_value_10min,
+               CAST(count(*) OVER w AS BIGINT) AS rolling_events_10min
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN {RANGE_MINUTES * 60 * 1_000_000} PRECEDING
+            AND CURRENT ROW)""",
     "temporal_latest_per_user": """
         WITH ranked AS (
             SELECT user_id, ts, event_id, event_type, value,
