@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from customer_revenue_analysis_sql_tableau_spark.operators import analytics as _analytics
 from customer_revenue_analysis_sql_tableau_spark.operators import queries as _queries
 from customer_revenue_analysis_sql_tableau_spark.operators import procedures as _procedures
 from customer_revenue_analysis_sql_tableau_spark.operators import relational as _relational
@@ -30,6 +31,7 @@ from customer_revenue_analysis_sql_tableau_spark.functions import gallery as _ga
 
 _REGISTRY_MODULES = [
     _queries,
+    _analytics,
     _relational,
     _procedures,
     _text,
