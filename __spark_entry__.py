@@ -19,6 +19,7 @@ from customer_revenue_analysis_sql_tableau_spark.operators import relational as 
 from customer_revenue_analysis_sql_tableau_spark.operators import dedup as _dedup
 from customer_revenue_analysis_sql_tableau_spark.operators import embeddings as _embeddings
 from customer_revenue_analysis_sql_tableau_spark.operators import features as _features
+from customer_revenue_analysis_sql_tableau_spark.operators import incremental as _incremental
 from customer_revenue_analysis_sql_tableau_spark.operators import multimodal as _multimodal
 from customer_revenue_analysis_sql_tableau_spark.operators import pipeline as _pipeline
 from customer_revenue_analysis_sql_tableau_spark.operators import quality as _quality
@@ -40,6 +41,7 @@ _REGISTRY_MODULES = [
     _similarity,
     _embeddings,
     _features,
+    _incremental,
     _multimodal,
     _pipeline,
     _quality,

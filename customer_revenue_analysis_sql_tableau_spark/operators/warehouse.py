@@ -126,6 +126,57 @@ def most_frequent_part_type(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def partial_aggregate(o: DataFrame, l: DataFrame, p: DataFrame) -> DataFrame:
+    """Level 1 of the view: per (customer, part-type) partials over the
+    fact join ``orders ⟕ lineitem ⟕ part``.
+
+    This frame IS the view's maintainable state: every measure is
+    **mergeable** (sums of exact decimals/longs, min/max of dates), so
+    partials computed over disjoint order batches can be re-aggregated
+    with :func:`merge_partials` and finalized incrementally — the
+    incremental-view-maintenance path in ``operators/incremental.py``.
+    NULL p_type rows (orders with no lineitem / lineitem with no part)
+    stay as their own group so post-join row counts are preserved
+    exactly.
+    """
+    fact = (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left")  # J4+J7 twin
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey, "left")  # J8 (left)
+    )
+    return fact.groupBy(
+        o.o_custkey.alias("Customer_ID"), p.p_type
+    ).agg(
+        F.count(o.o_orderkey).alias("_orders"),  # A3: post-join rows
+        sum_revenue(l).alias("_rev"),  # exact, long-cents buffer
+        sum_late_fees(l, o).alias("_late"),  # A6 partial, long buffer
+        F.min(o.o_orderdate).alias("_min_d"),  # A2 partial
+        F.max(o.o_orderdate).alias("_max_d"),
+        F.count(l.l_linenumber).alias("_lines"),  # A3: NULL-skip
+    )
+
+
+def merge_partials(*states: DataFrame) -> DataFrame:
+    """Merge partial-aggregate states from disjoint order batches.
+
+    Exact because every measure is mergeable: decimal/long sums are
+    associative (no float buffers anywhere in the state), min/max are
+    idempotent-mergeable, and (Customer_ID, p_type) rows re-unique
+    after the groupBy. ``merge(partial(A), partial(B)) ≡ partial(A∪B)``
+    for disjoint A, B — asserted in tests/test_incremental.py.
+    """
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("Customer_ID", "p_type").agg(
+        F.sum("_orders").alias("_orders"),
+        F.sum("_rev").alias("_rev"),
+        F.sum("_late").alias("_late"),
+        F.min("_min_d").alias("_min_d"),
+        F.max("_max_d").alias("_max_d"),
+        F.sum("_lines").alias("_lines"),
+    )
+
+
 def customer_value_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the view (twin of ``queries_shan.sql:7-42``).
 
@@ -150,24 +201,7 @@ def customer_value_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     c, n, r = t["customer"], t["nation"], t["region"]
     o, l, p = t["orders"], t["lineitem"], t["part"]
 
-    fact = (
-        o.join(l, o.o_orderkey == l.l_orderkey, "left")  # J4+J7 twin
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey, "left")  # J8 (left)
-    )
-
-    # Level 1: per (customer, part-type) partials. NULL p_type rows
-    # (orders with no lineitem / lineitem with no part) stay as their
-    # own group so post-join row counts are preserved exactly.
-    partial = fact.groupBy(
-        o.o_custkey.alias("Customer_ID"), p.p_type
-    ).agg(
-        F.count(o.o_orderkey).alias("_orders"),  # A3: post-join rows
-        sum_revenue(l).alias("_rev"),  # exact, long-cents buffer
-        sum_late_fees(l, o).alias("_late"),  # A6 partial, long buffer
-        F.min(o.o_orderdate).alias("_min_d"),  # A2 partial
-        F.max(o.o_orderdate).alias("_max_d"),
-        F.count(l.l_linenumber).alias("_lines"),  # A3: NULL-skip
-    )
+    partial = partial_aggregate(o, l, p)
 
     # Level 2: fold partials per customer. The A1 top-1-per-group
     # ("most frequent part type") folds into the SAME aggregate as an
@@ -178,6 +212,15 @@ def customer_value_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and are skipped by min(), so a customer whose only group is NULL
     # gets MFC = NULL, exactly what the reference's left join to the
     # correlated subquery yields.
+    return finalize_summary(partial, c, n, r)
+
+
+def finalize_summary(
+    partial: DataFrame, c: DataFrame, n: DataFrame, r: DataFrame
+) -> DataFrame:
+    """Level 2 of the view: fold (customer, part-type) partials into the
+    13-column summary and attach geo dims. Shared by the one-shot build
+    above and the incremental-maintenance path (``incremental.py``)."""
     mfc_pick = F.min(
         F.when(
             F.col("p_type").isNotNull(),
