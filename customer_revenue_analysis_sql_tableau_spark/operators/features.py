@@ -186,6 +186,29 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rank") <= VOCAB_TOP)
 
 
+def vocab_topk_sketch(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Sketch tier of :func:`vocab_coverage`: ``approx_top_k`` (a
+    mergeable frequent-items sketch) instead of the exact
+    count-then-rank pass. At 100 TB the exact path shuffles every
+    distinct token; the sketch reduces to one constant-memory buffer
+    per partition merged at the driver side of the agg. Rows-only
+    registry entry (no ANSI twin); accuracy vs the exact counts is
+    asserted in tests/test_features.py (with the tracked-item budget
+    above the true cardinality the sketch is exact)."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ", -1)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    sketch = toks.agg(
+        F.expr(f"approx_top_k(token, {k}, 100000)").alias("top")
+    )
+    return sketch.select(F.explode("top").alias("e")).select(
+        F.col("e.item").alias("token"),
+        F.col("e.count").alias("approx_cnt"),
+    )
+
+
 def word_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N adjacent word pairs across the corpus (bigram language-
     model counts)."""
@@ -220,6 +243,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feat_zscore_outliers": zscore_outliers,
     "feat_minmax_normalize": minmax_normalize,
     "feat_vocab_coverage": vocab_coverage,
+    "feat_vocab_topk_sketch": vocab_topk_sketch,
     "feat_word_bigram_counts": word_bigram_counts,
 }
 

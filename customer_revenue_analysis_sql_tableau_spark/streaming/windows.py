@@ -477,6 +477,42 @@ def run_interval_join_stream(
     return spark.table("interval_join_sink")
 
 
+def run_resumable_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, sink_dir: str
+) -> DataFrame:
+    """One availableNow drain of the parquet file source into an
+    exactly-once parquet FILE sink. Call again with the same
+    checkpoint/sink after the source directory has grown: the
+    checkpoint's committed source offsets skip already-processed files
+    and the file sink's transactional ``_spark_metadata`` log makes the
+    output exactly-once across restarts (a crashed/retried batch never
+    double-counts — the recovery contract a production ingest pipeline
+    leans on).
+
+    The transform is a stateless enrichment (decimal-exact value
+    doubling) so the exactly-once property is attributable purely to
+    source-offset + sink-manifest recovery, not to aggregation state.
+    Returns the sink as a batch frame (the read honors the manifest, so
+    orphaned files from killed batches are invisible).
+    """
+    enriched = _read_events_stream(spark, source_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.round(money("value") * 2, 2).cast("double").alias("double_value"),
+    )
+    query = (
+        enriched.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(sink_dir)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling_counts": events_tumbling_counts,
     "stream_sliding_counts": events_sliding_counts,

@@ -274,3 +274,44 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir):
     assert {key(r): (r.n_events, r.total_value) for r in streamed} == {
         key(r): (r.n_events, r.total_value) for r in batch
     }
+
+
+def test_streaming_resume_from_checkpoint_is_exactly_once(spark, sf_dir):
+    """Drain → grow the source → restart from the same checkpoint →
+    drain again (plus an idle third drain): the sink must hold every
+    event exactly once — committed source offsets skip old files, the
+    file-sink manifest never double-commits."""
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.streaming.windows import (
+        run_resumable_stream,
+    )
+
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+    total = events.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        src, ckpt, sink = f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/sink"
+        first = events.filter(F.col("event_id") % 2 == 0)
+        rest = events.filter(F.col("event_id") % 2 == 1)
+
+        first.write.parquet(src)
+        out1 = run_resumable_stream(spark, src, ckpt, sink)
+        assert out1.count() == first.count()
+
+        rest.write.mode("append").parquet(src)
+        out2 = run_resumable_stream(spark, src, ckpt, sink)
+        assert out2.count() == total
+        assert out2.select("event_id").distinct().count() == total
+
+        # idle restart: nothing new to commit, nothing re-emitted
+        out3 = run_resumable_stream(spark, src, ckpt, sink)
+        assert out3.count() == total
+        # the enrichment survived the restart boundary intact
+        bad = out3.withColumn(
+            "expect", F.round(F.col("double_value") / 2, 2)
+        ).join(
+            events.select("event_id", F.round("value", 2).alias("v")),
+            "event_id",
+        ).filter(F.abs(F.col("expect") - F.col("v")) > 1e-9)
+        assert bad.count() == 0

@@ -129,3 +129,23 @@ def test_feature_joins_broadcast_the_stats_side(spark, sf_dir):
     p = plan(value_quartile_bins(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "Broadcast" in p
+
+
+def test_vocab_sketch_matches_exact_counts(spark, sf_dir):
+    """With the tracked-item budget far above true token cardinality,
+    approx_top_k degrades to exact counts — the sketch head must equal
+    the exact vocabulary head item-for-item."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.features import (
+        vocab_topk_sketch,
+    )
+
+    sketch = {
+        r["token"]: r["approx_cnt"]
+        for r in vocab_topk_sketch(spark, sf_dir).collect()
+    }
+    exact = {
+        r["token"]: r["cnt"]
+        for r in vocab_coverage(spark, sf_dir).collect()
+        if r["rank"] <= len(sketch)
+    }
+    assert sketch == exact
