@@ -16,6 +16,7 @@ from customer_revenue_analysis_sql_tableau_spark.operators import analytics as _
 from customer_revenue_analysis_sql_tableau_spark.operators import queries as _queries
 from customer_revenue_analysis_sql_tableau_spark.operators import procedures as _procedures
 from customer_revenue_analysis_sql_tableau_spark.operators import relational as _relational
+from customer_revenue_analysis_sql_tableau_spark.operators import rollups as _rollups
 from customer_revenue_analysis_sql_tableau_spark.operators import dedup as _dedup
 from customer_revenue_analysis_sql_tableau_spark.operators import embeddings as _embeddings
 from customer_revenue_analysis_sql_tableau_spark.operators import features as _features
@@ -42,6 +43,7 @@ _REGISTRY_MODULES = [
     _embeddings,
     _features,
     _incremental,
+    _rollups,
     _multimodal,
     _pipeline,
     _quality,
