@@ -27,6 +27,24 @@ MONEY_SCALE = 4
 MONEY_DECIMAL = "decimal(18,2)"
 
 
+def cents(col: Column | str, scale: int = 2) -> Column:
+    """Non-negative 2-dp double → exact integer of 10^-scale units, as long.
+
+    ``floor(x·10^s + 0.5)`` is bit-identical to ``round(x·10^s)`` HALF_UP
+    for non-negative inputs whose true value is a ``scale``-dp decimal:
+    the double product lands within a few ulps of the integer, so adding
+    0.5 and truncating (cast-to-long on a non-negative value) recovers it
+    exactly. Unlike ``F.round`` this stays in primitive double/long
+    arithmetic inside codegen — ``F.round`` on a double routes every row
+    through ``BigDecimal.valueOf(...).setScale(...)``, measured ~30%
+    slower across a 600k-row fact pass. NEGATIVE inputs would truncate
+    toward zero instead of flooring — money/quantity/discount/tax are
+    non-negative by schema; do NOT use this for ``acctbal``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (c * F.lit(10**scale) + F.lit(0.5)).cast("long")
+
+
 def money(col: Column | str) -> Column:
     """Cast a (double) money column to exact DECIMAL(18,2)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from ..functions.money import money, round2_div, round2_div_sql
+from ..functions.money import cents, money, round2_div, round2_div_sql
 from .warehouse import sum_revenue
 
 _REV_SQL = (
@@ -49,10 +49,10 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     realistic group (1e7-cent price × 1e4 × row count)."""
     l = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
     f = l.filter(F.to_date(l.l_shipdate) <= F.lit("2001-09-02").cast("date"))
-    qty_c = F.round(f.l_quantity * 100).cast("long")
-    price_c = F.round(f.l_extendedprice * 100).cast("long")
-    disc_c = F.round(f.l_discount * 100).cast("long")
-    tax_c = F.round(f.l_tax * 100).cast("long")
+    qty_c = cents(f.l_quantity)
+    price_c = cents(f.l_extendedprice)
+    disc_c = cents(f.l_discount)
+    tax_c = cents(f.l_tax)
 
     def _scaled(sum_col: F.Column, pow10: int, scale: int) -> F.Column:
         return (sum_col.cast("decimal(38,0)") / F.lit(pow10)).cast(

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from ..functions.money import money, round2_div, round2_div_sql
+from ..functions.money import cents, money, round2_div, round2_div_sql
 from .warehouse import sum_revenue
 
 _REV_SQL = (
@@ -73,8 +73,8 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (money(l.l_discount).between(F.lit("0.03"), F.lit("0.07")))
         & (l.l_quantity < 24)
     )
-    price_c = F.round(f.l_extendedprice * 100).cast("long")
-    disc_c = F.round(f.l_discount * 100).cast("long")
+    price_c = cents(f.l_extendedprice)
+    disc_c = cents(f.l_discount)
     raw = F.sum(price_c * disc_c)  # 10^-4 dollars
     rev = (raw.cast("decimal(38,0)") / F.lit(10**4)).cast("decimal(38,4)")
     return f.agg(F.round(rev, 2).cast("double").alias("revenue"))
@@ -151,8 +151,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_rev = F.sum(
         F.when(
             F.col("supp_nation") == "NATION_5",
-            F.round(l.l_extendedprice * 100).cast("long")
-            * (F.lit(100) - F.round(l.l_discount * 100).cast("long")),
+            cents(l.l_extendedprice) * (F.lit(100) - cents(l.l_discount)),
         ).otherwise(F.lit(0))
     )
     nation_rev_dec = (nation_rev.cast("decimal(38,0)") / F.lit(10**4)).cast(
@@ -195,9 +194,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.to_date(l.l_shipdate) >= F.lit("1996-03-01").cast("date"))
         & (F.to_date(l.l_shipdate) < F.lit("1996-04-01").cast("date"))
     ).join(F.broadcast(p), l.l_partkey == p.p_partkey)
-    cents4 = F.round(l.l_extendedprice * 100).cast("long") * (
-        F.lit(100) - F.round(l.l_discount * 100).cast("long")
-    )
+    cents4 = cents(l.l_extendedprice) * (F.lit(100) - cents(l.l_discount))
     promo = F.sum(F.when(p.p_type == "PROMO", cents4).otherwise(F.lit(0)))
     total = F.sum(cents4)
     to_dec = lambda x: (x.cast("decimal(38,0)") / F.lit(10**4)).cast("decimal(38,4)")  # noqa: E731
@@ -243,7 +240,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     t = load_tables(spark, sf_dir, names=("lineitem", "part"))
     l, p = t["lineitem"], t["part"]
     brand = p.filter(p.p_brand == "Brand#1")
-    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    qty_c = cents("l_quantity")
     per_part = l.groupBy(l.l_partkey.alias("agg_partkey")).agg(
         F.sum(qty_c).alias("sum_qty_c"), F.count(F.lit(1)).alias("cnt")
     )
@@ -265,7 +262,7 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
     re-aggregation per (customer, order), top-100 under a total order."""
     t = load_tables(spark, sf_dir, names=("customer", "orders", "lineitem"))
     c, o, l = t["customer"], t["orders"], t["lineitem"]
-    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    qty_c = cents("l_quantity")
     big = (
         l.groupBy(l.l_orderkey.alias("big_okey"))
         .agg(F.sum(qty_c).alias("okey_qty_c"))

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from ..functions.money import money, round2_div, round2_div_sql
+from ..functions.money import cents, money, round2_div, round2_div_sql
 
 #: Days until a line counts as "late" (twin of film.rental_duration).
 LATE_AFTER_DAYS = 7
@@ -78,9 +78,9 @@ def sum_revenue(l) -> "F.Column":
     group — far beyond any per-customer total (and the partial agg keys
     keep groups small at any scale factor).
     """
-    cents = F.round(l.l_extendedprice * 100).cast("long")
-    dc = F.round(l.l_discount * 100).cast("long")
-    raw = F.sum(cents * (F.lit(100) - dc))
+    price_c = cents(l.l_extendedprice)
+    dc = cents(l.l_discount)
+    raw = F.sum(price_c * (F.lit(100) - dc))
     return (raw.cast("decimal(38,0)") / F.lit(10000)).cast("decimal(38,4)")
 
 
