@@ -27,6 +27,13 @@ from customer_revenue_analysis_sql_tableau_spark.operators.temporal import (
     asof_join_purchase_click,
     range_join_clicks_before_errors,
 )
+from customer_revenue_analysis_sql_tableau_spark.operators.tpch_extended import (
+    tpch_q6_forecast_revenue,
+    tpch_q8_market_share,
+    tpch_q15_top_supplier,
+    tpch_q17_small_quantity_revenue,
+    tpch_q22_dormant_high_balance,
+)
 from customer_revenue_analysis_sql_tableau_spark.operators.warehouse import (
     customer_value_summary,
 )
@@ -112,6 +119,46 @@ def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
     assert "NestedLoop" not in p
     assert "CartesianProduct" not in p
     assert "HashJoin" in p
+
+
+def test_q6_predicates_reach_the_scan(spark, sf_dir):
+    """Q6 is scan-bound by design: all three predicates (date range,
+    discount band, quantity cap) must push into the parquet source so a
+    100 TB scan skips row groups on min/max stats."""
+    p = plan(tpch_q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters:" in p
+    assert "l_quantity" in p.split("PushedFilters")[1][:400]
+    # projection pruned to the four columns the query touches
+    assert "l_orderkey" not in p.split("ReadSchema")[1][:300]
+
+
+def test_q8_and_q15_broadcast_small_sides(spark, sf_dir):
+    """Q8's five dims and Q15's 1-row max must ride broadcast exchanges;
+    a shuffle of nation/region/supplier/part (or of a scalar!) would
+    serialize the whole plan on exchange latency at scale."""
+    for df in (tpch_q8_market_share(spark, sf_dir),
+               tpch_q15_top_supplier(spark, sf_dir)):
+        p = plan(df)
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+
+
+def test_q17_decorrelated_avg_is_single_reaggregation(spark, sf_dir):
+    """The per-part average subquery must appear as ONE aggregate over
+    lineitem joined back — not a correlated per-row re-scan. Plan shows
+    exactly two lineitem scans (outer + partial agg), no nested loop."""
+    import re
+
+    p = plan(tpch_q17_small_quantity_revenue(spark, sf_dir))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    scans = re.findall(r"\(\d+\) Scan parquet", p)
+    assert len(scans) == 3  # lineitem ×2 (outer + partial agg) + part ×1
+
+
+def test_q22_dormancy_is_anti_join(spark, sf_dir):
+    p = plan(tpch_q22_dormant_high_balance(spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "NestedLoop" not in p or "BuildRight" in p  # scalar stats may BNLJ a 1-row side
 
 
 def test_no_python_row_udfs_in_parity_path(spark, sf_dir):
