@@ -36,6 +36,8 @@ HEADLINE = [
     # one representative per extension family
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customers",
     "text_token_stats",
     "dedup_exact",
     "sim_bruteforce_topk",
