@@ -131,24 +131,39 @@ def partial_aggregate(o: DataFrame, l: DataFrame, p: DataFrame) -> DataFrame:
     fact join ``orders ⟕ lineitem ⟕ part``.
 
     This frame IS the view's maintainable state: every measure is
-    **mergeable** (sums of exact decimals/longs, min/max of dates), so
-    partials computed over disjoint order batches can be re-aggregated
-    with :func:`merge_partials` and finalized incrementally — the
+    **mergeable** (sums of exact longs, min/max of dates), so partials
+    computed over disjoint order batches can be re-aggregated with
+    :func:`merge_partials` and finalized incrementally — the
     incremental-view-maintenance path in ``operators/incremental.py``.
     NULL p_type rows (orders with no lineitem / lineitem with no part)
     stay as their own group so post-join row counts are preserved
     exactly.
+
+    Money state is **integer units end-to-end**: ``_rev`` in 10⁻⁴
+    dollars, ``_late`` in cents — plain long sums through the shuffle,
+    the merge, and the final per-customer fold, with the single decimal
+    division deferred to :func:`finalize_summary`. Longs halve the
+    shuffle bytes of a decimal buffer and stay in primitive codegen;
+    overflow needs > 9·10¹⁴ dollars on one customer (documented bound,
+    see :func:`sum_revenue`).
     """
     fact = (
         o.join(l, o.o_orderkey == l.l_orderkey, "left")  # J4+J7 twin
         .join(F.broadcast(p), l.l_partkey == p.p_partkey, "left")  # J8 (left)
     )
+    late_days = F.datediff(
+        F.to_date(l.l_shipdate), F.to_date(o.o_orderdate)
+    ) - F.lit(LATE_AFTER_DAYS)
     return fact.groupBy(
         o.o_custkey.alias("Customer_ID"), p.p_type
     ).agg(
         F.count(o.o_orderkey).alias("_orders"),  # A3: post-join rows
-        sum_revenue(l).alias("_rev"),  # exact, long-cents buffer
-        sum_late_fees(l, o).alias("_late"),  # A6 partial, long buffer
+        F.sum(
+            cents(l.l_extendedprice) * (F.lit(100) - cents(l.l_discount))
+        ).alias("_rev"),  # 10^-4 dollars, long
+        F.sum(
+            F.when(late_days > 0, late_days).otherwise(0).cast("long") * 50
+        ).alias("_late"),  # A6 partial, cents, long
         F.min(o.o_orderdate).alias("_min_d"),  # A2 partial
         F.max(o.o_orderdate).alias("_max_d"),
         F.count(l.l_linenumber).alias("_lines"),  # A3: NULL-skip
@@ -158,8 +173,8 @@ def partial_aggregate(o: DataFrame, l: DataFrame, p: DataFrame) -> DataFrame:
 def merge_partials(*states: DataFrame) -> DataFrame:
     """Merge partial-aggregate states from disjoint order batches.
 
-    Exact because every measure is mergeable: decimal/long sums are
-    associative (no float buffers anywhere in the state), min/max are
+    Exact because every measure is mergeable: long sums are
+    associative (no float or decimal buffers anywhere in the state), min/max are
     idempotent-mergeable, and (Customer_ID, p_type) rows re-unique
     after the groupBy. ``merge(partial(A), partial(B)) ≡ partial(A∪B)``
     for disjoint A, B — asserted in tests/test_incremental.py.
@@ -230,14 +245,20 @@ def finalize_summary(
             ),
         )
     )
+    rev_sum = (F.sum("_rev").cast("decimal(38,0)") / F.lit(10**4)).cast(
+        "decimal(38,4)"
+    )  # long 10^-4 dollars → exact decimal, one division per customer
+    late_sum = (F.sum("_late").cast("decimal(38,0)") / F.lit(100)).cast(
+        "decimal(38,2)"
+    )
     grouped = partial.groupBy("Customer_ID").agg(
         F.sum("_orders").alias("Total_Orders"),
-        F.sum("_rev").alias("_rev_sum"),
+        rev_sum.alias("_rev_sum"),
         F.count("p_type").alias("Total_Part_Types"),  # A4: partial rows
         # are distinct (custkey, p_type) pairs; count(col) skips NULL
         mfc_pick.alias("_mfc"),  # A1
         F.round(
-            F.coalesce(F.sum("_late"), F.lit(0).cast("decimal(3,2)")), 2
+            F.coalesce(late_sum, F.lit(0).cast("decimal(3,2)")), 2
         )
         .cast("double")
         .alias("Total_Late_Fees"),  # A6
