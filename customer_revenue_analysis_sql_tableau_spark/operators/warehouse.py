@@ -84,18 +84,6 @@ def sum_revenue(l) -> "F.Column":
     return (raw.cast("decimal(38,0)") / F.lit(10000)).cast("decimal(38,4)")
 
 
-def sum_late_fees(l, o) -> "F.Column":
-    """SUM of the late-fee CASE via integer math: the 0.50/day rate
-    factors out of the sum (Σ days×0.50 = 0.50×Σ days), so the buffer
-    is a long day-count; one decimal division per group."""
-    days = F.datediff(F.to_date(l.l_shipdate), F.to_date(o.o_orderdate)) - F.lit(
-        LATE_AFTER_DAYS
-    )
-    pos = F.when(days > 0, days).otherwise(0).cast("long")
-    raw = F.sum(pos * 50)  # cents
-    return (raw.cast("decimal(38,0)") / F.lit(100)).cast("decimal(38,2)")
-
-
 def late_fee_expr(l, o) -> "F.Column":
     """Twin of the late-fee CASE (``queries_shan.sql:24-27``)."""
     days = F.datediff(F.to_date(l.l_shipdate), F.to_date(o.o_orderdate))
