@@ -27,6 +27,7 @@ from customer_revenue_analysis_sql_tableau_spark.operators import quality as _qu
 from customer_revenue_analysis_sql_tableau_spark.operators import similarity as _similarity
 from customer_revenue_analysis_sql_tableau_spark.operators import splits as _splits
 from customer_revenue_analysis_sql_tableau_spark.operators import temporal as _temporal
+from customer_revenue_analysis_sql_tableau_spark.operators import tpch_complete as _tpch_complete
 from customer_revenue_analysis_sql_tableau_spark.operators import tpch_extended as _tpch_extended
 from customer_revenue_analysis_sql_tableau_spark.operators import text as _text
 from customer_revenue_analysis_sql_tableau_spark import app_layer as _app_layer
@@ -38,6 +39,7 @@ _REGISTRY_MODULES = [
     _analytics,
     _relational,
     _tpch_extended,
+    _tpch_complete,
     _procedures,
     _text,
     _dedup,

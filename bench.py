@@ -37,7 +37,9 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
+    "tpch_q9_product_type_profit",
     "tpch_q18_large_volume_customers",
+    "tpch_q21_sole_late_supplier",
     "text_token_stats",
     "dedup_exact",
     "sim_bruteforce_topk",

@@ -27,6 +27,15 @@ from customer_revenue_analysis_sql_tableau_spark.operators.temporal import (
     asof_join_purchase_click,
     range_join_clicks_before_errors,
 )
+from customer_revenue_analysis_sql_tableau_spark.operators.tpch_complete import (
+    tpch_q2_min_cost_supplier,
+    tpch_q4_order_priority,
+    tpch_q9_product_type_profit,
+    tpch_q16_supplier_counts,
+    tpch_q19_disjunctive_revenue,
+    tpch_q20_dominant_promo_suppliers,
+    tpch_q21_sole_late_supplier,
+)
 from customer_revenue_analysis_sql_tableau_spark.operators.tpch_extended import (
     tpch_q6_forecast_revenue,
     tpch_q8_market_share,
@@ -159,6 +168,52 @@ def test_q22_dormancy_is_anti_join(spark, sf_dir):
     p = plan(tpch_q22_dormant_high_balance(spark, sf_dir))
     assert "LeftAnti" in p
     assert "NestedLoop" not in p or "BuildRight" in p  # scalar stats may BNLJ a 1-row side
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    """Q4's EXISTS must plan as a LEFT SEMI join (one pass over each
+    side), never a per-order correlated re-scan of lineitem."""
+    p = plan(tpch_q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_q21_combines_semi_and_anti_on_one_key(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair must appear as a LeftSemi AND a
+    LeftAnti join — both keyed on l_orderkey so at scale they reuse one
+    hash-partitioning of the fact instead of re-scanning per row."""
+    p = plan(tpch_q21_sole_late_supplier(spark, sf_dir))
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    p = plan(tpch_q16_supplier_counts(spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p  # part filter + exclusion list broadcast
+
+
+def test_q19_disjunction_keeps_equi_join(spark, sf_dir):
+    """The OR-of-ANDs predicate must NOT break the partkey equi-join
+    into a cartesian product: Catalyst extracts the common equi-key and
+    evaluates the disjunction as a post-join residual."""
+    p = plan(tpch_q19_disjunctive_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_q2_q9_q20_broadcast_their_dims(spark, sf_dir):
+    """Part/supplier/nation dims must ride broadcast exchanges in the
+    decorrelated min-cost (q2), profit rollup (q9), and dominant-share
+    (q20) plans; only fact-side aggregates may shuffle."""
+    for df in (
+        tpch_q2_min_cost_supplier(spark, sf_dir),
+        tpch_q9_product_type_profit(spark, sf_dir),
+        tpch_q20_dominant_promo_suppliers(spark, sf_dir),
+    ):
+        p = plan(df)
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
 
 
 def test_no_python_row_udfs_in_parity_path(spark, sf_dir):
