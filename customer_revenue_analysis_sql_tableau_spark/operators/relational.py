@@ -250,6 +250,50 @@ def customer_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_value_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution/navigation window family (§2.9 free-extension
+    surface): ntile quartiles, percent_rank, cume_dist, first/last/nth
+    value with an explicit full-partition frame, per nation ordered by
+    account balance.
+
+    The order key is (balance, custkey) — a total order, so the
+    navigation functions are deterministic even where balances tie.
+    percent_rank/cume_dist are exact small-int ratios; IEEE double
+    division is correctly rounded, so both engines produce identical
+    bits. Scale posture: partitioned by nation (bounded partitions, no
+    global window).
+    """
+    c = load_tables(spark, sf_dir, names=("customer",))["customer"]
+    w = Window.partitionBy("c_nationkey").orderBy(money(c.c_acctbal), "c_custkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first_value(c.c_custkey).over(wfull).alias("poorest_custkey"),
+        F.last_value(c.c_custkey).over(wfull).alias("richest_custkey"),
+        F.nth_value(c.c_custkey, 2).over(wfull).alias("second_poorest_custkey"),
+    )
+
+
+def repeat_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT coverage (§2.7): customers active in both 1996 and
+    1997 — two filtered projections of the same fact, distinct-set
+    intersected (Spark plans a partial-agg + semi-join shape)."""
+    o = load_tables(spark, sf_dir, names=("orders",))["orders"]
+
+    def active(year: int):
+        return o.filter(
+            (F.to_date(o.o_orderdate) >= F.lit(f"{year}-01-01").cast("date"))
+            & (F.to_date(o.o_orderdate) < F.lit(f"{year + 1}-01-01").cast("date"))
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    return active(1996).intersect(active(1997))
+
+
 def nation_customer_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 GROUP_CONCAT twin (``sql/sakila-schema.sql:365,451-462``):
     ordered, separator-joined customer list per nation."""
@@ -378,6 +422,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "party_names_union": party_names_union,
     "customers_above_avg_balance": customers_above_avg_balance,
     "customer_order_windows": customer_order_windows,
+    "customer_value_distribution_windows": customer_value_distribution_windows,
+    "repeat_customers_intersect": repeat_customers_intersect,
     "nation_customer_list": nation_customer_list,
     "nations_having_many_customers": nations_having_many_customers,
     "promo_parts_like": promo_parts_like,
@@ -485,6 +531,29 @@ ORACLES: dict[str, str] = {
                 AS running_spend
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "customer_value_distribution_windows": """
+        SELECT c_custkey, c_nationkey, c_acctbal AS acctbal,
+            ntile(4) OVER w AS balance_quartile,
+            percent_rank() OVER w AS pct_rank,
+            cume_dist() OVER w AS cume,
+            first_value(c_custkey) OVER wf AS poorest_custkey,
+            last_value(c_custkey) OVER wf AS richest_custkey,
+            nth_value(c_custkey, 2) OVER wf AS second_poorest_custkey
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey),
+               wf AS (PARTITION BY c_nationkey
+                      ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)""",
+    "repeat_customers_intersect": """
+        SELECT o_custkey AS custkey FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'""",
     "nation_customer_list": """
         SELECT n.n_name AS nation,
                string_agg(c.c_name, ', ' ORDER BY c.c_name) AS customer_list,
