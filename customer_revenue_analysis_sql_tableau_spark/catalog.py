@@ -53,13 +53,13 @@ def load_tables(
     dfs: dict[str, DataFrame] = {}
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # Nano-precision timestamps arrive as long (nanosAsLong conf);
-        # truncate to micros — the same thing DuckDB/Arrow do.
+        # events.parquet stores ts as timestamp[us] with no timezone, which
+        # Spark reads as TIMESTAMP_NTZ. The engine (unix_micros, watermarks)
+        # needs TIMESTAMP; with the session tz pinned UTC the cast is
+        # value-preserving, so normalize at the source.
         for field in df.schema.fields:
-            if field.name == "ts" and field.dataType.simpleString() == "bigint":
-                df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                )
+            if field.dataType.simpleString() == "timestamp_ntz":
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
         dfs[name] = df
         if register:
             df.createOrReplaceTempView(name)

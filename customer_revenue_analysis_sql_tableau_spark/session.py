@@ -27,10 +27,6 @@ RUNTIME_CONFS: dict[str, str] = {
     # under this, which is exactly what we want broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
-    # rejects; read as long and convert (catalog.load_tables truncates to
-    # micros — exactly what DuckDB/Arrow do with nanos timestamps).
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -150,10 +150,7 @@ def run_tumbling_stream(
     than the watermark horizon would be dropped in a live multi-batch
     run; with a single availableNow batch nothing is late.
     """
-    schema = spark.read.parquet(source_dir).schema
-    raw = spark.readStream.schema(schema).parquet(source_dir)
-    if dict(raw.dtypes).get("ts") == "bigint":  # nanosAsLong (see catalog)
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = _read_events_stream(spark, source_dir)
     stream = (
         raw.withWatermark("ts", WATERMARK)
         .groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
@@ -184,8 +181,10 @@ def run_tumbling_stream(
 def _read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     schema = spark.read.parquet(source_dir).schema
     raw = spark.readStream.schema(schema).parquet(source_dir)
-    if dict(raw.dtypes).get("ts") == "bigint":  # nanosAsLong (see catalog)
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The parquet ts is timestamp[us] without tz → TIMESTAMP_NTZ, which
+    # withWatermark rejects; session tz is UTC so the cast is value-preserving.
+    if dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
