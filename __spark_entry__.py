@@ -34,12 +34,11 @@ from customer_revenue_analysis_sql_tableau_spark import app_layer as _app_layer
 from customer_revenue_analysis_sql_tableau_spark import streaming as _streaming
 from customer_revenue_analysis_sql_tableau_spark.functions import gallery as _gallery
 
+# Ordered so the modules with the least driver-side verification history run
+# first: a time-budgeted correctness run that truncates mid-registry still
+# covers every family at least once (round 1 stopped at entry 50, leaving
+# everything after tpch_extended unproven driver-side).
 _REGISTRY_MODULES = [
-    _queries,
-    _analytics,
-    _relational,
-    _tpch_extended,
-    _tpch_complete,
     _procedures,
     _text,
     _dedup,
@@ -56,6 +55,11 @@ _REGISTRY_MODULES = [
     _streaming,
     _app_layer,
     _gallery,
+    _tpch_complete,
+    _queries,
+    _analytics,
+    _relational,
+    _tpch_extended,
 ]
 
 

@@ -44,6 +44,12 @@ HEADLINE = [
     "dedup_exact",
     "sim_bruteforce_topk",
     "stream_tumbling_counts",
+    # heaviest per-family representatives (added r2): LSH banding
+    # self-join, union+window as-of carry-forward, minute-tier rollup
+    "dedup_minhash_lsh",
+    "temporal_asof_join",
+    "rollup_minute",
+    "text_ranked_search",
 ]
 
 

@@ -7,7 +7,9 @@ One declarative flow over ``documents``:
    `text.text_quality_score`) ≥ threshold.
 2. **Exact dedup** — one survivor (min doc_id) per normalized text hash.
 3. **Near-dup dedup** — one survivor per connected component of
-   verified Jaccard≥0.8 pairs (`dedup.dedup_components`).
+   verified Jaccard≥0.8 pairs (`dedup.dedup_components_distributed`,
+   executor-side min-label propagation; the driver-side union-find
+   twin is the test-only cross-check).
 
 Output: every doc_id with ``kept`` and the first ``reason`` it was
 dropped (quality < exact-dup < near-dup precedence, mirroring stage
@@ -29,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from .dedup import dedup_components
+from .dedup import dedup_components_distributed
 from .text import text_quality_score
 
 #: Minimum composite quality score to keep a document.
@@ -60,8 +62,11 @@ def training_data_pipeline(
         .select("doc_id")
     )
 
-    # near-dup components over the full corpus; survivor = component min
-    comp = dedup_components(spark, sf_dir)
+    # near-dup components over the full corpus; survivor = component min.
+    # Distributed min-label propagation — the driver-side union-find twin
+    # (dedup_components) stays as the test-only cross-check; at 100 TB pair
+    # cardinality collecting the edge set would OOM the driver.
+    comp = dedup_components_distributed(spark, sf_dir)
     near_kept = (
         comp.filter(F.col("doc_id") == F.col("component_id")).select("doc_id")
     )

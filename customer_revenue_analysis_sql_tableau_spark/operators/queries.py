@@ -469,8 +469,8 @@ ORACLES: dict[str, str] = {
         FROM cvs GROUP BY 1 ORDER BY Nation""",
     "tableau_g2_first_order_day": f"""{_VIEW_CTE}
         SELECT day(CAST(First_Order_Date AS DATE)) AS first_order_day,
-               sum(Total_Line_Items) AS Total_Line_Items,
-               sum(Total_Part_Types) AS Total_Part_Types
+               CAST(sum(Total_Line_Items) AS BIGINT) AS Total_Line_Items,
+               CAST(sum(Total_Part_Types) AS BIGINT) AS Total_Part_Types
         FROM cvs GROUP BY 1 ORDER BY first_order_day""",
     "tableau_g3_revenue_by_category": f"""{_VIEW_CTE}
         SELECT Most_Frequent_Part_Type, Customer_ID, Total_Revenue

@@ -395,15 +395,20 @@ def approx_distinct_customers_by_nation(
     shuffles every key — the documented trade for distinct counts over
     unbounded-cardinality columns. Rows-only registry entry; pytest
     bounds the error against the exact count."""
-    o = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    t = load_tables(spark, sf_dir, names=("orders", "customer", "nation"))
     return (
-        o.groupBy(F.col("o_orderstatus").alias("status"))
+        t["orders"]
+        .join(t["customer"].select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.approx_count_distinct("o_custkey", rsd=0.02).alias(
                 "approx_customers"
             ),
         )
-        .orderBy("status")
+        .orderBy("nation")
     )
 
 

@@ -20,6 +20,7 @@ token popularity (bounded by the top-k window partition on source).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -213,6 +214,100 @@ def fulltext_search(spark: SparkSession, sf_dir: str, needle: str = "window") ->
     ).filter(F.col("tf") > 0)
 
 
+#: BM25 parameters (the Okapi/Lucene defaults) and the default query for
+#: the registry entry (terms chosen from the testdata vocabulary).
+BM25_K1 = 1.2
+BM25_B = 0.75
+RANKED_QUERY = ("window", "hash", "join")
+RANKED_K = 10
+
+
+def text_ranked_search(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = RANKED_QUERY,
+    k: int = RANKED_K,
+) -> DataFrame:
+    """Relevance-ranked full-text retrieval: BM25 top-k — the twin of
+    the reference's FULLTEXT ``MATCH...AGAINST`` relevance mode
+    (``sql/sakila-schema.sql:204``; MySQL's natural-language fulltext
+    search is a tf·idf ranking, BM25 is its modern standard form).
+
+    Plan shape (two corpus passes, no explode, no per-token shuffle):
+
+    1. per-row projection: ``tf_i`` per query term via an array
+       ``filter`` on the materialized token array, plus doc length;
+    2. ONE scalar aggregate → (N, Σdl, df_i) — integers, so the
+       driver-side scalar is exact and the idf/avgdl constants fold
+       into the row projection as literals;
+    3. per-row score projection + ``ORDER BY score DESC LIMIT k``
+       (TakeOrderedAndProject — no global sort).
+
+    At 100 TB the only shuffle is the top-k merge of per-partition
+    heads; the stats pass is a map-side-combined count. Per-term
+    scores are summed in a FIXED left-to-right order (then rounded to
+    9 dp) so the DuckDB oracle reproduces values bit-for-bit —
+    summing over an exploded term stream would make the addition
+    order engine-dependent.
+    """
+    d = _with_tokens(load_tables(spark, sf_dir, names=("documents",))["documents"])
+
+    def _tf(term: str):
+        # Column-API comparison: the term is data, never expression text.
+        # (A single-param lambda — a 2-param one would be read by F.filter
+        # as its (element, index) variant.)
+        return F.size(F.filter(F.col("toks"), lambda t: t == F.lit(term)))
+
+    base = d.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[_tf(term).alias(f"tf{i}") for i, term in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    ).first()
+    n = float(stats["n"])
+    avgdl = float(stats["sum_dl"]) / n
+    # idf in Python floats with the same op order as the oracle's ln()
+    idf = [
+        math.log((n - float(stats[f"df{i}"]) + 0.5) / (float(stats[f"df{i}"]) + 0.5) + 1.0)
+        for i in range(len(terms))
+    ]
+
+    def _w(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        dl = F.col("dl").cast("double")
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * (dl / F.lit(avgdl))
+        )
+        return F.when(
+            F.col(f"tf{i}") > 0,
+            F.lit(idf[i]) * (tf * F.lit(BM25_K1 + 1.0)) / denom,
+        ).otherwise(F.lit(0.0))
+
+    score = _w(0)
+    for i in range(1, len(terms)):
+        score = score + _w(i)
+    matched = sum(
+        (F.col(f"tf{i}") > 0).cast("long") for i in range(len(terms))
+    )
+    return (
+        base.select(
+            "doc_id",
+            matched.alias("n_terms_matched"),
+            F.round(score, 9).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -222,7 +317,52 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf_top_terms": tfidf_top_terms,
     "text_doc_fingerprint": doc_fingerprint,
     "text_fulltext_search": fulltext_search,
+    "text_ranked_search": text_ranked_search,
 }
+
+
+def _bm25_oracle(terms: tuple[str, ...], k: int) -> str:
+    """DuckDB twin of ``text_ranked_search`` — same fixed-order
+    expression tree (see the operator docstring for why order matters)."""
+    idx = range(len(terms))
+    tf_cols = ",\n            ".join(
+        f"len(list_filter({TOKENS_SQL}, t -> t = '{t}')) AS tf{i}"
+        for i, t in zip(idx, terms)
+    )
+    df_cols = ",\n            ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in idx
+    )
+    dbl = "CAST({} AS DOUBLE)".format
+    k1, k1p1, b = dbl(BM25_K1), dbl(BM25_K1 + 1.0), dbl(BM25_B)
+    w_terms = [
+        f"""CASE WHEN tf{i} > 0 THEN
+                ln((n - df{i} + {dbl(0.5)}) / (df{i} + {dbl(0.5)}) + {dbl(1.0)})
+                * (CAST(tf{i} AS DOUBLE) * {k1p1})
+                / (CAST(tf{i} AS DOUBLE) + {k1} * ({dbl(1.0)} - {b}
+                   + {b} * (CAST(dl AS DOUBLE) / avgdl)))
+            ELSE {dbl(0.0)} END"""
+        for i in idx
+    ]
+    matched = " + ".join(f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in idx)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, len({TOKENS_SQL}) AS dl,
+            {tf_cols}
+            FROM documents),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+            {df_cols}
+            FROM base),
+        scored AS (
+            SELECT doc_id,
+                   CAST({matched} AS BIGINT) AS n_terms_matched,
+                   round({" + ".join(w_terms)}, 9) AS score
+            FROM base CROSS JOIN stats)
+        SELECT doc_id, n_terms_matched, score FROM scored
+        WHERE score > 0
+        ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 _TOKCHARS = f"list_sum(list_transform({TOKENS_SQL}, t -> length(t)))"
 
@@ -310,4 +450,5 @@ ORACLES: dict[str, str] = {
                len(list_filter({TOKENS_SQL}, t -> t = 'window')) AS tf
         FROM documents
         WHERE len(list_filter({TOKENS_SQL}, t -> t = 'window')) > 0""",
+    "text_ranked_search": _bm25_oracle(RANKED_QUERY, RANKED_K),
 }

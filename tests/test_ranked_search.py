@@ -1,0 +1,78 @@
+"""BM25 ranked full-text retrieval: relevance + determinism contract.
+
+Cross-checks the Spark operator against an independent pure-Python
+BM25 over the same corpus (tokenization, idf formula, parameter
+values), and pins the retrieval invariants: descending score order,
+deterministic tie-break, no zero-match documents.
+"""
+
+from __future__ import annotations
+
+import math
+
+from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+from customer_revenue_analysis_sql_tableau_spark.operators.text import (
+    BM25_B,
+    BM25_K1,
+    RANKED_QUERY,
+    text_ranked_search,
+)
+
+
+def _python_bm25(docs: list[tuple[int, str]], terms: tuple[str, ...]):
+    toks = {doc_id: text.strip().lower().split() for doc_id, text in docs}
+    n = float(len(docs))
+    avgdl = float(sum(len(t) for t in toks.values())) / n
+    df = {
+        t: float(sum(1 for tk in toks.values() if t in tk)) for t in terms
+    }
+    idf = {
+        t: math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0) for t in terms
+    }
+    scores: dict[int, float] = {}
+    matched: dict[int, int] = {}
+    for doc_id, tk in toks.items():
+        dl = float(len(tk))
+        s = 0.0
+        m = 0
+        for t in terms:
+            tf = float(tk.count(t))
+            if tf > 0:
+                m += 1
+                s += (
+                    idf[t]
+                    * (tf * (BM25_K1 + 1.0))
+                    / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avgdl)))
+                )
+        if s > 0:
+            scores[doc_id] = s
+            matched[doc_id] = m
+    return scores, matched
+
+
+def test_bm25_matches_independent_python_model(spark, sf_dir):
+    d = load_tables(spark, sf_dir, names=("documents",), register=False)[
+        "documents"
+    ]
+    docs = [(r.doc_id, r.text) for r in d.select("doc_id", "text").collect()]
+    py_scores, py_matched = _python_bm25(docs, RANKED_QUERY)
+    k = 20
+    expected = sorted(py_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    got = text_ranked_search(spark, sf_dir, k=k).collect()
+    assert len(got) == k
+    for row, (doc_id, score) in zip(got, expected):
+        assert row.doc_id == doc_id
+        assert abs(row.score - score) < 1e-8, (row.doc_id, row.score, score)
+        assert row.n_terms_matched == py_matched[doc_id]
+
+
+def test_bm25_retrieval_invariants(spark, sf_dir):
+    rows = text_ranked_search(spark, sf_dir, k=50).collect()
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.score > 0 and r.n_terms_matched >= 1 for r in rows)
+    # tie-break is doc_id ascending within equal scores
+    for a, b in zip(rows, rows[1:]):
+        if a.score == b.score:
+            assert a.doc_id < b.doc_id
