@@ -226,17 +226,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc: bit b is the sign of the vote sum of
-    token-hash bit b over all token occurrences (tf-weighted)."""
+    token-hash bit b over all token occurrences (tf-weighted).
+
+    Entirely per-row (token array → hash array → 64 array-aggregate
+    votes → packed long): no explode, no shuffle — the signature step
+    is embarrassingly parallel at any scale. (The earlier explode +
+    64-column hash aggregate shuffled every token occurrence and was
+    ~3× slower; votes are identical since ``aggregate`` over the token
+    array sees the same tf-weighted occurrences.)"""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    toks = d.selectExpr("doc_id", f"explode({TOKENS_EXPR}) AS token")
-    h = toks.select("doc_id", F.xxhash64("token").alias("h"))
-    votes = h.groupBy("doc_id").agg(
+    # hash each token ONCE into an array column; each bit's vote then
+    # folds over fixed-width longs, never re-hashing strings.
+    hs = d.selectExpr(
+        "doc_id", f"transform({TOKENS_EXPR}, t -> xxhash64(t)) AS hs"
+    )
+    votes = hs.selectExpr(
+        "doc_id",
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
+            f"aggregate(hs, 0L, (acc, h) -> acc +"
+            f" IF(((h >> {b}) & 1L) = 1L, 1L, -1L)) AS v{b}"
             for b in range(64)
-        ]
+        ],
     )
     sig = votes.select(
         "doc_id",
@@ -261,7 +271,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole), so candidates = same (block_idx, block_value);
     verification is ``bit_count(xor) <= 3``. Rows-only + pytest.
     """
-    sig = simhash_signatures(spark, sf_dir)
+    # materialize signatures (16 bytes/doc) before the self-join: the
+    # two join sides would otherwise each re-run the whole signature
+    # computation (Spark does not reuse the exchange across aliases here)
+    sig = simhash_signatures(spark, sf_dir).localCheckpoint()
     blocks = F.array(
         *[
             F.struct(
@@ -391,7 +404,9 @@ def dedup_components_distributed(
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    )
+    ).localCheckpoint()  # materialize ONCE — every propagation round
+    # joins against edges, and without the checkpoint each round would
+    # re-execute the full shingle self-join behind dedup_ngram_jaccard
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     labels = d.select("doc_id", F.col("doc_id").alias("component_id")).localCheckpoint()
     for _ in range(max_iter):

@@ -142,34 +142,77 @@ IVF_NLIST = 16
 IVF_NPROBE = 8
 
 
+#: Coarse-quantizer training sample cap (FAISS-style: the quantizer is
+#: trained on a bounded sample, never the full corpus).
+IVF_TRAIN_SAMPLE = 4096
+IVF_TRAIN_ITERS = 5
+
+
+def _train_centroids(vectors: np.ndarray) -> np.ndarray:
+    """Seeded Lloyd iterations on a driver-side sample (numpy). This is
+    how IVF quantizers are trained at any scale — FAISS trains on a
+    bounded sample too; only the assignment pass must be distributed."""
+    rng = np.random.default_rng(LSH_SEED)
+    init = rng.choice(len(vectors), size=IVF_NLIST, replace=False)
+    cents = vectors[np.sort(init)].copy()
+    for _ in range(IVF_TRAIN_ITERS):
+        d2 = ((vectors[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cells = d2.argmin(axis=1)
+        for c in range(IVF_NLIST):
+            members = vectors[cells == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate cosine top-k via IVF (inverted-file) search: an
-    MLlib KMeans coarse quantizer assigns every vector to its nearest
-    of ``IVF_NLIST`` centroids (the inverted lists); each query probes
-    its ``IVF_NPROBE`` nearest centroids and ranks exactly within those
-    cells only.
+    """Approximate cosine top-k via IVF (inverted-file) search: a
+    sample-trained k-means coarse quantizer assigns every vector to its
+    nearest of ``IVF_NLIST`` centroids (the inverted lists); each query
+    probes its ``IVF_NPROBE`` nearest centroids and ranks exactly
+    within those cells only.
 
-    Scale shape: the per-query work drops from N to ~N·nprobe/nlist;
-    cell assignment is one shuffle-free model.transform; the only
-    driver-side data is the centroid matrix (nlist × dim floats). Like
-    LSH, recall < 1 by construction → rows-only oracle; pytest checks
-    recall against the brute-force baseline.
+    Scale shape: quantizer training touches a bounded driver-side
+    sample (the FAISS recipe — an MLlib KMeans over the full corpus
+    would schedule multiple full-scan jobs to train what a sample
+    trains as well); assignment is one shuffle-free per-row argmin over
+    broadcast centroids; per-query work drops from N to
+    ~N·nprobe/nlist. Like LSH, recall < 1 by construction → rows-only
+    oracle; pytest checks recall against the brute-force baseline.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
     ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    feats = ed.withColumn("features", array_to_vector("v"))
-    model = KMeans(
-        k=IVF_NLIST, seed=LSH_SEED, featuresCol="features", predictionCol="cell"
-    ).fit(feats)
-    assigned = model.transform(feats).select("vec_id", "v", "cell")
+    # deterministic bounded sample: hash-ordered first-N. orderBy+limit
+    # compiles to TakeOrderedAndProject (per-partition heads + merge),
+    # never a full sort — safe at any corpus size.
+    sample_rows = (
+        ed.select("vec_id", "v")
+        .orderBy(F.xxhash64(F.col("vec_id").cast("string"), F.lit(LSH_SEED)))
+        .limit(IVF_TRAIN_SAMPLE)
+        .collect()
+    )
+    cents = _train_centroids(np.array([r["v"] for r in sample_rows]))
 
     cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, cv array<double>",
     )
+
+    # vectorized Arrow assignment: centroids ride the UDF closure
+    # (nlist × dim floats — broadcast-sized at any corpus scale), cells
+    # come from one numpy matmul per batch. No shuffle, no giant
+    # centroid-literal tree for the analyzer to chew per plan copy.
+    cmat = cents
+    cnorm = (cmat**2).sum(axis=1)
+
+    @pandas_udf("int")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy())
+        d2 = (m**2).sum(axis=1)[:, None] - 2.0 * (m @ cmat.T) + cnorm[None, :]
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    assigned = ed.withColumn("cell", cell_of(F.col("v")))
+
     l2 = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -177,7 +220,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
     probed = (
-        assigned.filter(F.col("vec_id") < N_QUERIES)
+        ed.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
         .crossJoin(F.broadcast(cent_df))
         .withColumn("d2", l2)
