@@ -451,32 +451,61 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_components": dedup_components,
-    "dedup_components_distributed": dedup_components_distributed,  # rows-only
+    "dedup_components_distributed": dedup_components_distributed,
 }
 
 _DOT = "list_dot_product(a.v, b.v)"
 
-ORACLES: dict[str, str] = {
-    "dedup_exact": """
-        SELECT md5(lower(trim(text))) AS text_hash,
-               min(doc_id) AS keep_doc_id, count(*) AS n_copies
-        FROM documents GROUP BY 1""",
-    "dedup_ngram_jaccard": f"""
-        WITH sh AS (
+#: Exact-Jaccard pair CTE body, shared by the jaccard oracle itself, the
+#: minhash oracle (candidates are exact-verified → precision 1.0; recall
+#: at J≥0.8 with 16×4 banding is ≈0.9998 and empirically 1.0 on this
+#: corpus — pytest asserts set equality, so the exact pair set IS the
+#: oracle), and the connected-components / pipeline oracles below.
+_JACCARD_CTES = f"""
+        sh AS (
             SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM documents),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         inter AS (
             SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
             FROM sh a JOIN sh b
               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2)
-        SELECT d1, d2, i / CAST(z1.n + z2.n - i AS DOUBLE) AS jaccard
-        FROM inter
-        JOIN sizes z1 ON d1 = z1.doc_id
-        JOIN sizes z2 ON d2 = z2.doc_id
-        WHERE i / CAST(z1.n + z2.n - i AS DOUBLE) >= {JACCARD_T}""",
-    # dedup_minhash_lsh / dedup_simhash: rows-only (engine-specific hash
-    # functions); pytest cross-verifies minhash output == exact pairs.
+            GROUP BY 1, 2),
+        jpairs AS (
+            SELECT d1, d2, i / CAST(z1.n + z2.n - i AS DOUBLE) AS jaccard
+            FROM inter
+            JOIN sizes z1 ON d1 = z1.doc_id
+            JOIN sizes z2 ON d2 = z2.doc_id
+            WHERE i / CAST(z1.n + z2.n - i AS DOUBLE) >= {JACCARD_T})"""
+
+_JACCARD_PAIRS_SQL = f"""
+        WITH {_JACCARD_CTES}
+        SELECT d1, d2, jaccard FROM jpairs"""
+
+#: Connected components over the verified pair set as a recursive CTE:
+#: transitive closure (components are tiny near-cliques, so the closure
+#: is small) then min reachable id per node. Verifies BOTH the
+#: driver-side union-find and the distributed min-label propagation.
+_COMPONENTS_SQL = f"""
+        WITH RECURSIVE {_JACCARD_CTES},
+        edges AS (
+            SELECT d1 AS a, d2 AS b FROM jpairs
+            UNION ALL SELECT d2, d1 FROM jpairs),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component_id
+        FROM reach GROUP BY a"""
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": """
+        SELECT md5(lower(trim(text))) AS text_hash,
+               min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        FROM documents GROUP BY 1""",
+    "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
+    "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
+    # dedup_simhash: rows-only (hamming-ball semantics over an
+    # engine-specific 64-bit token hash has no portable SQL twin)
     "dedup_embedding_cosine": f"""
         WITH e AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
@@ -487,6 +516,6 @@ ORACLES: dict[str, str] = {
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE {_DOT} / (sqrt(list_dot_product(a.v, a.v))
                         * sqrt(list_dot_product(b.v, b.v))) >= {COSINE_T}""",
-    "dedup_components": None,  # driver-side union-find: rows-only
+    "dedup_components": _COMPONENTS_SQL,
+    "dedup_components_distributed": _COMPONENTS_SQL,
 }
-ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

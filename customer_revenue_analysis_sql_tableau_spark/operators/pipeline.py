@@ -92,7 +92,58 @@ def training_data_pipeline(
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "training_data_pipeline": training_data_pipeline,  # rows-only
+    "training_data_pipeline": training_data_pipeline,
 }
 
-ORACLES: dict[str, str] = {}
+
+def _pipeline_oracle() -> str:
+    """DuckDB twin of the whole composed pipeline: the quality-score
+    expression is the same tree the ``text_quality_score`` oracle uses
+    (hash-verified), the near-dup components are the recursive-CTE
+    closure from ``dedup._COMPONENTS_SQL`` (hash-verified against both
+    Spark component implementations)."""
+    from .dedup import _JACCARD_CTES
+    from .text import TOKENS_SQL, PUNCT_CLASS, STOP_EN, _inlist
+
+    quality = f"""
+        len(list_filter({TOKENS_SQL}, t -> t IN ({_inlist(STOP_EN)})))
+            / CAST(len({TOKENS_SQL}) AS DOUBLE) * CAST(0.4 AS DOUBLE)
+        + least(len({TOKENS_SQL}) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+            * CAST(0.4 AS DOUBLE)
+        + (CAST(1.0 AS DOUBLE)
+           - (length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))
+             / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE)"""
+    return f"""
+        WITH RECURSIVE {_JACCARD_CTES},
+        edges AS (
+            SELECT d1 AS a, d2 AS b FROM jpairs
+            UNION ALL SELECT d2, d1 FROM jpairs),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        near_kept AS (
+            SELECT a AS doc_id FROM reach GROUP BY a HAVING a = min(b)),
+        quality_ok AS (
+            SELECT doc_id FROM documents
+            WHERE {quality} >= CAST({QUALITY_T} AS DOUBLE)),
+        exact_kept AS (
+            SELECT min(d.doc_id) AS doc_id
+            FROM documents d JOIN quality_ok USING (doc_id)
+            GROUP BY md5(trim(lower(d.text))))
+        SELECT d.doc_id,
+               (qok.doc_id IS NOT NULL AND ek.doc_id IS NOT NULL
+                AND nk.doc_id IS NOT NULL) AS kept,
+               CASE WHEN qok.doc_id IS NULL THEN 'low_quality'
+                    WHEN ek.doc_id IS NULL THEN 'exact_duplicate'
+                    WHEN nk.doc_id IS NULL THEN 'near_duplicate'
+               END AS reason
+        FROM documents d
+        LEFT JOIN quality_ok qok ON d.doc_id = qok.doc_id
+        LEFT JOIN exact_kept ek ON d.doc_id = ek.doc_id
+        LEFT JOIN near_kept nk ON d.doc_id = nk.doc_id"""
+
+
+ORACLES: dict[str, str] = {
+    "training_data_pipeline": _pipeline_oracle(),
+}
