@@ -258,11 +258,15 @@ def text_ranked_search(
         # as its (element, index) variant.)
         return F.size(F.filter(F.col("toks"), lambda t: t == F.lit(term)))
 
-    base = d.select(
-        "doc_id",
-        F.size("toks").alias("dl"),
-        *[_tf(term).alias(f"tf{i}") for i, term in enumerate(terms)],
-    )
+    def _base(src: DataFrame) -> DataFrame:
+        return src.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            *[_tf(term).alias(f"tf{i}") for i, term in enumerate(terms)],
+        )
+
+    # stats over the FULL corpus (df/avgdl are corpus statistics)…
+    base = _base(d)
     stats = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("sum_dl"),
@@ -296,13 +300,21 @@ def text_ranked_search(
     matched = sum(
         (F.col(f"tf{i}") > 0).cast("long") for i in range(len(terms))
     )
+    # …but only matching docs are scored. The idf is +1-clamped so it is
+    # always positive → score > 0 ⟺ ≥1 term present; an arrays_overlap
+    # pre-filter keeps the pushed-down scan predicate to ONE tokenizer
+    # run (a post-hoc `score > 0` filter would push the entire score
+    # expression, tokenizer and all, into the scan filter).
+    hit = F.arrays_overlap(
+        F.col("toks"), F.array(*[F.lit(t) for t in terms])
+    )
     return (
-        base.select(
+        _base(d.filter(hit))
+        .select(
             "doc_id",
             matched.alias("n_terms_matched"),
             F.round(score, 9).alias("score"),
         )
-        .filter(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

@@ -234,3 +234,19 @@ def test_no_python_row_udfs_in_parity_path(spark, sf_dir):
         if "BatchEvalPython" in p:
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_bm25_topk_is_take_ordered_single_tokenize(spark, sf_dir):
+    """Ranked retrieval must end in TakeOrderedAndProject (per-partition
+    heads + merge, never a global sort) and the scored pass must not
+    re-inline the tokenizer into the pushed-down filter (one split for
+    the scan predicate, one for the projection, one for stats)."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.text import (
+        text_ranked_search,
+    )
+
+    p = plan(text_ranked_search(spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p  # no global sort for a top-k
+    assert p.count("split(trim(lower") <= 3
+    assert "BatchEvalPython" not in p
