@@ -73,6 +73,35 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GPT-2-style BPE pre-tokenization pattern, restricted to constructs
+#: both Java regex (Spark) and RE2 (DuckDB) support identically: ordered
+#: alternation, no lookahead (the original's ``\s+(?!\S)`` is dropped —
+#: RE2 has no lookahead; trailing-space runs tokenize as ``\s+`` here).
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def text_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish tier: counts pre-tokenizer pieces the way
+    a byte-pair-encoding tokenizer's splitter would (contractions,
+    letter runs, digit runs, punctuation runs, space-prefixed), next to
+    the whitespace count — the two token-budget estimators a training
+    pipeline carries. Pure JVM regexp per row, no shuffle."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return d.select(
+        "doc_id",
+        F.size(F.expr(TOKENS_EXPR)).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        (
+            F.length("text")
+            / F.size(
+                F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))
+            ).cast("double")
+        ).alias("chars_per_bpe_token"),
+    )
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword ratios + composite score."""
     d = _with_tokens(load_tables(spark, sf_dir, names=("documents",))["documents"])
@@ -322,6 +351,7 @@ def text_ranked_search(
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": text_token_stats,
+    "text_token_stats_bpe": text_token_stats_bpe,
     "text_quality_score": text_quality_score,
     "text_lang_histogram": lang_histogram,
     "text_lang_id_ngram": lang_id_ngram,
@@ -386,6 +416,16 @@ ORACLES: dict[str, str] = {
             CAST({_TOKCHARS} AS BIGINT) AS n_token_chars,
             CAST({_TOKCHARS} AS BIGINT) / CAST(len({TOKENS_SQL}) AS DOUBLE)
                 AS avg_token_len
+        FROM documents""",
+    "text_token_stats_bpe": f"""
+        SELECT doc_id,
+               CAST(len({TOKENS_SQL}) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}'))
+                    AS BIGINT) AS n_bpe_tokens,
+               length(text)
+                   / CAST(len(regexp_extract_all(text,
+                         '{BPE_PATTERN.replace("'", "''")}')) AS DOUBLE)
+                   AS chars_per_bpe_token
         FROM documents""",
     "text_quality_score": f"""
         WITH base AS (

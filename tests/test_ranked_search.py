@@ -76,3 +76,30 @@ def test_bm25_retrieval_invariants(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         if a.score == b.score:
             assert a.doc_id < b.doc_id
+
+
+def test_bpe_pattern_splits_like_a_bpe_pretokenizer(spark, sf_dir):
+    """The BPE-ish pattern must split contractions, keep the space
+    prefix with the following word, and isolate digit/punct runs."""
+    from pyspark.sql import functions as F
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.text import (
+        BPE_PATTERN,
+        text_token_stats_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [("it's 2024, don't panic!",)], "text string"
+    ).select(
+        F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)).alias("t")
+    )
+    assert df.first()["t"] == [
+        "it", "'s", " 2024", ",", " don", "'t", " panic", "!",
+    ]
+    # and every document tokenizes to at least its whitespace count
+    bad = (
+        text_token_stats_bpe(spark, sf_dir)
+        .filter(F.col("n_bpe_tokens") < F.col("n_ws_tokens"))
+        .count()
+    )
+    assert bad == 0
