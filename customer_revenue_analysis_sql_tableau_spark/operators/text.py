@@ -231,6 +231,43 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Polynomial rolling-hash parameters (Rabin–Karp): base/modulus chosen
+#: so every intermediate fits a BIGINT in both engines.
+ROLL_B = 31
+ROLL_M = 1_000_000_007
+#: Prefix window for the chunk-level fingerprint.
+ROLL_PREFIX = 64
+
+
+def _roll_expr(text_expr: str) -> str:
+    """Spark SQL polynomial rolling hash over the characters of
+    ``text_expr`` — portable: the DuckDB twin folds the same codepoint
+    sequence with the same base/modulus."""
+    return (
+        f"aggregate(transform(split({text_expr}, ''),"
+        " c -> CAST(ascii(c) AS BIGINT)),"
+        f" 0L, (acc, x) -> (acc * {ROLL_B} + x) % {ROLL_M})"
+    )
+
+
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting, rolling-hash tier (the mandate's
+    Rabin–Karp form; ``doc_fingerprint`` is the md5 tier and
+    ``dedup.simhash`` the locality-sensitive tier): a polynomial hash
+    over the full normalized character stream, plus the same hash over
+    the first ``ROLL_PREFIX`` chars as a cheap chunk/bucket key —
+    incremental-update-friendly (appending a char is one multiply-add),
+    which is what makes the rolling form useful for content-defined
+    chunking at scale. Per-row projection, no shuffle."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return d.selectExpr(
+        "doc_id",
+        f"{_roll_expr('trim(lower(text))')} AS rolling_hash",
+        f"{_roll_expr(f'substring(trim(lower(text)), 1, {ROLL_PREFIX})')}"
+        " AS prefix_hash",
+    )
+
+
 def fulltext_search(spark: SparkSession, sf_dir: str, needle: str = "window") -> DataFrame:
     """FULLTEXT stand-in (``sql/sakila-schema.sql:204``): token-match
     search with tf scoring."""
@@ -358,9 +395,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_top_terms_per_source": top_terms_per_source,
     "text_tfidf_top_terms": tfidf_top_terms,
     "text_doc_fingerprint": doc_fingerprint,
+    "text_rolling_fingerprint": text_rolling_fingerprint,
     "text_fulltext_search": fulltext_search,
     "text_ranked_search": text_ranked_search,
 }
+
+
+def _roll_sql(text_expr: str) -> str:
+    """DuckDB twin of ``_roll_expr`` (same codepoints, base, modulus)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(regexp_extract_all({text_expr}, '[\\s\\S]'),"
+        " c -> CAST(ascii(c) AS BIGINT))),"
+        f" (a, b) -> (a * {ROLL_B} + b) % {ROLL_M})"
+    )
 
 
 def _bm25_oracle(terms: tuple[str, ...], k: int) -> str:
@@ -496,6 +544,12 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                md5(array_to_string({TOKENS_SQL}, ' ')) AS fingerprint,
                substring(md5(array_to_string({TOKENS_SQL}, ' ')), 1, 8) AS bucket
+        FROM documents""",
+    "text_rolling_fingerprint": f"""
+        SELECT doc_id,
+               {_roll_sql("trim(lower(text))")} AS rolling_hash,
+               {_roll_sql(f"substring(trim(lower(text)), 1, {ROLL_PREFIX})")}
+                   AS prefix_hash
         FROM documents""",
     "text_fulltext_search": f"""
         SELECT doc_id, source,

@@ -103,3 +103,29 @@ def test_bpe_pattern_splits_like_a_bpe_pretokenizer(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_rolling_hash_is_incrementally_updatable(spark, sf_dir):
+    """The defining property of the rolling form: appending one char is
+    a single multiply-add on the previous hash."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.text import (
+        ROLL_B,
+        ROLL_M,
+        text_rolling_fingerprint,
+        _roll_expr,
+    )
+
+    h1_expr = _roll_expr("'spark'")
+    h2_expr = _roll_expr("'sparks'")
+    row = spark.sql(f"SELECT {h1_expr} AS h1, {h2_expr} AS h2").first()
+    assert row.h2 == (row.h1 * ROLL_B + ord("s")) % ROLL_M
+
+    # hashes over the corpus are deterministic and collision-free enough
+    # to be a fingerprint: distinct texts map to distinct hashes here
+    fp = text_rolling_fingerprint(spark, sf_dir)
+    n_docs = fp.count()
+    n_hashes = fp.select("rolling_hash").distinct().count()
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    d = load_tables(spark, sf_dir, names=("documents",), register=False)["documents"]
+    n_texts = d.selectExpr("trim(lower(text)) AS t").distinct().count()
+    assert n_hashes == n_texts and n_docs >= n_texts
