@@ -84,3 +84,46 @@ def test_golden_output_materialization(spark):
         assert q9_back.count() == 108
         # single-file export (golden-style), plus Spark's _SUCCESS marker
         assert len(glob.glob(f"{tmp}/dw/part-*.csv")) == 1
+
+
+def test_jsonl_export_roundtrip_and_partition_pruning(spark, sf_dir, tmp_path):
+    """The training-data JSONL export: sharded, split-partitioned, and
+    value-faithful on read-back; reading one split prunes to its
+    directory."""
+    from pyspark.sql import functions as F
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.pipeline import (
+        training_data_pipeline,
+    )
+    from customer_revenue_analysis_sql_tableau_spark.sources.jsonl import (
+        export_training_jsonl,
+        read_jsonl,
+    )
+
+    out = str(tmp_path / "train_jsonl")
+    back = export_training_jsonl(spark, sf_dir, out, shards=3)
+
+    n_kept = training_data_pipeline(spark, sf_dir).filter(F.col("kept")).count()
+    assert back.count() == n_kept
+    assert set(back.columns) == {"doc_id", "text", "lang", "source", "split"}
+    # split-partition directories exist and each split's shard files are
+    # newline-delimited JSON objects
+    import json
+    import pathlib
+
+    split_dirs = sorted(
+        p.name for p in pathlib.Path(out).iterdir() if p.name.startswith("split=")
+    )
+    assert "split=train" in split_dirs
+    a_file = next(pathlib.Path(out, "split=train").glob("*.json"))
+    first = json.loads(a_file.read_text().splitlines()[0])
+    assert {"doc_id", "text", "lang", "source"} <= set(first)
+    # pruned read: one split only, correct subset
+    train_only = read_jsonl(
+        spark,
+        out,
+        schema="doc_id bigint, text string, lang string, source string, split string",
+    ).filter(F.col("split") == "train")
+    plan = train_only._jdf.queryExecution().executedPlan().toString()
+    assert train_only.count() == back.filter(F.col("split") == "train").count()
+    assert "PartitionFilters: [isnotnull(split" in plan or "split=train" in plan
