@@ -160,9 +160,12 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = per_part.agg(
         F.sum("part_c4").alias("total_c4"), F.count(F.lit(1)).alias("n_parts")
     )
-    value = (F.col("part_c4").cast("decimal(38,0)") / F.lit(10**4)).cast(
-        "decimal(38,4)"
-    )
+    # half-up to 2 dp in pure integer math: (c4 + 50) div 100 cents.
+    # Routing this through decimal division on one side and DuckDB's
+    # decimal→double division on the other rounds half-cent boundaries
+    # differently (surfaced at sf0.1: 2183640.655 → .66 vs .65).
+    num = F.col("part_c4") + F.lit(50)
+    val_cents = (num - F.pmod(num, F.lit(100))) / F.lit(100)
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(
@@ -171,7 +174,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("l_partkey").alias("partkey"),
-            F.round(value, 2).cast("double").alias("value"),
+            (val_cents / F.lit(100.0)).alias("value"),
         )
         .orderBy(F.desc("value"), "partkey")
     )
@@ -398,8 +401,7 @@ ORACLES: dict[str, str] = {
         GROUP BY nation, o_year ORDER BY nation, o_year DESC""",
     "tpch_q11_important_parts": f"""
         SELECT l_partkey AS partkey,
-               CAST(round(CAST(sum({_REV_C4}) AS DECIMAL(38,0)) / 10000, 2)
-                    AS DOUBLE) AS value
+               CAST(((sum({_REV_C4}) + 50) // 100) / 100.0 AS DOUBLE) AS value
         FROM lineitem
         GROUP BY l_partkey
         HAVING sum({_REV_C4}) * 10 * (SELECT count(DISTINCT l_partkey) FROM lineitem)
