@@ -250,3 +250,35 @@ def test_bm25_topk_is_take_ordered_single_tokenize(spark, sf_dir):
     assert "Sort " not in p  # no global sort for a top-k
     assert p.count("split(trim(lower") <= 3
     assert "BatchEvalPython" not in p
+
+
+def test_dedup_and_ann_candidates_are_never_all_pairs(spark, sf_dir):
+    """The 100 TB contract of the dedup/ANN family: candidate
+    generation is always a bucket/block equi-join — no CartesianProduct
+    anywhere, and the only nested-loop join allowed is IVF's bounded
+    query×centroid probe (Q rows × nlist centroids, both tiny)."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+        dedup_simhash,
+    )
+    from customer_revenue_analysis_sql_tableau_spark.operators.similarity import (
+        sim_ivf_topk,
+        sim_lsh_topk,
+    )
+
+    for fn in (
+        dedup_minhash_lsh,
+        dedup_simhash,
+        dedup_ngram_jaccard,
+        dedup_embedding_cosine,
+        sim_lsh_topk,
+    ):
+        p = plan(fn(spark, sf_dir), mode="simple")
+        assert "CartesianProduct" not in p, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in p, fn.__name__
+
+    p = plan(sim_ivf_topk(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # the centroid probe
