@@ -13,9 +13,10 @@ Five families, each a ``queries()`` entry:
    functions differ); pytest asserts its output equals the exact
    pair set from (2) — LSH recall at J≥0.8 with these parameters is
    1-(1-J⁴)¹⁶ ≈ 0.9998.
-4. **SimHash** — 64-bit signature from token-hash votes, 4×16-bit block
-   LSH (hamming ≤ 3 ⇒ one block exact by pigeonhole), bit_count(xor)
-   verification. Rows-only + pytest.
+4. **SimHash** — 60-bit signature from md5-prefix token-hash votes
+   (portable, so the oracle rebuilds it exactly), 4×15-bit block LSH
+   (hamming ≤ 3 ⇒ one block exact by pigeonhole), bit_count(xor)
+   verification. SQL-checked.
 5. **Embedding cosine** — near-dup pairs with cosine ≥ τ, blocked by
    ``label`` (the blocking a 100 TB run needs anyway). SQL-checked:
    the fold-based dot product is bit-identical to DuckDB's
@@ -224,28 +225,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_from_candidates(_doc_shingles(d), candidates, JACCARD_T)
 
 
+#: SimHash geometry: 60-bit signatures (an md5-prefix token hash both
+#: engines compute identically — 15 hex chars), 4 blocks × 15 bits.
+SIMHASH_BITS = 60
+SIMHASH_BLOCKS = 4
+#: Portable 60-bit token hash (Spark side; `_TOKEN_H60_SQL` is the twin).
+_TOKEN_H60 = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+_TOKEN_H60_SQL = "CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)"
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc: bit b is the sign of the vote sum of
+    """60-bit SimHash per doc: bit b is the sign of the vote sum of
     token-hash bit b over all token occurrences (tf-weighted).
 
-    Entirely per-row (token array → hash array → 64 array-aggregate
+    Entirely per-row (token array → hash array → 60 array-aggregate
     votes → packed long): no explode, no shuffle — the signature step
     is embarrassingly parallel at any scale. (The earlier explode +
-    64-column hash aggregate shuffled every token occurrence and was
+    per-bit hash aggregate shuffled every token occurrence and was
     ~3× slower; votes are identical since ``aggregate`` over the token
-    array sees the same tf-weighted occurrences.)"""
+    array sees the same tf-weighted occurrences.) The token hash is an
+    md5 prefix rather than xxhash64 so the DuckDB oracle reproduces the
+    signatures — and therefore the pair set — exactly."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     # hash each token ONCE into an array column; each bit's vote then
     # folds over fixed-width longs, never re-hashing strings.
     hs = d.selectExpr(
-        "doc_id", f"transform({TOKENS_EXPR}, t -> xxhash64(t)) AS hs"
+        "doc_id", f"transform({TOKENS_EXPR}, t -> {_TOKEN_H60}) AS hs"
     )
     votes = hs.selectExpr(
         "doc_id",
         *[
             f"aggregate(hs, 0L, (acc, h) -> acc +"
             f" IF(((h >> {b}) & 1L) = 1L, 1L, -1L)) AS v{b}"
-            for b in range(64)
+            for b in range(SIMHASH_BITS)
         ],
     )
     sig = votes.select(
@@ -254,9 +266,9 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             [
                 F.when(
                     F.col(f"v{b}") > 0,
-                    F.shiftleft(F.lit(1).cast("long"), b),  # b=63 wraps to Long.MIN
+                    F.shiftleft(F.lit(1).cast("long"), b),
                 ).otherwise(F.lit(0).cast("long"))
-                for b in range(64)
+                for b in range(SIMHASH_BITS)
             ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
@@ -267,23 +279,26 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming radius 3.
 
-    4×16-bit block LSH: any pair at hamming ≤3 shares ≥1 exact block
+    4×15-bit block LSH: any pair at hamming ≤3 shares ≥1 exact block
     (pigeonhole), so candidates = same (block_idx, block_value);
-    verification is ``bit_count(xor) <= 3``. Rows-only + pytest.
+    verification is ``bit_count(xor) <= 3``. Hash-verified: the DuckDB
+    oracle rebuilds the same md5-prefix signatures, blocks, and filter.
     """
     # materialize signatures (16 bytes/doc) before the self-join: the
     # two join sides would otherwise each re-run the whole signature
     # computation (Spark does not reuse the exchange across aliases here)
     sig = simhash_signatures(spark, sf_dir).localCheckpoint()
+    bits_per_block = SIMHASH_BITS // SIMHASH_BLOCKS
+    mask = (1 << bits_per_block) - 1
     blocks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("blk"),
-                F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(F.col("simhash"), bits_per_block * i)
+                .bitwiseAND(F.lit(mask))
                 .alias("val"),
             )
-            for i in range(4)
+            for i in range(SIMHASH_BLOCKS)
         ]
     )
     blocked = sig.select("doc_id", "simhash", F.explode(blocks).alias("bb")).select(
@@ -497,6 +512,43 @@ _COMPONENTS_SQL = f"""
         SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component_id
         FROM reach GROUP BY a"""
 
+def _simhash_oracle() -> str:
+    """DuckDB twin of ``dedup_simhash``: identical md5-prefix token
+    hashes, per-bit ±1 vote sums, 60-bit packed signatures, 4×15-bit
+    block candidates, bit_count(xor) verification."""
+    bits_per_block = SIMHASH_BITS // SIMHASH_BLOCKS
+    mask = (1 << bits_per_block) - 1
+    vote = (
+        "list_sum(list_transform(hs, h -> CASE WHEN ((h >> {b}) & 1) = 1"
+        " THEN 1 ELSE -1 END))"
+    )
+    sig_terms = " + ".join(
+        f"CASE WHEN {vote.format(b=b)} > 0"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH th AS (
+            SELECT doc_id,
+                   list_transform({TOKENS_SQL}, t -> {_TOKEN_H60_SQL}) AS hs
+            FROM documents),
+        sig AS (SELECT doc_id, {sig_terms} AS simhash FROM th),
+        blocked AS (
+            SELECT doc_id, simhash, u.blk,
+                   CASE u.blk {" ".join(
+                       f"WHEN {i} THEN ((simhash >> {bits_per_block * i}) & {mask})"
+                       for i in range(SIMHASH_BLOCKS))} END AS val
+            FROM sig CROSS JOIN
+                 (SELECT unnest(range({SIMHASH_BLOCKS})) AS blk) u),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                   a.simhash AS s1, b.simhash AS s2
+            FROM blocked a JOIN blocked b
+              ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id)
+        SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(s1, s2)) <= {SIMHASH_RADIUS}"""
+
+
 ORACLES: dict[str, str] = {
     "dedup_exact": """
         SELECT md5(lower(trim(text))) AS text_hash,
@@ -504,8 +556,7 @@ ORACLES: dict[str, str] = {
         FROM documents GROUP BY 1""",
     "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
     "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
-    # dedup_simhash: rows-only (hamming-ball semantics over an
-    # engine-specific 64-bit token hash has no portable SQL twin)
+    "dedup_simhash": _simhash_oracle(),
     "dedup_embedding_cosine": f"""
         WITH e AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
