@@ -110,7 +110,9 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
         (r.query_id, r.neighbor_id) for r in sim_ivf_topk(spark, sf_dir).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.4, f"IVF recall {recall:.2f} below floor"
+    # measured 0.88-0.95 across sf0.001-0.1 with the adaptive geometry
+    # (cap-bounded fine cells, quarter probed); 0.8 leaves noise margin
+    assert recall >= 0.8, f"IVF recall {recall:.2f} below floor"
     # every query returns at most TOP_K, ranked rows
     per_q = {}
     for q, _ in approx:
