@@ -91,7 +91,8 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
         (r.query_id, r.neighbor_id) for r in sim_lsh_topk(spark, sf_dir).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"LSH recall {recall} too low"
+    # measured 0.80-0.85 across sf0.001-0.1 with 8x3 banding
+    assert recall >= 0.7, f"LSH recall {recall} too low"
     # every approx result is a real vector pair with rank <= k
     assert all(r.rank <= TOP_K for r in sim_lsh_topk(spark, sf_dir).collect())
 
