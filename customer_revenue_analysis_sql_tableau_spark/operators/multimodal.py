@@ -168,8 +168,8 @@ def multimodal_resize(
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_size_stats": multimodal_size_stats,
-    "multimodal_decode_features": multimodal_decode_features,  # rows-only
-    "multimodal_resize": multimodal_resize,  # rows-only (stub codec)
+    "multimodal_decode_features": multimodal_decode_features,
+    "multimodal_resize": multimodal_resize,  # rows-only (binary output)
     "multimodal_frame_sample": multimodal_frame_sample,  # rows-only
 }
 
@@ -186,4 +186,22 @@ ORACLES: dict[str, str] = {
                max(octet_length(encode(text))) AS max_bytes,
                min(octet_length(encode(text))) AS min_bytes
         FROM documents GROUP BY 1""",
+    # The fake-codec features are byte arithmetic, so the oracle can
+    # rebuild them and hash-verify the mapInPandas PLUMBING (batching,
+    # row alignment, schema) — which is the production content of the
+    # entry. Char-level ascii() equals the utf-8 byte only for an ASCII
+    # corpus (true of the testdata; a real codec is engine-only anyway).
+    "multimodal_decode_features": f"""
+        SELECT doc_id, {_MIME_SQL} AS mime,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN length(text) > 0
+                    THEN ascii(substring(text, 1, 1)) ELSE 0 END AS BIGINT)
+                   AS head_byte,
+               CAST(CASE WHEN length(text) > 0
+                    THEN ascii(substring(text, length(text), 1)) ELSE 0 END
+                    AS BIGINT) AS tail_byte,
+               CAST(coalesce(list_sum(list_transform(
+                        regexp_extract_all(substring(text, 1, 64), '[\\s\\S]'),
+                        c -> ascii(c))), 0) % 256 AS BIGINT) AS checksum64
+        FROM documents""",
 }
