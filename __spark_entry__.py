@@ -17,6 +17,7 @@ from customer_revenue_analysis_sql_tableau_spark.operators import queries as _qu
 from customer_revenue_analysis_sql_tableau_spark.operators import procedures as _procedures
 from customer_revenue_analysis_sql_tableau_spark.operators import relational as _relational
 from customer_revenue_analysis_sql_tableau_spark.operators import rollups as _rollups
+from customer_revenue_analysis_sql_tableau_spark.operators import decontamination as _decontamination
 from customer_revenue_analysis_sql_tableau_spark.operators import dedup as _dedup
 from customer_revenue_analysis_sql_tableau_spark.operators import embeddings as _embeddings
 from customer_revenue_analysis_sql_tableau_spark.operators import features as _features
@@ -41,6 +42,7 @@ from customer_revenue_analysis_sql_tableau_spark.functions import gallery as _ga
 _REGISTRY_MODULES = [
     _procedures,
     _text,
+    _decontamination,
     _dedup,
     _similarity,
     _embeddings,
