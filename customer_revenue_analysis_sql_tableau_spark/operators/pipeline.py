@@ -10,6 +10,9 @@ One declarative flow over ``documents``:
    verified Jaccard≥0.8 pairs (`dedup.dedup_components_distributed`,
    executor-side min-label propagation; the driver-side union-find
    twin is the test-only cross-check).
+4. **Benchmark decontamination** — drop training docs whose 8-gram
+   containment against the eval-set k-gram index exceeds the threshold
+   (`decontamination.decontaminate_ngram_overlap`).
 
 Output: every doc_id with ``kept`` and the first ``reason`` it was
 dropped (quality < exact-dup < near-dup precedence, mirroring stage
@@ -31,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from .decontamination import decontaminate_ngram_overlap
 from .dedup import dedup_components_distributed
 from .text import text_quality_score
 
@@ -71,21 +75,33 @@ def training_data_pipeline(
         comp.filter(F.col("doc_id") == F.col("component_id")).select("doc_id")
     )
 
+    # benchmark-leak gate, last (decontaminate AFTER dedup, the usual
+    # order — dedup shrinks the candidate set the n-gram join touches);
+    # the stand-in eval subset itself passes through un-flagged.
+    contaminated = (
+        decontaminate_ngram_overlap(spark, sf_dir)
+        .filter(F.col("flagged"))
+        .select("doc_id")
+    )
+
     return (
         d.select("doc_id")
         .join(quality_ok.withColumn("_q", F.lit(True)), "doc_id", "left")
         .join(exact_kept.withColumn("_e", F.lit(True)), "doc_id", "left")
         .join(near_kept.withColumn("_n", F.lit(True)), "doc_id", "left")
+        .join(contaminated.withColumn("_c", F.lit(True)), "doc_id", "left")
         .select(
             "doc_id",
             (
                 F.col("_q").isNotNull()
                 & F.col("_e").isNotNull()
                 & F.col("_n").isNotNull()
+                & F.col("_c").isNull()
             ).alias("kept"),
             F.when(F.col("_q").isNull(), "low_quality")
             .when(F.col("_e").isNull(), "exact_duplicate")
             .when(F.col("_n").isNull(), "near_duplicate")
+            .when(F.col("_c").isNotNull(), "contaminated")
             .alias("reason"),
         )
     )
@@ -101,7 +117,9 @@ def _pipeline_oracle() -> str:
     expression is the same tree the ``text_quality_score`` oracle uses
     (hash-verified), the near-dup components are the recursive-CTE
     closure from ``dedup._COMPONENTS_SQL`` (hash-verified against both
-    Spark component implementations)."""
+    Spark component implementations), and the contamination gate is the
+    ``decontamination`` oracle's containment flag."""
+    from .decontamination import DECON_K, DECON_T, EVAL_MOD, _kgrams_sql
     from .dedup import _JACCARD_CTES
     from .text import TOKENS_SQL, PUNCT_CLASS, STOP_EN, _inlist
 
@@ -130,18 +148,32 @@ def _pipeline_oracle() -> str:
         exact_kept AS (
             SELECT min(d.doc_id) AS doc_id
             FROM documents d JOIN quality_ok USING (doc_id)
-            GROUP BY md5(trim(lower(d.text))))
+            GROUP BY md5(trim(lower(d.text)))),
+        grams AS (
+            SELECT doc_id, unnest({_kgrams_sql(DECON_K)}) AS gram
+            FROM documents),
+        eval_grams AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+        contaminated AS (
+            SELECT t.doc_id
+            FROM (SELECT * FROM grams WHERE doc_id % {EVAL_MOD} != 0) t
+            LEFT JOIN eval_grams e ON t.gram = e.gram
+            GROUP BY t.doc_id
+            HAVING sum(CASE WHEN e.gram IS NULL THEN 0 ELSE 1 END)
+                   > CAST({DECON_T} AS DOUBLE) * CAST(count(*) AS DOUBLE))
         SELECT d.doc_id,
                (qok.doc_id IS NOT NULL AND ek.doc_id IS NOT NULL
-                AND nk.doc_id IS NOT NULL) AS kept,
+                AND nk.doc_id IS NOT NULL AND ct.doc_id IS NULL) AS kept,
                CASE WHEN qok.doc_id IS NULL THEN 'low_quality'
                     WHEN ek.doc_id IS NULL THEN 'exact_duplicate'
                     WHEN nk.doc_id IS NULL THEN 'near_duplicate'
+                    WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
                END AS reason
         FROM documents d
         LEFT JOIN quality_ok qok ON d.doc_id = qok.doc_id
         LEFT JOIN exact_kept ek ON d.doc_id = ek.doc_id
-        LEFT JOIN near_kept nk ON d.doc_id = nk.doc_id"""
+        LEFT JOIN near_kept nk ON d.doc_id = nk.doc_id
+        LEFT JOIN contaminated ct ON d.doc_id = ct.doc_id"""
 
 
 ORACLES: dict[str, str] = {
