@@ -50,6 +50,7 @@ HEADLINE = [
     "temporal_asof_join",
     "rollup_minute",
     "text_ranked_search",
+    "decontaminate_ngram_overlap",
 ]
 
 
