@@ -35,29 +35,31 @@ from customer_revenue_analysis_sql_tableau_spark import app_layer as _app_layer
 from customer_revenue_analysis_sql_tableau_spark import streaming as _streaming
 from customer_revenue_analysis_sql_tableau_spark.functions import gallery as _gallery
 
-# Ordered so the modules with the least driver-side verification history run
-# first: a time-budgeted correctness run that truncates mid-registry still
-# covers every family at least once (round 1 stopped at entry 50, leaving
-# everything after tpch_extended unproven driver-side).
+# Ordered so a time-budgeted correctness run that truncates mid-registry
+# (round 1 stopped at entry 50) still covers the most FAMILIES: modules
+# with no driver-side verification history run first, smallest first —
+# a 50-entry window then spans ~15 of the 18 never-verified families.
+# The four modules the round-1 run did verify (queries/analytics/
+# relational/tpch_extended) go last.
 _REGISTRY_MODULES = [
-    _procedures,
-    _text,
-    _decontamination,
-    _dedup,
-    _similarity,
-    _embeddings,
-    _features,
-    _incremental,
-    _rollups,
-    _multimodal,
     _pipeline,
     _quality,
-    _splits,
-    _temporal,
-    _streaming,
-    _app_layer,
     _gallery,
+    _decontamination,
+    _embeddings,
+    _incremental,
+    _rollups,
+    _similarity,
+    _app_layer,
+    _multimodal,
+    _procedures,
+    _splits,
+    _streaming,
+    _dedup,
+    _features,
+    _temporal,
     _tpch_complete,
+    _text,
     _queries,
     _analytics,
     _relational,
