@@ -280,6 +280,34 @@ def fulltext_search(spark: SparkSession, sf_dir: str, needle: str = "window") ->
     ).filter(F.col("tf") > 0)
 
 
+#: Default phrase for the phrase-mode search registry entry.
+PHRASE = ("window", "scan")
+
+
+def text_phrase_search(
+    spark: SparkSession, sf_dir: str, phrase: tuple[str, ...] = PHRASE
+) -> DataFrame:
+    """FULLTEXT phrase mode (``MATCH...AGAINST '"..."'``): documents
+    containing the exact consecutive token sequence, with occurrence
+    counts. A per-row window scan over the materialized token array —
+    no explode, no shuffle; the phrase positions come from filtering
+    the start-index sequence."""
+    d = _with_tokens(load_tables(spark, sf_dir, names=("documents",))["documents"])
+    k = len(phrase)
+    cond = " AND ".join(
+        # phrase terms are compile-time constants from the registry
+        # default; any runtime phrase must be token-escaped
+        f"toks[i+{j}] = '{t}'" for j, t in enumerate(phrase)
+    )
+    occurrences = (
+        f"CASE WHEN size(toks) < {k} THEN 0 ELSE "
+        f"size(filter(sequence(0, size(toks) - {k}), i -> {cond})) END"
+    )
+    return d.selectExpr(
+        "doc_id", "source", f"CAST({occurrences} AS BIGINT) AS n_occurrences"
+    ).filter(F.col("n_occurrences") > 0)
+
+
 #: BM25 parameters (the Okapi/Lucene defaults) and the default query for
 #: the registry entry (terms chosen from the testdata vocabulary).
 BM25_K1 = 1.2
@@ -397,8 +425,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_doc_fingerprint": doc_fingerprint,
     "text_rolling_fingerprint": text_rolling_fingerprint,
     "text_fulltext_search": fulltext_search,
+    "text_phrase_search": text_phrase_search,
     "text_ranked_search": text_ranked_search,
 }
+
+
+def _phrase_oracle(phrase: tuple[str, ...]) -> str:
+    k = len(phrase)
+    cond = " AND ".join(
+        f"{TOKENS_SQL}[i+{j}] = '{t}'" for j, t in enumerate(phrase)
+    )
+    return f"""
+        SELECT doc_id, source,
+               CAST(CASE WHEN len({TOKENS_SQL}) < {k} THEN 0 ELSE
+                    len(list_filter(range(1, len({TOKENS_SQL}) - {k - 2}),
+                        i -> {cond})) END AS BIGINT) AS n_occurrences
+        FROM documents
+        WHERE CASE WHEN len({TOKENS_SQL}) < {k} THEN 0 ELSE
+              len(list_filter(range(1, len({TOKENS_SQL}) - {k - 2}),
+                  i -> {cond})) END > 0"""
 
 
 def _roll_sql(text_expr: str) -> str:
@@ -556,5 +601,6 @@ ORACLES: dict[str, str] = {
                len(list_filter({TOKENS_SQL}, t -> t = 'window')) AS tf
         FROM documents
         WHERE len(list_filter({TOKENS_SQL}, t -> t = 'window')) > 0""",
+    "text_phrase_search": _phrase_oracle(PHRASE),
     "text_ranked_search": _bm25_oracle(RANKED_QUERY, RANKED_K),
 }

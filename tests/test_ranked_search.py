@@ -129,3 +129,31 @@ def test_rolling_hash_is_incrementally_updatable(spark, sf_dir):
     d = load_tables(spark, sf_dir, names=("documents",), register=False)["documents"]
     n_texts = d.selectExpr("trim(lower(text)) AS t").distinct().count()
     assert n_hashes == n_texts and n_docs >= n_texts
+
+
+def test_phrase_search_counts_consecutive_occurrences(spark, sf_dir):
+    """Phrase mode must require adjacency (not just co-occurrence) and
+    count overlapping occurrences positionally."""
+    from pyspark.sql import functions as F
+
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.operators.text import (
+        PHRASE,
+        text_phrase_search,
+    )
+
+    got = {r.doc_id: r.n_occurrences for r in text_phrase_search(spark, sf_dir).collect()}
+    docs = load_tables(spark, sf_dir, names=("documents",), register=False)[
+        "documents"
+    ].select("doc_id", "text").collect()
+    for r in docs:
+        toks = r.text.strip().lower().split()
+        n = sum(
+            1
+            for i in range(len(toks) - len(PHRASE) + 1)
+            if tuple(toks[i : i + len(PHRASE)]) == PHRASE
+        )
+        if n:
+            assert got.get(r.doc_id) == n, r.doc_id
+        else:
+            assert r.doc_id not in got
