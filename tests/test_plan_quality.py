@@ -282,3 +282,17 @@ def test_dedup_and_ann_candidates_are_never_all_pairs(spark, sf_dir):
     p = plan(sim_ivf_topk(spark, sf_dir), mode="simple")
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 1  # the centroid probe
+
+
+def test_decontamination_broadcasts_the_eval_gram_side(spark, sf_dir):
+    """The eval k-gram index must ride a broadcast (it is MBs at any
+    corpus size); the train side must never shuffle into a sort-merge
+    join against it."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.decontamination import (
+        decontaminate_ngram_overlap,
+    )
+
+    p = plan(decontaminate_ngram_overlap(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
