@@ -1,5 +1,7 @@
 """Benchmark decontamination + repetition filters — the two
-training-data gates `pipeline.py`'s quality/dedup stages don't cover.
+training-data gates `pipeline.py`'s quality/dedup stages don't cover
+(driver mandate, SURVEY §7.5; the reference has no analogue — its
+corpus is the fixed Sakila catalog, `sql/sakila-data.sql`).
 
 Decontamination is the standard n-gram containment check run before
 LLM training: any training document sharing too many k-grams with an
