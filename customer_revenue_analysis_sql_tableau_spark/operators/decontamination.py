@@ -182,8 +182,8 @@ ORACLES: dict[str, str] = {
         train AS (SELECT * FROM grams WHERE doc_id % {EVAL_MOD} != 0),
         hits AS (
             SELECT t.doc_id, count(*) AS n_grams,
-                   sum(CASE WHEN e.gram IS NULL THEN 0 ELSE 1 END)
-                       AS n_contaminated
+                   CAST(sum(CASE WHEN e.gram IS NULL THEN 0 ELSE 1 END)
+                       AS BIGINT) AS n_contaminated
             FROM train t LEFT JOIN eval_grams e ON t.gram = e.gram
             GROUP BY 1)
         SELECT doc_id, n_grams, n_contaminated,

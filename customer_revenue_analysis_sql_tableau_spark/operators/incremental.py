@@ -112,6 +112,6 @@ ORACLES: dict[str, str] = {
             SELECT Customer_ID, p_type, count(o_orderkey) AS _orders
             FROM fact GROUP BY Customer_ID, p_type)
         SELECT Customer_ID, count(*) AS state_rows,
-               sum(_orders) AS fact_rows_folded
+               CAST(sum(_orders) AS BIGINT) AS fact_rows_folded
         FROM state GROUP BY Customer_ID""",
 }

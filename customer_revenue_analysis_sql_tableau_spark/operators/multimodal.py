@@ -182,7 +182,7 @@ ORACLES: dict[str, str] = {
     "multimodal_size_stats": f"""
         SELECT {_MIME_SQL} AS mime,
                count(*) AS n_assets,
-               sum(octet_length(encode(text))) AS total_bytes,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                max(octet_length(encode(text))) AS max_bytes,
                min(octet_length(encode(text))) AS min_bytes
         FROM documents GROUP BY 1""",

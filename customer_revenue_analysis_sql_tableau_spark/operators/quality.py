@@ -123,11 +123,11 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         UNION ALL
         SELECT 'orders', 'not_null_o_custkey',
-               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         FROM orders
         UNION ALL
         SELECT 'events', 'not_null_ts',
-               sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         FROM events
         UNION ALL
         SELECT 'orders', 'fk_o_custkey_customer', count(*)
@@ -139,6 +139,6 @@ ORACLES: dict[str, str] = {
             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
         UNION ALL
         SELECT 'documents', 'check_n_chars_eq_length',
-               sum(CASE WHEN length(text) != n_chars THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN length(text) != n_chars THEN 1 ELSE 0 END) AS BIGINT)
         FROM documents""",
 }

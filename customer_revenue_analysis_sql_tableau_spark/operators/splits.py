@@ -193,10 +193,10 @@ ORACLES: dict[str, str] = {
     "split_pack_sequences": f"""
         WITH p AS (
             SELECT doc_id, source, n_chars,
-                   COALESCE(sum(n_chars) OVER (
+                   CAST(COALESCE(sum(n_chars) OVER (
                        PARTITION BY source ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                       0) AS prefix_chars
+                       0) AS BIGINT) AS prefix_chars
             FROM documents)
         SELECT doc_id, source, n_chars, prefix_chars,
                CAST(floor(prefix_chars / CAST({PACK_BUDGET} AS DOUBLE))

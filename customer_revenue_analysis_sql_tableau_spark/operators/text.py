@@ -31,8 +31,12 @@ from ..functions.money import round2_div, round2_div_sql
 
 #: Tokenization: lowercase, trim, split on whitespace runs. Shared by all
 #: text/dedup operators; the oracle uses the regexp-equivalent.
-TOKENS_EXPR = r"split(trim(lower(text)), '\\s+')"
-TOKENS_SQL = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+# Whitespace is an EXPLICIT class, not ``\s``: Java's ``\s`` includes
+# vertical tab (\x0B) while RE2's (DuckDB) does not, so ``\s``-based
+# tokenization diverges Spark-vs-oracle on any text containing VT.
+WS_CLASS = r" \t\n\f\r\x0B"
+TOKENS_EXPR = r"split(trim(lower(text)), '[ \\t\\n\\f\\r\\x0B]+')"
+TOKENS_SQL = rf"regexp_split_to_array(trim(lower(text)), '[{WS_CLASS}]+')"
 
 #: Punctuation class counted by the quality score.
 PUNCT_CLASS = r"[.,!?;:]"
@@ -76,8 +80,13 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: GPT-2-style BPE pre-tokenization pattern, restricted to constructs
 #: both Java regex (Spark) and RE2 (DuckDB) support identically: ordered
 #: alternation, no lookahead (the original's ``\s+(?!\S)`` is dropped —
-#: RE2 has no lookahead; trailing-space runs tokenize as ``\s+`` here).
-BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+#: RE2 has no lookahead; trailing-space runs tokenize as whitespace runs
+#: here), and the explicit WS_CLASS instead of ``\s`` (Java includes
+#: \x0B in ``\s``, RE2 does not).
+BPE_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    rf"| ?\p{{L}}+| ?\p{{N}}+| ?[^{WS_CLASS}\p{{L}}\p{{N}}]+|[{WS_CLASS}]+"
+)
 
 
 def text_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,7 +548,8 @@ ORACLES: dict[str, str] = {
                AS quality_score
         FROM base""",
     "text_lang_histogram": f"""
-        SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                {round2_div_sql("CAST(sum(n_chars) AS DECIMAL(18,2))", "count(*)", scale=2)}
                    AS avg_chars
         FROM documents GROUP BY lang""",

@@ -409,10 +409,10 @@ ORACLES: dict[str, str] = {
         ORDER BY value DESC, partkey""",
     "tpch_q12_late_lines_by_flag": """
         SELECT l.l_returnflag AS flag,
-               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
           AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'

@@ -565,7 +565,8 @@ ORACLES: dict[str, str] = {
             FROM events) WHERE rn = 1""",
     "events_json_extract": """
         SELECT event_type, count(*) AS n_events,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type""",
 }

@@ -11,7 +11,7 @@ sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
 
 import __spark_entry__ as entrymod  # noqa: E402
-from oracle_check import compare_frames, duckdb_connection  # noqa: E402
+from oracle_check import compare_tables, duckdb_connection  # noqa: E402
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
@@ -32,11 +32,13 @@ def test_entry_smoke(spark):
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, con):
-    spark_pd = QUERIES[name](spark, sf_dir).toPandas()
+    spark_tbl = QUERIES[name](spark, sf_dir).toArrow()
     sql = ORACLES.get(name)
     if sql is None:
-        assert len(spark_pd) >= 0  # rows-only contract
+        assert spark_tbl.num_rows >= 0  # rows-only contract
         return
-    oracle_pd = con.execute(sql).df()
-    problems = compare_frames(spark_pd, oracle_pd)
+    oracle_tbl = con.execute(sql).arrow()
+    # compare_tables is dtype-strict (Arrow-level): it sees DuckDB's
+    # HUGEINT/float promotions that pandas-level comparison hides.
+    problems = compare_tables(spark_tbl, oracle_tbl)
     assert not problems, f"{name}: {problems}"

@@ -42,3 +42,51 @@ def test_every_query_is_oracle_checked_or_justified():
 def test_oracles_reference_registered_queries_only():
     extra = set(entrymod.oracle_sql()) - set(entrymod.queries())
     assert not extra, f"oracles without a query: {sorted(extra)}"
+
+
+def test_priority_names_exist():
+    """Every _PRIORITY name must be a real registry entry (a typo'd or
+    removed name would silently waste a slot of the driver's budgeted
+    correctness window), and the prioritized view must lose nothing."""
+    merged: dict = {}
+    for mod in entrymod._REGISTRY_MODULES:
+        merged.update(mod.QUERIES)
+    missing = [n for n in entrymod._PRIORITY if n not in merged]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    assert len(entrymod._PRIORITY) == len(set(entrymod._PRIORITY))
+    assert set(entrymod.queries()) == set(merged)
+    # priority entries actually lead the walk order
+    assert list(entrymod.queries())[: len(entrymod._PRIORITY)] == entrymod._PRIORITY
+
+
+def test_no_oracle_emits_hugeint():
+    """DuckDB types ``sum()`` over integers as HUGEINT; Spark returns
+    BIGINT, and the driver's value hash is type-sensitive — this exact
+    class shipped red in rounds 1 AND 2 (VERDICT.md r2, "What's wrong").
+    Bind every oracle with DESCRIBE (no execution) and reject any
+    HUGEINT/UHUGEINT output column: the fix is always
+    ``CAST(sum(...) AS BIGINT)`` at the emitting site.
+    """
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from oracle_check import duckdb_connection
+
+    con = duckdb_connection("/root/testdata/sf0.001")
+    try:
+        offenders: list[str] = []
+        for name, sql in sorted(entrymod.oracle_sql().items()):
+            schema = con.execute(f"DESCRIBE {sql}").fetchall()
+            bad = [
+                (col, typ)
+                for col, typ, *_ in schema
+                if "HUGEINT" in typ.upper()
+            ]
+            if bad:
+                offenders.append(f"{name}: {bad}")
+        assert not offenders, (
+            "oracles emitting HUGEINT (un-cast integer aggregate): "
+            + "; ".join(offenders)
+        )
+    finally:
+        con.close()
