@@ -50,6 +50,16 @@ def load_tables(
     deterministic even when the host session was created elsewhere.
     """
     apply_runtime_confs(spark)
+    # The NTZ→TIMESTAMP normalization below is value-preserving ONLY in a
+    # UTC session; apply_runtime_confs ignores conf-set failures, so a
+    # host session that locked a different zone must fail loudly here
+    # rather than silently shift every event timestamp.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"session timezone is {tz!r}, not UTC — refusing to normalize "
+            "TIMESTAMP_NTZ columns (values would shift by the zone offset)"
+        )
     dfs: dict[str, DataFrame] = {}
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -75,9 +75,11 @@ def training_data_pipeline(
         comp.filter(F.col("doc_id") == F.col("component_id")).select("doc_id")
     )
 
-    # benchmark-leak gate, last (decontaminate AFTER dedup, the usual
-    # order — dedup shrinks the candidate set the n-gram join touches);
-    # the stand-in eval subset itself passes through un-flagged.
+    # benchmark-leak gate: the containment stats are computed corpus-wide
+    # (decontaminate_ngram_overlap is an independent oracle-checked
+    # operator), and the dedup-before-decontamination stage ORDER is
+    # applied via the reason-precedence column, not by shrinking this
+    # join's input; the stand-in eval subset itself passes un-flagged.
     contaminated = (
         decontaminate_ngram_overlap(spark, sf_dir)
         .filter(F.col("flagged"))

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 from collections.abc import Callable
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -303,18 +304,24 @@ def text_phrase_search(
     the start-index sequence."""
     d = _with_tokens(load_tables(spark, sf_dir, names=("documents",))["documents"])
     k = len(phrase)
-    cond = " AND ".join(
-        # phrase terms are compile-time constants from the registry
-        # default; any runtime phrase must be token-escaped
-        f"toks[i+{j}] = '{t}'" for j, t in enumerate(phrase)
+
+    def _hit(i):
+        # Column-API comparisons: each phrase term is data (F.lit),
+        # never expression text — a term containing a quote is safe.
+        # element_at is 1-based, i ranges over 0-based start positions.
+        conds = [
+            F.element_at(F.col("toks"), i + F.lit(j + 1)) == F.lit(t)
+            for j, t in enumerate(phrase)
+        ]
+        return reduce(lambda a, b: a & b, conds)
+
+    occurrences = F.when(F.size("toks") < k, F.lit(0)).otherwise(
+        F.size(F.filter(F.sequence(F.lit(0), F.size("toks") - k), _hit))
     )
-    occurrences = (
-        f"CASE WHEN size(toks) < {k} THEN 0 ELSE "
-        f"size(filter(sequence(0, size(toks) - {k}), i -> {cond})) END"
+    return (
+        d.select("doc_id", "source", occurrences.cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
     )
-    return d.selectExpr(
-        "doc_id", "source", f"CAST({occurrences} AS BIGINT) AS n_occurrences"
-    ).filter(F.col("n_occurrences") > 0)
 
 
 #: BM25 parameters (the Okapi/Lucene defaults) and the default query for
@@ -439,10 +446,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+def _sqlstr(t: str) -> str:
+    """Escape a term for interpolation into a SQL string literal."""
+    return t.replace("'", "''")
+
+
 def _phrase_oracle(phrase: tuple[str, ...]) -> str:
     k = len(phrase)
     cond = " AND ".join(
-        f"{TOKENS_SQL}[i+{j}] = '{t}'" for j, t in enumerate(phrase)
+        f"{TOKENS_SQL}[i+{j}] = '{_sqlstr(t)}'" for j, t in enumerate(phrase)
     )
     return f"""
         SELECT doc_id, source,
@@ -470,7 +482,7 @@ def _bm25_oracle(terms: tuple[str, ...], k: int) -> str:
     expression tree (see the operator docstring for why order matters)."""
     idx = range(len(terms))
     tf_cols = ",\n            ".join(
-        f"len(list_filter({TOKENS_SQL}, t -> t = '{t}')) AS tf{i}"
+        f"len(list_filter({TOKENS_SQL}, t -> t = '{_sqlstr(t)}')) AS tf{i}"
         for i, t in zip(idx, terms)
     )
     df_cols = ",\n            ".join(

@@ -1,0 +1,75 @@
+"""Hostile-driver probes, promoted from the verify recipe
+(.claude/skills/verify/SKILL.md) into the suite.
+
+The external driver owns the SparkSession and may configure it with a
+non-UTC timezone (or any other conf) before calling the registry. The
+engine contract is: results are identical anyway, because
+``load_tables`` re-pins the runtime confs (UTC, AQE) on every call —
+and fails LOUDLY if the zone cannot be pinned, instead of silently
+shifting every TIMESTAMP_NTZ cast by the zone offset.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from oracle_check import compare_tables, duckdb_connection  # noqa: E402
+
+import customer_revenue_analysis_sql_tableau_spark.catalog as cat  # noqa: E402
+
+#: Three timezone-sensitive registry entries: JSON/timestamp extraction,
+#: an as-of join on event time, and a date-part regrouping.
+PROBES = (
+    "events_json_extract",
+    "temporal_asof_join",
+    "tableau_g2_first_order_day",
+)
+
+HOSTILE_TZ = "America/New_York"
+
+
+@pytest.fixture()
+def hostile_tz(spark):
+    spark.conf.set("spark.sql.session.timeZone", HOSTILE_TZ)
+    yield
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+@pytest.mark.parametrize("name", PROBES)
+def test_registry_entry_under_hostile_timezone(name, spark, sf_dir, hostile_tz):
+    """Entry must still hash-match its oracle when the host session
+    starts in a non-UTC zone (load_tables re-pins UTC internally)."""
+    # re-set per entry: the first load_tables call pins the zone back
+    spark.conf.set("spark.sql.session.timeZone", HOSTILE_TZ)
+    spark_tbl = entrymod.queries()[name](spark, sf_dir).toArrow()
+    con = duckdb_connection(sf_dir)
+    try:
+        oracle_tbl = con.execute(entrymod.oracle_sql()[name]).arrow()
+    finally:
+        con.close()
+    problems = compare_tables(spark_tbl, oracle_tbl)
+    assert not problems, f"{name} under {HOSTILE_TZ}: {problems}"
+
+
+def test_entry_under_hostile_timezone(spark, hostile_tz):
+    """The driver's t1 smoke: entry() runs and returns rows even when
+    the host session was created with a non-UTC zone."""
+    assert entrymod.entry(spark).count() > 0
+
+
+def test_load_tables_refuses_unpinnable_timezone(spark, sf_dir, monkeypatch):
+    """If the zone genuinely cannot be pinned (conf locked by the host),
+    load_tables must raise instead of silently shifting timestamps."""
+    monkeypatch.setattr(cat, "apply_runtime_confs", lambda s: s)
+    spark.conf.set("spark.sql.session.timeZone", HOSTILE_TZ)
+    try:
+        with pytest.raises(RuntimeError, match="not UTC"):
+            cat.load_tables(spark, sf_dir, names=("events",))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
