@@ -112,6 +112,9 @@ _PRIORITY = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_volume_customers",
     "tpch_q22_dormant_high_balance",
+    # -- new in round 3: first driver proof --
+    "split_mixture_sample",
+    "text_unigram_logprob",
 ]
 
 

@@ -145,6 +145,67 @@ def chunk_documents(
     )
 
 
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixture sampling: up-/down-sample each source by
+    a per-source rate, emitting one row per kept copy — the data-mixing
+    step that turns cleaned corpora into a training mixture (e.g. books
+    ×2.0, crawl ×0.5).
+
+    Rates are expressed in integer QUARTERS (1..8 → 0.25x..2.0x, here
+    hash-derived per source so the registry entry is parameter-free):
+    every doc gets ``rate_quarters // 4`` whole copies plus one more
+    when its 0-99 bucket falls under ``(rate_quarters % 4) * 25`` — all
+    integer arithmetic, so Spark and the oracle agree exactly, and the
+    decision is a pure per-row hash: no coordination, reproducible
+    under retries and repartitioning, the only mixture design that
+    works at 100 TB (same argument as ``split_train_test``).
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    quarters = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast("bigint")
+        % 8
+        + 1
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        quarters.alias("rate_quarters"),
+        bucket.alias("bucket"),
+    ).select(
+        "doc_id",
+        "source",
+        "rate_quarters",
+        (
+            F.expr("rate_quarters div 4")
+            + F.when(F.col("bucket") < (F.col("rate_quarters") % 4) * 25, 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_copies"),
+    )
+    return base.filter(F.col("n_copies") >= 1).select(
+        "doc_id",
+        "source",
+        "rate_quarters",
+        "n_copies",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias(
+            "copy_id"
+        ),
+    )
+
+
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count and mask email-shaped and 6+-digit-run substrings. Emails
     are replaced first in both dialects so a digit run inside a masked
@@ -166,6 +227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_sample_per_source": sample_per_source,
     "split_pack_sequences": pack_sequences,
     "split_chunk_documents": chunk_documents,
+    "split_mixture_sample": mixture_sample,
     "split_pii_redact": pii_redact,
 }
 
@@ -203,6 +265,23 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS pack_id,
                prefix_chars % {PACK_BUDGET} AS pack_offset
         FROM p""",
+    "split_mixture_sample": """
+        WITH b AS (
+            SELECT doc_id, source,
+                   ('0x' || substring(md5(source), 1, 8))::BIGINT % 8 + 1
+                       AS rate_quarters,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix'),
+                       1, 8))::BIGINT % 100 AS bucket
+            FROM documents),
+        c AS (
+            SELECT doc_id, source, CAST(rate_quarters AS BIGINT) AS rate_quarters,
+                   CAST(rate_quarters // 4
+                        + CASE WHEN bucket < (rate_quarters % 4) * 25
+                               THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+            FROM b)
+        SELECT doc_id, source, rate_quarters, n_copies,
+               unnest(range(1, n_copies + 1)) AS copy_id
+        FROM c WHERE n_copies >= 1""",
     "split_chunk_documents": f"""
         WITH e AS (
             SELECT doc_id, text,

@@ -138,6 +138,61 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality scoring (the CCNet-style
+    perplexity gate): per document, the average negative log-probability
+    of its tokens under an add-one-smoothed unigram model fitted on the
+    corpus itself. High ``avg_neg_logprob`` = rare/irregular vocabulary,
+    the classic signal for filtering noisy training text.
+
+    Plan shape (no Python UDFs): one token-keyed count pass (map-side
+    combined), a scalar (T, V) aggregate folded in as a broadcast 1-row
+    frame, then a token→count join back to the positional token stream.
+    The per-doc sum of ``log p`` is folded in FIXED token-position
+    order (collect_list → array_sort → aggregate) so the DuckDB oracle
+    (``list(logp ORDER BY pos)`` + left fold) reproduces the float sum
+    bit-for-bit — the BM25 fixed-order recipe; round(9) after.
+
+    100 TB: the count pass shuffles by token with partial aggregation
+    (stopword skew collapses map-side); the vocab join is AQE-broadcast
+    at small scale and an honest shuffle join when the vocab outgrows
+    the threshold; the ordered fold's state is bounded by one document's
+    token count, never global.
+    """
+    d = _with_tokens(load_tables(spark, sf_dir, names=("documents",))["documents"])
+    tok = d.select("doc_id", F.posexplode("toks").alias("pos", "token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("T"), F.count(F.lit(1)).alias("V")
+    )
+    scored = (
+        tok.join(counts, "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "pos",
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("T") + F.col("V")).cast("double")
+            ).alias("logp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.array_sort(F.collect_list(F.struct("pos", "logp"))).alias("arr"),
+    )
+    fold = F.aggregate(
+        F.transform("arr", lambda s: s["logp"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(-fold / F.col("n_tokens"), 9).alias("avg_neg_logprob"),
+    )
+
+
 def lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language histogram over the declared ``lang`` column."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
@@ -443,6 +498,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fulltext_search": fulltext_search,
     "text_phrase_search": text_phrase_search,
     "text_ranked_search": text_ranked_search,
+    "text_unigram_logprob": text_unigram_logprob,
 }
 
 
@@ -625,4 +681,29 @@ ORACLES: dict[str, str] = {
         WHERE len(list_filter({TOKENS_SQL}, t -> t = 'window')) > 0""",
     "text_phrase_search": _phrase_oracle(PHRASE),
     "text_ranked_search": _bm25_oracle(RANKED_QUERY, RANKED_K),
+    "text_unigram_logprob": f"""
+        WITH tok AS (
+            SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+        tpos AS (
+            SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos
+            FROM tok),
+        tp AS (SELECT doc_id, pos, toks[pos] AS token FROM tpos),
+        counts AS (SELECT token, count(*) AS c FROM tp GROUP BY token),
+        tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS T,
+                   CAST(count(*) AS BIGINT) AS V
+            FROM counts),
+        scored AS (
+            SELECT doc_id, pos,
+                   ln(CAST(c + 1 AS DOUBLE) / CAST(T + V AS DOUBLE)) AS logp
+            FROM tp JOIN counts USING (token) CROSS JOIN tot),
+        agg AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                                    list(logp ORDER BY pos)),
+                       (a, b) -> a + b) AS s
+            FROM scored GROUP BY doc_id)
+        SELECT doc_id, n_tokens, round(-s / n_tokens, 9) AS avg_neg_logprob
+        FROM agg""",
 }

@@ -157,3 +157,38 @@ def test_phrase_search_counts_consecutive_occurrences(spark, sf_dir):
             assert got.get(r.doc_id) == n, r.doc_id
         else:
             assert r.doc_id not in got
+
+
+def test_search_terms_with_quotes_are_data_not_sql(spark, sf_dir):
+    """A runtime term containing a quote (or other expression text) must
+    be treated as data: no parse error, no injection, just zero hits on
+    this corpus. Locks the Column-API/escaping fix for phrase, ranked,
+    and fulltext search."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.text import (
+        _bm25_oracle,
+        _phrase_oracle,
+        fulltext_search,
+        text_phrase_search,
+        text_ranked_search,
+    )
+
+    hostile = "o'reilly) OR (1=1"
+    assert text_phrase_search(spark, sf_dir, phrase=(hostile, "x")).count() == 0
+    assert fulltext_search(spark, sf_dir, needle=hostile).count() == 0
+    # ranked search scores every doc 0 for an absent term → empty top-k
+    # after the score>0 pre-filter, but must not throw
+    assert text_ranked_search(spark, sf_dir, terms=(hostile,), k=5).count() == 0
+
+    # the oracle builders must emit parseable, equivalent SQL
+    import duckdb
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from oracle_check import duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    try:
+        assert con.execute(_phrase_oracle((hostile, "x"))).fetchall() == []
+        assert con.execute(_bm25_oracle((hostile,), 5)).fetchall() == []
+    finally:
+        con.close()

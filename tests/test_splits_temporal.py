@@ -195,3 +195,80 @@ def test_split_export_partitions_by_split(spark, sf_dir):
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [isnotnull(split" in plan
         assert pruned.count() == out.filter(F.col("split") == "train").count()
+
+
+def test_mixture_sample_matches_python_reference(spark, sf_dir):
+    """rate_quarters and the copy decision must reproduce an independent
+    Python md5 implementation exactly (the oracle shares SQL md5 with
+    the operator, so this guards against a shared-wrong-hash bug), and
+    copy_ids must be contiguous 1..n_copies."""
+    import hashlib
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.splits import (
+        mixture_sample,
+    )
+
+    rows = mixture_sample(spark, sf_dir).collect()
+    assert rows
+
+    def md5_32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    by_doc: dict = {}
+    for r in rows:
+        q = md5_32(r.source) % 8 + 1
+        assert r.rate_quarters == q, r
+        bucket = md5_32(f"{r.doc_id}:mix") % 100
+        expected = q // 4 + (1 if bucket < (q % 4) * 25 else 0)
+        assert r.n_copies == expected, r
+        by_doc.setdefault((r.doc_id, r.source), []).append(r.copy_id)
+    for (doc_id, _), copies in by_doc.items():
+        assert sorted(copies) == list(range(1, len(copies) + 1)), doc_id
+
+    # docs whose n_copies is 0 are absent entirely
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir, names=("documents",), register=False)[
+        "documents"
+    ].select("doc_id", "source").collect()
+    for d in docs:
+        q = md5_32(d.source) % 8 + 1
+        bucket = md5_32(f"{d.doc_id}:mix") % 100
+        n = q // 4 + (1 if bucket < (q % 4) * 25 else 0)
+        if n == 0:
+            assert (d.doc_id, d.source) not in by_doc
+        else:
+            assert len(by_doc[(d.doc_id, d.source)]) == n
+
+
+def test_unigram_logprob_matches_python_reference(spark, sf_dir):
+    """Every doc's score must match an independent Python unigram model
+    (Counter + math.log, summed in the same token-position order) to
+    1e-9 — Python's round is half-even vs Spark's half-up, so compare
+    with tolerance rather than digit-exactly."""
+    import math
+    from collections import Counter
+
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.operators.text import (
+        text_unigram_logprob,
+    )
+
+    docs = load_tables(spark, sf_dir, names=("documents",), register=False)[
+        "documents"
+    ].select("doc_id", "text").collect()
+    toks = {r.doc_id: r.text.strip().lower().split() for r in docs}
+    counts = Counter(t for ts in toks.values() for t in ts)
+    T, V = sum(counts.values()), len(counts)
+
+    got = {r.doc_id: r for r in text_unigram_logprob(spark, sf_dir).collect()}
+    assert set(got) == {d for d, ts in toks.items() if ts}
+    for doc_id, ts in toks.items():
+        if not ts:
+            continue
+        s = 0.0
+        for t in ts:  # same left-to-right position order as the fold
+            s += math.log((counts[t] + 1) / float(T + V))
+        expected = -s / len(ts)
+        assert got[doc_id].n_tokens == len(ts)
+        assert abs(got[doc_id].avg_neg_logprob - expected) < 1e-9, doc_id
