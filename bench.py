@@ -51,6 +51,10 @@ HEADLINE = [
     "rollup_minute",
     "text_ranked_search",
     "decontaminate_ngram_overlap",
+    # added r3: mixture sampling (stateless-hash explode) and the
+    # unigram-LM quality gate (two corpus passes + ordered fold)
+    "split_mixture_sample",
+    "text_unigram_logprob",
 ]
 
 
