@@ -115,6 +115,9 @@ _PRIORITY = [
     # -- new in round 3: first driver proof --
     "split_mixture_sample",
     "text_unigram_logprob",
+    "dedup_containment",
+    "dedup_embedding_signlsh",
+    "analytics_sessionize_events",
 ]
 
 

@@ -152,11 +152,58 @@ def event_type_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Session gap: a pause longer than this starts a new session. 120
+#: minutes suits the sparse synthetic clickstream (~2 events/user/day);
+#: production clickstreams use the same operator with 30.
+SESSION_GAP_MIN = 120
+_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: split each user's event stream wherever
+    the pause exceeds ``SESSION_GAP_MIN``, then per-session stats.
+
+    The classic two-window recipe — ``lag`` marks session starts, a
+    running ``sum`` over the same (user_id)-partitioned ordering numbers
+    them — followed by one (user_id, session_idx) aggregation. This is
+    the batch twin of ``streaming/windows.py``'s session windows, as a
+    warehouse query: all three steps shuffle on ``user_id`` only (state
+    bounded by one user's events), so with facts bucketed by user_id
+    the whole plan is shuffle-free. Microsecond-exact integer time
+    arithmetic (``unix_micros`` ↔ ``epoch_us``). SQL-checked.
+    """
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("us") - F.lag("us").over(w)) > F.lit(_GAP_US), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return marked.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "analytics_funnel_stage_counts": funnel_stage_counts,
     "analytics_funnel_conversion_lag": funnel_conversion_lag,
     "analytics_retention_day_cohorts": retention_day_cohorts,
     "analytics_event_type_bigrams": event_type_bigrams,
+    "analytics_sessionize_events": sessionize_events,
 }
 
 _FUNNEL_CTES = f"""
@@ -212,5 +259,28 @@ ORACLES: dict[str, str] = {
         FROM events)
     SELECT event_type AS prev_type, next_type, count(*) AS pairs
     FROM o WHERE next_type IS NOT NULL
+    GROUP BY 1, 2""",
+    "analytics_sessionize_events": f"""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        FROM events),
+    marked AS (
+        SELECT *,
+               CASE WHEN us - lag(us) OVER w > {_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    numbered AS (
+        SELECT *,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM marked)
+    SELECT user_id, session_idx,
+           count(*) AS n_events,
+           min(us) AS start_us,
+           max(us) AS end_us,
+           max(us) - min(us) AS duration_us,
+           count(DISTINCT event_type) AS n_event_types
+    FROM numbered
     GROUP BY 1, 2""",
 }

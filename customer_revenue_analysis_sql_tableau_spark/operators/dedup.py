@@ -170,11 +170,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: One-sided containment threshold: |A∩B| / min(|A|,|B|) ≥ τ flags a
+#: pair where the smaller shingle set is mostly inside the larger one.
+CONTAIN_T = 0.6
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by one-sided n-gram containment.
+
+    Jaccard misses asymmetric duplication — a short document quoted
+    wholesale inside a much longer one has tiny |A∩B|/|A∪B| but
+    containment |A∩B|/|A| ≈ 1. Training-data pipelines use exactly this
+    signal to drop quoted/excerpted copies that survive Jaccard dedup
+    (the suffix-array containment pass of large-corpus dedup, here
+    approximated at shingle granularity).
+
+    Same inverted-index shape as ``dedup_ngram_jaccard`` — candidate
+    pairs share ≥1 shingle, |intersection| counted directly by the
+    index join, so cost is bounded by shingle-posting-list sizes, never
+    all-pairs. At 100 TB this runs behind MinHash-LSH candidates like
+    the Jaccard verifier does. SQL-checked.
+    """
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sh = _doc_shingles(d).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    z1, z2 = sizes.alias("z1"), sizes.alias("z2")
+    c_small = F.col("inter") / F.least(F.col("z1.n"), F.col("z2.n")).cast(
+        "double"
+    )
+    return (
+        inter.join(z1, F.col("d1") == F.col("z1.doc_id"))
+        .join(z2, F.col("d2") == F.col("z2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (F.col("inter") / F.col("z1.n").cast("double")).alias("contain_d1"),
+            (F.col("inter") / F.col("z2.n").cast("double")).alias("contain_d2"),
+            c_small.alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAIN_T)
+    )
+
+
+def _minhash_signatures_from(sh: DataFrame) -> DataFrame:
     """64-permutation MinHash signature per doc: sig[i] = min over
     shingles of xxhash64(i-salted shingle). One shuffle (groupBy doc)."""
-    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    sh = _doc_shingles(d)  # shingle is already a 64-bit hash
     # each permutation re-hashes the fixed-width long (cheap) instead
     # of re-hashing shingle strings NUM_PERM times per row.
     aggs = [
@@ -182,6 +232,11 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(NUM_PERM)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return _minhash_signatures_from(_doc_shingles(d))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,8 +248,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≈0.9998. The band join shuffles on (band, band_hash) — bounded by
     bucket sizes, never all-pairs. Rows-only oracle (hash functions are
     engine-specific); pytest proves equality with dedup_ngram_jaccard.
+
+    The tokenized shingle frame is materialized ONCE (localCheckpoint)
+    and feeds both the signature pass and the exact-Jaccard verifier:
+    without it the plan re-tokenizes the corpus four times (signature +
+    both verify aliases + sizes) — tokenization dominates the pipeline.
+    At 100 TB the same role is played by persist(DISK_ONLY) or a
+    checkpoint to cluster storage.
     """
-    sig = _minhash_signatures(spark, sf_dir)
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sh = _doc_shingles(d).localCheckpoint()
+    sig = _minhash_signatures_from(sh)
     rows_per_band = NUM_PERM // LSH_BANDS
     bands = F.array(
         *[
@@ -221,8 +285,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    return _jaccard_pairs_from_candidates(_doc_shingles(d), candidates, JACCARD_T)
+    return _jaccard_pairs_from_candidates(sh, candidates, JACCARD_T)
 
 
 #: SimHash geometry: 60-bit signatures (an md5-prefix token hash both
@@ -368,6 +431,75 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sign-bit (axis-aligned hyperplane) LSH geometry for embedding
+#: near-dup blocking: 2 bands × 8 sign bits (dims 0-7 and 8-15).
+SIGN_LSH_BANDS = 2
+SIGN_LSH_BITS = 8
+
+
+def _sign_bucket(vcol: str, start: int, nbits: int) -> F.Column:
+    """Pack the signs of dims [start, start+nbits) into a long bucket."""
+    terms = [
+        F.when(
+            F.col(vcol).getItem(start + j) >= 0,
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(nbits)
+    ]
+    return sum(terms, F.lit(0).cast("long"))
+
+
+def dedup_embedding_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via sign-bit LSH blocking + exact cosine.
+
+    ``dedup_embedding_cosine`` blocks on a *given* label; this is the
+    label-free scale path: each vector is bucketed by the sign pattern
+    of 8 coordinates per band (axis-aligned special case of
+    signed-random-projection LSH — deterministic, so the DuckDB oracle
+    rebuilds the exact same buckets), candidates are same-(band,bucket)
+    pairs, and every candidate is exact-cosine verified. Two bands give
+    a pair at cosine ≥ τ two independent chances to collide; precision
+    is 1.0 by construction. The band join shuffles on (band, bucket) —
+    2 rows per vector, never all-pairs. SQL-checked.
+    """
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    ed = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                _sign_bucket("v", bi * SIGN_LSH_BITS, SIGN_LSH_BITS).alias(
+                    "bucket"
+                ),
+            )
+            for bi in range(SIGN_LSH_BANDS)
+        ]
+    )
+    banded = ed.select("vec_id", F.explode(bands).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+        .distinct()
+    )
+    x, y = ed.alias("x"), ed.alias("y")
+    return (
+        cand.join(x, F.col("v1") == F.col("x.vec_id"))
+        .join(y, F.col("v2") == F.col("y.vec_id"))
+        .select("v1", "v2", _cos("x.v", "y.v").alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_T)
+    )
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over verified near-dup pairs → keep-list.
 
@@ -462,9 +594,11 @@ def dedup_components_distributed(
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_signlsh": dedup_embedding_signlsh,
     "dedup_components": dedup_components,
     "dedup_components_distributed": dedup_components_distributed,
 }
@@ -549,7 +683,64 @@ def _simhash_oracle() -> str:
         FROM cand WHERE bit_count(xor(s1, s2)) <= {SIMHASH_RADIUS}"""
 
 
+_CONTAINMENT_SQL = f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM documents),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT d1, d2,
+               i / CAST(z1.n AS DOUBLE) AS contain_d1,
+               i / CAST(z2.n AS DOUBLE) AS contain_d2,
+               i / CAST(least(z1.n, z2.n) AS DOUBLE) AS containment
+        FROM inter
+        JOIN sizes z1 ON d1 = z1.doc_id
+        JOIN sizes z2 ON d2 = z2.doc_id
+        WHERE i / CAST(least(z1.n, z2.n) AS DOUBLE) >= {CONTAIN_T}"""
+
+
+def _signlsh_oracle() -> str:
+    """DuckDB twin of ``dedup_embedding_signlsh``: identical sign-bit
+    buckets (1-based list indexing) and the shared fold/list_dot_product
+    cosine identity from ``dedup_embedding_cosine``."""
+    cases = []
+    for bi in range(SIGN_LSH_BANDS):
+        terms = " + ".join(
+            f"CASE WHEN v[{bi * SIGN_LSH_BITS + j + 1}] >= 0"
+            f" THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            for j in range(SIGN_LSH_BITS)
+        )
+        cases.append(f"WHEN {bi} THEN ({terms})")
+    cos = (
+        "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v))"
+        " * sqrt(list_dot_product(y.v, y.v)))"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bnd AS (
+            SELECT vec_id, u.band,
+                   CASE u.band {" ".join(cases)} END AS bucket
+            FROM e CROSS JOIN
+                 (SELECT unnest(range({SIGN_LSH_BANDS})) AS band) u),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+            FROM bnd a JOIN bnd b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id)
+        SELECT c.v1, c.v2, {cos} AS cosine
+        FROM cand c
+        JOIN e x ON c.v1 = x.vec_id
+        JOIN e y ON c.v2 = y.vec_id
+        WHERE {cos} >= {COSINE_T}"""
+
+
 ORACLES: dict[str, str] = {
+    "dedup_containment": _CONTAINMENT_SQL,
+    "dedup_embedding_signlsh": _signlsh_oracle(),
     "dedup_exact": """
         SELECT md5(lower(trim(text))) AS text_hash,
                min(doc_id) AS keep_doc_id, count(*) AS n_copies

@@ -73,3 +73,45 @@ def test_bigram_pairs_conserve_event_count(spark, sf_dir):
         event_type_bigrams(spark, sf_dir).agg(F.sum("pairs")).collect()[0][0]
     )
     assert pairs == total - users
+
+
+def test_sessionize_conserves_events_and_respects_gap(spark, sf_dir):
+    """Sessions partition the event stream: Σ n_events = total events;
+    every session's internal gaps are <= the threshold and consecutive
+    sessions of a user are separated by > the threshold (checked via a
+    python re-derivation for a sample user)."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.analytics import (
+        _GAP_US,
+        sessionize_events,
+    )
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    out = sessionize_events(spark, sf_dir)
+    assert out.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+    assert out.filter(F.col("duration_us") < 0).count() == 0
+    assert out.filter(F.col("end_us") < F.col("start_us")).count() == 0
+    # python twin for the busiest user
+    busiest = (
+        ev.groupBy("user_id").count().orderBy(F.desc("count"), "user_id").first()
+    )["user_id"]
+    times = sorted(
+        (r.us, r.event_id)
+        for r in ev.filter(F.col("user_id") == busiest)
+        .select(F.unix_micros("ts").alias("us"), "event_id")
+        .collect()
+    )
+    sessions, cur = [], [times[0][0]]
+    for (prev, _), (t, _) in zip(times, times[1:]):
+        if t - prev > _GAP_US:
+            sessions.append(cur)
+            cur = []
+        cur.append(t)
+    sessions.append(cur)
+    got = (
+        out.filter(F.col("user_id") == busiest)
+        .orderBy("session_idx")
+        .collect()
+    )
+    assert [r.n_events for r in got] == [len(s) for s in sessions]
+    assert [r.start_us for r in got] == [s[0] for s in sessions]
+    assert [r.end_us for r in got] == [s[-1] for s in sessions]

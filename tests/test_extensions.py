@@ -318,3 +318,56 @@ def test_streaming_resume_from_checkpoint_is_exactly_once(spark, sf_dir):
             "event_id",
         ).filter(F.abs(F.col("expect") - F.col("v")) > 1e-9)
         assert bad.count() == 0
+
+
+def test_containment_dominates_jaccard_pairs(spark, sf_dir):
+    """Containment of the smaller set >= Jaccard for any pair, so every
+    exact-Jaccard near-dup (J>=0.8) must appear among containment pairs
+    (tau=0.6), with containment >= its Jaccard."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
+        dedup_containment,
+    )
+
+    jac = {
+        (r.d1, r.d2): r.jaccard
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    cont = {
+        (r.d1, r.d2): r
+        for r in dedup_containment(spark, sf_dir).collect()
+    }
+    assert set(jac) <= set(cont)
+    for pair, j in jac.items():
+        r = cont[pair]
+        assert r.containment >= j - 1e-12
+        assert max(r.contain_d1, r.contain_d2) <= r.containment + 1e-12
+        assert 0.0 < r.containment <= 1.0 + 1e-12
+
+
+def test_signlsh_pairs_are_verified_and_consistent(spark, sf_dir):
+    """Every sign-LSH pair passed exact-cosine verification; pairs whose
+    vectors share a label must also be found by the label-blocked
+    variant (same verifier, different blocking)."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
+        COSINE_T,
+        dedup_embedding_cosine,
+        dedup_embedding_signlsh,
+    )
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+
+    rows = dedup_embedding_signlsh(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.cosine >= COSINE_T for r in rows)
+    assert all(r.v1 < r.v2 for r in rows)
+    labels = {
+        r.vec_id: r.label
+        for r in load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+        .select("vec_id", "label")
+        .collect()
+    }
+    by_label = {
+        (r.v1, r.v2) for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    for r in rows:
+        if labels[r.v1] == labels[r.v2]:
+            assert (r.v1, r.v2) in by_label
