@@ -15,6 +15,7 @@ from .windows import (
     events_sliding_counts,
     events_stream_dedup,
     events_tumbling_counts,
+    run_foreach_batch_upsert_stream,
     run_tumbling_stream,
 )
 
@@ -23,7 +24,8 @@ __all__ = [
     "ORACLES",
     "events_tumbling_counts",
     "events_sliding_counts",
-    "events_session_windows",
     "events_stream_dedup",
+    "events_session_windows",
+    "run_foreach_batch_upsert_stream",
     "run_tumbling_stream",
 ]

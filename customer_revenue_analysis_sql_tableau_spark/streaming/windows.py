@@ -512,6 +512,83 @@ def run_resumable_stream(
     return spark.read.parquet(sink_dir)
 
 
+def run_foreach_batch_upsert_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+) -> DataFrame:
+    """Micro-batch upsert (MERGE) into a keyed parquet state table via
+    ``foreachBatch`` — the ingest pattern for maintaining a serving
+    table from a stream when the sink has no native streaming writer.
+
+    Each micro-batch (``maxFilesPerTrigger=1`` forces one batch per
+    source file, so the merge path is genuinely exercised) is partially
+    aggregated to per-user mergeable state (count / exact DECIMAL sum /
+    max-timestamp — the same merge algebra as
+    ``operators/incremental.py``), unioned with the existing state
+    table, and re-aggregated; the result is materialized
+    (``localCheckpoint``) *before* overwriting the state directory it
+    was read from. Because the state is mergeable and each batch folds
+    in exactly once (foreachBatch runs under the checkpoint's batch-id
+    transaction log), the final table is arrival-order independent and
+    equals the batch groupBy — pytest asserts this, and that a restart
+    with the same checkpoint does not double-fold.
+
+    At cluster scale the overwrite step is the same pattern against a
+    transactional table format; on raw parquet the materialize-then-
+    overwrite swap plays that role.
+    """
+    schema = spark.read.parquet(source_dir).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    if dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    import os
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).alias("value_sum"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        if os.path.exists(state_dir):
+            merged = (
+                spark.read.parquet(state_dir)
+                .unionByName(part)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("value_sum")
+                    .cast(part.schema["value_sum"].dataType)
+                    .alias("value_sum"),
+                    F.max("last_us").alias("last_us"),
+                )
+            )
+        else:
+            merged = part
+        # materialize BEFORE overwriting the directory the plan reads
+        merged.localCheckpoint().write.mode("overwrite").parquet(state_dir)
+
+    query = (
+        raw.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(state_dir).select(
+        "user_id",
+        "n_events",
+        F.round(F.col("value_sum"), 2).cast("double").alias("total_value"),
+        F.timestamp_micros(F.col("last_us")).alias("last_ts"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling_counts": events_tumbling_counts,
     "stream_sliding_counts": events_sliding_counts,

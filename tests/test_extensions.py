@@ -371,3 +371,47 @@ def test_signlsh_pairs_are_verified_and_consistent(spark, sf_dir):
     for r in rows:
         if labels[r.v1] == labels[r.v2]:
             assert (r.v1, r.v2) in by_label
+
+
+def test_foreach_batch_upsert_equals_batch_aggregate(spark, sf_dir):
+    """The foreachBatch MERGE must converge to the plain batch groupBy
+    regardless of micro-batch boundaries (3 source files → 3 merges),
+    and an idle restart from the same checkpoint must not double-fold."""
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.functions.money import money
+    from customer_revenue_analysis_sql_tableau_spark.streaming.windows import (
+        run_foreach_batch_upsert_stream,
+    )
+
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+    expect = {
+        r.user_id: (r.n_events, r.total_value, r.last_ts)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(money("value")), 2).cast("double").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        src, ckpt, state = f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/state"
+        for k in range(3):  # one file per micro-batch (maxFilesPerTrigger=1)
+            events.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        out1 = run_foreach_batch_upsert_stream(spark, src, ckpt, state)
+        got1 = {
+            r.user_id: (r.n_events, r.total_value, r.last_ts)
+            for r in out1.collect()
+        }
+        assert got1 == expect
+        # idle restart: committed batch ids are skipped, state unchanged
+        out2 = run_foreach_batch_upsert_stream(spark, src, ckpt, state)
+        got2 = {
+            r.user_id: (r.n_events, r.total_value, r.last_ts)
+            for r in out2.collect()
+        }
+        assert got2 == expect
