@@ -118,6 +118,7 @@ _PRIORITY = [
     "dedup_containment",
     "dedup_embedding_signlsh",
     "analytics_sessionize_events",
+    "text_gopher_filters",
 ]
 
 

@@ -485,8 +485,59 @@ def text_ranked_search(
     )
 
 
+#: Gopher-style rule-gate thresholds (Rae et al. 2021 §A1.1 document
+#: filters), with the token-count floor tuned to the synthetic corpus
+#: (10-99 tokens/doc) so the keep flag actually varies; the line-shape
+#: rules (bullet/ellipsis fractions) are omitted because the corpus is
+#: single-line — they'd be constant columns, not a tested gate.
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_WORD_LEN_LO = 3.0
+GOPHER_WORD_LEN_HI = 10.0
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document rule gate: per-doc rule measurements plus
+    the composite ``keep`` flag a pre-training pipeline filters on.
+
+    Rules (all expression-level, one scan, no shuffle): token count in
+    [min, max], mean word length in [3, 10], fraction of words with an
+    alphabetic character ≥ 0.8, and ≥ 2 distinct stopwords present
+    (the "has real sentences" proxy). Each measurement is emitted next
+    to the flag so the gate is auditable — the same
+    measurements-then-boolean shape as ``dq_constraint_violations``.
+    SQL-checked (integer-exact counts; the two double ratios are single
+    divisions of exact ints, reproducible across engines).
+    """
+    d = _with_tokens(load_tables(spark, sf_dir, names=("documents",))["documents"])
+    stop = _inlist(STOP_EN)
+    measured = d.selectExpr(
+        "doc_id",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CASE WHEN size(toks) = 0 THEN NULL ELSE"
+        " aggregate(toks, 0, (a, t) -> a + length(t))"
+        " / CAST(size(toks) AS DOUBLE) END AS mean_word_len",
+        "CASE WHEN size(toks) = 0 THEN NULL ELSE"
+        " size(filter(toks, t -> t rlike '[a-z]'))"
+        " / CAST(size(toks) AS DOUBLE) END AS alpha_word_ratio",
+        f"CAST(size(array_intersect(array_distinct(toks), array({stop})))"
+        " AS BIGINT) AS n_distinct_stopwords",
+    )
+    return measured.selectExpr(
+        "*",
+        f"n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}"
+        f" AND mean_word_len BETWEEN CAST({GOPHER_WORD_LEN_LO} AS DOUBLE)"
+        f"  AND CAST({GOPHER_WORD_LEN_HI} AS DOUBLE)"
+        f" AND alpha_word_ratio >= CAST({GOPHER_MIN_ALPHA_RATIO} AS DOUBLE)"
+        f" AND n_distinct_stopwords >= {GOPHER_MIN_STOPWORDS} AS keep",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": text_token_stats,
+    "text_gopher_filters": text_gopher_filters,
     "text_token_stats_bpe": text_token_stats_bpe,
     "text_quality_score": text_quality_score,
     "text_lang_histogram": lang_histogram,
@@ -578,7 +629,31 @@ def _bm25_oracle(terms: tuple[str, ...], k: int) -> str:
 
 _TOKCHARS = f"list_sum(list_transform({TOKENS_SQL}, t -> length(t)))"
 
+_GOPHER_MEASURES_SQL = f"""
+        SELECT doc_id,
+               CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tokens,
+               CASE WHEN len({TOKENS_SQL}) = 0 THEN NULL ELSE
+                   {_TOKCHARS} / CAST(len({TOKENS_SQL}) AS DOUBLE)
+               END AS mean_word_len,
+               CASE WHEN len({TOKENS_SQL}) = 0 THEN NULL ELSE
+                   len(list_filter({TOKENS_SQL},
+                       t -> regexp_matches(t, '[a-z]')))
+                   / CAST(len({TOKENS_SQL}) AS DOUBLE)
+               END AS alpha_word_ratio,
+               CAST(len(list_intersect(list_distinct({TOKENS_SQL}),
+                   [{_inlist(STOP_EN)}])) AS BIGINT) AS n_distinct_stopwords
+        FROM documents"""
+
 ORACLES: dict[str, str] = {
+    "text_gopher_filters": f"""
+        WITH m AS ({_GOPHER_MEASURES_SQL})
+        SELECT *,
+               n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+               AND mean_word_len BETWEEN CAST({GOPHER_WORD_LEN_LO} AS DOUBLE)
+                   AND CAST({GOPHER_WORD_LEN_HI} AS DOUBLE)
+               AND alpha_word_ratio >= CAST({GOPHER_MIN_ALPHA_RATIO} AS DOUBLE)
+               AND n_distinct_stopwords >= {GOPHER_MIN_STOPWORDS} AS keep
+        FROM m""",
     "text_token_stats": f"""
         SELECT doc_id, length(text) AS n_chars,
             len({TOKENS_SQL}) AS n_tokens,

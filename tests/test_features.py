@@ -149,3 +149,32 @@ def test_vocab_sketch_matches_exact_counts(spark, sf_dir):
         if r["rank"] <= len(sketch)
     }
     assert sketch == exact
+
+
+def test_gopher_gate_is_consistent_with_measurements(spark, sf_dir):
+    """The keep flag must be exactly the conjunction of its own emitted
+    measurements (auditable gate), and the rules must each actually
+    discriminate on this corpus (no constant column silently passing)."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.text import (
+        GOPHER_MIN_ALPHA_RATIO,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_TOKENS,
+        GOPHER_MAX_TOKENS,
+        GOPHER_WORD_LEN_HI,
+        GOPHER_WORD_LEN_LO,
+        text_gopher_filters,
+    )
+
+    rows = text_gopher_filters(spark, sf_dir).collect()
+    assert len(rows) > 0
+    kept = 0
+    for r in rows:
+        expect = (
+            GOPHER_MIN_TOKENS <= r.n_tokens <= GOPHER_MAX_TOKENS
+            and GOPHER_WORD_LEN_LO <= r.mean_word_len <= GOPHER_WORD_LEN_HI
+            and r.alpha_word_ratio >= GOPHER_MIN_ALPHA_RATIO
+            and r.n_distinct_stopwords >= GOPHER_MIN_STOPWORDS
+        )
+        assert r.keep == expect, (r.doc_id, r)
+        kept += bool(r.keep)
+    assert 0 < kept < len(rows)  # the gate discriminates
