@@ -127,3 +127,31 @@ def test_jsonl_export_roundtrip_and_partition_pruning(spark, sf_dir, tmp_path):
     plan = train_only._jdf.queryExecution().executedPlan().toString()
     assert train_only.count() == back.filter(F.col("split") == "train").count()
     assert "PartitionFilters: [isnotnull(split" in plan or "split=train" in plan
+
+
+def test_orc_roundtrip_pushdown_and_pruning(spark, sf_dir, tmp_path):
+    """ORC sink/source: value-exact roundtrip, multiple shards (never a
+    single coalesced file), partition pruning on the split key, and
+    predicate pushdown reaching the native ORC scan."""
+    from customer_revenue_analysis_sql_tableau_spark.sources.orc import (
+        read_orc,
+        write_orc,
+    )
+
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out, partition_by="lang", shards=4)
+    back = read_orc(spark, out)
+    assert back.count() == docs.count()
+    a = {r.doc_id: (r.text, r.source) for r in back.collect()}
+    b = {r.doc_id: (r.text, r.source) for r in docs.collect()}
+    assert a == b
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    one = back.filter(F.col("lang") == langs[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "lang" in pf  # pruning reaches the scan, not a post-filter
+    assert one.count() == docs.filter(F.col("lang") == langs[0]).count()
+    pushed = back.filter(F.col("doc_id") == 1)
+    pplan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,1)" in pplan
