@@ -51,10 +51,14 @@ HEADLINE = [
     "rollup_minute",
     "text_ranked_search",
     "decontaminate_ngram_overlap",
-    # added r3: mixture sampling (stateless-hash explode) and the
-    # unigram-LM quality gate (two corpus passes + ordered fold)
+    # added r3: mixture sampling (stateless-hash explode), the
+    # unigram-LM quality gate (two corpus passes + ordered fold), the
+    # containment near-dup pass (inverted-index join), and gap
+    # sessionization (two windows + agg on one user_id partitioning)
     "split_mixture_sample",
     "text_unigram_logprob",
+    "dedup_containment",
+    "analytics_sessionize_events",
 ]
 
 

@@ -8,6 +8,10 @@ running the real ``readStream`` pipeline (availableNow trigger) against
 the same parquet input.
 """
 
+from .dedup_ingest import (
+    run_streaming_minhash_dedup,
+    seed_dedup_index,
+)
 from .windows import (
     QUERIES,
     ORACLES,
@@ -27,5 +31,7 @@ __all__ = [
     "events_stream_dedup",
     "events_session_windows",
     "run_foreach_batch_upsert_stream",
+    "run_streaming_minhash_dedup",
     "run_tumbling_stream",
+    "seed_dedup_index",
 ]

@@ -1,0 +1,145 @@
+"""Incremental MinHash dedup at ingest time: new documents stream in,
+each micro-batch is checked against the *growing* corpus LSH index, and
+near-dup pairs are emitted as they are discovered.
+
+This is the shape a training-data pipeline actually runs at 100 TB —
+the corpus is too large to re-dedup from scratch per delivery, so the
+banded MinHash signature table is a persistent index (tiny next to the
+corpus: NUM_PERM longs per doc) and each incoming batch pays only
+
+    signature(batch) + band-join(batch × index) + verify(candidates)
+
+with the index and shingle store appended afterwards so later batches
+also catch dups against *earlier streamed* docs, not just the seed
+corpus. Within-batch duplicates are caught by unioning the batch's own
+bands into the join's right side.
+
+The exact-Jaccard verification joins only the candidate docs' shingles
+(the shingle store is id-filterable parquet; at cluster scale this is
+the same table bucketed by doc_id), so verification cost is bounded by
+candidate count, never corpus size.
+
+pytest proves the streamed pair set over (seed ∪ streamed) equals the
+batch ``dedup_minhash_lsh`` pair set minus seed-internal pairs — i.e.
+ingest-time dedup finds exactly the pairs batch dedup would, for every
+pair involving at least one streamed document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    JACCARD_T,
+    LSH_BANDS,
+    NUM_PERM,
+    _doc_shingles,
+    _jaccard_pairs_from_candidates,
+    _minhash_signatures_from,
+)
+
+
+def _band_explode(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows — one per band, same geometry/hash as
+    ``dedup_minhash_lsh`` so index and batch bucket identically."""
+    rows_per_band = NUM_PERM // LSH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bucket"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def seed_dedup_index(corpus: DataFrame, work_dir: str) -> None:
+    """Materialize the persistent dedup state for a seed corpus:
+    the shingle store (verification side) and the banded LSH index
+    (candidate side)."""
+    sh = _doc_shingles(corpus).localCheckpoint()
+    sh.write.mode("overwrite").parquet(f"{work_dir}/shingles")
+    _band_explode(_minhash_signatures_from(sh)).write.mode("overwrite").parquet(
+        f"{work_dir}/band_index"
+    )
+
+
+def run_streaming_minhash_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    work_dir: str,
+) -> DataFrame:
+    """Drain ``source_dir`` (parquet file stream of ``documents`` rows,
+    one micro-batch per file) through ingest-time near-dup detection
+    against the index seeded by :func:`seed_dedup_index`. Returns the
+    accumulated near-dup pair frame (d1 < d2, exact Jaccard ≥ τ).
+
+    foreachBatch body, per micro-batch:
+
+    1. shingle + sign the batch (one localCheckpoint — reused by the
+       band join, the verification, and both appends);
+    2. band-join the batch's bands against index ∪ batch (so both
+       batch-vs-corpus and within-batch pairs surface);
+    3. exact-verify candidates against the union shingle store,
+       filtered to candidate ids;
+    4. append verified pairs, then append the batch's shingles and
+       bands to the persistent state — strictly after the join reads,
+       so a batch never matches itself through the store.
+    """
+    shingle_dir = f"{work_dir}/shingles"
+    index_dir = f"{work_dir}/band_index"
+    pairs_dir = f"{work_dir}/pairs"
+
+    schema = spark.read.parquet(source_dir).schema
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        bsh = _doc_shingles(batch_df).localCheckpoint()
+        bband = _band_explode(_minhash_signatures_from(bsh)).localCheckpoint()
+        known = spark.read.parquet(index_dir).unionByName(bband)
+        a, b = bband.alias("a"), known.alias("b")
+        # pair key normalized (min, max) so a within-batch pair — seen
+        # from both sides of the self-union — collapses to one row.
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("d1"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("d2"),
+            )
+            .distinct()
+        )
+        all_sh = spark.read.parquet(shingle_dir).unionByName(bsh)
+        pairs = _jaccard_pairs_from_candidates(all_sh, cand, JACCARD_T)
+        pairs.write.mode("append").parquet(pairs_dir)
+        bsh.write.mode("append").parquet(shingle_dir)
+        bband.write.mode("append").parquet(index_dir)
+
+    query = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # distinct: a pair can re-verify in a later batch only if both docs
+    # reappear (exactly-once source makes that impossible, but the read
+    # keeps the contract explicit)
+    return spark.read.parquet(pairs_dir).distinct()

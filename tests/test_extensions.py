@@ -415,3 +415,39 @@ def test_foreach_batch_upsert_equals_batch_aggregate(spark, sf_dir):
             for r in out2.collect()
         }
         assert got2 == expect
+
+
+def test_streaming_minhash_dedup_equals_batch_pairs(spark, sf_dir):
+    """Ingest-time dedup must find exactly the pairs batch MinHash-LSH
+    dedup finds, for every pair involving >=1 streamed doc: seed 60% of
+    the corpus, stream the rest in 2 micro-batches, compare pair sets."""
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.streaming.dedup_ingest import (
+        run_streaming_minhash_dedup,
+        seed_dedup_index,
+    )
+
+    docs = load_tables(spark, sf_dir, names=("documents",), register=False)[
+        "documents"
+    ]
+    seed = docs.filter(F.col("doc_id") % 5 < 3)
+    streamed = docs.filter(F.col("doc_id") % 5 >= 3)
+    seed_ids = {r.doc_id for r in seed.select("doc_id").collect()}
+
+    all_pairs = _pairs(dedup_minhash_lsh(spark, sf_dir))
+    expect = {
+        (d1, d2)
+        for d1, d2 in all_pairs
+        if not (d1 in seed_ids and d2 in seed_ids)
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        src, ckpt, work = f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/work"
+        seed_dedup_index(seed, work)
+        for k in (3, 4):  # two micro-batches (maxFilesPerTrigger=1)
+            streamed.filter(F.col("doc_id") % 5 == k).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        got = run_streaming_minhash_dedup(spark, src, ckpt, work)
+        got_pairs = _pairs(got)
+        assert got_pairs == expect
+        assert len(expect) > 0  # the planted near-dups cross the split
