@@ -116,6 +116,7 @@ _PRIORITY = [
     "split_mixture_sample",
     "text_unigram_logprob",
     "dedup_containment",
+    "dedup_containment_prefix",
     "dedup_embedding_signlsh",
     "analytics_sessionize_events",
     "text_gopher_filters",

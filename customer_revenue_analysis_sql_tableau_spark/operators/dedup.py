@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
@@ -217,6 +217,90 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("inter") / F.col("z1.n").cast("double")).alias("contain_d1"),
             (F.col("inter") / F.col("z2.n").cast("double")).alias("contain_d2"),
             c_small.alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAIN_T)
+    )
+
+
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs via PPJoin-style prefix filtering — the 100 TB
+    form of :func:`dedup_containment`, same output set (SQL-checked
+    against the same oracle; pytest asserts pair-set equality).
+
+    The plain inverted-index join explodes on ubiquitous shingles: a
+    shingle shared by k docs contributes k² candidate rows, so posting
+    lists of common shingles dominate at corpus scale. Prefix filtering
+    bounds that: a pair with containment ≥ τ must share at least one of
+    the smaller doc's (|S| − ⌈τ·|S|⌉ + 1) *globally rarest* shingles
+    (pigeonhole), so candidate generation joins only that prefix —
+    ~40 % of the smaller side here, and crucially the prefix is built
+    from the LOW-document-frequency end, so the quadratic hot posting
+    lists never enter the candidate join. Verification then counts the
+    full intersection for candidates only.
+
+    A/B at sf0.1 (5 k docs, short postings): simple join 1.97 s, this
+    3.40 s — the DF + rank passes don't pay off until posting-list
+    skew does; the registered bench entry stays the simple form, this
+    is the shape to deploy once shingle DF is Zipfian at corpus scale.
+    """
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sh = _doc_shingles(d).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n") - F.ceil(F.lit(CONTAIN_T) * F.col("n")) + 1
+    ).select("doc_id", "shingle", "n")
+    full = sh.join(sizes, "doc_id")
+    a, b = prefix.alias("a"), full.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            # only the SMALLER side's prefix certifies a pair
+            & (F.col("a.n") <= F.col("b.n")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("d1"),
+            F.greatest("a.doc_id", "b.doc_id").alias("d2"),
+        )
+        .distinct()
+    )
+    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    inter = (
+        cand.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(
+            s2,
+            (F.col("d2") == F.col("s2.doc_id"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    z1, z2 = sizes.alias("z1"), sizes.alias("z2")
+    return (
+        inter.join(z1, F.col("d1") == F.col("z1.doc_id"))
+        .join(z2, F.col("d2") == F.col("z2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (F.col("inter") / F.col("z1.n").cast("double")).alias("contain_d1"),
+            (F.col("inter") / F.col("z2.n").cast("double")).alias("contain_d2"),
+            (
+                F.col("inter")
+                / F.least(F.col("z1.n"), F.col("z2.n")).cast("double")
+            ).alias("containment"),
         )
         .filter(F.col("containment") >= CONTAIN_T)
     )
@@ -595,6 +679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
+    "dedup_containment_prefix": dedup_containment_prefix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -740,6 +825,9 @@ def _signlsh_oracle() -> str:
 
 ORACLES: dict[str, str] = {
     "dedup_containment": _CONTAINMENT_SQL,
+    # the prefix-filtered form is output-identical by construction
+    # (pigeonhole-exact candidate generation), so it shares the oracle
+    "dedup_containment_prefix": _CONTAINMENT_SQL,
     "dedup_embedding_signlsh": _signlsh_oracle(),
     "dedup_exact": """
         SELECT md5(lower(trim(text))) AS text_hash,

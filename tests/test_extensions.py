@@ -451,3 +451,23 @@ def test_streaming_minhash_dedup_equals_batch_pairs(spark, sf_dir):
         got_pairs = _pairs(got)
         assert got_pairs == expect
         assert len(expect) > 0  # the planted near-dups cross the split
+
+
+def test_prefix_containment_equals_simple_form(spark, sf_dir):
+    """PPJoin prefix filtering is pigeonhole-exact: the prefix-filtered
+    candidate generation must reproduce the simple inverted-index
+    join's pair set and values exactly."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
+        dedup_containment,
+        dedup_containment_prefix,
+    )
+
+    simple = {
+        (r.d1, r.d2): (r.contain_d1, r.contain_d2, r.containment)
+        for r in dedup_containment(spark, sf_dir).collect()
+    }
+    pref = {
+        (r.d1, r.d2): (r.contain_d1, r.contain_d2, r.containment)
+        for r in dedup_containment_prefix(spark, sf_dir).collect()
+    }
+    assert pref == simple
