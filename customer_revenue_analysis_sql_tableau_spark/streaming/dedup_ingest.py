@@ -139,7 +139,16 @@ def run_streaming_minhash_dedup(
         .start()
     )
     query.awaitTermination()
+    try:
+        out = spark.read.parquet(pairs_dir)
+    except Exception:
+        # no batch found any pair (or the source was empty): parquet
+        # cannot infer a schema from an empty directory — return the
+        # contract's empty frame instead of failing the drain
+        return spark.createDataFrame(
+            [], "d1 bigint, d2 bigint, jaccard double"
+        )
     # distinct: a pair can re-verify in a later batch only if both docs
     # reappear (exactly-once source makes that impossible, but the read
     # keeps the contract explicit)
-    return spark.read.parquet(pairs_dir).distinct()
+    return out.distinct()

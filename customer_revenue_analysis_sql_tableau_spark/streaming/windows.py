@@ -581,6 +581,11 @@ def run_foreach_batch_upsert_stream(
         .start()
     )
     query.awaitTermination()
+    if not os.path.exists(state_dir):  # empty source: no batch ran
+        return spark.createDataFrame(
+            [], "user_id bigint, n_events bigint,"
+            " total_value double, last_ts timestamp"
+        )
     return spark.read.parquet(state_dir).select(
         "user_id",
         "n_events",
