@@ -185,6 +185,9 @@ def test_q21_combines_semi_and_anti_on_one_key(spark, sf_dir):
     p = plan(tpch_q21_sole_late_supplier(spark, sf_dir))
     assert "LeftSemi" in p and "LeftAnti" in p
     assert "CartesianProduct" not in p
+    # the semi/anti pair runs as hash joins (shuffle_hash hint): no
+    # sort passes over the pair sets — see the operator's comment
+    assert "ShuffledHashJoin" in p
 
 
 def test_q16_not_in_is_anti_join(spark, sf_dir):
