@@ -23,12 +23,14 @@ from oracle_check import compare_tables, duckdb_connection  # noqa: E402
 
 import customer_revenue_analysis_sql_tableau_spark.catalog as cat  # noqa: E402
 
-#: Three timezone-sensitive registry entries: JSON/timestamp extraction,
-#: an as-of join on event time, and a date-part regrouping.
+#: Timezone-sensitive registry entries: JSON/timestamp extraction, an
+#: as-of join on event time, a date-part regrouping, and gap
+#: sessionization (epoch-microsecond window arithmetic).
 PROBES = (
     "events_json_extract",
     "temporal_asof_join",
     "tableau_g2_first_order_day",
+    "analytics_sessionize_events",
 )
 
 HOSTILE_TZ = "America/New_York"
