@@ -37,6 +37,15 @@ TABLES: tuple[str, ...] = (
 #: Dimension tables small enough to broadcast at any scale factor.
 BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
 
+#: Memoized (applicationId, sf_dir, table) → normalized DataFrame.
+#: spark.read.parquet pays a driver-side footer/schema read per call
+#: (~80 ms/table); a registry entry loads up to 6 tables, so repeated
+#: loads were adding ~0.5 s to EVERY query. DataFrames are immutable
+#: logical plans over read-only testdata, so reuse is safe; keying on
+#: applicationId (the _VIEW_CACHE recipe, queries.py) drops plans bound
+#: to dead SparkContexts after a session restart.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_tables(
     spark: SparkSession,
@@ -60,16 +69,25 @@ def load_tables(
             f"session timezone is {tz!r}, not UTC — refusing to normalize "
             "TIMESTAMP_NTZ columns (values would shift by the zone offset)"
         )
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _TABLE_CACHE if k[0] != app_id]:
+        del _TABLE_CACHE[stale]
     dfs: dict[str, DataFrame] = {}
     for name in names:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # events.parquet stores ts as timestamp[us] with no timezone, which
-        # Spark reads as TIMESTAMP_NTZ. The engine (unix_micros, watermarks)
-        # needs TIMESTAMP; with the session tz pinned UTC the cast is
-        # value-preserving, so normalize at the source.
-        for field in df.schema.fields:
-            if field.dataType.simpleString() == "timestamp_ntz":
-                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+        key = (app_id, sf_dir, name)
+        df = _TABLE_CACHE.get(key)
+        if df is None:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            # events.parquet stores ts as timestamp[us] with no timezone,
+            # which Spark reads as TIMESTAMP_NTZ. The engine (unix_micros,
+            # watermarks) needs TIMESTAMP; with the session tz pinned UTC
+            # the cast is value-preserving, so normalize at the source.
+            for field in df.schema.fields:
+                if field.dataType.simpleString() == "timestamp_ntz":
+                    df = df.withColumn(
+                        field.name, F.col(field.name).cast("timestamp")
+                    )
+            _TABLE_CACHE[key] = df
         dfs[name] = df
         if register:
             df.createOrReplaceTempView(name)
