@@ -255,9 +255,16 @@ def finalize_summary(
         F.sum("_lines").alias("Total_Line_Items"),
     )
 
-    geo = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
-        F.broadcast(r), n.n_regionkey == r.r_regionkey
-    )  # J1-J3 twin
+    # J1-J3 twin. The grouped⋈geo join is per-customer on BOTH sides
+    # (aggregated partials vs the customer dim), so neither side is
+    # broadcastable at true scale; shuffle_hash builds the 4-column geo
+    # side per partition (bounded by partition sizing, SCALE.md) and
+    # skips sort-merge's two sort passes over per-customer rows.
+    geo = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .hint("shuffle_hash")
+    )
 
     out = (
         grouped.withColumn("Most_Frequent_Part_Type", F.col("_mfc.p_type"))
