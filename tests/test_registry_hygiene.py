@@ -90,3 +90,23 @@ def test_no_oracle_emits_hugeint():
         )
     finally:
         con.close()
+
+
+def test_registry_plans_have_no_scale_red_flags(spark, sf_dir):
+    """Sweep EVERY registry entry's physical plan: no CartesianProduct
+    anywhere; every BroadcastNestedLoopJoin is on the documented
+    bounded-side allowlist (tools/registry_plan_scan.py)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import __spark_entry__ as entrymod
+    from registry_plan_scan import BNLJ_ALLOWLIST
+
+    flags = {}
+    for name, fn in entrymod.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            flags[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWLIST:
+            flags[name] = "BNLJ not allowlisted"
+    assert not flags, flags
