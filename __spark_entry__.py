@@ -120,6 +120,9 @@ _PRIORITY = [
     "dedup_embedding_signlsh",
     "analytics_sessionize_events",
     "text_gopher_filters",
+    # rows-only → hash-checked upgrades (round 3): need a driver hash row
+    "multimodal_resize",
+    "multimodal_frame_sample",
 ]
 
 

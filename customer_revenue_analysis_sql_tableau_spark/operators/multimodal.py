@@ -169,8 +169,8 @@ def multimodal_resize(
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_size_stats": multimodal_size_stats,
     "multimodal_decode_features": multimodal_decode_features,
-    "multimodal_resize": multimodal_resize,  # rows-only (binary output)
-    "multimodal_frame_sample": multimodal_frame_sample,  # rows-only
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 _MIME_SQL = (
@@ -203,5 +203,35 @@ ORACLES: dict[str, str] = {
                CAST(coalesce(list_sum(list_transform(
                         regexp_extract_all(substring(text, 1, 64), '[\\s\\S]'),
                         c -> ascii(c))), 0) % 256 AS BIGINT) AS checksum64
+        FROM documents""",
+    # Upgraded from rows-only: the stride/slice arithmetic is pure byte
+    # manipulation, so DuckDB rebuilds the exact frames (BLOB substring,
+    # 1-indexed, integer-division frame count — // not /) and the
+    # driver hash proves the posexplode alignment byte-for-byte.
+    "multimodal_frame_sample": f"""
+        WITH m AS (
+            SELECT doc_id, {_MIME_SQL} AS mime, text,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents)
+        SELECT doc_id, mime,
+               unnest(range(n_bytes // 32)) AS frame_idx,
+               unnest(list_transform(range(n_bytes // 32),
+                   i -> encode(substring(text, i * 32 + 1, 8))))
+                   AS frame_bytes
+        FROM m""",
+    # Upgraded from rows-only: b[::4] over an ASCII corpus is the
+    # every-4th-char string re-encoded; proves the mapInPandas resize
+    # boundary (row alignment + binary payload) byte-for-byte.
+    "multimodal_resize": f"""
+        SELECT doc_id, {_MIME_SQL} AS mime,
+               CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+               encode(array_to_string(list_transform(
+                   range(1, length(text) + 1, 4),
+                   i -> substring(text, CAST(i AS INT), 1)), ''))
+                   AS resized,
+               CAST(octet_length(encode(array_to_string(list_transform(
+                   range(1, length(text) + 1, 4),
+                   i -> substring(text, CAST(i AS INT), 1)), ''))) AS BIGINT)
+                   AS resized_bytes
         FROM documents""",
 }
