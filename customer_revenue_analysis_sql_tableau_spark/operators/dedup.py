@@ -172,7 +172,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: One-sided containment threshold: |A∩B| / min(|A|,|B|) ≥ τ flags a
 #: pair where the smaller shingle set is mostly inside the larger one.
+#: The exact rational (3/5) backs the prefix-filter bound — integer
+#: arithmetic there, never ceil(0.6·n) (see dedup_containment_prefix).
 CONTAIN_T = 0.6
+CONTAIN_NUM, CONTAIN_DEN = 3, 5
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,9 +260,17 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(sizes, "doc_id")
     )
+    # prefix length = n − ⌈τ·n⌉ + 1 in EXACT integer arithmetic:
+    # ⌈3n/5⌉ = (3n + 4) div 5. The double form ceil(0.6 * n) rounds UP
+    # when τ·n is integral (0.6*5 → 3.0000000000000004 → ceil 4),
+    # silently undersizing the prefix by one and breaking the
+    # pigeonhole guarantee for pairs sitting exactly at τ.
+    ceil_tn = F.floor(
+        (F.lit(CONTAIN_NUM) * F.col("n") + F.lit(CONTAIN_DEN - 1))
+        / F.lit(CONTAIN_DEN)
+    )
     prefix = ranked.filter(
-        F.col("rn")
-        <= F.col("n") - F.ceil(F.lit(CONTAIN_T) * F.col("n")) + 1
+        F.col("rn") <= F.col("n") - ceil_tn + 1
     ).select("doc_id", "shingle", "n")
     full = sh.join(sizes, "doc_id")
     a, b = prefix.alias("a"), full.alias("b")
