@@ -63,14 +63,22 @@ def _band_explode(sig: DataFrame) -> DataFrame:
     )
 
 
+def _read_store(spark: SparkSession, path: str) -> DataFrame:
+    """Read a state store laid out as one subdirectory per writer
+    (``b_seed``, ``b_<batch_id>``). recursiveFileLookup reads every
+    leaf file without partition-column inference, so the schema is the
+    written schema regardless of layout depth."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+
 def seed_dedup_index(corpus: DataFrame, work_dir: str) -> None:
     """Materialize the persistent dedup state for a seed corpus:
     the shingle store (verification side) and the banded LSH index
     (candidate side)."""
     sh = _doc_shingles(corpus).localCheckpoint()
-    sh.write.mode("overwrite").parquet(f"{work_dir}/shingles")
+    sh.write.mode("overwrite").parquet(f"{work_dir}/shingles/b_seed")
     _band_explode(_minhash_signatures_from(sh)).write.mode("overwrite").parquet(
-        f"{work_dir}/band_index"
+        f"{work_dir}/band_index/b_seed"
     )
 
 
@@ -93,9 +101,17 @@ def run_streaming_minhash_dedup(
        batch-vs-corpus and within-batch pairs surface);
     3. exact-verify candidates against the union shingle store,
        filtered to candidate ids;
-    4. append verified pairs, then append the batch's shingles and
-       bands to the persistent state — strictly after the join reads,
-       so a batch never matches itself through the store.
+    4. write verified pairs, then the batch's shingles and bands, to
+       the persistent state — strictly after the join reads, so a
+       batch never matches itself through the store.
+
+    Every write lands in a per-batch subdirectory with overwrite
+    semantics (``b_<batch_id>``), so a batch retried after a mid-write
+    crash REPLACES its own partial output instead of appending a second
+    copy — plain-parquet idempotence; the foreachBatch checkpoint log
+    guarantees committed batches are never re-run at all. (A naive
+    mode("append") would double a retried batch's shingle rows and
+    corrupt every later Jaccard denominator involving those docs.)
     """
     shingle_dir = f"{work_dir}/shingles"
     index_dir = f"{work_dir}/band_index"
@@ -106,7 +122,7 @@ def run_streaming_minhash_dedup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bsh = _doc_shingles(batch_df).localCheckpoint()
         bband = _band_explode(_minhash_signatures_from(bsh)).localCheckpoint()
-        known = spark.read.parquet(index_dir).unionByName(bband)
+        known = _read_store(spark, index_dir).unionByName(bband)
         a, b = bband.alias("a"), known.alias("b")
         # pair key normalized (min, max) so a within-batch pair — seen
         # from both sides of the self-union — collapses to one row.
@@ -123,11 +139,11 @@ def run_streaming_minhash_dedup(
             )
             .distinct()
         )
-        all_sh = spark.read.parquet(shingle_dir).unionByName(bsh)
+        all_sh = _read_store(spark, shingle_dir).unionByName(bsh)
         pairs = _jaccard_pairs_from_candidates(all_sh, cand, JACCARD_T)
-        pairs.write.mode("append").parquet(pairs_dir)
-        bsh.write.mode("append").parquet(shingle_dir)
-        bband.write.mode("append").parquet(index_dir)
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/b_{batch_id}")
+        bsh.write.mode("overwrite").parquet(f"{shingle_dir}/b_{batch_id}")
+        bband.write.mode("overwrite").parquet(f"{index_dir}/b_{batch_id}")
 
     query = (
         spark.readStream.schema(schema)
@@ -140,7 +156,7 @@ def run_streaming_minhash_dedup(
     )
     query.awaitTermination()
     try:
-        out = spark.read.parquet(pairs_dir)
+        out = _read_store(spark, pairs_dir)
     except Exception:
         # no batch found any pair (or the source was empty): parquet
         # cannot infer a schema from an empty directory — return the
