@@ -535,9 +535,18 @@ def run_foreach_batch_upsert_stream(
     equals the batch groupBy — pytest asserts this, and that a restart
     with the same checkpoint does not double-fold.
 
-    At cluster scale the overwrite step is the same pattern against a
-    transactional table format; on raw parquet the materialize-then-
-    overwrite swap plays that role.
+    Exactly-once under RETRY, not just restart: state is versioned by
+    streaming batch id (``v_<batch_id>``), and each batch merges from
+    its PREDECESSOR version, never from "current state". A batch
+    retried after its write succeeded but before the checkpoint
+    committed rebuilds the same version from the same predecessor —
+    idempotent — where a single mutable state table would fold the
+    batch in twice (:func:`_upsert_batch` is the testable unit; the
+    retry test calls it twice with the same id). At cluster scale the
+    version chain is what a transactional table format's MERGE gives
+    you; on raw parquet the per-version overwrite plays that role.
+    Versions older than the predecessor are pruned (the predecessor
+    itself is kept — a retry of the current batch still reads it).
     """
     schema = spark.read.parquet(source_dir).schema
     raw = (
@@ -548,31 +557,8 @@ def run_foreach_batch_upsert_stream(
     if dict(raw.dtypes).get("ts") == "timestamp_ntz":
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
-    import os
-
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        part = batch_df.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(money("value")).alias("value_sum"),
-            F.max(F.unix_micros("ts")).alias("last_us"),
-        )
-        if os.path.exists(state_dir):
-            merged = (
-                spark.read.parquet(state_dir)
-                .unionByName(part)
-                .groupBy("user_id")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("value_sum")
-                    .cast(part.schema["value_sum"].dataType)
-                    .alias("value_sum"),
-                    F.max("last_us").alias("last_us"),
-                )
-            )
-        else:
-            merged = part
-        # materialize BEFORE overwriting the directory the plan reads
-        merged.localCheckpoint().write.mode("overwrite").parquet(state_dir)
+        _upsert_batch(spark, state_dir, batch_df, batch_id)
 
     query = (
         raw.writeStream.foreachBatch(upsert)
@@ -581,17 +567,73 @@ def run_foreach_batch_upsert_stream(
         .start()
     )
     query.awaitTermination()
-    if not os.path.exists(state_dir):  # empty source: no batch ran
+    latest = _latest_state_version(state_dir)
+    if latest is None:  # empty source: no batch ran
         return spark.createDataFrame(
             [], "user_id bigint, n_events bigint,"
             " total_value double, last_ts timestamp"
         )
-    return spark.read.parquet(state_dir).select(
+    return spark.read.parquet(f"{state_dir}/v_{latest}").select(
         "user_id",
         "n_events",
         F.round(F.col("value_sum"), 2).cast("double").alias("total_value"),
         F.timestamp_micros(F.col("last_us")).alias("last_ts"),
     )
+
+
+def _state_versions(state_dir: str) -> list[int]:
+    import os
+
+    if not os.path.isdir(state_dir):
+        return []
+    return [
+        int(d[2:])
+        for d in os.listdir(state_dir)
+        if d.startswith("v_") and d[2:].isdigit()
+    ]
+
+
+def _latest_state_version(state_dir: str) -> int | None:
+    versions = _state_versions(state_dir)
+    return max(versions) if versions else None
+
+
+def _upsert_batch(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """One idempotent MERGE step: fold ``batch_df``'s per-user partial
+    state into the predecessor version (largest v < batch_id), writing
+    ``v_<batch_id>``. Re-running with the same (batch, id) rebuilds the
+    identical version — the retry contract of the foreachBatch log."""
+    import shutil
+
+    part = batch_df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(money("value")).alias("value_sum"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    versions = _state_versions(state_dir)
+    prev = max((v for v in versions if v < batch_id), default=None)
+    if prev is not None:
+        merged = (
+            spark.read.parquet(f"{state_dir}/v_{prev}")
+            .unionByName(part)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("value_sum")
+                .cast(part.schema["value_sum"].dataType)
+                .alias("value_sum"),
+                F.max("last_us").alias("last_us"),
+            )
+        )
+    else:
+        merged = part
+    merged.write.mode("overwrite").parquet(f"{state_dir}/v_{batch_id}")
+    # prune grandparents: a retry of THIS batch only needs `prev`
+    for v in versions:
+        if prev is not None and v < prev:
+            shutil.rmtree(f"{state_dir}/v_{v}", ignore_errors=True)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

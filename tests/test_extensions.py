@@ -471,3 +471,35 @@ def test_prefix_containment_equals_simple_form(spark, sf_dir):
         for r in dedup_containment_prefix(spark, sf_dir).collect()
     }
     assert pref == simple
+
+
+def test_upsert_batch_retry_is_idempotent(spark, sf_dir):
+    """A batch retried after its state write succeeded (but before the
+    checkpoint committed) must rebuild the same version, not fold in
+    twice — the versioned-state retry contract."""
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.streaming.windows import (
+        _latest_state_version,
+        _upsert_batch,
+    )
+
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    b1 = events.filter(F.col("event_id") % 2 == 1)
+    with tempfile.TemporaryDirectory() as tmp:
+        state = f"{tmp}/state"
+        _upsert_batch(spark, state, b0, 0)
+        _upsert_batch(spark, state, b1, 1)
+        once = {
+            r.user_id: (r.n_events, str(r.value_sum), r.last_us)
+            for r in spark.read.parquet(f"{state}/v_1").collect()
+        }
+        _upsert_batch(spark, state, b1, 1)  # retry of batch 1
+        twice = {
+            r.user_id: (r.n_events, str(r.value_sum), r.last_us)
+            for r in spark.read.parquet(f"{state}/v_1").collect()
+        }
+        assert twice == once
+        assert _latest_state_version(state) == 1
