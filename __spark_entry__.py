@@ -26,6 +26,7 @@ from customer_revenue_analysis_sql_tableau_spark.operators import multimodal as 
 from customer_revenue_analysis_sql_tableau_spark.operators import pipeline as _pipeline
 from customer_revenue_analysis_sql_tableau_spark.operators import quality as _quality
 from customer_revenue_analysis_sql_tableau_spark.operators import similarity as _similarity
+from customer_revenue_analysis_sql_tableau_spark.operators import sketch_checks as _sketch_checks
 from customer_revenue_analysis_sql_tableau_spark.operators import splits as _splits
 from customer_revenue_analysis_sql_tableau_spark.operators import temporal as _temporal
 from customer_revenue_analysis_sql_tableau_spark.operators import tpch_complete as _tpch_complete
@@ -44,6 +45,7 @@ _REGISTRY_MODULES = [
     _incremental,
     _rollups,
     _similarity,
+    _sketch_checks,
     _app_layer,
     _multimodal,
     _procedures,
@@ -60,69 +62,75 @@ _REGISTRY_MODULES = [
     _tpch_extended,
 ]
 
-# The driver's correctness run is budgeted (~50 entries in rounds 1-2)
-# and walks the merged dict in insertion order, so the registry is
-# ordered at ENTRY level: first the rows whose latest driver word is
-# red (all fixed in code — round-3 must re-prove them), then every
-# entry no driver round has ever reached (CORRECTNESS_r01+r02 union),
-# then everything already driver-green. Guarded against rot by
+# The driver's correctness run is budgeted (~50 entries per round) and
+# walks the merged dict in insertion order, so the registry is ordered
+# at ENTRY level. Round-4 ordering (VERDICT.md r3, Next #2): first the
+# round-3 red row + its latent twin (binary outputs now digest-
+# projected), then the new sketch/ANN bound-check twins (first driver
+# proof), then every entry whose plan changed after its only driver
+# green — the r1-proven cohort predates the memoized catalog (b9e28d0)
+# and the view's hash-join geo rewrite (df04d5b) — longest-unproven
+# first within the cohort. Nothing in this window is already proven on
+# current code. Guarded against rot by
 # tests/test_registry_hygiene.py::test_priority_names_exist.
 _PRIORITY = [
-    # -- fixed red rows: 6× r2 HUGEINT-oracle fixes + 3× r1 fixes --
-    "dq_constraint_violations",
-    "decontaminate_ngram_overlap",
-    "inc_state_rollup",
-    "split_pack_sequences",
-    "multimodal_size_stats",
-    "events_json_extract",
-    "tableau_g2_first_order_day",
-    "analytics_funnel_conversion_lag",
-    "analytics_event_type_bigrams",
-    # -- never driver-verified: missed both 50-entry windows --
-    "feat_word_bigram_counts",
-    "temporal_asof_join",
-    "temporal_range_join",
-    "temporal_pivot_user_values",
-    "temporal_unpivot_user_values",
-    "temporal_rolling_value_10min",
-    "temporal_latest_per_user",
-    "temporal_value_percentiles",
-    "temporal_value_percentiles_approx",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_lines_by_flag",
-    "tpch_q16_supplier_counts",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_dominant_promo_suppliers",
-    "tpch_q21_sole_late_supplier",
-    "text_token_stats",
-    "text_token_stats_bpe",
-    "text_quality_score",
-    "text_lang_histogram",
-    "text_lang_id_ngram",
-    "text_top_terms_per_source",
-    "text_tfidf_top_terms",
-    "text_doc_fingerprint",
-    "text_rolling_fingerprint",
-    "text_fulltext_search",
-    "text_phrase_search",
-    "text_ranked_search",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q22_dormant_high_balance",
-    # -- new in round 3: first driver proof --
-    "split_mixture_sample",
-    "text_unigram_logprob",
-    "dedup_containment",
-    "dedup_containment_prefix",
-    "dedup_embedding_signlsh",
-    "analytics_sessionize_events",
-    "text_gopher_filters",
-    # rows-only → hash-checked upgrades (round 3): need a driver hash row
+    # -- round-3 red + latent twin: binary payloads now ride as md5 --
     "multimodal_resize",
     "multimodal_frame_sample",
+    # -- new bound-check twins: sketch/ANN error bounds as hash rows --
+    "approx_distinct_error_check",
+    "approx_percentile_error_check",
+    "sim_lsh_recall_check",
+    "sim_ivf_recall_check",
+    "vocab_topk_containment_check",
+    # -- r1-green on r1 code; plans changed in r3 (catalog + geo join) --
+    "view_customer_value_summary",
+    "flagship_revenue_by_region",
+    "q1_top_revenue_customers",
+    "q1_full",
+    "q2_most_frequent_customers",
+    "q3_top_late_fees",
+    "q4_frequency_segmentation",
+    "q5_churn_risk",
+    "q6_revenue_by_category",
+    "q7_customer_lifetime_value",
+    "q8_customer_cohorts",
+    "q9_revenue_by_nation",
+    "q10_revenue_by_nation_region",
+    "q11_avg_revenue_per_customer",
+    "mfc_window_top1",
+    "tableau_g1_country_map",
+    "tableau_g3_revenue_by_category",
+    "tableau_g4_late_fees_by_category",
+    "tableau_g5_spend_by_type_year",
+    # -- rest of the r1 cohort: proven once, on pre-r3 shared paths --
+    "analytics_funnel_stage_counts",
+    "analytics_retention_day_cohorts",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "top_nations_customers_semi",
+    "parts_never_ordered_anti",
+    "active_high_value_except_recent",
+    "party_names_union",
+    "customers_above_avg_balance",
+    "customer_order_windows",
+    "customer_value_distribution_windows",
+    "repeat_customers_intersect",
+    "nation_customer_list",
+    "nations_having_many_customers",
+    "promo_parts_like",
+    "revenue_rollup_region_nation",
+    "lineitem_flag_status_cube",
+    "distinct_segments",
+    "grouping_sets_flag_status",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_order_count_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
 ]
 
 

@@ -47,6 +47,24 @@ BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "par
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def ensure_utc_session(spark: SparkSession) -> None:
+    """Pin the engine runtime confs and fail loudly if the zone stuck.
+
+    Every entry point that can serve results WITHOUT passing through
+    ``load_tables`` (e.g. a memoized materialization cache hit) must
+    call this too: timestamp field extraction (``dayofmonth`` etc.)
+    evaluates in the session zone at EXECUTION time, so a hostile-TZ
+    host session reaching a cached plan directly would shift date
+    groups even though the cached rows are correct UTC instants."""
+    apply_runtime_confs(spark)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"session timezone is {tz!r}, not UTC — refusing to normalize "
+            "TIMESTAMP_NTZ columns (values would shift by the zone offset)"
+        )
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,
@@ -57,18 +75,12 @@ def load_tables(
 
     Applies engine runtime confs (UTC timezone, AQE) so results are
     deterministic even when the host session was created elsewhere.
+    The NTZ→TIMESTAMP normalization is value-preserving ONLY in a UTC
+    session; apply_runtime_confs ignores conf-set failures, so a host
+    session that locked a different zone must fail loudly here rather
+    than silently shift every event timestamp.
     """
-    apply_runtime_confs(spark)
-    # The NTZ→TIMESTAMP normalization below is value-preserving ONLY in a
-    # UTC session; apply_runtime_confs ignores conf-set failures, so a
-    # host session that locked a different zone must fail loudly here
-    # rather than silently shift every event timestamp.
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz != "UTC":
-        raise RuntimeError(
-            f"session timezone is {tz!r}, not UTC — refusing to normalize "
-            "TIMESTAMP_NTZ columns (values would shift by the zone offset)"
-        )
+    ensure_utc_session(spark)
     app_id = spark.sparkContext.applicationId
     for stale in [k for k in _TABLE_CACHE if k[0] != app_id]:
         del _TABLE_CACHE[stale]

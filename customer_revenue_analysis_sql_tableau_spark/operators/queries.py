@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_tables
+from ..catalog import ensure_utc_session, load_tables
 from ..functions.money import money, round2_div, round2_div_sql
 from .warehouse import (
     VIEW_ORACLE_SQL,
@@ -56,6 +56,13 @@ _VIEW_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A cache HIT skips load_tables, so the UTC/AQE re-pin must happen
+    # here too: downstream date-part extraction (tableau_g2's
+    # dayofmonth) evaluates in the session zone at execution time, and
+    # a hostile-TZ host session reaching the cached plan directly would
+    # shift day groups (caught by test_hostile_driver run after a
+    # cache-warming suite).
+    ensure_utc_session(spark)
     # keyed on applicationId, not id(spark): a GC'd session's address
     # can be reused, which would hand out DataFrames bound to a dead
     # SparkContext; a restarted context always gets a fresh appId.

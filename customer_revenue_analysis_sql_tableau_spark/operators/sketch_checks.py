@@ -1,0 +1,246 @@
+"""Driver-checkable bound twins for the sketch/ANN tier.
+
+The five probabilistic entries (``approx_count_distinct`` HLL++,
+``approx_percentile`` GK, ``approx_top_k``, LSH top-k, IVF top-k) can
+never have a value-hash oracle: their outputs are implementation-
+defined. Their error bounds, however, are deterministic FACTS about a
+fixed dataset — so each family gets a registered check query that
+computes the approximate AND exact answers in one Spark job and emits
+``within_bound`` booleans; the DuckDB oracle is the corresponding
+all-``TRUE`` frame. That converts "trust our pytest" into a driver hash
+row, without pretending sketches are deterministic (VERDICT.md round 3,
+Next #3).
+
+Scale posture: every check reuses the production operators' plans
+(banded/bucketed candidates, broadcast 1-row bound frames); the exact
+twin riding alongside is the cost of the PROOF, not of the production
+path — at 100 TB you run the sketch alone and carry the bound from the
+sketch's published guarantee.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from .features import _docs
+from .similarity import TOP_K, sim_bruteforce_topk, sim_ivf_topk, sim_lsh_topk
+from .temporal import APPROX_ACCURACY, _events
+
+#: Recall floors: well under the measured recalls (LSH 0.80-0.85,
+#: IVF 0.88-0.95 across SFs) but far above chance — the same floors
+#: tests/test_extensions.py asserts.
+LSH_RECALL_FLOOR = 0.7
+IVF_RECALL_FLOOR = 0.8
+
+#: HLL++ is run at rsd=0.02; 5 sigma = 10% relative slack, plus an
+#: absolute slack of 2 so single-digit groups can't trip the ratio.
+HLL_REL_BOUND = 0.10
+
+#: GK rank-error slack: the sketch guarantees eps = 1/accuracy; check
+#: at 10x that (plus 1 row) so merge-order wiggle never flakes the row.
+GK_EPS = 10.0 / APPROX_ACCURACY
+
+
+def approx_distinct_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation |HLL++ - exact| <= max(10% of exact, 2).
+
+    Same join/group shape as ``approx_distinct_customers_by_nation``
+    with the exact COUNT(DISTINCT) riding the same shuffle, so one job
+    proves the sketch's error bound group-by-group."""
+    t = load_tables(spark, sf_dir, names=("orders", "customer", "nation"))
+    agg = (
+        t["orders"]
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact"),
+        )
+    )
+    bound = F.greatest(
+        F.ceil(F.col("exact") * F.lit(HLL_REL_BOUND)), F.lit(2)
+    )
+    return agg.select(
+        "nation",
+        (F.abs(F.col("approx") - F.col("exact")) <= bound).alias(
+            "within_bound"
+        ),
+    ).orderBy("nation")
+
+
+def approx_percentile_error_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type rank-space check of the GK percentile sketch.
+
+    A value-space tolerance would need distribution knowledge; the
+    sketch's actual contract is rank error <= eps*n, which IS checkable
+    exactly: count(value < p_hat) must not exceed q*n + eps*n and
+    count(value <= p_hat) must reach q*n - eps*n."""
+    e = _events(spark, sf_dir)
+    pair = F.expr(
+        f"approx_percentile(value, array(0.5, 0.9), {APPROX_ACCURACY})"
+    )
+    appr = (
+        e.groupBy("event_type")
+        .agg(pair.alias("ap"))
+        .select(
+            "event_type",
+            F.col("ap")[0].alias("p50"),
+            F.col("ap")[1].alias("p90"),
+        )
+    )
+    j = e.select("event_type", "value").join(F.broadcast(appr), "event_type")
+    cnt = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value") <= F.col("p50")).cast("long")).alias("le50"),
+        F.sum((F.col("value") < F.col("p50")).cast("long")).alias("lt50"),
+        F.sum((F.col("value") <= F.col("p90")).cast("long")).alias("le90"),
+        F.sum((F.col("value") < F.col("p90")).cast("long")).alias("lt90"),
+    )
+
+    def rank_ok(le, lt, q):
+        slack = F.lit(GK_EPS) * F.col("n") + F.lit(1.0)
+        target = F.lit(q) * F.col("n")
+        return (F.col(le) >= target - slack) & (F.col(lt) <= target + slack)
+
+    return cnt.select(
+        "event_type",
+        rank_ok("le50", "lt50", 0.5).alias("p50_ok"),
+        rank_ok("le90", "lt90", 0.9).alias("p90_ok"),
+    ).orderBy("event_type")
+
+
+def _recall_check(
+    spark: SparkSession,
+    sf_dir: str,
+    approx_fn: Callable[[SparkSession, str], DataFrame],
+    floor: float,
+) -> DataFrame:
+    """Overall top-k recall of ``approx_fn`` vs the exact baseline,
+    emitted as one (n_queries, k, recall_ok) row. Both operators are
+    deterministic on fixed data (seeded planes/centroids, total tie
+    orders), so the boolean is stable run-over-run."""
+    bf = sim_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ap = (
+        approx_fn(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    agg = (
+        bf.join(ap, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                / F.count(F.lit(1))
+            ).alias("recall"),
+        )
+    )
+    return agg.select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.lit(TOP_K).cast("long").alias("k"),
+        (F.col("recall") >= F.lit(floor)).alias("recall_ok"),
+    )
+
+
+def sim_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k recall >= 0.7 vs brute force (measured 0.80-0.85)."""
+    return _recall_check(spark, sf_dir, sim_lsh_topk, LSH_RECALL_FLOOR)
+
+
+def sim_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k recall >= 0.8 vs brute force (measured 0.88-0.95)."""
+    return _recall_check(spark, sf_dir, sim_ivf_topk, IVF_RECALL_FLOOR)
+
+
+def vocab_topk_containment_check(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """``approx_top_k`` vs exact token counts, as two booleans: every
+    reported count is the true count (the tracked-item budget exceeds
+    the corpus's distinct-token cardinality, so the sketch cannot have
+    evicted), and every reported item's count reaches the exact k-th
+    count (set containment up to boundary ties)."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ", -1)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    kth = (
+        exact.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
+        .agg(F.min("cnt").alias("kth_cnt"))
+    )
+    approx = (
+        toks.agg(F.expr(f"approx_top_k(token, {k}, 100000)").alias("top"))
+        .select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").alias("approx_cnt"),
+        )
+    )
+    agg = (
+        approx.join(exact, "token", "left")
+        .crossJoin(F.broadcast(kth))
+        .agg(
+            F.min((F.col("approx_cnt") == F.col("cnt")).cast("int")).alias(
+                "c_ok"
+            ),
+            F.min(
+                (F.col("approx_cnt") >= F.col("kth_cnt")).cast("int")
+            ).alias("b_ok"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return agg.select(
+        (F.col("c_ok") == 1).alias("counts_exact_ok"),
+        (F.col("b_ok") == 1).alias("boundary_ok"),
+        F.col("n_items").cast("long").alias("n_items"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "approx_distinct_error_check": approx_distinct_error_check,
+    "approx_percentile_error_check": approx_percentile_error_check,
+    "sim_lsh_recall_check": sim_lsh_recall_check,
+    "sim_ivf_recall_check": sim_ivf_recall_check,
+    "vocab_topk_containment_check": vocab_topk_containment_check,
+}
+
+ORACLES: dict[str, str] = {
+    # The oracle side of a bound check is the bound itself: the exact
+    # engine agrees the groups exist and asserts TRUE per group.
+    "approx_distinct_error_check": """
+        SELECT DISTINCT n.n_name AS nation, TRUE AS within_bound
+        FROM nation n
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        ORDER BY nation""",
+    "approx_percentile_error_check": """
+        SELECT DISTINCT event_type, TRUE AS p50_ok, TRUE AS p90_ok
+        FROM events ORDER BY event_type""",
+    "sim_lsh_recall_check": """
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(5 AS BIGINT) AS k, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 8""",
+    "sim_ivf_recall_check": """
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(5 AS BIGINT) AS k, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 8""",
+    "vocab_topk_containment_check": """
+        SELECT TRUE AS counts_exact_ok, TRUE AS boundary_ok,
+               CAST(20 AS BIGINT) AS n_items""",
+}

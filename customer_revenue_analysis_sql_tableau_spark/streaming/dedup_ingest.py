@@ -38,6 +38,7 @@ from ..operators.dedup import (
     _jaccard_pairs_from_candidates,
     _minhash_signatures_from,
 )
+from .statefs import list_subdirs
 
 
 def _band_explode(sig: DataFrame) -> DataFrame:
@@ -63,12 +64,38 @@ def _band_explode(sig: DataFrame) -> DataFrame:
     )
 
 
-def _read_store(spark: SparkSession, path: str) -> DataFrame:
+def _store_paths(
+    spark: SparkSession, path: str, before_batch: int | None = None
+) -> list[str]:
+    """Full URIs of the store's writer subdirectories (``b_seed`` plus
+    ``b_<k>``), restricted to ``k < before_batch`` when given.
+
+    The restriction is the retry-safety contract: a batch retried after
+    a partial write must never read its OWN leftover ``b_<batch_id>``
+    output (it already unions its in-memory frame), or its docs' shingle
+    counts double and every Jaccard denominator involving them corrupts.
+    Mirrors ``_upsert_batch``'s predecessor-version discipline."""
+    out = []
+    for name, uri in list_subdirs(spark, path):
+        if name == "b_seed":
+            out.append(uri)
+        elif name.startswith("b_") and name[2:].isdigit():
+            if before_batch is None or int(name[2:]) < before_batch:
+                out.append(uri)
+    return out
+
+
+def _read_store(
+    spark: SparkSession, path: str, before_batch: int | None = None
+) -> DataFrame | None:
     """Read a state store laid out as one subdirectory per writer
-    (``b_seed``, ``b_<batch_id>``). recursiveFileLookup reads every
-    leaf file without partition-column inference, so the schema is the
-    written schema regardless of layout depth."""
-    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+    (``b_seed``, ``b_<batch_id>``), excluding writers ``>= before_batch``
+    so a retried batch never sees its own partial output. Returns None
+    when no eligible subdirectory exists yet."""
+    paths = _store_paths(spark, path, before_batch)
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
 
 
 def seed_dedup_index(corpus: DataFrame, work_dir: str) -> None:
@@ -105,13 +132,16 @@ def run_streaming_minhash_dedup(
        the persistent state — strictly after the join reads, so a
        batch never matches itself through the store.
 
-    Every write lands in a per-batch subdirectory with overwrite
-    semantics (``b_<batch_id>``), so a batch retried after a mid-write
-    crash REPLACES its own partial output instead of appending a second
-    copy — plain-parquet idempotence; the foreachBatch checkpoint log
-    guarantees committed batches are never re-run at all. (A naive
-    mode("append") would double a retried batch's shingle rows and
-    corrupt every later Jaccard denominator involving those docs.)
+    Retry-exact on BOTH sides of the state store: writes land in
+    per-batch subdirectories with overwrite semantics (``b_<batch_id>``),
+    so a batch retried after a mid-write crash REPLACES its own partial
+    output instead of appending a second copy; and reads are
+    predecessor-only (``b_seed`` + ``b_<k>`` with k < batch_id), so the
+    retry never unions its own leftover partial output with the
+    in-memory batch frame — which would double those docs' shingle
+    counts and corrupt every Jaccard denominator involving them. The
+    foreachBatch checkpoint log guarantees committed batches are never
+    re-run at all.
     """
     shingle_dir = f"{work_dir}/shingles"
     index_dir = f"{work_dir}/band_index"
@@ -122,7 +152,10 @@ def run_streaming_minhash_dedup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bsh = _doc_shingles(batch_df).localCheckpoint()
         bband = _band_explode(_minhash_signatures_from(bsh)).localCheckpoint()
-        known = _read_store(spark, index_dir).unionByName(bband)
+        prior_bands = _read_store(spark, index_dir, before_batch=batch_id)
+        known = (
+            prior_bands.unionByName(bband) if prior_bands is not None else bband
+        )
         a, b = bband.alias("a"), known.alias("b")
         # pair key normalized (min, max) so a within-batch pair — seen
         # from both sides of the self-union — collapses to one row.
@@ -139,7 +172,8 @@ def run_streaming_minhash_dedup(
             )
             .distinct()
         )
-        all_sh = _read_store(spark, shingle_dir).unionByName(bsh)
+        prior_sh = _read_store(spark, shingle_dir, before_batch=batch_id)
+        all_sh = prior_sh.unionByName(bsh) if prior_sh is not None else bsh
         pairs = _jaccard_pairs_from_candidates(all_sh, cand, JACCARD_T)
         pairs.write.mode("overwrite").parquet(f"{pairs_dir}/b_{batch_id}")
         bsh.write.mode("overwrite").parquet(f"{shingle_dir}/b_{batch_id}")
@@ -155,12 +189,11 @@ def run_streaming_minhash_dedup(
         .start()
     )
     query.awaitTermination()
-    try:
-        out = _read_store(spark, pairs_dir)
-    except Exception:
-        # no batch found any pair (or the source was empty): parquet
-        # cannot infer a schema from an empty directory — return the
-        # contract's empty frame instead of failing the drain
+    # Explicit empty-store check instead of a broad except: a genuine
+    # read failure (corrupt parquet, IO/permission error) must surface,
+    # not be mistaken for "no pairs found".
+    out = _read_store(spark, pairs_dir)
+    if out is None:
         return spark.createDataFrame(
             [], "d1 bigint, d2 bigint, jaccard double"
         )

@@ -567,7 +567,7 @@ def run_foreach_batch_upsert_stream(
         .start()
     )
     query.awaitTermination()
-    latest = _latest_state_version(state_dir)
+    latest = _latest_state_version(spark, state_dir)
     if latest is None:  # empty source: no batch ran
         return spark.createDataFrame(
             [], "user_id bigint, n_events bigint,"
@@ -581,20 +581,21 @@ def run_foreach_batch_upsert_stream(
     )
 
 
-def _state_versions(state_dir: str) -> list[int]:
-    import os
+def _state_versions(spark: SparkSession, state_dir: str) -> list[int]:
+    """Version ids present in the state store, listed via the Hadoop
+    FileSystem API so the versioned upsert works wherever Spark can
+    write parquet (local path under test, HDFS/S3 URI on a cluster)."""
+    from .statefs import list_subdirs
 
-    if not os.path.isdir(state_dir):
-        return []
     return [
-        int(d[2:])
-        for d in os.listdir(state_dir)
-        if d.startswith("v_") and d[2:].isdigit()
+        int(name[2:])
+        for name, _ in list_subdirs(spark, state_dir)
+        if name.startswith("v_") and name[2:].isdigit()
     ]
 
 
-def _latest_state_version(state_dir: str) -> int | None:
-    versions = _state_versions(state_dir)
+def _latest_state_version(spark: SparkSession, state_dir: str) -> int | None:
+    versions = _state_versions(spark, state_dir)
     return max(versions) if versions else None
 
 
@@ -605,14 +606,14 @@ def _upsert_batch(
     state into the predecessor version (largest v < batch_id), writing
     ``v_<batch_id>``. Re-running with the same (batch, id) rebuilds the
     identical version — the retry contract of the foreachBatch log."""
-    import shutil
+    from .statefs import delete_dir
 
     part = batch_df.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(money("value")).alias("value_sum"),
         F.max(F.unix_micros("ts")).alias("last_us"),
     )
-    versions = _state_versions(state_dir)
+    versions = _state_versions(spark, state_dir)
     prev = max((v for v in versions if v < batch_id), default=None)
     if prev is not None:
         merged = (
@@ -633,7 +634,7 @@ def _upsert_batch(
     # prune grandparents: a retry of THIS batch only needs `prev`
     for v in versions:
         if prev is not None and v < prev:
-            shutil.rmtree(f"{state_dir}/v_{v}", ignore_errors=True)
+            delete_dir(spark, f"{state_dir}/v_{v}")
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -502,4 +502,4 @@ def test_upsert_batch_retry_is_idempotent(spark, sf_dir):
             for r in spark.read.parquet(f"{state}/v_1").collect()
         }
         assert twice == once
-        assert _latest_state_version(state) == 1
+        assert _latest_state_version(spark, state) == 1

@@ -12,11 +12,13 @@ shifting every TIMESTAMP_NTZ cast by the zone offset.
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
 import pytest
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tools")
+_REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(_REPO))
+sys.path.insert(0, str(_REPO / "tools"))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from oracle_check import compare_tables, duckdb_connection  # noqa: E402
@@ -57,6 +59,29 @@ def test_registry_entry_under_hostile_timezone(name, spark, sf_dir, hostile_tz):
         con.close()
     problems = compare_tables(spark_tbl, oracle_tbl)
     assert not problems, f"{name} under {HOSTILE_TZ}: {problems}"
+
+
+def test_cached_view_hit_under_hostile_timezone(spark, sf_dir, hostile_tz):
+    """Regression: a materialized-view cache HIT used to skip the UTC
+    re-pin (only load_tables pinned), so a hostile-TZ session reaching
+    the cached plan shifted tableau_g2's day groups (spark=31 vs
+    oracle=30 rows). Warm the cache under UTC, then query under the
+    hostile zone — results must still hash-match."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.queries import (
+        materialized_view,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    materialized_view(spark, sf_dir).count()  # warm the cache under UTC
+    spark.conf.set("spark.sql.session.timeZone", HOSTILE_TZ)
+    name = "tableau_g2_first_order_day"
+    spark_tbl = entrymod.queries()[name](spark, sf_dir).toArrow()
+    con = duckdb_connection(sf_dir)
+    try:
+        oracle_tbl = con.execute(entrymod.oracle_sql()[name]).arrow()
+    finally:
+        con.close()
+    assert not compare_tables(spark_tbl, oracle_tbl)
 
 
 def test_entry_under_hostile_timezone(spark, hostile_tz):

@@ -4,11 +4,12 @@ oracle at sf0.001 (the driver runs the same check at sf0.01)."""
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
 import pytest
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from oracle_check import compare_tables, duckdb_connection  # noqa: E402

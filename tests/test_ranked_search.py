@@ -182,8 +182,9 @@ def test_search_terms_with_quotes_are_data_not_sql(spark, sf_dir):
     # the oracle builders must emit parseable, equivalent SQL
     import duckdb
     import sys
+    from pathlib import Path
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     from oracle_check import duckdb_connection
 
     con = duckdb_connection(sf_dir)

@@ -6,6 +6,8 @@ correctness gate.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import __spark_entry__ as entrymod
 
 #: Entries that CANNOT have a value-hash oracle, and why. Keep this
@@ -70,7 +72,7 @@ def test_no_oracle_emits_hugeint():
     """
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     from oracle_check import duckdb_connection
 
     con = duckdb_connection("/root/testdata/sf0.001")
@@ -99,7 +101,7 @@ def test_registry_plans_have_no_scale_red_flags(spark, sf_dir):
     bounded-side allowlist (tools/registry_plan_scan.py)."""
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     import __spark_entry__ as entrymod
     from registry_plan_scan import BNLJ_ALLOWLIST
 

@@ -4,13 +4,14 @@ reference's own parsed dump."""
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 from decimal import Decimal
 
 import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
 from oracle_check import compare_frames  # noqa: E402
 

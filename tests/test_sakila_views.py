@@ -9,11 +9,12 @@ both dialects (the module's documented determinism policy).
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
 import duckdb
 import pytest
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
 from oracle_check import compare_frames  # noqa: E402
 

@@ -4,10 +4,11 @@ builders on the reference's own data (entry point A, SURVEY §3.1)."""
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
 import pytest
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
 from oracle_check import compare_frames  # noqa: E402
 

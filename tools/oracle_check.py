@@ -160,7 +160,9 @@ def compare_tables(spark_tbl: pa.Table, oracle_tbl: pa.Table) -> list[str]:
 
 
 def main() -> int:
-    sys.path.insert(0, "/root/repo")
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
     import __spark_entry__ as entrymod
     from customer_revenue_analysis_sql_tableau_spark.session import get_spark
 

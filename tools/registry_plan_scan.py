@@ -19,6 +19,7 @@ Usage: python tools/registry_plan_scan.py [sf_dir]
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
 #: Entries whose BroadcastNestedLoopJoin is a documented bounded-side
 #: join: scalar thresholds / 1-row stats frames / the top-k query set
@@ -37,13 +38,16 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "sim_lsh_topk",  # query set × banded buckets, queries bounded
         "split_mixture_sample",  # broadcast per-source rate map (rows = sources)
         "embed_profile_by_label",  # broadcast per-label stats (rows = labels)
+        "sim_lsh_recall_check",  # inherits sim_lsh_topk's bounded query set
+        "sim_ivf_recall_check",  # inherits sim_ivf_topk's bounded query set
+        "vocab_topk_containment_check",  # broadcast k-th-count scalar (1 row)
     }
 )
 
 
 def scan(sf_dir: str) -> dict[str, str]:
     """Return {entry: flag} for every red-flagged registry entry."""
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
     import __spark_entry__ as entrymod
     from customer_revenue_analysis_sql_tableau_spark.session import get_spark
 
