@@ -80,15 +80,31 @@ def decontaminate_ngram_overlap(
     one inverted join + one per-doc aggregate.
     """
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    toks = d.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
-    grams = toks.selectExpr(
-        "doc_id", f"explode({_kgrams(k)}) AS gram"
-    )
+    grams = doc_kgrams(d, k)
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     eval_grams = grams.filter(is_eval).select("gram").distinct()
-    train = grams.filter(~is_eval)
+    return containment_vs_eval(grams.filter(~is_eval), eval_grams)
+
+
+def doc_kgrams(docs: DataFrame, k: int = DECON_K) -> DataFrame:
+    """Distinct (doc_id, k-gram) rows of any ``(doc_id, text)`` frame."""
+    toks = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+    return toks.selectExpr("doc_id", f"explode({_kgrams(k)}) AS gram")
+
+
+def containment_vs_eval(
+    train_grams: DataFrame, eval_grams: DataFrame
+) -> DataFrame:
+    """Per-doc containment of ``train_grams`` against a static eval
+    k-gram set — the unit the streaming ingest gate reuses per
+    micro-batch (the eval set is seeded once and broadcast; only the
+    batch's grams are recomputed)."""
     hits = (
-        train.join(F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "gram", "left")
+        train_grams.join(
+            F.broadcast(eval_grams.withColumn("_hit", F.lit(1))),
+            "gram",
+            "left",
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -195,10 +195,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Jaccard verifier does. SQL-checked.
     """
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    sh = _doc_shingles(d).localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return _containment_simple_from(_doc_shingles(d).localCheckpoint())
+
+
+def _containment_candidates_simple(sh: DataFrame) -> DataFrame:
+    """Candidate (d1, d2, inter) triples of the plain inverted-index
+    join: every ordered pair sharing ≥1 shingle, intersection counted
+    directly by the index join. A shingle shared by k docs contributes
+    k·(k−1)/2 rows here — the quadratic hot-posting-list cost the
+    prefix filter exists to avoid."""
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -207,6 +214,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+
+
+def _containment_simple_from(sh: DataFrame) -> DataFrame:
+    """Containment pairs from a (doc_id, shingle) frame — the testable
+    unit behind :func:`dedup_containment` (the Zipfian-skew A/B test
+    feeds a synthetic skewed corpus through both forms)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = _containment_candidates_simple(sh)
     z1, z2 = sizes.alias("z1"), sizes.alias("z2")
     c_small = F.col("inter") / F.least(F.col("z1.n"), F.col("z2.n")).cast(
         "double"
@@ -247,7 +262,13 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the shape to deploy once shingle DF is Zipfian at corpus scale.
     """
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    sh = _doc_shingles(d).localCheckpoint()
+    return _containment_prefix_from(_doc_shingles(d).localCheckpoint())
+
+
+def _containment_candidates_prefix(sh: DataFrame) -> DataFrame:
+    """Distinct candidate pairs certified by the PPJoin prefix filter:
+    only the smaller doc's (n − ⌈τn⌉ + 1) globally-rarest shingles
+    enter the join, so hot posting lists never generate candidates."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
@@ -274,7 +295,7 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "shingle", "n")
     full = sh.join(sizes, "doc_id")
     a, b = prefix.alias("a"), full.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -288,6 +309,13 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _containment_prefix_from(sh: DataFrame) -> DataFrame:
+    """Prefix-filtered containment pairs from a (doc_id, shingle)
+    frame — the testable unit behind :func:`dedup_containment_prefix`."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cand = _containment_candidates_prefix(sh)
     s1, s2 = sh.alias("s1"), sh.alias("s2")
     inter = (
         cand.join(s1, F.col("d1") == F.col("s1.doc_id"))

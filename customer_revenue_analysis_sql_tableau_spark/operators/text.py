@@ -114,7 +114,17 @@ def text_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword ratios + composite score."""
-    d = _with_tokens(load_tables(spark, sf_dir, names=("documents",))["documents"])
+    return quality_scored(
+        load_tables(spark, sf_dir, names=("documents",))["documents"]
+    )
+
+
+def quality_scored(docs: DataFrame) -> DataFrame:
+    """Per-document quality projection over any ``(doc_id, text)`` frame
+    — the stateless unit the streaming ingest gate reuses per
+    micro-batch (same expression tree as the registered entry, so
+    streamed scores are bit-identical to batch scores)."""
+    d = _with_tokens(docs)
     stop = _inlist(STOP_EN)
     return d.selectExpr(
         "doc_id",

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.decontamination import containment_vs_eval, doc_kgrams
 from ..operators.dedup import (
     JACCARD_T,
     LSH_BANDS,
@@ -38,6 +39,8 @@ from ..operators.dedup import (
     _jaccard_pairs_from_candidates,
     _minhash_signatures_from,
 )
+from ..operators.pipeline import QUALITY_T
+from ..operators.text import quality_scored
 from .statefs import list_subdirs
 
 
@@ -143,41 +146,10 @@ def run_streaming_minhash_dedup(
     foreachBatch checkpoint log guarantees committed batches are never
     re-run at all.
     """
-    shingle_dir = f"{work_dir}/shingles"
-    index_dir = f"{work_dir}/band_index"
-    pairs_dir = f"{work_dir}/pairs"
-
     schema = spark.read.parquet(source_dir).schema
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        bsh = _doc_shingles(batch_df).localCheckpoint()
-        bband = _band_explode(_minhash_signatures_from(bsh)).localCheckpoint()
-        prior_bands = _read_store(spark, index_dir, before_batch=batch_id)
-        known = (
-            prior_bands.unionByName(bband) if prior_bands is not None else bband
-        )
-        a, b = bband.alias("a"), known.alias("b")
-        # pair key normalized (min, max) so a within-batch pair — seen
-        # from both sides of the self-union — collapses to one row.
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.doc_id") != F.col("b.doc_id")),
-            )
-            .select(
-                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("d1"),
-                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("d2"),
-            )
-            .distinct()
-        )
-        prior_sh = _read_store(spark, shingle_dir, before_batch=batch_id)
-        all_sh = prior_sh.unionByName(bsh) if prior_sh is not None else bsh
-        pairs = _jaccard_pairs_from_candidates(all_sh, cand, JACCARD_T)
-        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/b_{batch_id}")
-        bsh.write.mode("overwrite").parquet(f"{shingle_dir}/b_{batch_id}")
-        bband.write.mode("overwrite").parquet(f"{index_dir}/b_{batch_id}")
+        _dedup_batch(spark, work_dir, batch_df, batch_id)
 
     query = (
         spark.readStream.schema(schema)
@@ -189,10 +161,53 @@ def run_streaming_minhash_dedup(
         .start()
     )
     query.awaitTermination()
-    # Explicit empty-store check instead of a broad except: a genuine
-    # read failure (corrupt parquet, IO/permission error) must surface,
-    # not be mistaken for "no pairs found".
-    out = _read_store(spark, pairs_dir)
+    return _accumulated_pairs(spark, work_dir)
+
+
+def _dedup_batch(
+    spark: SparkSession, work_dir: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """One ingest-dedup step (the foreachBatch unit): shingle + sign the
+    batch, band-join against index ∪ batch, exact-verify, then append
+    the batch's state — reads predecessor-only, writes per-batch
+    overwrite (see :func:`run_streaming_minhash_dedup` retry notes)."""
+    shingle_dir = f"{work_dir}/shingles"
+    index_dir = f"{work_dir}/band_index"
+    bsh = _doc_shingles(batch_df).localCheckpoint()
+    bband = _band_explode(_minhash_signatures_from(bsh)).localCheckpoint()
+    prior_bands = _read_store(spark, index_dir, before_batch=batch_id)
+    known = (
+        prior_bands.unionByName(bband) if prior_bands is not None else bband
+    )
+    a, b = bband.alias("a"), known.alias("b")
+    # pair key normalized (min, max) so a within-batch pair — seen
+    # from both sides of the self-union — collapses to one row.
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("d1"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("d2"),
+        )
+        .distinct()
+    )
+    prior_sh = _read_store(spark, shingle_dir, before_batch=batch_id)
+    all_sh = prior_sh.unionByName(bsh) if prior_sh is not None else bsh
+    pairs = _jaccard_pairs_from_candidates(all_sh, cand, JACCARD_T)
+    pairs.write.mode("overwrite").parquet(f"{work_dir}/pairs/b_{batch_id}")
+    bsh.write.mode("overwrite").parquet(f"{shingle_dir}/b_{batch_id}")
+    bband.write.mode("overwrite").parquet(f"{index_dir}/b_{batch_id}")
+
+
+def _accumulated_pairs(spark: SparkSession, work_dir: str) -> DataFrame:
+    """The drained pair store. Explicit empty-store check instead of a
+    broad except: a genuine read failure (corrupt parquet, IO error)
+    must surface, not be mistaken for "no pairs found"."""
+    out = _read_store(spark, f"{work_dir}/pairs")
     if out is None:
         return spark.createDataFrame(
             [], "d1 bigint, d2 bigint, jaccard double"
@@ -201,3 +216,97 @@ def run_streaming_minhash_dedup(
     # reappear (exactly-once source makes that impossible, but the read
     # keeps the contract explicit)
     return out.distinct()
+
+def seed_eval_grams(eval_docs: DataFrame, work_dir: str) -> None:
+    """Materialize the static benchmark k-gram set for ingest-time
+    decontamination. Eval sets are small and fixed (they are the
+    benchmark, not the stream), so this is a one-time seed — each
+    micro-batch broadcasts it, never rebuilds it."""
+    doc_kgrams(eval_docs).select("gram").distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{work_dir}/eval_grams")
+
+
+def run_streaming_ingest_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    work_dir: str,
+    quality_t: float = QUALITY_T,
+) -> tuple[DataFrame, DataFrame]:
+    """The full training-data ingest path as a stream (VERDICT.md r3,
+    Next #5): per micro-batch, apply the quality gate and the
+    benchmark-decontamination gate (both pure per-row projections — the
+    batch's own rows plus one broadcast of the static eval k-gram set),
+    then feed only the survivors into the persistent MinHash dedup
+    index. Requires :func:`seed_eval_grams` (and, optionally,
+    :func:`seed_dedup_index` for a pre-existing corpus).
+
+    Returns ``(verdicts, pairs)``: per-doc gate verdicts
+    ``(doc_id, quality_score, containment, kept, reason)`` for every
+    streamed doc, and the accumulated near-dup pair frame among
+    survivors. Both stores follow the per-batch-subdirectory retry
+    discipline of :func:`run_streaming_minhash_dedup`.
+
+    The gates are stateless per doc, so streamed verdicts are
+    bit-identical to the batch twin's regardless of batch boundaries or
+    arrival order — pytest asserts streamed ≡ batch on a 3-batch
+    delivery; the dedup stage's streamed ≡ batch proof carries over
+    from the pair-set equality test.
+    """
+    verdict_dir = f"{work_dir}/verdicts"
+    eval_grams = spark.read.parquet(f"{work_dir}/eval_grams").localCheckpoint()
+    schema = spark.read.parquet(source_dir).schema
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.localCheckpoint()
+        scored = quality_scored(docs).select("doc_id", "quality_score")
+        cont = containment_vs_eval(doc_kgrams(docs), eval_grams).select(
+            "doc_id", "containment", "flagged"
+        )
+        verdicts = (
+            docs.select("doc_id")
+            .join(scored, "doc_id")
+            .join(cont, "doc_id")
+            .select(
+                "doc_id",
+                "quality_score",
+                "containment",
+                (
+                    (F.col("quality_score") >= F.lit(quality_t))
+                    & ~F.col("flagged")
+                ).alias("kept"),
+                F.when(
+                    F.col("quality_score") < F.lit(quality_t), "low_quality"
+                )
+                .when(F.col("flagged"), "contaminated")
+                .alias("reason"),
+            )
+            .localCheckpoint()
+        )
+        verdicts.write.mode("overwrite").parquet(
+            f"{verdict_dir}/b_{batch_id}"
+        )
+        survivors = docs.join(
+            verdicts.filter(F.col("kept")).select("doc_id"), "doc_id"
+        )
+        _dedup_batch(spark, work_dir, survivors, batch_id)
+
+    query = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    verdicts = _read_store(spark, verdict_dir)
+    if verdicts is None:
+        verdicts = spark.createDataFrame(
+            [],
+            "doc_id bigint, quality_score double, containment double,"
+            " kept boolean, reason string",
+        )
+    return verdicts, _accumulated_pairs(spark, work_dir)

@@ -503,3 +503,156 @@ def test_upsert_batch_retry_is_idempotent(spark, sf_dir):
         }
         assert twice == once
         assert _latest_state_version(spark, state) == 1
+
+def test_prefix_containment_wins_under_zipfian_skew(spark):
+    """SCALE.md's claim 'prefix filtering pays off under posting-list
+    skew' as a measured fact (VERDICT.md r3, Next #4): on a corpus
+    where a few hot shingles are shared by hundreds of docs, the
+    prefix-filtered candidate set must be dramatically smaller than
+    the simple inverted-index join's — while the final pair set stays
+    exactly equal. The hot shingles rank last in document frequency,
+    so they never enter the prefix; candidates come only from the
+    planted rare-shingle overlaps."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
+        _containment_candidates_prefix,
+        _containment_candidates_simple,
+        _containment_prefix_from,
+        _containment_simple_from,
+    )
+
+    n_docs, shingles_per_doc, hot = 240, 10, ["h0", "h1", "h2"]
+    rows = []
+    for d in range(n_docs):
+        # every doc carries the 3 hot shingles (Zipf head) ...
+        rows += [(d, h) for h in hot]
+        # ... plus doc-specific rare shingles (Zipf tail)
+        rows += [(d, f"r{d}_{j}") for j in range(shingles_per_doc - len(hot))]
+    # planted near-dups: doc 2k+1 contains 6 of doc 2k's rare shingles
+    # for the first 20 even docs -> containment 9/10 >= 0.6 (3 hot + 6
+    # rare shared of 10 total)
+    planted = set()
+    for d in range(0, 40, 2):
+        rows = [
+            (i, s)
+            for (i, s) in rows
+            if not (i == d + 1 and s.startswith(f"r{d + 1}_") and int(s.split("_")[1]) < 6)
+        ] + [(d + 1, f"r{d}_{j}") for j in range(6)]
+        planted.add((d, d + 1))
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string").localCheckpoint()
+
+    n_simple = _containment_candidates_simple(sh).count()
+    n_prefix = _containment_candidates_prefix(sh).count()
+    # every doc pair shares the hot shingles -> the simple join's
+    # candidate set is the full quadratic n*(n-1)/2
+    assert n_simple == n_docs * (n_docs - 1) // 2
+    # the prefix join sees only rare-shingle overlaps: >=100x fewer
+    assert n_prefix * 100 <= n_simple, (n_prefix, n_simple)
+
+    simple = {
+        (r.d1, r.d2): (r.contain_d1, r.contain_d2, r.containment)
+        for r in _containment_simple_from(sh).collect()
+    }
+    pref = {
+        (r.d1, r.d2): (r.contain_d1, r.contain_d2, r.containment)
+        for r in _containment_prefix_from(sh).collect()
+    }
+    assert pref == simple
+    assert planted <= set(simple), "planted near-dup pairs must surface"
+
+def test_streaming_ingest_pipeline_equals_batch_gates(spark, sf_dir):
+    """The streamed quality + decontamination gates must produce
+    bit-identical verdicts to the batch operators on a 3-batch
+    delivery (VERDICT.md r3, Next #5), and the surviving docs must
+    carry the same near-dup pair set the batch pipeline finds among
+    survivors."""
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.operators.decontamination import (
+        EVAL_MOD,
+        containment_vs_eval,
+        doc_kgrams,
+    )
+    from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
+        _doc_shingles,
+        _jaccard_pairs_from_candidates,
+        JACCARD_T,
+    )
+    from customer_revenue_analysis_sql_tableau_spark.operators.pipeline import (
+        QUALITY_T,
+    )
+    from customer_revenue_analysis_sql_tableau_spark.operators.text import (
+        quality_scored,
+    )
+    from customer_revenue_analysis_sql_tableau_spark.streaming.dedup_ingest import (
+        run_streaming_ingest_pipeline,
+        seed_eval_grams,
+    )
+
+    docs = load_tables(spark, sf_dir, names=("documents",), register=False)[
+        "documents"
+    ]
+    eval_docs = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+
+    # batch twin: same gates over the whole train set at once
+    bq = quality_scored(train).select("doc_id", "quality_score")
+    eg = doc_kgrams(eval_docs).select("gram").distinct()
+    bc = containment_vs_eval(doc_kgrams(train), eg).select(
+        "doc_id", "containment", "flagged"
+    )
+    batch = {
+        r.doc_id: (r.quality_score, r.containment,
+                   r.quality_score >= QUALITY_T and not r.flagged)
+        for r in bq.join(bc, "doc_id").collect()
+    }
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src, ckpt, work = f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/work"
+        seed_eval_grams(eval_docs, work)
+        for k in (0, 1, 2):  # 3 micro-batches (maxFilesPerTrigger=1)
+            train.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        verdicts, pairs = run_streaming_ingest_pipeline(
+            spark, src, ckpt, work
+        )
+        got = {
+            r.doc_id: (r.quality_score, r.containment, r.kept)
+            for r in verdicts.collect()
+        }
+        assert got == batch  # bit-identical scores, same keep set
+
+        # reason precedence: low_quality wins over contaminated; kept
+        # rows carry NULL
+        for r in verdicts.collect():
+            if r.kept:
+                assert r.reason is None
+            elif r.quality_score < QUALITY_T:
+                assert r.reason == "low_quality"
+            else:
+                assert r.reason == "contaminated"
+
+        # dedup among survivors: streamed pair set == batch pair set
+        # over the same survivor corpus (within-stream pairs only: no
+        # seed corpus was planted)
+        survivor_ids = {d for d, (_, _, kept) in batch.items() if kept}
+        surv = train.filter(
+            F.col("doc_id").isin([int(x) for x in survivor_ids])
+        )
+        sh = _doc_shingles(surv).localCheckpoint()
+        a, b = sh.alias("a"), sh.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+            )
+            .distinct()
+        )
+        expect_pairs = _pairs(
+            _jaccard_pairs_from_candidates(sh, cand, JACCARD_T)
+        )
+        assert _pairs(pairs) == expect_pairs
+        assert len(expect_pairs) > 0  # planted near-dups survive the gates
