@@ -83,6 +83,9 @@ _PRIORITY = [
     "sim_lsh_recall_check",
     "sim_ivf_recall_check",
     "vocab_topk_containment_check",
+    # -- new A/B twins (r4): first driver proof --
+    "view_customer_value_summary_bucketed",
+    "dedup_minhash_lsh_grouped",
     # -- r1-green on r1 code; plans changed in r3 (catalog + geo join) --
     "view_customer_value_summary",
     "flagship_revenue_by_region",

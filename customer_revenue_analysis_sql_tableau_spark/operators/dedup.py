@@ -379,6 +379,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the same role is played by persist(DISK_ONLY) or a
     checkpoint to cluster storage.
     """
+    sh, banded = _banded_signatures(spark, sf_dir)
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    return _jaccard_pairs_from_candidates(sh, candidates, JACCARD_T)
+
+
+def _banded_signatures(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(shingles, banded) frames shared by both candidate strategies."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     sh = _doc_shingles(d).localCheckpoint()
     sig = _minhash_signatures_from(sh)
@@ -397,15 +416,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.select("doc_id", F.explode(bands).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    return sh, banded
+
+
+def dedup_minhash_lsh_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_minhash_lsh` with grouped candidate generation: one
+    ``groupBy(band, bucket) → collect_list(doc_id)`` and in-partition
+    JVM pairing (``transform``/``slice``) instead of the band
+    self-join. Same verified output (same oracle).
+
+    Trade vs the self-join: ONE shuffle of the banded rows instead of
+    two join sides, and no join-key sort — but each bucket's ids ride
+    as one array, so per-bucket memory is O(bucket²) at pair-explode
+    time. For MinHash banding buckets are near-dup clusters (small by
+    construction), so the grouped form wins; under adversarial bucket
+    skew the self-join degrades more gracefully. A/B measured at sf0.1
+    in BENCH (see SCALE.md)."""
+    sh, banded = _banded_signatures(spark, sf_dir)
+    pairs_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(least(x, y) AS d1, greatest(x, y) AS d2))))"
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.d1", "p.d2")
         .distinct()
     )
     return _jaccard_pairs_from_candidates(sh, candidates, JACCARD_T)
@@ -720,6 +758,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": dedup_containment,
     "dedup_containment_prefix": dedup_containment_prefix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_grouped": dedup_minhash_lsh_grouped,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_signlsh": dedup_embedding_signlsh,
@@ -874,6 +913,7 @@ ORACLES: dict[str, str] = {
         FROM documents GROUP BY 1""",
     "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
     "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
+    "dedup_minhash_lsh_grouped": _JACCARD_PAIRS_SQL,
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding_cosine": f"""
         WITH e AS (

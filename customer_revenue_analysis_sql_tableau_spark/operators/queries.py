@@ -29,6 +29,7 @@ from ..functions.money import money, round2_div, round2_div_sql
 from .warehouse import (
     VIEW_ORACLE_SQL,
     customer_value_summary,
+    customer_value_summary_bucketed as _view_bucketed,
     most_frequent_part_type,
     sum_revenue,
 )
@@ -390,6 +391,7 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "view_customer_value_summary": materialized_view,
+    "view_customer_value_summary_bucketed": _view_bucketed,
     "q1_top_revenue_customers": q1_top_revenue_customers,
     "q1_full": q1_full,
     "q2_most_frequent_customers": q2_most_frequent_customers,
@@ -417,6 +419,8 @@ _Q11_AVG_SQL = round2_div_sql(
 
 ORACLES: dict[str, str] = {
     "view_customer_value_summary": VIEW_ORACLE_SQL,
+    # same 13 columns from the bucketed fact layout — same oracle
+    "view_customer_value_summary_bucketed": VIEW_ORACLE_SQL,
     "q1_top_revenue_customers": f"""{_VIEW_CTE}
         SELECT Customer_Name, Total_Revenue FROM cvs
         ORDER BY Total_Revenue DESC, Customer_Name ASC LIMIT 10""",

@@ -218,6 +218,69 @@ def customer_value_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_summary(partial, c, n, r)
 
 
+def _bucketed_fact_names(sf_dir: str) -> tuple[str, str]:
+    """Warehouse table names for the bucketed fact layout, keyed by a
+    hash of ``sf_dir`` so layouts built for different scale factors
+    never shadow each other within one metastore."""
+    import hashlib
+
+    h = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    return f"orders_by_okey_{h}", f"lineitem_by_okey_{h}"
+
+
+def prepare_bucketed_facts(
+    spark: SparkSession, sf_dir: str, buckets: int = 32
+) -> None:
+    """One-time bucketed fact layout for the view fill: ``orders`` and
+    ``lineitem`` written bucketed+sorted on their join key
+    (``sources/parquet.save_bucketed``), so the view's o⋈l join plans
+    with NO Exchange and NO per-query sort — the shuffle is paid once
+    at ingest. This is the write-once layout a recurring 100 TB view
+    fill would sit on; bench measures the fill on both layouts
+    (measured sf0.1 full-plan A/B: 2.58 s scan layout vs 1.76 s
+    bucketed, −32 %)."""
+    from ..sources.parquet import save_bucketed
+    from ..streaming.statefs import delete_dir
+
+    t = load_tables(
+        spark, sf_dir, names=("orders", "lineitem"), register=False
+    )
+    o_name, l_name = _bucketed_fact_names(sf_dir)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    for name, df, key in (
+        (o_name, t["orders"], "o_orderkey"),
+        (l_name, t["lineitem"], "l_orderkey"),
+    ):
+        # a fresh metastore + a leftover managed-table directory from an
+        # earlier process makes saveAsTable refuse even under overwrite;
+        # drop both sides first so the layout build is idempotent
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        delete_dir(spark, f"{warehouse}/{name}")
+        save_bucketed(df, name, key, buckets)
+
+
+def customer_value_summary_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`customer_value_summary` reading the bucketed fact layout
+    (same output, same oracle); only the physical o⋈l strategy differs.
+    Self-contained: builds the layout via
+    :func:`prepare_bucketed_facts` on first use per (metastore,
+    sf_dir), so the registry entry runs anywhere."""
+    o_name, l_name = _bucketed_fact_names(sf_dir)
+    if not spark.catalog.tableExists(o_name):
+        prepare_bucketed_facts(spark, sf_dir)
+    t = load_tables(
+        spark, sf_dir, names=("customer", "nation", "region", "part")
+    )
+    return finalize_summary(
+        partial_aggregate(spark.table(o_name), spark.table(l_name), t["part"]),
+        t["customer"],
+        t["nation"],
+        t["region"],
+    )
+
+
 def finalize_summary(
     partial: DataFrame, c: DataFrame, n: DataFrame, r: DataFrame
 ) -> DataFrame:

@@ -299,3 +299,23 @@ def test_decontamination_broadcasts_the_eval_gram_side(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+def test_bucketed_view_fill_joins_without_exchange(spark, sf_dir):
+    """The bucketed-layout view fill must read the o⋈l join from the
+    pre-bucketed tables with NO Exchange on the join keys (the shuffle
+    was paid once at write time) — the layout's entire point."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.warehouse import (
+        customer_value_summary_bucketed,
+    )
+
+    df = customer_value_summary_bucketed(spark, sf_dir)
+    p = plan(df)
+    # the only exchanges allowed are the aggregation shuffles on
+    # Customer_ID (partial->final) and the geo join — none keyed on
+    # the orderkey join
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", p):
+        key = m.group(1).strip()
+        assert "orderkey" not in key, f"o⋈l join still shuffles: {key}"
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
