@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from customer_revenue_analysis_sql_tableau_spark.operators import analytics as _analytics
+from customer_revenue_analysis_sql_tableau_spark.operators import corpus as _corpus
 from customer_revenue_analysis_sql_tableau_spark.operators import queries as _queries
 from customer_revenue_analysis_sql_tableau_spark.operators import procedures as _procedures
 from customer_revenue_analysis_sql_tableau_spark.operators import relational as _relational
@@ -38,6 +39,7 @@ from customer_revenue_analysis_sql_tableau_spark.functions import gallery as _ga
 
 _REGISTRY_MODULES = [
     _pipeline,
+    _corpus,
     _quality,
     _gallery,
     _decontamination,
@@ -86,6 +88,9 @@ _PRIORITY = [
     # -- new A/B twins (r4): first driver proof --
     "view_customer_value_summary_bucketed",
     "dedup_minhash_lsh_grouped",
+    # -- new corpus-level operators (r4): first driver proof --
+    "corpus_stats_report",
+    "quality_decile_curriculum",
     # -- r1-green on r1 code; plans changed in r3 (catalog + geo join) --
     "view_customer_value_summary",
     "flagship_revenue_by_region",
