@@ -656,3 +656,54 @@ def test_streaming_ingest_pipeline_equals_batch_gates(spark, sf_dir):
         )
         assert _pairs(pairs) == expect_pairs
         assert len(expect_pairs) > 0  # planted near-dups survive the gates
+
+def test_prefix_containment_at_tau_boundary_and_random(spark):
+    """Pigeonhole knife-edge: pairs sitting EXACTLY at containment τ
+    (|∩| = ⌈τ·n⌉ with τ·n integral — the case a float ceil(0.6·n)
+    silently breaks) must survive the prefix filter, and on seeded
+    random corpora the prefix form must reproduce the simple form's
+    pair set exactly."""
+    import random
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
+        _containment_prefix_from,
+        _containment_simple_from,
+    )
+
+    def pairs(df):
+        return {
+            (r.d1, r.d2): (r.contain_d1, r.contain_d2, r.containment)
+            for r in df.collect()
+        }
+
+    # explicit boundary: doc 0 and doc 1 each have 5 shingles sharing
+    # exactly 3 -> containment 3/5 = τ exactly; doc 2 shares only 2/5
+    rows = (
+        [(0, f"s{j}") for j in range(5)]
+        + [(1, f"s{j}") for j in range(3)]
+        + [(1, "x3"), (1, "x4")]
+        + [(2, "s0"), (2, "s1")]
+        + [(2, "y2"), (2, "y3"), (2, "y4")]
+    )
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    simple = pairs(_containment_simple_from(sh))
+    assert (0, 1) in simple and simple[(0, 1)][2] == 0.6
+    assert (0, 2) not in simple
+    assert pairs(_containment_prefix_from(sh)) == simple
+
+    # seeded random corpora: skewed shingle vocabulary, mixed doc sizes
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        vocab = [f"v{i}" for i in range(40)]
+        rows = []
+        for d in range(60):
+            n = rng.randint(1, 12)
+            # Zipf-ish draw: low vocab ids are hot
+            picks = {
+                vocab[min(int(rng.expovariate(0.12)), 39)] for _ in range(n)
+            }
+            rows += [(d, s) for s in picks]
+        sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+        assert pairs(_containment_prefix_from(sh)) == pairs(
+            _containment_simple_from(sh)
+        ), f"seed {seed} diverged"
