@@ -9,9 +9,12 @@ the same parquet input.
 """
 
 from .dedup_ingest import (
+    run_streaming_ingest_pipeline,
     run_streaming_minhash_dedup,
     seed_dedup_index,
+    seed_eval_grams,
 )
+from .view_maintenance import run_streaming_view_maintenance
 from .windows import (
     QUERIES,
     ORACLES,
@@ -31,7 +34,10 @@ __all__ = [
     "events_stream_dedup",
     "events_session_windows",
     "run_foreach_batch_upsert_stream",
+    "run_streaming_ingest_pipeline",
     "run_streaming_minhash_dedup",
+    "run_streaming_view_maintenance",
     "run_tumbling_stream",
     "seed_dedup_index",
+    "seed_eval_grams",
 ]

@@ -707,3 +707,63 @@ def test_prefix_containment_at_tau_boundary_and_random(spark):
         assert pairs(_containment_prefix_from(sh)) == pairs(
             _containment_simple_from(sh)
         ), f"seed {seed} diverged"
+
+def test_streaming_view_maintenance_equals_batch_build(spark, sf_dir):
+    """The streamed-maintained customer-value view must equal the
+    one-shot batch build column-for-column after a 3-batch orders
+    delivery, and a retried maintenance step must rebuild the identical
+    state version (exactly-once under retry)."""
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.operators.warehouse import (
+        customer_value_summary,
+        partial_aggregate,
+    )
+    from customer_revenue_analysis_sql_tableau_spark.streaming.view_maintenance import (
+        _view_state_batch,
+        run_streaming_view_maintenance,
+    )
+
+    t = load_tables(
+        spark, sf_dir, names=("orders", "lineitem", "part"), register=False
+    )
+    orders = t["orders"]
+
+    def snap(df):
+        return {
+            r.Customer_ID: tuple(
+                str(v) for k, v in r.asDict().items() if k != "Customer_ID"
+            )
+            for r in df.collect()
+        }
+
+    expect = snap(customer_value_summary(spark, sf_dir))
+    with tempfile.TemporaryDirectory() as tmp:
+        src, ckpt, state = f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/state"
+        for k in (0, 1, 2):  # 3 micro-batches (maxFilesPerTrigger=1)
+            orders.filter(F.col("o_orderkey") % 3 == k).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        got = snap(run_streaming_view_maintenance(spark, src, ckpt, state, sf_dir))
+        assert got == expect
+
+        # retry idempotence on the testable unit: re-fold batch 2's
+        # partial under the same id — state must not change
+        before = snap(
+            spark.read.parquet(f"{state}/v_2")
+            .groupBy("Customer_ID")
+            .count()
+            .withColumnRenamed("count", "Total_Orders")
+        )
+        partial = partial_aggregate(
+            orders.filter(F.col("o_orderkey") % 3 == 2),
+            t["lineitem"],
+            t["part"],
+        ).localCheckpoint()
+        _view_state_batch(spark, state, partial, 2)
+        after = snap(
+            spark.read.parquet(f"{state}/v_2")
+            .groupBy("Customer_ID")
+            .count()
+            .withColumnRenamed("count", "Total_Orders")
+        )
+        assert after == before
