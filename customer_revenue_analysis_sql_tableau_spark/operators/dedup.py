@@ -449,6 +449,32 @@ def dedup_minhash_lsh_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_from_candidates(sh, candidates, JACCARD_T)
 
 
+def dedup_survivors_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup survivor selection by QUALITY, not by id: per connected
+    component, keep the highest-quality member (composite score from
+    ``text.quality_scored``, doc_id tie-break). This is the retention
+    policy production dedup actually ships — min-id survivors throw
+    away the best copy whenever a cleaner duplicate has a larger id.
+    Components come from the distributed min-label propagation; the
+    policy is one per-component window over |corpus| rows."""
+    from .text import quality_scored
+
+    comp = dedup_components_distributed(spark, sf_dir)
+    scored = quality_scored(
+        load_tables(spark, sf_dir, names=("documents",))["documents"]
+    ).select("doc_id", "quality_score")
+    j = comp.join(scored, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return j.select(
+        "doc_id",
+        "component_id",
+        "quality_score",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+
+
 #: SimHash geometry: 60-bit signatures (an md5-prefix token hash both
 #: engines compute identically — 15 hex chars), 4 blocks × 15 bits.
 SIMHASH_BITS = 60
@@ -764,6 +790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_signlsh": dedup_embedding_signlsh,
     "dedup_components": dedup_components,
     "dedup_components_distributed": dedup_components_distributed,
+    "dedup_survivors_best_quality": dedup_survivors_best_quality,
 }
 
 _DOT = "list_dot_product(a.v, b.v)"
@@ -797,6 +824,34 @@ _JACCARD_PAIRS_SQL = f"""
 #: transitive closure (components are tiny near-cliques, so the closure
 #: is small) then min reachable id per node. Verifies BOTH the
 #: driver-side union-find and the distributed min-label propagation.
+
+
+def _survivors_oracle() -> str:
+    """Components closure + the hash-proven quality expression + one
+    per-component argmax window."""
+    from .corpus import _QUALITY_SQL
+
+    return f"""
+        WITH RECURSIVE {_JACCARD_CTES},
+        edges AS (
+            SELECT d1 AS a, d2 AS b FROM jpairs
+            UNION ALL SELECT d2, d1 FROM jpairs),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (
+            SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component_id
+            FROM reach GROUP BY a),
+        scored AS (
+            SELECT doc_id, {_QUALITY_SQL} AS quality_score FROM documents)
+        SELECT c.doc_id, c.component_id, s.quality_score,
+               row_number() OVER (
+                   PARTITION BY c.component_id
+                   ORDER BY s.quality_score DESC, c.doc_id ASC) = 1 AS kept
+        FROM comp c JOIN scored s USING (doc_id)"""
+
+
 _COMPONENTS_SQL = f"""
         WITH RECURSIVE {_JACCARD_CTES},
         edges AS (
@@ -927,4 +982,5 @@ ORACLES: dict[str, str] = {
                         * sqrt(list_dot_product(b.v, b.v))) >= {COSINE_T}""",
     "dedup_components": _COMPONENTS_SQL,
     "dedup_components_distributed": _COMPONENTS_SQL,
+    "dedup_survivors_best_quality": _survivors_oracle(),
 }

