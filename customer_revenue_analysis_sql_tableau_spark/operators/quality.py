@@ -106,11 +106,105 @@ def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(DataFrame.unionByName, checks).select("r.*")
 
 
+#: (column, null-check expr, distinct col, min/max formatter) for the
+#: events profile. Formatting is C-printf/strftime on BOTH engines so
+#: the stringified min/max hash-match (a bare CAST(double AS STRING)
+#: differs between engines' float reprs).
+_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column profile of the ``events`` fact: one row per
+    column with exact row/null/distinct counts and formatted min/max.
+    The pre-training profiling report every pipeline runs on a new
+    delivery; all metrics fold in one pass over the table (6 columns x
+    4 aggregates in a single agg, exploded to rows JVM-side)."""
+    e = load_tables(spark, sf_dir, names=("events",))["events"]
+
+    def fmt(col: str) -> tuple[F.Column, F.Column]:
+        if col == "ts":
+            f = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+        elif col == "value":
+            f = lambda c: F.format_string("%.2f", c)
+        elif col in ("event_id", "user_id"):
+            f = lambda c: F.format_string("%d", c)
+        else:
+            f = lambda c: c
+        return f(F.min(col)), f(F.max(col))
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        mn, mx = fmt(c)
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            mn.alias(f"{c}__min"),
+            mx.alias(f"{c}__max"),
+        ]
+    one = e.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("column_name")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_constraint_violations": dq_constraint_violations,
+    "dq_column_profile": dq_column_profile,
 }
 
 ORACLES: dict[str, str] = {
+    "dq_column_profile": """
+        SELECT 'event_id' AS column_name, count(*) AS n_rows,
+               CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+               printf('%d', min(event_id)) AS min_value, printf('%d', max(event_id)) AS max_value
+        FROM events
+        UNION ALL
+        SELECT 'ts' AS column_name, count(*) AS n_rows,
+               CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT ts) AS BIGINT) AS n_distinct,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_value, strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_value
+        FROM events
+        UNION ALL
+        SELECT 'user_id' AS column_name, count(*) AS n_rows,
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+               printf('%d', min(user_id)) AS min_value, printf('%d', max(user_id)) AS max_value
+        FROM events
+        UNION ALL
+        SELECT 'event_type' AS column_name, count(*) AS n_rows,
+               CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct,
+               min(event_type) AS min_value, max(event_type) AS max_value
+        FROM events
+        UNION ALL
+        SELECT 'value' AS column_name, count(*) AS n_rows,
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+               printf('%.2f', min(value)) AS min_value, printf('%.2f', max(value)) AS max_value
+        FROM events
+        UNION ALL
+        SELECT 'props' AS column_name, count(*) AS n_rows,
+               CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT props) AS BIGINT) AS n_distinct,
+               min(props) AS min_value, max(props) AS max_value
+        FROM events
+        ORDER BY column_name""",
     "dq_constraint_violations": """
         SELECT 'orders' AS table_name,
                'pk_unique_o_orderkey' AS constraint_name,
