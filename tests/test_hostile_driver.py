@@ -33,6 +33,8 @@ PROBES = (
     "temporal_asof_join",
     "tableau_g2_first_order_day",
     "analytics_sessionize_events",
+    # r4: stringifies min/max(ts) via date_format — zone-sensitive
+    "dq_column_profile",
 )
 
 HOSTILE_TZ = "America/New_York"
