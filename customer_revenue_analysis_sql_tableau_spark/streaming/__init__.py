@@ -14,6 +14,7 @@ from .dedup_ingest import (
     seed_dedup_index,
     seed_eval_grams,
 )
+from .rollup_maintenance import run_streaming_minute_rollup
 from .view_maintenance import run_streaming_view_maintenance
 from .windows import (
     QUERIES,
@@ -36,6 +37,7 @@ __all__ = [
     "run_foreach_batch_upsert_stream",
     "run_streaming_ingest_pipeline",
     "run_streaming_minhash_dedup",
+    "run_streaming_minute_rollup",
     "run_streaming_view_maintenance",
     "run_tumbling_stream",
     "seed_dedup_index",

@@ -798,3 +798,60 @@ def test_best_quality_survivors_policy(spark, sf_dir):
     }
     # at least the policies must be well-defined on the same components
     assert len(min_id_survivors) == len(quality_survivors) == len(multi)
+
+def test_streaming_minute_rollup_equals_batch_tier(spark, sf_dir):
+    """Streamed-maintained minute tier ≡ batch minute_rollup after a
+    3-batch delivery (commutative-mergeable measures => arrival-order
+    independent), plus retry idempotence on the fold unit."""
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.operators.rollups import (
+        minute_rollup,
+    )
+    from customer_revenue_analysis_sql_tableau_spark.streaming.rollup_maintenance import (
+        _minute_partial,
+        _rollup_state_batch,
+        run_streaming_minute_rollup,
+    )
+
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+
+    def snap(df):
+        return {
+            (str(r.bucket), r.event_type): (
+                r.n_events,
+                r.value_cents,
+                str(r.total_value),
+                str(r.max_value),
+            )
+            for r in df.collect()
+        }
+
+    expect = snap(minute_rollup(spark, sf_dir))
+    with tempfile.TemporaryDirectory() as tmp:
+        src, ckpt, state = f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/state"
+        for k in (0, 1, 2):
+            events.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        got = snap(run_streaming_minute_rollup(spark, src, ckpt, state))
+        assert got == expect
+
+        # retry of the last fold must rebuild the identical version
+        before = snap(
+            _finalize_read(spark, f"{state}/v_2")
+        )
+        partial = _minute_partial(
+            events.filter(F.col("event_id") % 3 == 2)
+        ).localCheckpoint()
+        _rollup_state_batch(spark, state, partial, 2)
+        assert snap(_finalize_read(spark, f"{state}/v_2")) == before
+
+
+def _finalize_read(spark, path):
+    from customer_revenue_analysis_sql_tableau_spark.operators.rollups import (
+        _finalize,
+    )
+
+    return _finalize(spark.read.parquet(path))
