@@ -93,6 +93,7 @@ _PRIORITY = [
     "quality_decile_curriculum",
     "dedup_survivors_best_quality",
     "dq_column_profile",
+    "stream_minute_rollup_drain",
     # -- r1-green on r1 code; plans changed in r3 (catalog + geo join) --
     "view_customer_value_summary",
     "flagship_revenue_by_region",

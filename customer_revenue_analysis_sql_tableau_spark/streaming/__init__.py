@@ -14,11 +14,16 @@ from .dedup_ingest import (
     seed_dedup_index,
     seed_eval_grams,
 )
-from .rollup_maintenance import run_streaming_minute_rollup
+from .rollup_maintenance import (
+    QUERIES as _ROLLUP_QUERIES,
+    ORACLES as _ROLLUP_ORACLES,
+    run_streaming_minute_rollup,
+    stream_minute_rollup_drain,
+)
 from .view_maintenance import run_streaming_view_maintenance
 from .windows import (
-    QUERIES,
-    ORACLES,
+    QUERIES as _WINDOW_QUERIES,
+    ORACLES as _WINDOW_ORACLES,
     events_session_windows,
     events_sliding_counts,
     events_stream_dedup,
@@ -26,6 +31,9 @@ from .windows import (
     run_foreach_batch_upsert_stream,
     run_tumbling_stream,
 )
+
+QUERIES = {**_WINDOW_QUERIES, **_ROLLUP_QUERIES}
+ORACLES = {**_WINDOW_ORACLES, **_ROLLUP_ORACLES}
 
 __all__ = [
     "QUERIES",

@@ -107,3 +107,49 @@ def run_streaming_minute_rollup(
             " value_cents bigint, total_value double, max_value double",
         )
     return _finalize(spark.read.parquet(f"{state_dir}/v_{latest}"))
+
+def stream_minute_rollup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-contained, driver-checkable form of the streaming rollup:
+    split the events table into 3 delivery files in a temp directory,
+    drain them through :func:`run_streaming_minute_rollup` (a REAL
+    readStream, availableNow), and return the maintained tier. The
+    oracle is the tier computed straight from raw events — a value-hash
+    row proving the streamed maintenance end-to-end, not just in
+    pytest. The result is localCheckpointed so the temp state can be
+    deleted before returning."""
+    import shutil
+    import tempfile
+
+    from ..catalog import load_tables
+
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+    tmp = tempfile.mkdtemp(prefix="stream_rollup_drain_")
+    try:
+        for k in (0, 1, 2):
+            events.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{tmp}/src")
+        out = run_streaming_minute_rollup(
+            spark, f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/state"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES = {
+    "stream_minute_rollup_drain": stream_minute_rollup_drain,
+}
+
+
+def _drain_oracle() -> str:
+    from ..operators.rollups import _direct_sql
+
+    return _direct_sql("minute")
+
+
+ORACLES = {
+    "stream_minute_rollup_drain": _drain_oracle(),
+}
