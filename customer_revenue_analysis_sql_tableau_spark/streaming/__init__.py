@@ -14,6 +14,12 @@ from .dedup_ingest import (
     seed_dedup_index,
     seed_eval_grams,
 )
+from .drains import (
+    QUERIES as _DRAIN_QUERIES,
+    ORACLES as _DRAIN_ORACLES,
+    stream_ingest_verdicts_drain,
+    stream_user_upsert_drain,
+)
 from .rollup_maintenance import (
     QUERIES as _ROLLUP_QUERIES,
     ORACLES as _ROLLUP_ORACLES,
@@ -32,8 +38,8 @@ from .windows import (
     run_tumbling_stream,
 )
 
-QUERIES = {**_WINDOW_QUERIES, **_ROLLUP_QUERIES}
-ORACLES = {**_WINDOW_ORACLES, **_ROLLUP_ORACLES}
+QUERIES = {**_WINDOW_QUERIES, **_ROLLUP_QUERIES, **_DRAIN_QUERIES}
+ORACLES = {**_WINDOW_ORACLES, **_ROLLUP_ORACLES, **_DRAIN_ORACLES}
 
 __all__ = [
     "QUERIES",
@@ -46,6 +52,8 @@ __all__ = [
     "run_streaming_ingest_pipeline",
     "run_streaming_minhash_dedup",
     "run_streaming_minute_rollup",
+    "stream_ingest_verdicts_drain",
+    "stream_user_upsert_drain",
     "run_streaming_view_maintenance",
     "run_tumbling_stream",
     "seed_dedup_index",

@@ -1,0 +1,138 @@
+"""Self-contained, driver-hash-checked streaming drains.
+
+Streaming operators normally prove themselves in pytest (stream ≡
+batch); these entries make the proof a VALUE-HASH row in the oracle
+harness too: each splits a testdata table into delivery files in a
+temp directory, drains them through the real ``readStream`` pipeline
+(availableNow, foreachBatch state folds), localCheckpoints the result
+so the temp state can be deleted, and returns a frame whose oracle is
+computed straight from the raw table. The recipe started with
+``rollup_maintenance.stream_minute_rollup_drain``; this module adds
+the upsert serving table and the ingest quality/decontamination
+gates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..operators.decontamination import DECON_K, DECON_T, EVAL_MOD, _kgrams_sql
+from ..operators.pipeline import QUALITY_T
+from ..operators.text import PUNCT_CLASS, STOP_EN, TOKENS_SQL, _inlist
+from .dedup_ingest import run_streaming_ingest_pipeline, seed_eval_grams
+from .windows import run_foreach_batch_upsert_stream
+
+
+def _drain(spark: SparkSession, build) -> DataFrame:
+    """Run ``build(tmp)`` against a fresh temp dir, localCheckpoint the
+    result, delete the temp state, return the materialized frame."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="stream_drain_")
+    try:
+        return build(tmp).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def stream_user_upsert_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain a 3-file events delivery through the foreachBatch MERGE
+    serving table (versioned exactly-once state); the result must
+    hash-match the plain per-user batch aggregate."""
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+
+    def build(tmp: str) -> DataFrame:
+        for k in (0, 1, 2):
+            events.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{tmp}/src")
+        return run_foreach_batch_upsert_stream(
+            spark, f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/state"
+        )
+
+    return _drain(spark, build)
+
+
+def stream_ingest_verdicts_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drain a 3-file documents delivery (train docs; the eval subset
+    seeds the static benchmark gram set) through the streamed
+    quality + decontamination gates; the per-doc verdicts must
+    hash-match the batch gate expressions computed straight from the
+    documents table."""
+    docs = load_tables(spark, sf_dir, names=("documents",), register=False)[
+        "documents"
+    ]
+    eval_docs = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+
+    def build(tmp: str) -> DataFrame:
+        seed_eval_grams(eval_docs, f"{tmp}/work")
+        for k in (0, 1, 2):
+            train.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{tmp}/src")
+        verdicts, _pairs = run_streaming_ingest_pipeline(
+            spark, f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/work"
+        )
+        return verdicts
+
+    return _drain(spark, build)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stream_user_upsert_drain": stream_user_upsert_drain,
+    "stream_ingest_verdicts_drain": stream_ingest_verdicts_drain,
+}
+
+_QUALITY_SQL = f"""
+    len(list_filter({TOKENS_SQL}, t -> t IN ({_inlist(STOP_EN)})))
+        / CAST(len({TOKENS_SQL}) AS DOUBLE) * CAST(0.4 AS DOUBLE)
+    + least(len({TOKENS_SQL}) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        * CAST(0.4 AS DOUBLE)
+    + (CAST(1.0 AS DOUBLE)
+       - (length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))
+         / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE)"""
+
+ORACLES: dict[str, str] = {
+    "stream_user_upsert_drain": """
+        SELECT user_id, count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS total_value,
+               max(ts) AS last_ts
+        FROM events GROUP BY 1""",
+    "stream_ingest_verdicts_drain": f"""
+        WITH grams AS (
+            SELECT doc_id, unnest({_kgrams_sql(DECON_K)}) AS gram
+            FROM documents),
+        eval_grams AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+        cont AS (
+            SELECT t.doc_id,
+                   sum(CASE WHEN e.gram IS NULL THEN 0 ELSE 1 END)
+                       / CAST(count(*) AS DOUBLE) AS containment,
+                   sum(CASE WHEN e.gram IS NULL THEN 0 ELSE 1 END)
+                       > CAST({DECON_T} AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                       AS flagged
+            FROM (SELECT * FROM grams WHERE doc_id % {EVAL_MOD} != 0) t
+            LEFT JOIN eval_grams e ON t.gram = e.gram
+            GROUP BY t.doc_id),
+        scored AS (
+            SELECT doc_id, {_QUALITY_SQL} AS quality_score
+            FROM documents WHERE doc_id % {EVAL_MOD} != 0)
+        SELECT s.doc_id, s.quality_score, c.containment,
+               (s.quality_score >= CAST({QUALITY_T} AS DOUBLE)
+                AND NOT c.flagged) AS kept,
+               CASE WHEN s.quality_score < CAST({QUALITY_T} AS DOUBLE)
+                    THEN 'low_quality'
+                    WHEN c.flagged THEN 'contaminated' END AS reason
+        FROM scored s JOIN cont c USING (doc_id)""",
+}
