@@ -19,6 +19,10 @@ from pyspark.sql import SparkSession
 #: session (the driver owns the session for `__spark_entry__` calls).
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # pin ANSI semantics (the Spark 4 default) against host sessions
+    # configured with ansi=false, where casts/overflows silently change
+    # from errors to NULLs and corrupt results instead of failing
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -102,3 +102,17 @@ def test_load_tables_refuses_unpinnable_timezone(spark, sf_dir, monkeypatch):
             cat.load_tables(spark, sf_dir, names=("events",))
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_entries_pin_ansi_semantics(spark, sf_dir):
+    """A host session configured with ansi=false must be re-pinned by
+    load_tables: non-ANSI mode turns bad casts into silent NULLs. Probe
+    an entry and assert the conf after the call."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        assert entrymod.queries()["tpch_q1_pricing_summary"](
+            spark, sf_dir
+        ).count() > 0
+        assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
