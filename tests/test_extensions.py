@@ -855,3 +855,40 @@ def _finalize_read(spark, path):
     )
 
     return _finalize(spark.read.parquet(path))
+
+def test_dedup_batch_retry_rebuilds_identical_state(spark, sf_dir):
+    """The ingest-dedup retry contract (round-3 ADVICE high): a batch
+    retried after its writes landed must NOT read its own leftover
+    state — reads are predecessor-only, so re-running the same
+    (batch, id) rebuilds byte-identical pairs/shingles/bands instead
+    of doubling the batch docs' shingle counts and corrupting every
+    Jaccard denominator involving them."""
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.streaming.dedup_ingest import (
+        _dedup_batch,
+        seed_dedup_index,
+    )
+
+    docs = load_tables(spark, sf_dir, names=("documents",), register=False)[
+        "documents"
+    ]
+    seed = docs.filter(F.col("doc_id") % 5 < 3)
+    batch = docs.filter(F.col("doc_id") % 5 >= 3)
+    with tempfile.TemporaryDirectory() as tmp:
+        work = f"{tmp}/work"
+        seed_dedup_index(seed, work)
+
+        def snapshot():
+            pairs = {
+                (r.d1, r.d2): r.jaccard
+                for r in spark.read.parquet(f"{work}/pairs/b_0").collect()
+            }
+            n_shingles = spark.read.parquet(f"{work}/shingles/b_0").count()
+            n_bands = spark.read.parquet(f"{work}/band_index/b_0").count()
+            return pairs, n_shingles, n_bands
+
+        _dedup_batch(spark, work, batch, 0)
+        first = snapshot()
+        assert first[0], "planted cross-split near-dups must surface"
+        _dedup_batch(spark, work, batch, 0)  # retry with state present
+        assert snapshot() == first
