@@ -96,6 +96,7 @@ _PRIORITY = [
     "stream_minute_rollup_drain",
     "stream_user_upsert_drain",
     "stream_ingest_verdicts_drain",
+    "stream_cdc_latest_drain",
     # -- r1-green on r1 code; plans changed in r3 (catalog + geo join) --
     "view_customer_value_summary",
     "flagship_revenue_by_region",

@@ -17,6 +17,7 @@ from .dedup_ingest import (
 from .drains import (
     QUERIES as _DRAIN_QUERIES,
     ORACLES as _DRAIN_ORACLES,
+    stream_cdc_latest_drain,
     stream_ingest_verdicts_drain,
     stream_user_upsert_drain,
 )
@@ -52,6 +53,7 @@ __all__ = [
     "run_streaming_ingest_pipeline",
     "run_streaming_minhash_dedup",
     "run_streaming_minute_rollup",
+    "stream_cdc_latest_drain",
     "stream_ingest_verdicts_drain",
     "stream_user_upsert_drain",
     "run_streaming_view_maintenance",

@@ -24,7 +24,7 @@ from ..operators.decontamination import DECON_K, DECON_T, EVAL_MOD, _kgrams_sql
 from ..operators.pipeline import QUALITY_T
 from ..operators.text import PUNCT_CLASS, STOP_EN, TOKENS_SQL, _inlist
 from .dedup_ingest import run_streaming_ingest_pipeline, seed_eval_grams
-from .windows import run_foreach_batch_upsert_stream
+from .windows import run_foreach_batch_upsert_stream, run_latest_state_stream
 
 
 def _drain(spark: SparkSession, build) -> DataFrame:
@@ -88,9 +88,29 @@ def stream_ingest_verdicts_drain(
     return _drain(spark, build)
 
 
+def stream_cdc_latest_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain a 3-file events delivery through the
+    ``applyInPandasWithState`` CDC compaction (latest event per user in
+    explicit GroupState); the result must hash-match the batch
+    latest-per-key oracle — a CUSTOM STATEFUL operator under value-hash
+    check, not just the built-in windows."""
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+
+    def build(tmp: str) -> DataFrame:
+        for k in (0, 1, 2):
+            events.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{tmp}/src")
+        return run_latest_state_stream(spark, f"{tmp}/src", f"{tmp}/ckpt")
+
+    return _drain(spark, build)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_user_upsert_drain": stream_user_upsert_drain,
     "stream_ingest_verdicts_drain": stream_ingest_verdicts_drain,
+    "stream_cdc_latest_drain": stream_cdc_latest_drain,
 }
 
 _QUALITY_SQL = f"""
@@ -103,6 +123,15 @@ _QUALITY_SQL = f"""
          / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE)"""
 
 ORACLES: dict[str, str] = {
+    "stream_cdc_latest_drain": """
+        WITH ranked AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+        SELECT user_id, ts, event_id, event_type, value
+        FROM ranked WHERE rn = 1""",
     "stream_user_upsert_drain": """
         SELECT user_id, count(*) AS n_events,
                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
