@@ -35,6 +35,9 @@ PROBES = (
     "analytics_sessionize_events",
     # r4: stringifies min/max(ts) via date_format — zone-sensitive
     "dq_column_profile",
+    # r4: full streaming path (write → readStream → GroupState → µs
+    # round-trip) emitting timestamps
+    "stream_cdc_latest_drain",
 )
 
 HOSTILE_TZ = "America/New_York"
