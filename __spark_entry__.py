@@ -97,6 +97,8 @@ _PRIORITY = [
     "stream_user_upsert_drain",
     "stream_ingest_verdicts_drain",
     "stream_cdc_latest_drain",
+    "stream_tumbling_window_drain",
+    "stream_interval_join_drain",
     # -- r1-green on r1 code; plans changed in r3 (catalog + geo join) --
     "view_customer_value_summary",
     "flagship_revenue_by_region",

@@ -19,6 +19,8 @@ from .drains import (
     ORACLES as _DRAIN_ORACLES,
     stream_cdc_latest_drain,
     stream_ingest_verdicts_drain,
+    stream_interval_join_drain,
+    stream_tumbling_window_drain,
     stream_user_upsert_drain,
 )
 from .rollup_maintenance import (
@@ -55,6 +57,8 @@ __all__ = [
     "run_streaming_minute_rollup",
     "stream_cdc_latest_drain",
     "stream_ingest_verdicts_drain",
+    "stream_interval_join_drain",
+    "stream_tumbling_window_drain",
     "stream_user_upsert_drain",
     "run_streaming_view_maintenance",
     "run_tumbling_stream",

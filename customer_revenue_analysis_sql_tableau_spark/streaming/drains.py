@@ -24,7 +24,13 @@ from ..operators.decontamination import DECON_K, DECON_T, EVAL_MOD, _kgrams_sql
 from ..operators.pipeline import QUALITY_T
 from ..operators.text import PUNCT_CLASS, STOP_EN, TOKENS_SQL, _inlist
 from .dedup_ingest import run_streaming_ingest_pipeline, seed_eval_grams
-from .windows import run_foreach_batch_upsert_stream, run_latest_state_stream
+from .windows import (
+    ORACLES as _WINDOW_ORACLES,
+    run_foreach_batch_upsert_stream,
+    run_interval_join_stream,
+    run_latest_state_stream,
+    run_tumbling_stream,
+)
 
 
 def _drain(spark: SparkSession, build) -> DataFrame:
@@ -107,10 +113,44 @@ def stream_cdc_latest_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _drain(spark, build)
 
+def _stage_events(spark: SparkSession, sf_dir: str, tmp: str) -> None:
+    """Stage the events table as ONE delivery (whole dir, single
+    availableNow batch) — the windowed/joined streams' watermark would
+    legitimately drop late rows across multiple batches, so equality
+    with the batch twin holds for the single-drain form (the multi-
+    batch late-data semantics are pytest territory, not hash rows)."""
+    load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ].write.parquet(f"{tmp}/src")
+
+
+def stream_tumbling_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events table through the REAL watermarked tumbling-
+    window stream (complete mode); must hash-match the batch twin's
+    oracle."""
+    def build(tmp: str) -> DataFrame:
+        _stage_events(spark, sf_dir, tmp)
+        return run_tumbling_stream(spark, f"{tmp}/src", f"{tmp}/ckpt")
+
+    return _drain(spark, build)
+
+
+def stream_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events table through the watermarked stream-stream
+    interval join (errors x same-user clicks in the preceding 10 min,
+    append mode); must hash-match the plain inequality join."""
+    def build(tmp: str) -> DataFrame:
+        _stage_events(spark, sf_dir, tmp)
+        return run_interval_join_stream(spark, f"{tmp}/src", f"{tmp}/ckpt")
+
+    return _drain(spark, build)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_user_upsert_drain": stream_user_upsert_drain,
     "stream_ingest_verdicts_drain": stream_ingest_verdicts_drain,
     "stream_cdc_latest_drain": stream_cdc_latest_drain,
+    "stream_tumbling_window_drain": stream_tumbling_window_drain,
+    "stream_interval_join_drain": stream_interval_join_drain,
 }
 
 _QUALITY_SQL = f"""
@@ -123,6 +163,15 @@ _QUALITY_SQL = f"""
          / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE)"""
 
 ORACLES: dict[str, str] = {
+    # same aggregate as the batch twin entry — reuse its oracle text
+    "stream_tumbling_window_drain": _WINDOW_ORACLES["stream_tumbling_counts"],
+    "stream_interval_join_drain": """
+        SELECT e.event_id AS error_id, e.user_id AS e_user_id,
+               e.ts AS error_ts, c.event_id AS click_id, c.ts AS click_ts
+        FROM events e JOIN events c
+          ON e.user_id = c.user_id
+         AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 10 MINUTE
+        WHERE e.event_type = 'error' AND c.event_type = 'click'""",
     "stream_cdc_latest_drain": """
         WITH ranked AS (
             SELECT user_id, ts, event_id, event_type, value,
