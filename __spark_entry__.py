@@ -99,6 +99,8 @@ _PRIORITY = [
     "stream_cdc_latest_drain",
     "stream_tumbling_window_drain",
     "stream_interval_join_drain",
+    "stream_sliding_window_drain",
+    "stream_session_window_drain",
     # -- r1-green on r1 code; plans changed in r3 (catalog + geo join) --
     "view_customer_value_summary",
     "flagship_revenue_by_region",

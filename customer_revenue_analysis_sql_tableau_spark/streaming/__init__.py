@@ -20,6 +20,8 @@ from .drains import (
     stream_cdc_latest_drain,
     stream_ingest_verdicts_drain,
     stream_interval_join_drain,
+    stream_session_window_drain,
+    stream_sliding_window_drain,
     stream_tumbling_window_drain,
     stream_user_upsert_drain,
 )
@@ -58,6 +60,8 @@ __all__ = [
     "stream_cdc_latest_drain",
     "stream_ingest_verdicts_drain",
     "stream_interval_join_drain",
+    "stream_session_window_drain",
+    "stream_sliding_window_drain",
     "stream_tumbling_window_drain",
     "stream_user_upsert_drain",
     "run_streaming_view_maintenance",

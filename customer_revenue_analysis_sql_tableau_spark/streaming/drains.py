@@ -29,6 +29,8 @@ from .windows import (
     run_foreach_batch_upsert_stream,
     run_interval_join_stream,
     run_latest_state_stream,
+    run_session_stream,
+    run_sliding_stream,
     run_tumbling_stream,
 )
 
@@ -145,12 +147,34 @@ def stream_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _drain(spark, build)
 
+def stream_sliding_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events table through the sliding-window stream
+    (10 min / 5 min step, complete mode); hash-matches the batch twin."""
+    def build(tmp: str) -> DataFrame:
+        _stage_events(spark, sf_dir, tmp)
+        return run_sliding_stream(spark, f"{tmp}/src", f"{tmp}/ckpt")
+
+    return _drain(spark, build)
+
+
+def stream_session_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events table through the ``session_window`` stream
+    (gap-merged per-user sessions, complete mode); hash-matches the
+    batch gaps-and-islands twin."""
+    def build(tmp: str) -> DataFrame:
+        _stage_events(spark, sf_dir, tmp)
+        return run_session_stream(spark, f"{tmp}/src", f"{tmp}/ckpt")
+
+    return _drain(spark, build)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_user_upsert_drain": stream_user_upsert_drain,
     "stream_ingest_verdicts_drain": stream_ingest_verdicts_drain,
     "stream_cdc_latest_drain": stream_cdc_latest_drain,
     "stream_tumbling_window_drain": stream_tumbling_window_drain,
     "stream_interval_join_drain": stream_interval_join_drain,
+    "stream_sliding_window_drain": stream_sliding_window_drain,
+    "stream_session_window_drain": stream_session_window_drain,
 }
 
 _QUALITY_SQL = f"""
@@ -165,6 +189,8 @@ _QUALITY_SQL = f"""
 ORACLES: dict[str, str] = {
     # same aggregate as the batch twin entry — reuse its oracle text
     "stream_tumbling_window_drain": _WINDOW_ORACLES["stream_tumbling_counts"],
+    "stream_sliding_window_drain": _WINDOW_ORACLES["stream_sliding_counts"],
+    "stream_session_window_drain": _WINDOW_ORACLES["stream_session_windows"],
     "stream_interval_join_drain": """
         SELECT e.event_id AS error_id, e.user_id AS e_user_id,
                e.ts AS error_ts, c.event_id AS click_id, c.ts AS click_ts
