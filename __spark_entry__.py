@@ -101,6 +101,7 @@ _PRIORITY = [
     "stream_interval_join_drain",
     "stream_sliding_window_drain",
     "stream_session_window_drain",
+    "split_pack_concat",
     # -- r1-green on r1 code; plans changed in r3 (catalog + geo join) --
     "view_customer_value_summary",
     "flagship_revenue_by_region",

@@ -118,6 +118,47 @@ def pack_sequences(
     )
 
 
+#: Separator between packed documents (the EOS-token stand-in).
+PACK_SEP = "<|eos|>"
+
+
+def pack_concat_text(
+    spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET
+) -> DataFrame:
+    """Emit the PACKED SEQUENCES themselves: per (source, pack_id),
+    member docs concatenated in doc_id order with an EOS separator —
+    the artifact a training job actually reads, completing
+    :func:`pack_sequences` (which only assigns bins). md5 of the packed
+    text rides alongside so the oracle hash proves byte-identical
+    concatenation order, not just membership counts.
+
+    Scale: per-group state is bounded by the PACK BUDGET (one context
+    window of characters, plus at most one overshooting doc), never by
+    corpus size — collect_list here aggregates a capped bin, which is
+    exactly what a packed-sequence writer must hold in memory anyway."""
+    packed = pack_sequences(spark, sf_dir, budget)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    joined = packed.join(d, "doc_id")
+    agg = (
+        joined.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("content_chars"),
+            F.concat_ws(
+                PACK_SEP, F.array_sort(F.collect_list(F.struct("doc_id", "text")))
+                .getField("text")
+            ).alias("packed_text"),
+        )
+    )
+    return agg.select(
+        "source",
+        "pack_id",
+        "n_docs",
+        "content_chars",
+        F.length("packed_text").cast("long").alias("packed_chars"),
+        F.md5("packed_text").alias("packed_md5"),
+    ).orderBy("source", "pack_id")
+
 def chunk_documents(
     spark: SparkSession, sf_dir: str, width: int = CHUNK_WIDTH
 ) -> DataFrame:
@@ -226,6 +267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_train_test": split_train_test,
     "split_sample_per_source": sample_per_source,
     "split_pack_sequences": pack_sequences,
+    "split_pack_concat": pack_concat_text,
     "split_chunk_documents": chunk_documents,
     "split_mixture_sample": mixture_sample,
     "split_pii_redact": pii_redact,
@@ -265,6 +307,30 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS pack_id,
                prefix_chars % {PACK_BUDGET} AS pack_offset
         FROM p""",
+    "split_pack_concat": f"""
+        WITH p AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(COALESCE(sum(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS prefix_chars
+            FROM documents),
+        binned AS (
+            SELECT p.doc_id, p.source, p.n_chars,
+                   CAST(floor(prefix_chars / CAST({PACK_BUDGET} AS DOUBLE))
+                        AS BIGINT) AS pack_id,
+                   d.text
+            FROM p JOIN documents d ON p.doc_id = d.doc_id),
+        packs AS (
+            SELECT source, pack_id, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS content_chars,
+                   string_agg(text, '{PACK_SEP}' ORDER BY doc_id)
+                       AS packed_text
+            FROM binned GROUP BY source, pack_id)
+        SELECT source, pack_id, n_docs, content_chars,
+               CAST(length(packed_text) AS BIGINT) AS packed_chars,
+               md5(packed_text) AS packed_md5
+        FROM packs ORDER BY source, pack_id""",
     "split_mixture_sample": """
         WITH b AS (
             SELECT doc_id, source,
