@@ -113,7 +113,10 @@ def main() -> None:
                 # the geo left joins (no cache fill to force them here)
                 df.write.mode("overwrite").format("noop").save()
             else:
-                assert df.count() >= 0
+                # the count IS the timed materialization — keep it outside
+                # the assert so `python -O` can't strip the action
+                n = df.count()
+                assert n >= 0
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)

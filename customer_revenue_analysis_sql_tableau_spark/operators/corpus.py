@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from .text import PUNCT_CLASS, STOP_EN, TOKENS_EXPR, TOKENS_SQL, _inlist
+from .text import QUALITY_SQL, TOKENS_EXPR, TOKENS_SQL
 from .text import quality_scored
 
 
@@ -90,15 +90,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_decile_curriculum": quality_decile_curriculum,
 }
 
-_QUALITY_SQL = f"""
-    len(list_filter({TOKENS_SQL}, t -> t IN ({_inlist(STOP_EN)})))
-        / CAST(len({TOKENS_SQL}) AS DOUBLE) * CAST(0.4 AS DOUBLE)
-    + least(len({TOKENS_SQL}) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
-        * CAST(0.4 AS DOUBLE)
-    + (CAST(1.0 AS DOUBLE)
-       - (length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))
-         / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE)"""
-
 ORACLES: dict[str, str] = {
     "corpus_stats_report": f"""
         WITH per_doc AS (
@@ -118,7 +109,7 @@ ORACLES: dict[str, str] = {
         FROM flagged GROUP BY source, lang ORDER BY source, lang""",
     "quality_decile_curriculum": f"""
         WITH scored AS (
-            SELECT doc_id, {_QUALITY_SQL} AS quality_score
+            SELECT doc_id, {QUALITY_SQL} AS quality_score
             FROM documents)
         SELECT doc_id, quality_score,
                CAST(ntile(10) OVER (

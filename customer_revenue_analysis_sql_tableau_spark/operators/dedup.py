@@ -829,7 +829,7 @@ _JACCARD_PAIRS_SQL = f"""
 def _survivors_oracle() -> str:
     """Components closure + the hash-proven quality expression + one
     per-component argmax window."""
-    from .corpus import _QUALITY_SQL
+    from .text import QUALITY_SQL
 
     return f"""
         WITH RECURSIVE {_JACCARD_CTES},
@@ -844,7 +844,7 @@ def _survivors_oracle() -> str:
             SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component_id
             FROM reach GROUP BY a),
         scored AS (
-            SELECT doc_id, {_QUALITY_SQL} AS quality_score FROM documents)
+            SELECT doc_id, {QUALITY_SQL} AS quality_score FROM documents)
         SELECT c.doc_id, c.component_id, s.quality_score,
                row_number() OVER (
                    PARTITION BY c.component_id

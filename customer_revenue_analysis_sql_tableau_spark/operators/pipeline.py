@@ -123,16 +123,7 @@ def _pipeline_oracle() -> str:
     ``decontamination`` oracle's containment flag."""
     from .decontamination import DECON_K, DECON_T, EVAL_MOD, _kgrams_sql
     from .dedup import _JACCARD_CTES
-    from .text import TOKENS_SQL, PUNCT_CLASS, STOP_EN, _inlist
-
-    quality = f"""
-        len(list_filter({TOKENS_SQL}, t -> t IN ({_inlist(STOP_EN)})))
-            / CAST(len({TOKENS_SQL}) AS DOUBLE) * CAST(0.4 AS DOUBLE)
-        + least(len({TOKENS_SQL}) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
-            * CAST(0.4 AS DOUBLE)
-        + (CAST(1.0 AS DOUBLE)
-           - (length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))
-             / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE)"""
+    from .text import QUALITY_SQL as quality
     return f"""
         WITH RECURSIVE {_JACCARD_CTES},
         edges AS (

@@ -113,6 +113,33 @@ def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+def _cents_str(c: F.Column) -> F.Column:
+    """Two-decimal money string via exact integer math. ``%.2f`` would
+    be formatter-rounding-mode dependent (java.util.Formatter HALF_UP
+    vs DuckDB printf round-half-even flips the string for doubles whose
+    exact binary value ties at the third decimal); quantizing to BIGINT
+    cents first (the zscore/money idiom — both engines round ties away
+    from zero) makes the string a pure function of the cents."""
+    cents = F.round(c * 100, 0).cast("bigint")
+    a = F.abs(cents)
+    return F.concat(
+        F.when(cents < 0, F.lit("-")).otherwise(F.lit("")),
+        F.floor(a / 100).cast("bigint").cast("string"),
+        F.lit("."),
+        F.lpad((a % 100).cast("string"), 2, "0"),
+    )
+
+
+def _cents_str_sql(agg: str) -> str:
+    """DuckDB twin of :func:`_cents_str` over an aggregate expression."""
+    cents = f"CAST(round({agg} * 100) AS BIGINT)"
+    return (
+        f"CASE WHEN {cents} < 0 THEN '-' ELSE '' END"
+        f" || CAST(abs({cents}) // 100 AS VARCHAR)"
+        f" || '.' || lpad(CAST(abs({cents}) % 100 AS VARCHAR), 2, '0')"
+    )
+
+
 def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style column profile of the ``events`` fact: one row per
     column with exact row/null/distinct counts and formatted min/max.
@@ -125,7 +152,7 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         if col == "ts":
             f = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")
         elif col == "value":
-            f = lambda c: F.format_string("%.2f", c)
+            f = _cents_str
         elif col in ("event_id", "user_id"):
             f = lambda c: F.format_string("%d", c)
         else:
@@ -168,7 +195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
-    "dq_column_profile": """
+    "dq_column_profile": f"""
         SELECT 'event_id' AS column_name, count(*) AS n_rows,
                CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
@@ -196,7 +223,8 @@ ORACLES: dict[str, str] = {
         SELECT 'value' AS column_name, count(*) AS n_rows,
                CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
-               printf('%.2f', min(value)) AS min_value, printf('%.2f', max(value)) AS max_value
+               {_cents_str_sql("min(value)")} AS min_value,
+               {_cents_str_sql("max(value)")} AS max_value
         FROM events
         UNION ALL
         SELECT 'props' AS column_name, count(*) AS n_rows,

@@ -27,8 +27,19 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_tables
 from .features import _docs
-from .similarity import TOP_K, sim_bruteforce_topk, sim_ivf_topk, sim_lsh_topk
+from .similarity import (
+    N_QUERIES,
+    TOP_K,
+    sim_bruteforce_topk,
+    sim_ivf_topk,
+    sim_lsh_topk,
+)
 from .temporal import APPROX_ACCURACY, _events
+
+#: Default tracked-item budget for the approx_top_k containment check —
+#: interpolated into both the Spark call and the oracle so the two
+#: can't desync.
+VOCAB_CHECK_K = 20
 
 #: Recall floors: well under the measured recalls (LSH 0.80-0.85,
 #: IVF 0.88-0.95 across SFs) but far above chance — the same floors
@@ -166,7 +177,7 @@ def sim_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def vocab_topk_containment_check(
-    spark: SparkSession, sf_dir: str, k: int = 20
+    spark: SparkSession, sf_dir: str, k: int = VOCAB_CHECK_K
 ) -> DataFrame:
     """``approx_top_k`` vs exact token counts, as two booleans: every
     reported count is the true count (the tracked-item budget exceeds
@@ -232,15 +243,15 @@ ORACLES: dict[str, str] = {
     "approx_percentile_error_check": """
         SELECT DISTINCT event_type, TRUE AS p50_ok, TRUE AS p90_ok
         FROM events ORDER BY event_type""",
-    "sim_lsh_recall_check": """
+    "sim_lsh_recall_check": f"""
         SELECT CAST(count(*) AS BIGINT) AS n_queries,
-               CAST(5 AS BIGINT) AS k, TRUE AS recall_ok
-        FROM embeddings WHERE vec_id < 8""",
-    "sim_ivf_recall_check": """
+               CAST({TOP_K} AS BIGINT) AS k, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < {N_QUERIES}""",
+    "sim_ivf_recall_check": f"""
         SELECT CAST(count(*) AS BIGINT) AS n_queries,
-               CAST(5 AS BIGINT) AS k, TRUE AS recall_ok
-        FROM embeddings WHERE vec_id < 8""",
-    "vocab_topk_containment_check": """
+               CAST({TOP_K} AS BIGINT) AS k, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < {N_QUERIES}""",
+    "vocab_topk_containment_check": f"""
         SELECT TRUE AS counts_exact_ok, TRUE AS boundary_ok,
-               CAST(20 AS BIGINT) AS n_items""",
+               CAST({VOCAB_CHECK_K} AS BIGINT) AS n_items""",
 }

@@ -54,6 +54,21 @@ def _inlist(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+#: DuckDB text of the composite quality score — THE single source for
+#: every oracle that gates on quality (corpus, pipeline, streaming
+#: drains import it), so a future change to the score can't silently
+#: desync a subset of the hash twins. Must stay the same expression
+#: tree as ``quality_scored``'s Spark SQL below.
+QUALITY_SQL = f"""
+    len(list_filter({TOKENS_SQL}, t -> t IN ({_inlist(STOP_EN)})))
+        / CAST(len({TOKENS_SQL}) AS DOUBLE) * CAST(0.4 AS DOUBLE)
+    + least(len({TOKENS_SQL}) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        * CAST(0.4 AS DOUBLE)
+    + (CAST(1.0 AS DOUBLE)
+       - (length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))
+         / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE)"""
+
+
 def _with_tokens(d: DataFrame) -> DataFrame:
     """Materialize the token array ONCE per row. Inlining TOKENS_EXPR
     into several select expressions re-runs the regex split per

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_tables
 from ..operators.decontamination import DECON_K, DECON_T, EVAL_MOD, _kgrams_sql
 from ..operators.pipeline import QUALITY_T
-from ..operators.text import PUNCT_CLASS, STOP_EN, TOKENS_SQL, _inlist
+from ..operators.text import QUALITY_SQL
 from .dedup_ingest import run_streaming_ingest_pipeline, seed_eval_grams
 from .windows import (
     ORACLES as _WINDOW_ORACLES,
@@ -177,15 +177,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_session_window_drain": stream_session_window_drain,
 }
 
-_QUALITY_SQL = f"""
-    len(list_filter({TOKENS_SQL}, t -> t IN ({_inlist(STOP_EN)})))
-        / CAST(len({TOKENS_SQL}) AS DOUBLE) * CAST(0.4 AS DOUBLE)
-    + least(len({TOKENS_SQL}) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
-        * CAST(0.4 AS DOUBLE)
-    + (CAST(1.0 AS DOUBLE)
-       - (length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))
-         / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE)"""
-
 ORACLES: dict[str, str] = {
     # same aggregate as the batch twin entry — reuse its oracle text
     "stream_tumbling_window_drain": _WINDOW_ORACLES["stream_tumbling_counts"],
@@ -230,7 +221,7 @@ ORACLES: dict[str, str] = {
             LEFT JOIN eval_grams e ON t.gram = e.gram
             GROUP BY t.doc_id),
         scored AS (
-            SELECT doc_id, {_QUALITY_SQL} AS quality_score
+            SELECT doc_id, {QUALITY_SQL} AS quality_score
             FROM documents WHERE doc_id % {EVAL_MOD} != 0)
         SELECT s.doc_id, s.quality_score, c.containment,
                (s.quality_score >= CAST({QUALITY_T} AS DOUBLE)
