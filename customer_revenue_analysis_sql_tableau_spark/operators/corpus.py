@@ -11,14 +11,20 @@ Two operators a large-scale pipeline runs on every delivery:
   corpus-wide hash count + one groupBy.
 - **Quality-decile curriculum assignment** — curriculum training orders
   data by quality; this assigns each doc its corpus-wide quality decile
-  (``ntile(10)`` over the composite score, deterministic tie-break) and
-  a coarse phase tag. A single global window at test scale; at 100 TB
-  the same assignment runs as a two-pass quantile-cutoff join (the
-  documented ``features.value_quartile_bins`` recipe) — ntile's single
-  ordered partition is the small-corpus form, and the docstring is the
-  contract for swapping in the cutoff join.
+  (exactly ``ntile(10)`` over the composite score with a deterministic
+  tie-break) and a coarse phase tag. The assignment is computed WITHOUT
+  a global ordered window: deterministic score-range buckets shard the
+  corpus, exact per-bucket counts (a bounded ≤``RANK_BUCKETS``-row
+  collect) turn local row_numbers into exact global ranks, and the
+  decile is a literal CASE ladder over the rank — every heavy stage is
+  partitioned, so the plan survives 100×.
+- **Quality-decile cutoffs** — the sketch-friendly tier of the same
+  assignment: 9 exact percentile cutoffs broadcast-joined back as value
+  thresholds (swap ``percentile`` → ``approx_percentile`` at 100 TB).
+  Agrees with the ntile form except for rows tied into a decile-edge
+  neighborhood (pytest pins pair-equality away from the edges).
 
-Both exact relational computations → hash-checked DuckDB oracles.
+All exact relational computations → hash-checked DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -63,32 +69,155 @@ def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Curriculum phase cut points over the 10 quality deciles.
 PHASE_HIGH, PHASE_MID = 3, 7
 
+#: Deciles in the curriculum assignment and range-bucket count for the
+#: distributed exact-rank pass. More buckets = smaller per-partition
+#: sorts; the two bounded collects stay ≤ RANK_BUCKETS rows either way.
+N_DECILES = 10
+RANK_BUCKETS = 32
+
+
+def _phase(decile: F.Column) -> F.Column:
+    return (
+        F.when(decile <= PHASE_HIGH, "high")
+        .when(decile <= PHASE_MID, "mid")
+        .otherwise("low")
+    )
+
+
+def _ntile_upper_bounds(n: int, buckets: int) -> list[int]:
+    """Last 1-based rank in each ntile bucket (SQL ntile semantics: the
+    first n % buckets buckets hold one extra row)."""
+    base, rem = divmod(n, buckets)
+    return [d * base + min(d, rem) for d in range(1, buckets + 1)]
+
+
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scored(
+        load_tables(spark, sf_dir, names=("documents",))["documents"]
+    ).select("doc_id", "quality_score")
+
 
 def quality_decile_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each doc's corpus-wide quality decile (1 = best) and curriculum
-    phase. ntile runs on one ordered partition — fine for the proof
-    corpus; the 100 TB form joins against 9 approx-percentile cutoffs
-    instead (same assignment up to sketch error at the decile edges)."""
-    scored = quality_scored(
-        load_tables(spark, sf_dir, names=("documents",))["documents"]
-    ).select("doc_id", "quality_score")
-    w = Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))
-    return scored.select(
+    phase — bit-identical to ``ntile(10) OVER (ORDER BY quality_score
+    DESC, doc_id ASC)`` but computed WITHOUT routing the corpus through
+    one ordered partition:
+
+    1. one global agg → (min, max, count) — a 1-row collect;
+    2. bucket each row by its score's position in ``RANK_BUCKETS``
+       equal-width value ranges (a pure function of the score, so the
+       sharding is deterministic across jobs and partitionings);
+    3. exact per-bucket counts → per-bucket rank offsets — a
+       ≤``RANK_BUCKETS``-row collect folded into a CASE ladder;
+    4. global rank = offset(bucket) + row_number over the BUCKET
+       partition (ordered by score DESC, doc_id ASC; equal scores can
+       never straddle a value-range boundary, so concatenating buckets
+       in range order reproduces the total order exactly);
+    5. decile = CASE ladder over the rank using the ntile bucket
+       boundaries computed from the exact row count.
+
+    Every shuffle is keyed (bucket), both collects are bounded scalars,
+    and per-task memory is one bucket's slice — the shape that survives
+    100 TB (skewed score distributions only cost bucket imbalance, and
+    ``RANK_BUCKETS`` scales freely). ``quality_decile_cutoffs`` is the
+    one-pass sketch tier of the same assignment."""
+    scored = _scored_docs(spark, sf_dir)
+    smin, smax, n = scored.agg(
+        F.min("quality_score"), F.max("quality_score"), F.count(F.lit(1))
+    ).first()
+    if not n:
+        return spark.createDataFrame(
+            [], "doc_id bigint, quality_score double, decile bigint, phase string"
+        )
+    width = (smax - smin) / RANK_BUCKETS
+    if width > 0:
+        bucket = F.least(
+            F.lit(RANK_BUCKETS - 1),
+            F.floor((F.col("quality_score") - F.lit(smin)) / F.lit(width)),
+        ).cast("int")
+    else:  # all scores equal: one bucket, rank = doc_id order
+        bucket = F.lit(0)
+    b = scored.withColumn("bkt", bucket)
+    # exact bucket sizes (deterministic: bkt is a pure function of the
+    # score) → rank offset of each bucket = rows in HIGHER-score buckets
+    sizes = {r["bkt"]: r["cnt"] for r in
+             b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for k in sorted(sizes, reverse=True):
+        offsets[k] = acc
+        acc += sizes[k]
+    off = F.lit(0)
+    for k, v in offsets.items():
+        off = F.when(F.col("bkt") == k, v).otherwise(off)
+    w = Window.partitionBy("bkt").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = b.withColumn("rank", off + F.row_number().over(w))
+    ubs = _ntile_upper_bounds(n, N_DECILES)
+    decile = F.lit(N_DECILES)
+    for d in range(N_DECILES - 1, 0, -1):
+        decile = F.when(F.col("rank") <= ubs[d - 1], d).otherwise(decile)
+    return ranked.select(
         "doc_id",
         "quality_score",
-        F.ntile(10).over(w).cast("long").alias("decile"),
-    ).withColumn(
-        "phase",
-        F.when(F.col("decile") <= PHASE_HIGH, "high")
-        .when(F.col("decile") <= PHASE_MID, "mid")
-        .otherwise("low"),
+        decile.cast("long").alias("decile"),
+    ).withColumn("phase", _phase(F.col("decile")))
+
+
+#: Quantile points for the 9 decile cutoffs, best-first: a score >= the
+#: 0.9-quantile is decile 1, and so on down.
+CUTOFF_QS = [round(1 - d / N_DECILES, 1) for d in range(1, N_DECILES)]
+
+
+def quality_decile_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-threshold tier of :func:`quality_decile_curriculum`: the 9
+    decile cutoffs as exact interpolated percentiles of the score
+    (rounded 9dp for cross-engine parity — the ``value_quartile_bins``
+    idiom), broadcast back over the corpus as a CASE ladder. One agg +
+    one stateless projection — no ranking pass at all; at 100 TB the
+    cutoff agg swaps ``percentile`` for the ``approx_percentile`` sketch
+    (mergeable, constant memory) and the assignment is unchanged.
+    Deciles agree with the exact-rank form everywhere except rows tied
+    into a decile-edge neighborhood (tests/test_corpus.py pins
+    pair-equality away from the edges)."""
+    scored = _scored_docs(spark, sf_dir)
+    cuts = scored.agg(
+        *[
+            F.round(F.expr(f"percentile(quality_score, {q})"), 9).alias(
+                f"c{i}"
+            )
+            for i, q in enumerate(CUTOFF_QS, 1)
+        ]
     )
+    decile = F.lit(N_DECILES)
+    for d in range(N_DECILES - 1, 0, -1):
+        decile = F.when(
+            F.col("quality_score") >= F.col(f"c{d}"), d
+        ).otherwise(decile)
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "quality_score",
+        decile.cast("long").alias("decile"),
+    ).withColumn("phase", _phase(F.col("decile")))
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats_report": corpus_stats_report,
     "quality_decile_curriculum": quality_decile_curriculum,
+    "quality_decile_cutoffs": quality_decile_cutoffs,
 }
+
+_CUT_SELECT = ", ".join(
+    f"round(quantile_cont(quality_score, {q}), 9) AS c{i}"
+    for i, q in enumerate(CUTOFF_QS, 1)
+)
+_CUT_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN quality_score >= c{d} THEN {d}" for d in range(1, N_DECILES)
+    )
+    + f" ELSE {N_DECILES} END"
+)
 
 ORACLES: dict[str, str] = {
     "corpus_stats_report": f"""
@@ -122,4 +251,15 @@ ORACLES: dict[str, str] = {
                         ORDER BY quality_score DESC, doc_id ASC) <= 7
                     THEN 'mid' ELSE 'low' END AS phase
         FROM scored""",
+    "quality_decile_cutoffs": f"""
+        WITH scored AS (
+            SELECT doc_id, {QUALITY_SQL} AS quality_score
+            FROM documents),
+        cuts AS (SELECT {_CUT_SELECT} FROM scored)
+        SELECT doc_id, quality_score,
+               CAST({_CUT_CASE} AS BIGINT) AS decile,
+               CASE WHEN {_CUT_CASE} <= {PHASE_HIGH} THEN 'high'
+                    WHEN {_CUT_CASE} <= {PHASE_MID} THEN 'mid'
+                    ELSE 'low' END AS phase
+        FROM scored CROSS JOIN cuts""",
 }

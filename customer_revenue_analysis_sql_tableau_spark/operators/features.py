@@ -24,13 +24,17 @@ between cleaning and export:
   (comparisons, not sums), so the scaled value is safely deterministic.
 - **Vocabulary coverage** — token counts with share and cumulative
   coverage: the explode/count shuffle is keyed by token (arbitrarily
-  wide), while the ordered ranking window runs over the *post-agg*
-  vocabulary, which is orders of magnitude smaller than the corpus.
+  wide), and the ordered ranking window runs over a ``TakeOrdered``
+  top-``VOCAB_TOP`` capture of the post-agg vocabulary — never the
+  unbounded distinct-token frame (at 100 TB distinct tokens/bigrams
+  are themselves huge; the cap bounds the single-partition pass at K
+  rows while leaving the ranked output bit-identical).
 - **Word bigrams** — per-document adjacent token pairs generated
   row-locally (``transform`` over the split array — no per-element
   regex recompute, the ``dedup.py`` perf lesson), then one count
-  shuffle. Guards ``size >= 2``: ``sequence(1, 0)`` would generate a
-  *descending* phantom range (the multimodal frame-sample hazard).
+  shuffle and the same top-K-before-ranking cap. Guards ``size >= 2``:
+  ``sequence(1, 0)`` would generate a *descending* phantom range (the
+  multimodal frame-sample hazard).
 
 All operators are whole-stage-codegen SQL (no Python UDFs) with DuckDB
 oracle twins.
@@ -168,10 +172,15 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))
+    # TakeOrdered top-K BEFORE the ranking/cumulative window: the rank
+    # prefix is the same set in the same total order ((cnt, token) is
+    # tie-free), so rank/share/cum_share are unchanged — but the
+    # single-partition window now sees K rows, not the whole vocabulary
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(VOCAB_TOP)
     w = Window.orderBy(F.desc("cnt"), F.asc("token")).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    ranked = counts.crossJoin(F.broadcast(total)).select(
+    return top.crossJoin(F.broadcast(total)).select(
         "token",
         "cnt",
         F.row_number()
@@ -183,7 +192,6 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").over(w).cast("double") / F.col("total"), 9
         ).alias("cum_share"),
     )
-    return ranked.filter(F.col("rank") <= VOCAB_TOP)
 
 
 def vocab_topk_sketch(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
@@ -226,7 +234,9 @@ def word_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigram")
     )
     counts = big.groupBy("bigram").agg(F.count("*").alias("cnt"))
-    ranked = counts.select(
+    # same top-K-before-ranking cap as vocab_coverage
+    top = counts.orderBy(F.desc("cnt"), F.asc("bigram")).limit(BIGRAM_TOP)
+    return top.select(
         "bigram",
         "cnt",
         F.row_number()
@@ -234,7 +244,6 @@ def word_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank"),
     )
-    return ranked.filter(F.col("rank") <= BIGRAM_TOP)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -6,8 +6,10 @@ from pyspark.sql import functions as F
 
 from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
 from customer_revenue_analysis_sql_tableau_spark.operators.corpus import (
+    _ntile_upper_bounds,
     corpus_stats_report,
     quality_decile_curriculum,
+    quality_decile_cutoffs,
 )
 
 
@@ -58,3 +60,52 @@ def test_quality_deciles_are_balanced_and_ordered(spark, sf_dir):
         p == ("high" if d <= 3 else "mid" if d <= 7 else "low")
         for d, p in phases.items()
     )
+
+
+def test_ntile_upper_bounds_match_sql_ntile():
+    """The rank→decile ladder must reproduce SQL ntile for row counts
+    that do NOT divide evenly (the first n % 10 buckets take the extra
+    row) — the remainder rule the driver corpora (multiples of 10)
+    never exercise."""
+    import duckdb
+
+    for n in (7, 47, 503, 1000):
+        got = duckdb.sql(
+            f"SELECT ntile(10) OVER (ORDER BY r) AS d"
+            f" FROM range({n}) t(r) ORDER BY r"
+        ).fetchall()
+        ubs = _ntile_upper_bounds(n, 10)
+        expected = []
+        for rank in range(1, n + 1):
+            expected.append(next(d for d, ub in enumerate(ubs, 1) if rank <= ub))
+        assert [g[0] for g in got] == expected
+
+
+def test_cutoff_deciles_match_ntile_away_from_edges(spark, sf_dir):
+    """The percentile-threshold assignment must agree with the exact
+    ntile rank form except for rows tied into a decile-edge
+    neighborhood, and any disagreement is at most one decile."""
+    exact = {
+        r.doc_id: (r.quality_score, r.decile)
+        for r in quality_decile_curriculum(spark, sf_dir).collect()
+    }
+    approx = {
+        r.doc_id: r.decile
+        for r in quality_decile_cutoffs(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    ranked = sorted(exact.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    n = len(ranked)
+    ubs = _ntile_upper_bounds(n, 10)[:-1]
+    # edge neighborhood: ranks within 2 of a decile boundary, expanded
+    # to every row sharing a score with one of those rows
+    edge_scores = {
+        ranked[r - 1][1][0]
+        for ub in ubs
+        for r in range(max(1, ub - 1), min(n, ub + 2) + 1)
+    }
+    mismatches = {d for d in exact if exact[d][1] != approx[d]}
+    assert all(abs(exact[d][1] - approx[d]) == 1 for d in mismatches)
+    away = [d for d in exact if exact[d][0] not in edge_scores]
+    assert len(away) >= 0.9 * n  # the edge set must stay a sliver
+    assert all(exact[d][1] == approx[d] for d in away)

@@ -98,12 +98,14 @@ def test_no_oracle_emits_hugeint():
 def test_registry_plans_have_no_scale_red_flags(spark, sf_dir):
     """Sweep EVERY registry entry's physical plan: no CartesianProduct
     anywhere; every BroadcastNestedLoopJoin is on the documented
-    bounded-side allowlist (tools/registry_plan_scan.py)."""
+    bounded-side allowlist; no unpartitioned Window runs over unbounded
+    input — the single-task global-sort class VERDICT.md r4 flagged
+    (tools/registry_plan_scan.py)."""
     import sys
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     import __spark_entry__ as entrymod
-    from registry_plan_scan import BNLJ_ALLOWLIST
+    from registry_plan_scan import BNLJ_ALLOWLIST, _unbounded_global_windows
 
     flags = {}
     for name, fn in entrymod.queries().items():
@@ -112,4 +114,55 @@ def test_registry_plans_have_no_scale_red_flags(spark, sf_dir):
             flags[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWLIST:
             flags[name] = "BNLJ not allowlisted"
+        elif _unbounded_global_windows(plan):
+            flags[name] = "unpartitioned Window over unbounded input"
     assert not flags, flags
+
+
+def test_global_window_detector_flags_the_r4_shape(spark, sf_dir):
+    """The scan's window detector must fire on the exact shape round 4
+    shipped (corpus-wide ntile with no PARTITION BY), stay quiet on a
+    key-partitioned window, and stay quiet on a global window whose
+    input a TakeOrdered top-K bounds — otherwise the registry sweep
+    above passes vacuously."""
+    import sys
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from registry_plan_scan import _unbounded_global_windows
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.corpus import (
+        _scored_docs,
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    scored = _scored_docs(spark, sf_dir)
+    bad = scored.select(
+        "doc_id",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("quality_score"), F.asc("doc_id")))
+        .alias("d"),
+    )
+    assert _unbounded_global_windows(plan_of(bad))
+    keyed = scored.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("quality_score"))
+        .alias("r"),
+    )
+    assert not _unbounded_global_windows(plan_of(keyed))
+    capped = (
+        scored.orderBy("quality_score", "doc_id")
+        .limit(5)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy("quality_score", "doc_id"))
+            .alias("r"),
+        )
+    )
+    assert not _unbounded_global_windows(plan_of(capped))

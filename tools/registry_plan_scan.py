@@ -8,6 +8,12 @@ reports scale red flags:
 - ``BroadcastNestedLoopJoin`` — acceptable only for documented 1-row /
   bounded-side scalar joins (the allowlist below, asserted by
   ``tests/test_registry_hygiene.py::test_registry_plans_have_no_scale_red_flags``);
+- **unpartitioned Window over unbounded input** — a global ordered
+  window (no PARTITION BY) routes its entire input through ONE task;
+  fine when the input is provably bounded (a ``TakeOrderedAndProject``
+  / ``GlobalLimit`` top-K or a literal/1-row frame below it in the
+  plan), a 100 TB scale-killer otherwise (the round-4 curriculum-ntile
+  class — VERDICT.md r4, "What's wrong" #1);
 - plans that fail to build at all.
 
 SortMergeJoin is NOT flagged: it is the correct fact⋈fact strategy at
@@ -29,6 +35,7 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "customers_above_avg_balance",  # scalar avg threshold (1 row)
         "proc_customer_balance",  # scalar anchor frame (1 row)
         "feat_value_quartile_bins",  # broadcast quartile cutoffs (1 row)
+        "quality_decile_cutoffs",  # broadcast decile cutoffs (1 row)
         "feat_vocab_coverage",  # broadcast corpus totals (1 row)
         "sim_bruteforce_topk",  # query set × corpus, queries bounded
         "sim_ivf_topk",  # query set × centroids, both bounded
@@ -43,6 +50,72 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "vocab_topk_containment_check",  # broadcast k-th-count scalar (1 row)
     }
 )
+
+
+#: Plan markers that prove the rows feeding a window are bounded: a
+#: driver-enforced top-K / limit, or a literal frame.
+_BOUNDED_MARKERS = (
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+    "LocalTableScan",
+)
+
+
+def _node_depth(line: str) -> int:
+    """Character index of the node's own ``+- ``/``:- `` tree marker
+    (-1 for the root line) — children print at strictly larger index."""
+    return max(line.rfind("+- "), line.rfind(":- "))
+
+
+def _spec_is_unpartitioned(line: str) -> bool:
+    """True when the Window node's windowspecdefinition has no
+    partition columns: its first argument is either the frame itself or
+    an ORDER column (which, unlike partition columns, carries an
+    ASC/DESC direction)."""
+    _, _, rest = line.partition("windowspecdefinition(")
+    if not rest:
+        return False
+    depth, arg = 0, []
+    for ch in rest:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            break
+        arg.append(ch)
+    first = "".join(arg).strip()
+    return first.startswith("specifiedwindowframe(") or (
+        " ASC" in first or " DESC" in first
+    )
+
+
+def _unbounded_global_windows(plan: str) -> bool:
+    """True when any Window node runs unpartitioned over input with no
+    bounded marker below it in its subtree."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        name = ln[_node_depth(ln) + 3 :].lstrip()
+        if name.startswith("*("):
+            name = name.split(") ", 1)[-1]
+        if not name.startswith("Window "):
+            continue
+        if not _spec_is_unpartitioned(ln):
+            continue
+        d = _node_depth(ln)
+        bounded = False
+        for sub in lines[i + 1 :]:
+            if _node_depth(sub) <= d:
+                break
+            if any(m in sub for m in _BOUNDED_MARKERS):
+                bounded = True
+                break
+        if not bounded:
+            return True
+    return False
 
 
 def scan(sf_dir: str) -> dict[str, str]:
@@ -63,6 +136,8 @@ def scan(sf_dir: str) -> dict[str, str]:
             flags[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWLIST:
             flags[name] = "BroadcastNestedLoopJoin (not allowlisted)"
+        elif _unbounded_global_windows(plan):
+            flags[name] = "unpartitioned Window over unbounded input"
     return flags
 
 
