@@ -217,6 +217,56 @@ def _accumulated_pairs(spark: SparkSession, work_dir: str) -> DataFrame:
     # keeps the contract explicit)
     return out.distinct()
 
+def _ingest_batch(
+    spark: SparkSession,
+    work_dir: str,
+    eval_grams: DataFrame,
+    batch_df: DataFrame,
+    batch_id: int,
+    quality_t: float = QUALITY_T,
+) -> None:
+    """One full ingest step (the ``run_streaming_ingest_pipeline``
+    foreachBatch unit): gate the batch on quality + decontamination,
+    write the per-doc verdicts, feed the survivors to
+    :func:`_dedup_batch`. Same retry discipline as the dedup step —
+    per-batch overwrite writes, predecessor-only reads — so a batch
+    retried after ANY prefix of its four store writes (verdicts,
+    pairs, shingles, bands) landed rebuilds identical state
+    (tests/test_extensions.py chaos-probes a torn write + retry)."""
+    docs = batch_df.localCheckpoint()
+    scored = quality_scored(docs).select("doc_id", "quality_score")
+    cont = containment_vs_eval(doc_kgrams(docs), eval_grams).select(
+        "doc_id", "containment", "flagged"
+    )
+    verdicts = (
+        docs.select("doc_id")
+        .join(scored, "doc_id")
+        .join(cont, "doc_id")
+        .select(
+            "doc_id",
+            "quality_score",
+            "containment",
+            (
+                (F.col("quality_score") >= F.lit(quality_t))
+                & ~F.col("flagged")
+            ).alias("kept"),
+            F.when(
+                F.col("quality_score") < F.lit(quality_t), "low_quality"
+            )
+            .when(F.col("flagged"), "contaminated")
+            .alias("reason"),
+        )
+        .localCheckpoint()
+    )
+    verdicts.write.mode("overwrite").parquet(
+        f"{work_dir}/verdicts/b_{batch_id}"
+    )
+    survivors = docs.join(
+        verdicts.filter(F.col("kept")).select("doc_id"), "doc_id"
+    )
+    _dedup_batch(spark, work_dir, survivors, batch_id)
+
+
 def seed_eval_grams(eval_docs: DataFrame, work_dir: str) -> None:
     """Materialize the static benchmark k-gram set for ingest-time
     decontamination. Eval sets are small and fixed (they are the
@@ -254,43 +304,11 @@ def run_streaming_ingest_pipeline(
     delivery; the dedup stage's streamed ≡ batch proof carries over
     from the pair-set equality test.
     """
-    verdict_dir = f"{work_dir}/verdicts"
     eval_grams = spark.read.parquet(f"{work_dir}/eval_grams").localCheckpoint()
     schema = spark.read.parquet(source_dir).schema
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        docs = batch_df.localCheckpoint()
-        scored = quality_scored(docs).select("doc_id", "quality_score")
-        cont = containment_vs_eval(doc_kgrams(docs), eval_grams).select(
-            "doc_id", "containment", "flagged"
-        )
-        verdicts = (
-            docs.select("doc_id")
-            .join(scored, "doc_id")
-            .join(cont, "doc_id")
-            .select(
-                "doc_id",
-                "quality_score",
-                "containment",
-                (
-                    (F.col("quality_score") >= F.lit(quality_t))
-                    & ~F.col("flagged")
-                ).alias("kept"),
-                F.when(
-                    F.col("quality_score") < F.lit(quality_t), "low_quality"
-                )
-                .when(F.col("flagged"), "contaminated")
-                .alias("reason"),
-            )
-            .localCheckpoint()
-        )
-        verdicts.write.mode("overwrite").parquet(
-            f"{verdict_dir}/b_{batch_id}"
-        )
-        survivors = docs.join(
-            verdicts.filter(F.col("kept")).select("doc_id"), "doc_id"
-        )
-        _dedup_batch(spark, work_dir, survivors, batch_id)
+        _ingest_batch(spark, work_dir, eval_grams, batch_df, batch_id, quality_t)
 
     query = (
         spark.readStream.schema(schema)
@@ -302,7 +320,7 @@ def run_streaming_ingest_pipeline(
         .start()
     )
     query.awaitTermination()
-    verdicts = _read_store(spark, verdict_dir)
+    verdicts = _read_store(spark, f"{work_dir}/verdicts")
     if verdicts is None:
         verdicts = spark.createDataFrame(
             [],

@@ -29,6 +29,7 @@ from .windows import (
     run_foreach_batch_upsert_stream,
     run_interval_join_stream,
     run_latest_state_stream,
+    run_resumable_stream,
     run_session_stream,
     run_sliding_stream,
     run_tumbling_stream,
@@ -92,6 +93,49 @@ def stream_ingest_verdicts_drain(
             spark, f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/work"
         )
         return verdicts
+
+    return _drain(spark, build)
+
+
+def stream_resumable_restart_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once RECOVERY under the driver hash, not just steady
+    state: drain half the events delivery into the exactly-once parquet
+    file sink, STOP the query, inject an orphaned poison file into the
+    sink directory (what a batch killed mid-write leaves behind — data
+    files present, no ``_spark_metadata`` commit), append the remaining
+    source files, and restart from the same checkpoint. The final sink
+    must hash-match the plain batch enrichment of the whole table —
+    which simultaneously proves the restart skipped the already-
+    committed files (no double rows), picked up every new file (no
+    loss), and that the sink's transactional manifest hides the
+    orphan (its ``double_value = -1`` rows would poison the hash)."""
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+
+    def build(tmp: str) -> DataFrame:
+        src, ckpt, sink = f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/sink"
+        for k in (0, 1):
+            events.filter(F.col("event_id") % 4 == k).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        run_resumable_stream(spark, src, ckpt, sink)  # partial delivery
+        # crashed-batch leftovers: schema-compatible rows the manifest
+        # never committed, with values no committed row can take
+        events.limit(7).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.lit(-1.0).alias("double_value"),
+        ).coalesce(1).write.mode("append").parquet(sink)
+        for k in (2, 3):
+            events.filter(F.col("event_id") % 4 == k).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        return run_resumable_stream(spark, src, ckpt, sink)
 
     return _drain(spark, build)
 
@@ -170,6 +214,7 @@ def stream_session_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_user_upsert_drain": stream_user_upsert_drain,
     "stream_ingest_verdicts_drain": stream_ingest_verdicts_drain,
+    "stream_resumable_restart_drain": stream_resumable_restart_drain,
     "stream_cdc_latest_drain": stream_cdc_latest_drain,
     "stream_tumbling_window_drain": stream_tumbling_window_drain,
     "stream_interval_join_drain": stream_interval_join_drain,
@@ -198,6 +243,11 @@ ORACLES: dict[str, str] = {
             FROM events)
         SELECT user_id, ts, event_id, event_type, value
         FROM ranked WHERE rn = 1""",
+    "stream_resumable_restart_drain": """
+        SELECT event_id, user_id, event_type, ts,
+               CAST(round(CAST(value AS DECIMAL(18,2)) * 2, 2) AS DOUBLE)
+                   AS double_value
+        FROM events""",
     "stream_user_upsert_drain": """
         SELECT user_id, count(*) AS n_events,
                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)

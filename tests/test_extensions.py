@@ -319,6 +319,25 @@ def test_streaming_resume_from_checkpoint_is_exactly_once(spark, sf_dir):
         ).filter(F.abs(F.col("expect") - F.col("v")) > 1e-9)
         assert bad.count() == 0
 
+        # a crashed batch's leftovers (data file present, never
+        # committed to _spark_metadata) must be PHYSICALLY in the sink
+        # dir yet invisible to the manifest read — the non-vacuousness
+        # proof behind stream_resumable_restart_drain's poison file
+        import glob
+
+        before = set(glob.glob(f"{sink}/part-*"))
+        events.limit(5).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.lit(-1.0).alias("double_value"),
+        ).coalesce(1).write.mode("append").parquet(sink)
+        assert set(glob.glob(f"{sink}/part-*")) - before  # orphan on disk
+        after = spark.read.parquet(sink)
+        assert after.filter(F.col("double_value") == -1.0).count() == 0
+        assert after.count() == total
+
 
 def test_containment_dominates_jaccard_pairs(spark, sf_dir):
     """Containment of the smaller set >= Jaccard for any pair, so every
@@ -892,3 +911,60 @@ def test_dedup_batch_retry_rebuilds_identical_state(spark, sf_dir):
         assert first[0], "planted cross-split near-dups must surface"
         _dedup_batch(spark, work, batch, 0)  # retry with state present
         assert snapshot() == first
+
+
+def test_ingest_pipeline_survives_torn_write_and_retry(spark, sf_dir):
+    """Chaos probe of the full ingest state contract, across ALL the
+    stores (verdicts, pairs, shingles, bands): batch N lands a PARTIAL
+    write (one store's ``b_N`` torn away, the rest present — the crash
+    window between two store writes), batch N is retried, the stream
+    continues to N+1. Final verdicts and near-dup pairs must be
+    byte-identical to a clean run — the failure mode round-3 ADVICE
+    caught, held down as a permanent regression net."""
+    import shutil
+
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.operators.decontamination import (
+        EVAL_MOD,
+    )
+    from customer_revenue_analysis_sql_tableau_spark.streaming.dedup_ingest import (
+        _accumulated_pairs,
+        _ingest_batch,
+        _read_store,
+        seed_eval_grams,
+    )
+
+    docs = load_tables(spark, sf_dir, names=("documents",), register=False)[
+        "documents"
+    ]
+    eval_docs = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    batches = [train.filter(F.col("doc_id") % 3 == k) for k in (0, 1, 2)]
+
+    def run(work: str, torn: bool) -> tuple[dict, dict]:
+        seed_eval_grams(eval_docs, work)
+        grams = spark.read.parquet(f"{work}/eval_grams").localCheckpoint()
+        _ingest_batch(spark, work, grams, batches[0], 0)
+        _ingest_batch(spark, work, grams, batches[1], 1)
+        if torn:
+            # crash between the shingle and band writes of batch 1:
+            # bands torn away, verdicts/pairs/shingles left behind
+            shutil.rmtree(f"{work}/band_index/b_1")
+            _ingest_batch(spark, work, grams, batches[1], 1)  # retry
+        _ingest_batch(spark, work, grams, batches[2], 2)
+        verdicts = {
+            r.doc_id: (r.quality_score, r.containment, r.kept, r.reason)
+            for r in _read_store(spark, f"{work}/verdicts").collect()
+        }
+        pairs = {
+            (r.d1, r.d2): r.jaccard
+            for r in _accumulated_pairs(spark, work).collect()
+        }
+        return verdicts, pairs
+
+    with tempfile.TemporaryDirectory() as t1, \
+            tempfile.TemporaryDirectory() as t2:
+        clean = run(f"{t1}/work", torn=False)
+        chaos = run(f"{t2}/work", torn=True)
+    assert clean[0] and clean[1], "gates and near-dups must both fire"
+    assert chaos == clean
