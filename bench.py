@@ -28,12 +28,17 @@ from customer_revenue_analysis_sql_tableau_spark.session import get_spark
 #: runs in t2; bench tracks the expensive representative ones.
 HEADLINE = [
     "flagship_revenue_by_region",
-    "view_customer_value_summary",
-    # A/B twin (r4): same 13-column fill from the write-once bucketed
-    # fact layout (no o⋈l exchange/sort). Layout build is untimed —
-    # it's the ingest-time cost; timing covers the full plan via a
-    # noop-format write (count() would let Catalyst drop the geo joins).
+    # View family, bucketed layout FIRST: the write-once bucketed fact
+    # layout (no o⋈l exchange/sort) is the DEFAULT measured fill — the
+    # layout a recurring 100 TB view fill deploys on (SCALE.md "Layout
+    # decision"). The layout build is untimed — it's the ingest-time
+    # cost; timing covers the full plan via a noop-format write
+    # (count() would let Catalyst drop the geo joins).
     "view_customer_value_summary_bucketed",
+    # A/B twin: the same fill from the plain scan layout (cold cache,
+    # evicted per run — the honest one-shot cost); its warm memoized
+    # re-read is recorded separately as view_customer_value_summary__warm
+    "view_customer_value_summary",
     "q4_frequency_segmentation",
     "q8_customer_cohorts",
     "q9_revenue_by_nation",
@@ -120,6 +125,15 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        if name == "view_customer_value_summary":
+            # warm tier: the memoized materialization is still cached
+            # from the run above — the cost q1-q11 actually pay per read
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            assert n >= 0
+            timings["view_customer_value_summary__warm"] = round(
+                time.perf_counter() - t0, 3
+            )
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
