@@ -13,9 +13,10 @@ Two operators a large-scale pipeline runs on every delivery:
   data by quality; this assigns each doc its corpus-wide quality decile
   (exactly ``ntile(10)`` over the composite score with a deterministic
   tie-break) and a coarse phase tag. The assignment is computed WITHOUT
-  a global ordered window: deterministic score-range buckets shard the
-  corpus, exact per-bucket counts (a bounded ≤``RANK_BUCKETS``-row
-  collect) turn local row_numbers into exact global ranks, and the
+  a global ordered window: deterministic score-range buckets (the count
+  self-scales with corpus size) shard the corpus, exact per-bucket
+  counts (a bounded ≤``MAX_RANK_BUCKETS``-row collect) turn local
+  row_numbers into exact global ranks, and the
   decile is a literal CASE ladder over the rank — every heavy stage is
   partitioned, so the plan survives 100×.
 - **Quality-decile cutoffs** — the sketch-friendly tier of the same
@@ -69,11 +70,32 @@ def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Curriculum phase cut points over the 10 quality deciles.
 PHASE_HIGH, PHASE_MID = 3, 7
 
-#: Deciles in the curriculum assignment and range-bucket count for the
-#: distributed exact-rank pass. More buckets = smaller per-partition
-#: sorts; the two bounded collects stay ≤ RANK_BUCKETS rows either way.
+#: Deciles in the curriculum assignment.
 N_DECILES = 10
-RANK_BUCKETS = 32
+
+#: Range-bucket sizing for the distributed exact-rank pass: the bucket
+#: count is DERIVED from the corpus row count (already collected for the
+#: ntile boundaries) so one bucket's window slice stays ~TARGET rows per
+#: task at any corpus size, floored for small corpora and capped so the
+#: per-bucket-counts collect stays a bounded scalar (≤4096 rows). Past
+#: the cap slices grow again (100 TB / 4096 ≈ 25 GB/task) — that is the
+#: regime where the one-pass ``quality_decile_cutoffs`` sketch tier is
+#: the right operator; the exact-rank form documents the trade.
+MIN_RANK_BUCKETS = 32
+MAX_RANK_BUCKETS = 4096
+TARGET_ROWS_PER_BUCKET = 1_000_000
+
+#: Bucket id for NULL quality scores (NULL text / zero-length text make
+#: the score NULL): a dedicated bucket ordered AFTER every score range,
+#: reproducing the oracle ntile's NULLS LAST. Without it, Spark's
+#: null-skipping ``least(RANK_BUCKETS-1, NULL)`` would silently route
+#: NULL scores into the TOP bucket (ADVICE r5).
+NULL_BUCKET = -1
+
+
+def _n_rank_buckets(n: int) -> int:
+    """Bucket count for an ``n``-row corpus (floored, capped)."""
+    return max(MIN_RANK_BUCKETS, min(MAX_RANK_BUCKETS, n // TARGET_ROWS_PER_BUCKET))
 
 
 def _phase(decile: F.Column) -> F.Column:
@@ -103,12 +125,16 @@ def quality_decile_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     DESC, doc_id ASC)`` but computed WITHOUT routing the corpus through
     one ordered partition:
 
-    1. one global agg → (min, max, count) — a 1-row collect;
-    2. bucket each row by its score's position in ``RANK_BUCKETS``
-       equal-width value ranges (a pure function of the score, so the
-       sharding is deterministic across jobs and partitionings);
+    1. one global agg → (min, max, count) — a 1-row collect; the bucket
+       count is derived from the count (``_n_rank_buckets``) so slices
+       stay ~``TARGET_ROWS_PER_BUCKET`` rows at any corpus size;
+    2. bucket each row by its score's position in that many equal-width
+       value ranges (a pure function of the score, so the sharding is
+       deterministic across jobs and partitionings); NULL scores (NULL
+       or zero-length text) go to a dedicated bucket ordered after all
+       ranges — the oracle ntile's NULLS LAST;
     3. exact per-bucket counts → per-bucket rank offsets — a
-       ≤``RANK_BUCKETS``-row collect folded into a CASE ladder;
+       ≤``MAX_RANK_BUCKETS``-row collect folded into a CASE ladder;
     4. global rank = offset(bucket) + row_number over the BUCKET
        partition (ordered by score DESC, doc_id ASC; equal scores can
        never straddle a value-range boundary, so concatenating buckets
@@ -119,8 +145,8 @@ def quality_decile_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every shuffle is keyed (bucket), both collects are bounded scalars,
     and per-task memory is one bucket's slice — the shape that survives
     100 TB (skewed score distributions only cost bucket imbalance, and
-    ``RANK_BUCKETS`` scales freely). ``quality_decile_cutoffs`` is the
-    one-pass sketch tier of the same assignment."""
+    the bucket count grows with the corpus). ``quality_decile_cutoffs``
+    is the one-pass sketch tier of the same assignment."""
     scored = _scored_docs(spark, sf_dir)
     smin, smax, n = scored.agg(
         F.min("quality_score"), F.max("quality_score"), F.count(F.lit(1))
@@ -129,17 +155,24 @@ def quality_decile_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id bigint, quality_score double, decile bigint, phase string"
         )
-    width = (smax - smin) / RANK_BUCKETS
+    n_buckets = _n_rank_buckets(n)
+    width = (smax - smin) / n_buckets if smin is not None else 0.0
     if width > 0:
-        bucket = F.least(
-            F.lit(RANK_BUCKETS - 1),
+        score_bucket = F.least(
+            F.lit(n_buckets - 1),
             F.floor((F.col("quality_score") - F.lit(smin)) / F.lit(width)),
         ).cast("int")
-    else:  # all scores equal: one bucket, rank = doc_id order
-        bucket = F.lit(0)
+    else:  # all (non-null) scores equal: one bucket, rank = doc_id order
+        score_bucket = F.lit(0)
+    # NULL guard FIRST: least() skips NULL args, so an unguarded NULL
+    # score would land in the top bucket instead of sorting last.
+    bucket = F.when(
+        F.col("quality_score").isNull(), F.lit(NULL_BUCKET)
+    ).otherwise(score_bucket)
     b = scored.withColumn("bkt", bucket)
     # exact bucket sizes (deterministic: bkt is a pure function of the
-    # score) → rank offset of each bucket = rows in HIGHER-score buckets
+    # score) → rank offset of each bucket = rows in HIGHER-score buckets;
+    # NULL_BUCKET = -1 sorts past every score range = NULLS LAST
     sizes = {r["bkt"]: r["cnt"] for r in
              b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets, acc = {}, 0
@@ -201,10 +234,69 @@ def quality_decile_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("phase", _phase(F.col("decile")))
 
 
+#: Sketch accuracy for the 100 TB tier of the cutoffs (``approx_percentile``
+#: guarantees rank error <= n/accuracy); the bound check asserts at 10x
+#: that eps plus one row, the ``sketch_checks.GK_EPS`` discipline.
+CUTOFF_SKETCH_ACCURACY = 10_000
+CUTOFF_GK_EPS = 10.0 / CUTOFF_SKETCH_ACCURACY
+
+
+def quality_decile_cutoffs_approx_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-checkable bound twin for the ``approx_percentile`` tier of
+    :func:`quality_decile_cutoffs` (the documented 100 TB swap): one job
+    computes the sketch cutoffs AND the exact rank counts around them,
+    emitting one ``within_bound`` row per decile edge. The sketch's
+    contract is rank error <= eps*n, which is exactly checkable:
+    count(score <= c_hat) must reach q*n - slack and count(score < c_hat)
+    must not exceed q*n + slack. Oracle: the all-TRUE frame
+    (``operators/sketch_checks.py`` recipe — a probabilistic operator's
+    deterministic FACT is its bound, not its value)."""
+    scored = _scored_docs(spark, sf_dir)
+    qs_sql = ", ".join(str(q) for q in CUTOFF_QS)
+    ap = scored.agg(
+        F.expr(
+            f"approx_percentile(quality_score, array({qs_sql}),"
+            f" {CUTOFF_SKETCH_ACCURACY})"
+        ).alias("ap")
+    )
+    j = scored.crossJoin(F.broadcast(ap))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(1, N_DECILES):
+        c = F.col("ap")[i - 1]
+        aggs.append(
+            F.sum((F.col("quality_score") <= c).cast("long")).alias(f"le{i}")
+        )
+        aggs.append(
+            F.sum((F.col("quality_score") < c).cast("long")).alias(f"lt{i}")
+        )
+    cnt = j.agg(*aggs)
+    slack = F.lit(CUTOFF_GK_EPS) * F.col("n") + F.lit(1.0)
+    rows = []
+    for i, q in enumerate(CUTOFF_QS, 1):
+        target = F.lit(q) * F.col("n")
+        ok = (F.col(f"le{i}") >= target - slack) & (
+            F.col(f"lt{i}") <= target + slack
+        )
+        rows.append(
+            F.struct(
+                F.lit(int(round(q * 100))).cast("long").alias("cutoff_pct"),
+                ok.alias("within_bound"),
+            )
+        )
+    return (
+        cnt.select(F.explode(F.array(*rows)).alias("e"))
+        .select("e.cutoff_pct", "e.within_bound")
+        .orderBy("cutoff_pct")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats_report": corpus_stats_report,
     "quality_decile_curriculum": quality_decile_curriculum,
     "quality_decile_cutoffs": quality_decile_cutoffs,
+    "quality_decile_cutoffs_approx_check": quality_decile_cutoffs_approx_check,
 }
 
 _CUT_SELECT = ", ".join(
@@ -262,4 +354,11 @@ ORACLES: dict[str, str] = {
                     WHEN {_CUT_CASE} <= {PHASE_MID} THEN 'mid'
                     ELSE 'low' END AS phase
         FROM scored CROSS JOIN cuts""",
+    # bound-check oracle: the exact engine agrees the 9 decile edges
+    # exist and asserts TRUE per edge (sketch_checks.py discipline)
+    "quality_decile_cutoffs_approx_check": f"""
+        SELECT CAST((10 - d) * 10 AS BIGINT) AS cutoff_pct,
+               TRUE AS within_bound
+        FROM range(1, {N_DECILES}) t(d)
+        ORDER BY cutoff_pct""",
 }

@@ -66,7 +66,7 @@ QUALITY_SQL = f"""
         * CAST(0.4 AS DOUBLE)
     + (CAST(1.0 AS DOUBLE)
        - (length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))
-         / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE)"""
+         / CAST(nullif(length(text), 0) AS DOUBLE)) * CAST(0.2 AS DOUBLE)"""
 
 
 def _with_tokens(d: DataFrame) -> DataFrame:
@@ -147,10 +147,14 @@ def quality_scored(docs: DataFrame) -> DataFrame:
         "CAST(size(toks) AS BIGINT) AS n_tokens",
         f"size(filter(toks, t -> t IN ({stop})))"
         " / CAST(size(toks) AS DOUBLE) AS stop_ratio",
+        # nullif divisor: zero-length text scores NULL (ANSI Spark would
+        # otherwise raise DIVIDE_BY_ZERO; DuckDB's x/0 is NULL already,
+        # so the twin expressions agree) — NULL scores then sort last in
+        # the curriculum's rank pass (corpus.NULL_BUCKET)
         f"(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '')))"
-        " / CAST(length(text) AS DOUBLE) AS punct_ratio",
+        " / CAST(nullif(length(text), 0) AS DOUBLE) AS punct_ratio",
         "(length(text) - length(regexp_replace(text, '[A-Z]', '')))"
-        " / CAST(length(text) AS DOUBLE) AS upper_ratio",
+        " / CAST(nullif(length(text), 0) AS DOUBLE) AS upper_ratio",
     ).selectExpr(
         "*",
         # fixed expression tree, all-DOUBLE literals (a bare 0.4 parses as

@@ -5,11 +5,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+from customer_revenue_analysis_sql_tableau_spark.operators import corpus as corpus_mod
 from customer_revenue_analysis_sql_tableau_spark.operators.corpus import (
+    _n_rank_buckets,
     _ntile_upper_bounds,
     corpus_stats_report,
     quality_decile_curriculum,
     quality_decile_cutoffs,
+    quality_decile_cutoffs_approx_check,
 )
 
 
@@ -79,6 +82,88 @@ def test_ntile_upper_bounds_match_sql_ntile():
         for rank in range(1, n + 1):
             expected.append(next(d for d, ub in enumerate(ubs, 1) if rank <= ub))
         assert [g[0] for g in got] == expected
+
+
+def test_rank_bucket_count_scales_with_corpus():
+    """The exact-rank pass derives its bucket count from the corpus row
+    count: floored for small corpora, growing ~linearly at one bucket
+    per TARGET_ROWS_PER_BUCKET rows, capped so the offsets collect stays
+    a bounded scalar (VERDICT r5, Next #3)."""
+    t = corpus_mod.TARGET_ROWS_PER_BUCKET
+    assert _n_rank_buckets(0) == corpus_mod.MIN_RANK_BUCKETS
+    assert _n_rank_buckets(500) == corpus_mod.MIN_RANK_BUCKETS
+    assert _n_rank_buckets(100 * t) == 100
+    assert _n_rank_buckets(1000 * t) == 1000
+    assert _n_rank_buckets(10**15) == corpus_mod.MAX_RANK_BUCKETS
+    # monotone: more rows never means fewer buckets
+    counts = [_n_rank_buckets(n) for n in (0, t, 10 * t, 10**4 * t, 10**9 * t)]
+    assert counts == sorted(counts)
+
+
+def test_dynamic_bucket_count_is_output_invariant(spark, sf_dir, monkeypatch):
+    """The decile assignment must not depend on HOW the corpus is
+    sharded for ranking: forcing a much larger bucket count (as a huge
+    corpus would derive) yields byte-identical output to the floored
+    default."""
+    base = {
+        (r.doc_id, r.quality_score, r.decile, r.phase)
+        for r in quality_decile_curriculum(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(corpus_mod, "TARGET_ROWS_PER_BUCKET", 2)
+    monkeypatch.setattr(corpus_mod, "MAX_RANK_BUCKETS", 197)
+    alt = {
+        (r.doc_id, r.quality_score, r.decile, r.phase)
+        for r in quality_decile_curriculum(spark, sf_dir).collect()
+    }
+    assert base == alt
+
+
+def test_null_scores_rank_last_like_ntile_nulls_last(spark, tmp_path):
+    """NULL quality scores (zero-length / NULL text) must keep the
+    oracle ntile's NULLS LAST semantics: worst deciles, ordered among
+    themselves by doc_id (ADVICE r5 — Spark's null-skipping least()
+    would otherwise route them into the TOP bucket)."""
+    rows = [
+        (1, "the cat sat. on the mat the the", "en", "web"),
+        (2, "", "en", "web"),  # zero-length -> NULL score
+        (3, "a of and to is the a of and to is the!", "en", "web"),
+        (4, None, "en", "web"),  # NULL text -> NULL score
+        (5, "plain words without stopwords here", "en", "web"),
+        (6, "", "en", "web"),
+        (7, "the the the of of of and and and to to", "en", "web"),
+        (8, "one more ordinary document body text", "en", "web"),
+        (9, "short", "en", "web"),
+        (10, "the quick brown fox jumps, over the dog.", "en", "web"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lg, s, len(t) if t else 0) for i, t, lg, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.quality_score, r.decile)
+        for r in quality_decile_curriculum(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 10
+    null_ids = [i for i, (s, _) in got.items() if s is None]
+    assert sorted(null_ids) == [2, 4, 6]
+    # n=10 -> one row per decile; NULLS LAST by doc_id: 2 -> 8, 4 -> 9, 6 -> 10
+    assert got[2][1] == 8 and got[4][1] == 9 and got[6][1] == 10
+    # non-null docs occupy deciles 1..7 in exact score-desc, doc-asc order
+    scored = sorted(
+        ((s, i) for i, (s, _) in got.items() if s is not None),
+        key=lambda p: (-p[0], p[1]),
+    )
+    assert [got[i][1] for _, i in scored] == list(range(1, 8))
+
+
+def test_cutoffs_approx_check_is_all_true(spark, sf_dir):
+    """The sketch-tier bound twin must emit one TRUE per decile edge."""
+    rows = quality_decile_cutoffs_approx_check(spark, sf_dir).collect()
+    assert [r.cutoff_pct for r in rows] == [10 * i for i in range(1, 10)]
+    assert all(r.within_bound for r in rows)
 
 
 def test_cutoff_deciles_match_ntile_away_from_edges(spark, sf_dir):

@@ -166,3 +166,20 @@ def test_global_window_detector_flags_the_r4_shape(spark, sf_dir):
         )
     )
     assert not _unbounded_global_windows(plan_of(capped))
+    # ADVICE r5: a join with only ONE limited side is still unbounded —
+    # the marker scan must stop at the first branching node...
+    gw = Window.orderBy("quality_score", "doc_id")
+    tiny = scored.orderBy("quality_score", "doc_id").limit(5).select(
+        F.col("doc_id").alias("tid")
+    )
+    half_limited = scored.join(
+        tiny, scored["doc_id"] % 7 == tiny["tid"] % 7
+    ).select("doc_id", F.row_number().over(gw).alias("r"))
+    assert _unbounded_global_windows(plan_of(half_limited))
+    # ...while a limit ABOVE the join bounds the join output and passes.
+    join_capped = (
+        scored.join(tiny, scored["doc_id"] % 7 == tiny["tid"] % 7)
+        .limit(5)
+        .select("doc_id", F.row_number().over(gw).alias("r"))
+    )
+    assert not _unbounded_global_windows(plan_of(join_capped))

@@ -48,17 +48,24 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "sim_lsh_recall_check",  # inherits sim_lsh_topk's bounded query set
         "sim_ivf_recall_check",  # inherits sim_ivf_topk's bounded query set
         "vocab_topk_containment_check",  # broadcast k-th-count scalar (1 row)
+        "quality_decile_cutoffs_approx_check",  # broadcast sketch cutoffs (1 row)
     }
 )
 
 
-#: Plan markers that prove the rows feeding a window are bounded: a
-#: driver-enforced top-K / limit, or a literal frame.
+#: Plan markers that prove the rows a node emits are bounded: a
+#: driver-enforced top-K / limit, a literal frame, or a global (no
+#: grouping keys) aggregate — exactly one output row. ``keys=[]``
+#: also matches partial global aggregates (one row per task), still a
+#: partition-count bound, never data-volume.
 _BOUNDED_MARKERS = (
     "TakeOrderedAndProject",
     "GlobalLimit",
     "CollectLimit",
     "LocalTableScan",
+    "HashAggregate(keys=[]",
+    "SortAggregate(keys=[]",
+    "ObjectHashAggregate(keys=[]",
 )
 
 
@@ -93,27 +100,68 @@ def _spec_is_unpartitioned(line: str) -> bool:
     )
 
 
+#: Node-name fragments that BRANCH the plan tree (multiple relational
+#: inputs): a bounded marker below one of these only bounds ONE branch,
+#: so boundedness must hold for EVERY branch (ADVICE r5: the
+#: anywhere-in-subtree scan wrongly blessed windows over a join with a
+#: single limited side — joins/unions can multiply/concatenate rows, so
+#: one unbounded input makes the output unbounded).
+_BRANCHING = ("Join", "Union", "CartesianProduct")
+
+
+def _node_name(ln: str) -> str:
+    name = ln[_node_depth(ln) + 3 :].lstrip()
+    if name.startswith("*("):
+        name = name.split(") ", 1)[-1]
+    return name
+
+
+def _children(lines: list[str], j: int) -> list[int]:
+    """Indices of the direct children of the node at ``lines[j]``: the
+    minimal-marker-depth lines inside its subtree."""
+    d = _node_depth(lines[j])
+    child_depth = None
+    kids: list[int] = []
+    for k in range(j + 1, len(lines)):
+        dk = _node_depth(lines[k])
+        if dk <= d:
+            break
+        if child_depth is None or dk < child_depth:
+            child_depth = dk
+            kids = [k]
+        elif dk == child_depth:
+            kids.append(k)
+    return kids
+
+
+def _node_bounded(lines: list[str], j: int) -> bool:
+    """Whether the subtree rooted at ``lines[j]`` provably emits a
+    bounded row count: the node is itself a bound (limit / top-K /
+    literal / global agg), or it is a branching node whose EVERY child
+    is bounded, or a unary node over a bounded child."""
+    ln = lines[j]
+    if any(m in ln for m in _BOUNDED_MARKERS):
+        return True
+    kids = _children(lines, j)
+    if not kids:
+        return False  # unrecognized leaf (scan, reused exchange, ...)
+    if any(b in _node_name(ln) for b in _BRANCHING):
+        return all(_node_bounded(lines, k) for k in kids)
+    return any(_node_bounded(lines, k) for k in kids)
+
+
 def _unbounded_global_windows(plan: str) -> bool:
-    """True when any Window node runs unpartitioned over input with no
-    bounded marker below it in its subtree."""
+    """True when any Window node runs unpartitioned over input that is
+    not provably bounded (see ``_node_bounded``). A limit above a join
+    bounds the join output; a limit inside one join branch does not."""
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
-        name = ln[_node_depth(ln) + 3 :].lstrip()
-        if name.startswith("*("):
-            name = name.split(") ", 1)[-1]
-        if not name.startswith("Window "):
+        if not _node_name(ln).startswith("Window "):
             continue
         if not _spec_is_unpartitioned(ln):
             continue
-        d = _node_depth(ln)
-        bounded = False
-        for sub in lines[i + 1 :]:
-            if _node_depth(sub) <= d:
-                break
-            if any(m in sub for m in _BOUNDED_MARKERS):
-                bounded = True
-                break
-        if not bounded:
+        kids = _children(lines, i)
+        if not kids or not all(_node_bounded(lines, k) for k in kids):
             return True
     return False
 
