@@ -5,10 +5,13 @@ The reference's one binary column is ``staff.picture`` BLOB
 are ``{bytes: binary, mime: string, meta: ...}`` built here from
 ``documents`` (the container ships no real image/audio assets). The
 Spark-side plumbing — schema, Arrow batching via ``mapInPandas``,
-partition-friendly per-row features — is real and tested; the actual
-codec step is STUBBED: a clearly-marked deterministic fake decoder, with
-the real-library hook raising ``NotImplementedError`` when Pillow/librosa
-are absent (they are not in this container).
+partition-friendly per-row features — is real and tested. The codec
+tier is split: **WAV audio decodes for real** via a stdlib RIFF chunk
+parser (``decode_wav`` — struct-unpacked header + PCM peak, no
+libraries needed), while image decoding stays STUBBED behind a
+clearly-marked deterministic fake decoder (``real_decode`` raises
+``NotImplementedError`` for images until Pillow exists — it is not in
+this container).
 
 Scale posture: binary payloads stay columnar (parquet binary), decode
 runs as ``mapInPandas`` over Arrow record batches → per-partition
@@ -18,6 +21,7 @@ streaming, no driver collection, batch size bounded by
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -68,11 +72,136 @@ def _fake_decode(payload: bytes, mime: str) -> list[int]:
             sum(head) % 256]
 
 
-def real_decode(payload: bytes, mime: str):  # pragma: no cover - stub
-    """Hook for a real codec. Raises until media libraries are installed."""
-    raise NotImplementedError(
-        "real image/audio decoding requires Pillow/librosa, not present "
-        "in this environment; use _fake_decode (deterministic stub)"
+def decode_wav(payload: bytes) -> dict:
+    """REAL stdlib-only WAV codec: walk the RIFF chunk list with
+    ``struct``, parse the ``fmt `` block and the ``data`` payload, and
+    return header facts plus the peak PCM amplitude (16-bit samples
+    decoded with ``array('h')``). No Pillow/librosa needed — this is the
+    container format, parsed from the genuine bytes, including chunk
+    padding and unknown chunks (LIST/JUNK) a real file carries.
+    Raises ``ValueError`` on a malformed container."""
+    import array
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned (pad byte)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    _audio_format, channels, sample_rate, _byte_rate, block_align, bits = fmt
+    n_frames = len(data) // block_align if block_align else 0
+    peak = 0
+    if bits == 16:
+        samples = array.array("h")
+        samples.frombytes(data[: (len(data) // 2) * 2])
+        if sys.byteorder == "big":  # WAV PCM is little-endian
+            samples.byteswap()
+        peak = max((abs(s) for s in samples), default=0)
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_us": n_frames * 1_000_000 // sample_rate if sample_rate else 0,
+        "data_bytes": len(data),
+        "peak_amp": peak,
+    }
+
+
+def real_decode(payload: bytes, mime: str):
+    """Real-codec dispatch: WAV audio decodes via the stdlib RIFF parser
+    (:func:`decode_wav`); image formats still require Pillow, absent in
+    this container, and raise."""
+    if mime == "audio/wav":
+        return decode_wav(payload)
+    raise NotImplementedError(  # pragma: no cover - env-dependent stub
+        "image decoding requires Pillow, not present in this environment; "
+        "use _fake_decode (deterministic stub)"
+    )
+
+
+#: Deterministic WAV synth parameters (pure functions of doc_id), so the
+#: DuckDB oracle can recompute every decoded fact arithmetically and the
+#: REAL parser's output rides under the driver value-hash.
+WAV_RATES = (8000, 16000, 44100)
+
+
+def _make_wav(doc_id: int) -> bytes:
+    """Genuine RIFF/WAVE bytes (16-bit PCM) with parameters derived from
+    ``doc_id``: channels = 1 + id%2, rate = WAV_RATES[id%3], frames =
+    50 + id%100, sample(i) = ((id + i) % 2048) - 1024 on every channel.
+    A JUNK chunk precedes ``fmt `` so decoding must really walk the
+    chunk list, not assume the canonical 44-byte layout."""
+    import struct
+
+    channels = 1 + doc_id % 2
+    rate = WAV_RATES[doc_id % 3]
+    n_frames = 50 + doc_id % 100
+    block_align = channels * 2
+    frames = b"".join(
+        struct.pack("<h", ((doc_id + i) % 2048) - 1024) * channels
+        for i in range(n_frames)
+    )
+    junk = struct.pack("<4sI", b"JUNK", 4) + b"\x00" * 4
+    fmt = struct.pack(
+        "<4sIHHIIHH",
+        b"fmt ", 16, 1, channels, rate, rate * block_align, block_align, 16,
+    )
+    data = struct.pack("<4sI", b"data", len(frames)) + frames
+    body = b"WAVE" + junk + fmt + data
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-bytes codec tier of the decode path (VERDICT r5, Next #4):
+    per document, synthesize a genuine WAV container (deterministic
+    params from doc_id) and decode it back with the REAL stdlib RIFF
+    parser (:func:`decode_wav`) inside the same Arrow-batched
+    ``mapInPandas`` boundary the fake-codec entry uses. Every emitted
+    fact — header fields, frame count, duration, peak PCM amplitude —
+    comes out of the parser reading real bytes; the oracle recomputes
+    them arithmetically, so the codec itself sits under the driver
+    value-hash. (Generalizes the reference's one binary column,
+    ``staff.picture`` BLOB, ``sql/sakila-schema.sql:317``.)"""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"].select(
+        "doc_id"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                real_decode(_make_wav(int(i)), "audio/wav")
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "channels": [f["channels"] for f in feats],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "bits": [f["bits"] for f in feats],
+                    "n_frames": [f["n_frames"] for f in feats],
+                    "duration_us": [f["duration_us"] for f in feats],
+                    "data_bytes": [f["data_bytes"] for f in feats],
+                    "peak_amp": [f["peak_amp"] for f in feats],
+                }
+            )
+
+    return d.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, channels long, sample_rate long, bits long, "
+            "n_frames long, duration_us long, data_bytes long, peak_amp long"
+        ),
     )
 
 
@@ -202,6 +331,7 @@ def multimodal_frame_sample_digest(
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_size_stats": multimodal_size_stats,
     "multimodal_decode_features": multimodal_decode_features,
+    "multimodal_decode_wav": multimodal_decode_wav,
     "multimodal_resize": multimodal_resize_digest,
     "multimodal_frame_sample": multimodal_frame_sample_digest,
 }
@@ -236,6 +366,26 @@ ORACLES: dict[str, str] = {
                CAST(coalesce(list_sum(list_transform(
                         regexp_extract_all(substring(text, 1, 64), '[\\s\\S]'),
                         c -> ascii(c))), 0) % 256 AS BIGINT) AS checksum64
+        FROM documents""",
+    # The WAV synth parameters are pure functions of doc_id, so DuckDB
+    # recomputes every fact the REAL RIFF parser extracted from the
+    # genuine bytes — header fields, integer-division frame math, and
+    # the peak amplitude over the exact PCM sample sequence.
+    "multimodal_decode_wav": """
+        SELECT doc_id,
+               CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    ELSE 44100 END AS BIGINT) AS sample_rate,
+               CAST(16 AS BIGINT) AS bits,
+               CAST(50 + doc_id % 100 AS BIGINT) AS n_frames,
+               CAST((50 + doc_id % 100) * 1000000
+                    // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        ELSE 44100 END) AS BIGINT) AS duration_us,
+               CAST((50 + doc_id % 100) * (1 + doc_id % 2) * 2 AS BIGINT)
+                   AS data_bytes,
+               CAST(list_max(list_transform(range(50 + doc_id % 100),
+                    i -> abs(((doc_id + i) % 2048) - 1024))) AS BIGINT)
+                   AS peak_amp
         FROM documents""",
     # The stride/slice arithmetic is pure byte manipulation, so DuckDB
     # rebuilds the exact frames (1-indexed substring, integer-division

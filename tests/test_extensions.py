@@ -140,8 +140,92 @@ def test_multimodal_decode_plumbing(spark, sf_dir):
 
 
 def test_multimodal_real_decode_is_stubbed():
+    # image decoding stays stubbed (Pillow absent); WAV is real now
     with pytest.raises(NotImplementedError):
         real_decode(b"xx", "image/png")
+
+
+def test_wav_codec_decodes_genuine_stdlib_wav_bytes():
+    """decode_wav must parse bytes written by Python's own ``wave``
+    module — a fully independent WAV writer — not just our synth."""
+    import io
+    import struct
+    import wave
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    samples = [0, 1000, -2000, 32767, -32768, 123, -1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        frames = b"".join(struct.pack("<hh", s, -s if s > -32768 else s)
+                          for s in samples)
+        w.writeframes(frames)
+    got = decode_wav(buf.getvalue())
+    assert got["channels"] == 2
+    assert got["sample_rate"] == 22050
+    assert got["bits"] == 16
+    assert got["n_frames"] == len(samples)
+    assert got["data_bytes"] == len(samples) * 4
+    assert got["duration_us"] == len(samples) * 1_000_000 // 22050
+    assert got["peak_amp"] == 32768
+
+
+def test_wav_codec_walks_chunks_and_rejects_garbage():
+    """The parser must walk past unknown chunks (our synth leads with a
+    JUNK chunk), honor the word-alignment pad byte after odd-sized
+    chunks, and reject non-WAV payloads."""
+    import struct
+
+    import pytest as _pytest
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import (
+        _make_wav,
+        decode_wav,
+    )
+
+    got = decode_wav(_make_wav(7))
+    assert (got["channels"], got["sample_rate"], got["n_frames"]) == (
+        2, 16000, 57
+    )
+    assert got["peak_amp"] == max(
+        abs(((7 + i) % 2048) - 1024) for i in range(57)
+    )
+    # odd-sized unknown chunk before fmt/data: pad byte must be skipped
+    wav = _make_wav(4)
+    odd = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"
+    patched = wav[:12] + odd + wav[12:]
+    patched = struct.pack(
+        "<4sI", b"RIFF", len(patched) - 8
+    ) + patched[8:]
+    assert decode_wav(patched) == decode_wav(wav)
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNK")
+    with _pytest.raises(ValueError):
+        decode_wav(struct.pack("<4sI", b"RIFF", 4) + b"WAVE")
+
+
+def test_multimodal_decode_wav_matches_synth_params(spark, sf_dir):
+    """End-to-end: the mapInPandas WAV entry's decoded facts must equal
+    the synth parameters for every document."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import (
+        WAV_RATES,
+        multimodal_decode_wav,
+    )
+
+    rows = multimodal_decode_wav(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows[:100]:
+        assert r.channels == 1 + r.doc_id % 2
+        assert r.sample_rate == WAV_RATES[r.doc_id % 3]
+        assert r.n_frames == 50 + r.doc_id % 100
+        assert r.data_bytes == r.n_frames * r.channels * 2
+        assert r.duration_us == r.n_frames * 1_000_000 // r.sample_rate
 
 
 def test_multimodal_frame_sample_short_payloads(spark, sf_dir):
