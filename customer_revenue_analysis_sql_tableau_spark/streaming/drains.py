@@ -28,6 +28,7 @@ from .windows import (
     ORACLES as _WINDOW_ORACLES,
     run_foreach_batch_upsert_stream,
     run_interval_join_stream,
+    run_late_data_stream,
     run_latest_state_stream,
     run_resumable_stream,
     run_session_stream,
@@ -163,11 +164,62 @@ def _stage_events(spark: SparkSession, sf_dir: str, tmp: str) -> None:
     """Stage the events table as ONE delivery (whole dir, single
     availableNow batch) — the windowed/joined streams' watermark would
     legitimately drop late rows across multiple batches, so equality
-    with the batch twin holds for the single-drain form (the multi-
-    batch late-data semantics are pytest territory, not hash rows)."""
+    with the batch twin holds for the single-drain form
+    (``stream_late_data_drain`` puts the multi-batch late-drop policy
+    itself under the hash)."""
     load_tables(spark, sf_dir, names=("events",), register=False)[
         "events"
     ].write.parquet(f"{tmp}/src")
+
+
+#: Delivery split for the late-data drain: three event_id-keyed thirds,
+#: each spanning the whole event-time range (ids are time-ordered, so a
+#: modulus split leaves every delivery with old AND new rows).
+LATE_SPLIT_MOD = 3
+
+
+def stream_late_data_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real watermark LATE-DROP policy under the driver hash, not just
+    steady-state equality: three staged deliveries run as three ordered
+    micro-batches (one file each). By the third batch the watermark —
+    max event time of delivery 1 minus the 30-minute delay — has
+    finalized every older window (append mode emits + evicts them), so
+    delivery 3's rows for those windows are DROPPED by the engine while
+    its fresh rows land in never-emitted state. The final sink is
+    therefore deterministically computable from the raw table: windows
+    with end <= the delivery-1 watermark, aggregated over deliveries
+    1-2 only — and the entry hash-fails if Spark ever admits the stale
+    delivery-3 rows (they would inflate exactly those finalized
+    windows, the behavior the two-batch staging exhibits). See
+    ``run_late_data_stream`` for the measured watermark-lag semantics
+    this staging pins down."""
+    import glob
+    import os
+    import time
+
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+
+    def build(tmp: str) -> DataFrame:
+        src = f"{tmp}/src"
+        base = time.time() - 1000
+        seen: set[str] = set()
+        for k in range(LATE_SPLIT_MOD):
+            events.filter(
+                F.col("event_id") % LATE_SPLIT_MOD == k
+            ).coalesce(1).write.mode("append").parquet(src)
+            # the file source orders batches by modification time; pin
+            # a strictly increasing mtime on each delivery's new file so
+            # delivery k IS batch k (the drain stages on a local temp
+            # dir, so os.utime applies)
+            for f in glob.glob(f"{src}/part-*.parquet"):
+                if f not in seen:
+                    seen.add(f)
+                    os.utime(f, (base + k * 10, base + k * 10))
+        return run_late_data_stream(spark, src, f"{tmp}/ckpt")
+
+    return _drain(spark, build)
 
 
 def stream_tumbling_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,13 +272,38 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_interval_join_drain": stream_interval_join_drain,
     "stream_sliding_window_drain": stream_sliding_window_drain,
     "stream_session_window_drain": stream_session_window_drain,
+    "stream_late_data_drain": stream_late_data_drain,
 }
+
+#: Exact money-sum text shared with the batch-twin oracles.
+_VAL_SUM = "CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)"
 
 ORACLES: dict[str, str] = {
     # same aggregate as the batch twin entry — reuse its oracle text
     "stream_tumbling_window_drain": _WINDOW_ORACLES["stream_tumbling_counts"],
     "stream_sliding_window_drain": _WINDOW_ORACLES["stream_sliding_counts"],
     "stream_session_window_drain": _WINDOW_ORACLES["stream_session_windows"],
+    # the admitted set is a pure function of the deliveries: watermark
+    # = max event time of delivery 1 (event_id % 3 = 0) minus 30 min;
+    # emitted windows end <= watermark, aggregated over deliveries 1-2
+    # (delivery 3's stale rows are dropped by the engine; its fresh
+    # rows are newer than every emitted window). Spark's window end is
+    # epoch-aligned bucket start + 10 min = DuckDB time_bucket + 10 min.
+    "stream_late_data_drain": f"""
+        WITH wm AS (
+            SELECT max(ts) - INTERVAL 30 MINUTE AS w
+            FROM events WHERE event_id % {LATE_SPLIT_MOD} = 0),
+        admitted AS (
+            SELECT * FROM events
+            WHERE event_id % {LATE_SPLIT_MOD} != {LATE_SPLIT_MOD - 1})
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+                   AS window_end,
+               event_type, count(*) AS n_events, {_VAL_SUM} AS total_value
+        FROM admitted, wm
+        WHERE time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+              <= wm.w
+        GROUP BY 1, 2, 3""",
     "stream_interval_join_drain": """
         SELECT e.event_id AS error_id, e.user_id AS e_user_id,
                e.ts AS error_ts, c.event_id AS click_id, c.ts AS click_ts

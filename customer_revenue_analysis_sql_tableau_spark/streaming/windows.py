@@ -178,14 +178,73 @@ def run_tumbling_stream(
     return spark.table("tumbling_sink")
 
 
-def _read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def _read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     schema = spark.read.parquet(source_dir).schema
-    raw = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(source_dir)
     # The parquet ts is timestamp[us] without tz → TIMESTAMP_NTZ, which
     # withWatermark rejects; session tz is UTC so the cast is value-preserving.
     if dict(raw.dtypes).get("ts") == "timestamp_ntz":
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
+
+
+def run_late_data_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Tumbling-window aggregation in APPEND mode with one micro-batch
+    per source file (``maxFilesPerTrigger=1``) — the run shape that puts
+    Spark's real late-data policy on observable display:
+
+    - the watermark in effect while batch N processes derives from the
+      event times of batches ≤ N-2 (measured on this Spark build: the
+      tracker value is computed at a batch's end from the PREVIOUS
+      batch's stats, so it lags deliveries by two);
+    - input rows whose window end <= that watermark are dropped
+      (``numRowsDroppedByWatermark``) because their window was already
+      finalized — append mode emitted and evicted it;
+    - at each batch's end, windows with end <= the effective watermark
+      are emitted exactly once; younger windows stay in state and are
+      NOT emitted when the availableNow drain stops.
+
+    With three staged deliveries this makes the final sink a pure
+    function of the deliveries: every window old enough to be finalized
+    by the third batch, aggregated over deliveries 1-2 only — delivery
+    3's stale rows are provably DROPPED (were they admitted, they would
+    inflate the emitted counts — the two-batch probe shows exactly
+    that), and its fresh rows sit in never-emitted state. The DuckDB
+    oracle computes the same set from the raw table and the watermark
+    arithmetic. Returns the append sink contents."""
+    raw = _read_events_stream(spark, source_dir, max_files_per_trigger=1)
+    stream = (
+        raw.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(money("value")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("late_data_sink")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("late_data_sink")
 
 
 def run_dedup_stream(
