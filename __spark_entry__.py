@@ -66,80 +66,30 @@ _REGISTRY_MODULES = [
 
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
-# at ENTRY level. Round-5 ordering (VERDICT.md r4, Next #1-#3): first
-# the entries that are NEW or whose plan changed this round (they need
-# a first/fresh proof), then the stale-proof backlog — every entry
-# last driver-proven on r1/r2 code, which predates the r3 shared-path
-# changes (memoized catalog b9e28d0, geo join df04d5b) — r1 cohort
-# first, then r2. Eleven r2-cohort entries whose semantics are covered
-# by an r4-hash-green twin are deferred past the 50-entry budget cut
-# (see the trailing section); everything proven r3/r4 on current code
-# stays out of the window. Guarded against rot by
-# tests/test_registry_hygiene.py::test_priority_names_exist.
+# at ENTRY level. Round-6 ordering (VERDICT.md r5, Next #2): (1) the
+# three NEW entries; (2) every entry whose registered plan changed this
+# round — quality_decile_curriculum's self-scaling buckets + NULL
+# guard, and the five entries riding the quality score's new nullif
+# divisor (operators/text.py quality_scored); (3) the ELEVEN deferred
+# r2-cohort entries — with these the pre-r3 backlog is fully retired;
+# (4) thirty of the 47 entries whose last proof is r3 (oldest first by
+# family) — proof freshness, not a correctness requirement: r3 proofs
+# are on current code paths. The 17 r3 entries past the cut (the text
+# family, tableau_g2, two analytics funnels) roll to r7. Guarded
+# against rot by tests/test_registry_hygiene.py::test_priority_names_exist.
 _PRIORITY = [
-    # -- new this round (r5): first driver proof --
-    "quality_decile_cutoffs",  # percentile-threshold curriculum tier
-    "stream_resumable_restart_drain",  # crash recovery under the hash
+    # -- new this round (r6): first driver proof --
+    "quality_decile_cutoffs_approx_check",  # sketch-tier bound twin
+    "multimodal_decode_wav",  # real stdlib RIFF codec under the hash
+    "stream_late_data_drain",  # multi-batch watermark late-drop policy
     # -- plans changed this round: re-prove on current code --
-    "quality_decile_curriculum",  # global ntile → distributed rank
-    "feat_word_bigram_counts",  # ranking window now top-K-capped
-    # -- stale backlog, r1 cohort (proven once, on pre-r3 paths) --
-    "active_high_value_except_recent",
-    "party_names_union",
-    "customers_above_avg_balance",
-    "customer_order_windows",
-    "customer_value_distribution_windows",
-    "repeat_customers_intersect",
-    "nation_customer_list",
-    "nations_having_many_customers",
-    "promo_parts_like",
-    "revenue_rollup_region_nation",
-    "lineitem_flag_status_cube",
-    "distinct_segments",
-    "grouping_sets_flag_status",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q13_order_count_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    # -- stale backlog, r2 cohort --
-    "scalar_function_gallery",
-    "app_any_column_search",
-    "app_range_filter",
-    "app_top50_cap",
-    "proc_rewards_report",
-    "proc_customer_balance",
-    "proc_parts_in_stock",
-    "proc_parts_not_in_stock",
-    "proc_part_held_by_customers",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "dedup_components_distributed",
-    "feat_vocab_coverage",  # also plan-changed: top-K-capped window
-    "feat_value_quartile_bins",
-    "feat_zscore_outliers",
-    "feat_minmax_normalize",
-    "split_train_test",
-    "split_sample_per_source",
-    "split_chunk_documents",
-    "split_pii_redact",
-    "rollup_minute",
-    "inc_view_maintenance",
-    "text_repetition_stats",
-    "training_data_pipeline",
-    # ---- ~50-entry budget cut falls here ----
-    # Deferred stale r2 entries (for r6): each is covered by an
-    # r4-hash-green twin exercising the same code path — the window
-    # batch twins by the r4 stream_*_drain entries, the dedup batch
-    # twin by the ingest-verdicts drain, brute-force top-k runs inside
-    # the r4 recall bound checks, decode_features shares the r4-green
-    # multimodal plumbing, hourly/daily rollups are the minute tier's
-    # merge algebra, and the sample/embedding stats are single-pass
-    # aggregates on unchanged paths.
+    "quality_decile_curriculum",  # dynamic RANK buckets + NULL bucket
+    "quality_decile_cutoffs",  # quality score nullif divisor
+    "text_quality_score",  # quality score nullif divisor
+    "dedup_survivors_best_quality",  # retention policy reads the score
+    "training_data_pipeline",  # composed pipeline gates on the score
+    "stream_ingest_verdicts_drain",  # streamed quality gate
+    # -- last pre-r3 proofs: the 11 entries deferred in r5 --
     "stream_tumbling_counts",
     "stream_sliding_counts",
     "stream_session_windows",
@@ -151,6 +101,37 @@ _PRIORITY = [
     "feat_stratified_sample",
     "emb_norm_stats",
     "emb_label_profile",
+    # -- proof refresh: r3-proven cohort, 30 of 47 --
+    "temporal_asof_join",
+    "temporal_range_join",
+    "temporal_pivot_user_values",
+    "temporal_unpivot_user_values",
+    "temporal_rolling_value_10min",
+    "temporal_latest_per_user",
+    "temporal_value_percentiles",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_lines_by_flag",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_dominant_promo_suppliers",
+    "tpch_q21_sole_late_supplier",
+    "tpch_q22_dormant_high_balance",
+    "dedup_containment",
+    "dedup_containment_prefix",
+    "dedup_embedding_signlsh",
+    "decontaminate_ngram_overlap",
+    "dq_constraint_violations",
+    "inc_state_rollup",
+    "multimodal_size_stats",
+    "split_pack_sequences",
+    "split_mixture_sample",
+    "events_json_extract",
+    "analytics_sessionize_events",
 ]
 
 
