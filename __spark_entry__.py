@@ -67,20 +67,22 @@ _REGISTRY_MODULES = [
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
 # at ENTRY level. Round-6 ordering (VERDICT.md r5, Next #2): (1) the
-# three NEW entries; (2) every entry whose registered plan changed this
+# four NEW entries; (2) every entry whose registered plan changed this
 # round — quality_decile_curriculum's self-scaling buckets + NULL
 # guard, and the five entries riding the quality score's new nullif
 # divisor (operators/text.py quality_scored); (3) the ELEVEN deferred
 # r2-cohort entries — with these the pre-r3 backlog is fully retired;
-# (4) thirty of the 47 entries whose last proof is r3 (oldest first by
-# family) — proof freshness, not a correctness requirement: r3 proofs
-# are on current code paths. The 17 r3 entries past the cut (the text
-# family, tableau_g2, two analytics funnels) roll to r7. Guarded
-# against rot by tests/test_registry_hygiene.py::test_priority_names_exist.
+# (4) twenty-nine of the 47 entries whose last proof is r3 (oldest
+# first by family) — proof freshness, not a correctness requirement:
+# r3 proofs are on current code paths. The 18 r3 entries past the cut
+# (the text family, tableau_g2, the analytics funnels/sessionize) roll
+# to r7. Guarded against rot by
+# tests/test_registry_hygiene.py::test_priority_names_exist.
 _PRIORITY = [
     # -- new this round (r6): first driver proof --
     "quality_decile_cutoffs_approx_check",  # sketch-tier bound twin
     "multimodal_decode_wav",  # real stdlib RIFF codec under the hash
+    "multimodal_decode_bmp",  # real stdlib BMP codec under the hash
     "stream_late_data_drain",  # multi-batch watermark late-drop policy
     # -- plans changed this round: re-prove on current code --
     "quality_decile_curriculum",  # dynamic RANK buckets + NULL bucket
@@ -131,7 +133,6 @@ _PRIORITY = [
     "split_pack_sequences",
     "split_mixture_sample",
     "events_json_extract",
-    "analytics_sessionize_events",
 ]
 
 

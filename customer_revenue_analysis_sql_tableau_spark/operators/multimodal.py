@@ -6,12 +6,13 @@ are ``{bytes: binary, mime: string, meta: ...}`` built here from
 ``documents`` (the container ships no real image/audio assets). The
 Spark-side plumbing — schema, Arrow batching via ``mapInPandas``,
 partition-friendly per-row features — is real and tested. The codec
-tier is split: **WAV audio decodes for real** via a stdlib RIFF chunk
-parser (``decode_wav`` — struct-unpacked header + PCM peak, no
-libraries needed), while image decoding stays STUBBED behind a
-clearly-marked deterministic fake decoder (``real_decode`` raises
-``NotImplementedError`` for images until Pillow exists — it is not in
-this container).
+tier is split: **WAV audio and BMP images decode for real** via stdlib
+parsers (``decode_wav`` — struct-unpacked RIFF chunk walk + PCM peak;
+``decode_bmp`` — BITMAPINFOHEADER + bottom-up padded pixel rows → exact
+channel means), while compressed image formats (PNG/JPEG) stay STUBBED
+behind a clearly-marked deterministic fake decoder (``real_decode``
+raises ``NotImplementedError`` for them until Pillow exists — it is
+not in this container).
 
 Scale posture: binary payloads stay columnar (parquet binary), decode
 runs as ``mapInPandas`` over Arrow record batches → per-partition
@@ -118,15 +119,64 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+def decode_bmp(payload: bytes) -> dict:
+    """REAL stdlib-only BMP codec: parse BITMAPFILEHEADER +
+    BITMAPINFOHEADER with ``struct`` and decode the 24-bit pixel rows
+    (bottom-up, 4-byte-aligned stride) to channel means. Raises
+    ``ValueError`` on a malformed container."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP container")
+    _sig, _fsize, _res, off = struct.unpack_from("<2sIII", payload, 0)
+    hdr_size, width, height, _planes, bpp = struct.unpack_from(
+        "<IiiHH", payload, 14
+    )
+    if hdr_size < 40 or width <= 0 or bpp not in (24, 32):
+        raise ValueError("unsupported BMP variant")
+    top_down = height < 0
+    n_rows = abs(height)
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3  # rows pad to 4-byte boundaries
+    if off + stride * n_rows > len(payload):
+        raise ValueError("truncated pixel data")
+    tot = [0, 0, 0]  # B, G, R channel sums
+    for r in range(n_rows):
+        base = off + r * stride
+        for c in range(width):
+            p = base + c * bytes_pp
+            tot[0] += payload[p]
+            tot[1] += payload[p + 1]
+            tot[2] += payload[p + 2]
+    n_px = width * n_rows
+    tl_row = 0 if top_down else n_rows - 1  # storage row of the image's top
+    return {
+        "width": width,
+        "height": n_rows,
+        "bpp": bpp,
+        "top_down": top_down,
+        "n_pixels": n_px,
+        # integer-floor channel means: exact, oracle-recomputable
+        "mean_b": tot[0] // n_px,
+        "mean_g": tot[1] // n_px,
+        "mean_r": tot[2] // n_px,
+        # image top-left blue sample — proves row-orientation handling
+        "tl_b": payload[off + tl_row * stride],
+    }
+
+
 def real_decode(payload: bytes, mime: str):
-    """Real-codec dispatch: WAV audio decodes via the stdlib RIFF parser
-    (:func:`decode_wav`); image formats still require Pillow, absent in
-    this container, and raise."""
+    """Real-codec dispatch: WAV audio and BMP images decode via the
+    stdlib parsers (:func:`decode_wav`, :func:`decode_bmp`); compressed
+    image formats (PNG/JPEG) still require Pillow, absent in this
+    container, and raise."""
     if mime == "audio/wav":
         return decode_wav(payload)
+    if mime == "image/bmp":
+        return decode_bmp(payload)
     raise NotImplementedError(  # pragma: no cover - env-dependent stub
-        "image decoding requires Pillow, not present in this environment; "
-        "use _fake_decode (deterministic stub)"
+        "compressed image decoding requires Pillow, not present in this "
+        "environment; use _fake_decode (deterministic stub)"
     )
 
 
@@ -201,6 +251,77 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, channels long, sample_rate long, bits long, "
             "n_frames long, duration_us long, data_bytes long, peak_amp long"
+        ),
+    )
+
+
+def _make_bmp(doc_id: int) -> bytes:
+    """Genuine 24-bit BMP bytes, bottom-up with 4-byte row padding,
+    parameters and pixels derived from ``doc_id``: width = 4 + id%13,
+    height = 3 + id%11, channel values at IMAGE row r / col c are
+    B=(id+7r+3c)%256, G=(2id+r+5c)%256, R=(3id+11r+c)%256."""
+    import struct
+
+    w = 4 + doc_id % 13
+    h = 3 + doc_id % 11
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for j in range(h):  # stored bottom-up: row j holds image row h-1-j
+        r = h - 1 - j
+        row = bytearray()
+        for c in range(w):
+            row += bytes(
+                (
+                    (doc_id + 7 * r + 3 * c) % 256,
+                    (2 * doc_id + r + 5 * c) % 256,
+                    (3 * doc_id + 11 * r + c) % 256,
+                )
+            )
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    pixels = b"".join(rows)
+    header = struct.pack("<2sIII", b"BM", 54 + len(pixels), 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image twin of :func:`multimodal_decode_wav`: genuine 24-bit BMP
+    containers synthesized per document and decoded back with the REAL
+    stdlib parser (:func:`decode_bmp`) in the Arrow-batched
+    ``mapInPandas`` boundary — header fields, bottom-up row
+    orientation (proven by the image-top-left sample), and exact
+    integer channel means all come out of the parser reading real
+    bytes; the oracle recomputes them arithmetically."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"].select(
+        "doc_id"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                real_decode(_make_bmp(int(i)), "image/bmp")
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "bpp": [f["bpp"] for f in feats],
+                    "n_pixels": [f["n_pixels"] for f in feats],
+                    "mean_b": [f["mean_b"] for f in feats],
+                    "mean_g": [f["mean_g"] for f in feats],
+                    "mean_r": [f["mean_r"] for f in feats],
+                    "tl_b": [f["tl_b"] for f in feats],
+                }
+            )
+
+    return d.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width long, height long, bpp long, n_pixels long, "
+            "mean_b long, mean_g long, mean_r long, tl_b long"
         ),
     )
 
@@ -332,6 +453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_size_stats": multimodal_size_stats,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_decode_wav": multimodal_decode_wav,
+    "multimodal_decode_bmp": multimodal_decode_bmp,
     "multimodal_resize": multimodal_resize_digest,
     "multimodal_frame_sample": multimodal_frame_sample_digest,
 }
@@ -387,6 +509,31 @@ ORACLES: dict[str, str] = {
                     i -> abs(((doc_id + i) % 2048) - 1024))) AS BIGINT)
                    AS peak_amp
         FROM documents""",
+    # BMP twin of the WAV oracle: width/height and the three channel
+    # pixel formulas are pure functions of doc_id, so the exact engine
+    # rebuilds the integer channel means the parser computed from the
+    # genuine pixel rows (i//w = image row, i%w = column), plus the
+    # image-top-left blue sample that pins bottom-up row handling.
+    "multimodal_decode_bmp": """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(4 + doc_id % 13 AS BIGINT) AS w,
+                   CAST(3 + doc_id % 11 AS BIGINT) AS h
+            FROM documents)
+        SELECT doc_id, w AS width, h AS height,
+               CAST(24 AS BIGINT) AS bpp,
+               w * h AS n_pixels,
+               CAST(list_sum(list_transform(range(w * h),
+                    i -> (doc_id + 7 * (i // w) + 3 * (i % w)) % 256))
+                    // (w * h) AS BIGINT) AS mean_b,
+               CAST(list_sum(list_transform(range(w * h),
+                    i -> (2 * doc_id + (i // w) + 5 * (i % w)) % 256))
+                    // (w * h) AS BIGINT) AS mean_g,
+               CAST(list_sum(list_transform(range(w * h),
+                    i -> (3 * doc_id + 11 * (i // w) + (i % w)) % 256))
+                    // (w * h) AS BIGINT) AS mean_r,
+               CAST(doc_id % 256 AS BIGINT) AS tl_b
+        FROM dims""",
     # The stride/slice arithmetic is pure byte manipulation, so DuckDB
     # rebuilds the exact frames (1-indexed substring, integer-division
     # frame count — // not /). Payload bytes ride as md5 hex + length:

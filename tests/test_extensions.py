@@ -209,6 +209,62 @@ def test_wav_codec_walks_chunks_and_rejects_garbage():
         decode_wav(struct.pack("<4sI", b"RIFF", 4) + b"WAVE")
 
 
+def test_bmp_codec_decodes_and_pins_row_orientation():
+    """decode_bmp must parse genuine 24-bit bottom-up BMPs (padded
+    strides), honor top-down (negative height) storage, and reject
+    garbage."""
+    import struct
+
+    import pytest as _pytest
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import (
+        _make_bmp,
+        decode_bmp,
+    )
+
+    got = decode_bmp(_make_bmp(5))
+    w, h = 4 + 5 % 13, 3 + 5 % 11
+    assert (got["width"], got["height"], got["bpp"]) == (w, h, 24)
+    assert got["n_pixels"] == w * h
+    px = [(5 + 7 * r + 3 * c) % 256 for r in range(h) for c in range(w)]
+    assert got["mean_b"] == sum(px) // (w * h)
+    assert got["tl_b"] == 5 % 256  # image row 0 despite bottom-up storage
+    assert not got["top_down"]
+    # top-down variant: same pixels stored in image order, height < 0
+    bot = _make_bmp(5)
+    stride = (w * 3 + 3) & ~3
+    rows = [bot[54 + j * stride : 54 + (j + 1) * stride] for j in range(h)]
+    td = (
+        bot[:14]
+        + struct.pack("<Iii", 40, w, -h)
+        + bot[14 + 12 : 54]
+        + b"".join(reversed(rows))
+    )
+    got_td = decode_bmp(td)
+    assert got_td["top_down"] and got_td["tl_b"] == 5 % 256
+    assert got_td["mean_b"] == got["mean_b"]
+    with _pytest.raises(ValueError):
+        decode_bmp(b"PNG whatever")
+    with _pytest.raises(ValueError):
+        decode_bmp(_make_bmp(5)[:40])
+
+
+def test_multimodal_decode_bmp_matches_synth_params(spark, sf_dir):
+    from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import (
+        multimodal_decode_bmp,
+    )
+
+    rows = multimodal_decode_bmp(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows[:50]:
+        assert r.width == 4 + r.doc_id % 13
+        assert r.height == 3 + r.doc_id % 11
+        assert r.n_pixels == r.width * r.height
+        assert r.tl_b == r.doc_id % 256
+        assert 0 <= r.mean_b < 256 and 0 <= r.mean_g < 256
+
+
 def test_multimodal_decode_wav_matches_synth_params(spark, sf_dir):
     """End-to-end: the mapInPandas WAV entry's decoded facts must equal
     the synth parameters for every document."""
