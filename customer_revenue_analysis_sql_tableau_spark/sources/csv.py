@@ -12,10 +12,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: Standard-CSV dialect shared by every writer AND reader in the
+#: engine. Spark's defaults are asymmetric and non-standard: the writer
+#: backslash-escapes quotes (pandas/RFC 4180 double them) and TRIMS
+#: leading/trailing whitespace on write — both silently corrupt a
+#: roundtrip of hostile text (tests/test_sources.py proves the dialect
+#: below survives embedded newlines/quotes/commas/padding byte-exact).
+CSV_WRITE_OPTS: dict[str, str] = {
+    "header": "true",
+    "escape": '"',  # RFC 4180 doubled quotes, what pandas writes/reads
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+}
+CSV_READ_OPTS: dict[str, str] = {
+    "header": "true",
+    "escape": '"',
+    "multiLine": "true",  # quoted embedded newlines stay one record
+}
+
 
 def read_csv(spark: SparkSession, path: str, infer: bool = True) -> DataFrame:
     """App-layer CSV source (pandas ``read_csv`` twin)."""
-    return spark.read.csv(path, header=True, inferSchema=infer)
+    return spark.read.options(**CSV_READ_OPTS).csv(path, inferSchema=infer)
 
 
 def write_csv_single(df: DataFrame, path: str) -> None:
@@ -24,4 +42,10 @@ def write_csv_single(df: DataFrame, path: str) -> None:
     ``coalesce(1)`` is correct here because exports are final small
     results (≤ thousands of rows); never use it on fact-scale data.
     """
-    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    df.coalesce(1).write.mode("overwrite").options(**CSV_WRITE_OPTS).csv(path)
+
+
+def write_csv(df: DataFrame, path: str, shards: int | None = None) -> None:
+    """Sharded CSV sink (the fan-out form a large export uses)."""
+    out = df.repartition(shards) if shards else df
+    out.write.mode("overwrite").options(**CSV_WRITE_OPTS).csv(path)

@@ -1,0 +1,154 @@
+"""Format-roundtrip registry entries: CSV, JSONL, and ORC under the
+driver value-hash.
+
+The reference's only interchange surface is the CSV export/read pair of
+its app layer (``data-mgmt-streamlit.py:52-54,236-242``); this engine
+additionally ships JSONL (the LLM-training interchange format) and ORC
+(``sources/jsonl.py``, ``sources/orc.py``), proven so far by pytest
+roundtrips. These entries make each format's encode→decode fidelity a
+HASH row: stage a testdata table through the real writer+reader in a
+temp directory and return a digest projection whose oracle is computed
+straight from the raw table — any quoting, escaping, type-coercion, or
+precision defect breaks the hash.
+
+Format-specific hazards each entry pins:
+
+- **CSV** — dialect symmetry: the entry uses the engine-wide
+  standard-CSV options (``sources/csv.py``) — Spark's asymmetric
+  defaults (backslash-escape on write, whitespace trim) corrupt a
+  roundtrip of hostile text; the hostile-string pytest proves the
+  shared dialect survives embedded newlines/quotes/commas/padding
+  (driver testdata is benign).
+- **JSONL** — JSON string escaping; longs stay longs (no double
+  round-trip through JavaScript-style numbers). Timestamps are NOT in
+  this projection: Spark's default JSON timestamp format carries
+  millisecond precision, so an events roundtrip belongs to ORC below
+  (or an explicit ``timestampFormat`` with microseconds).
+- **ORC** — microsecond timestamp and IEEE double fidelity through a
+  second columnar format (events table: ``ts`` + ``value``).
+
+Scale posture: writers shard (``repartition``/upstream partitioning,
+never coalesce-to-one); readers carry explicit schemas. The temp-dir
+staging is harness plumbing, same as ``streaming/drains.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from .csv import CSV_READ_OPTS, write_csv
+from .jsonl import read_jsonl, write_jsonl
+from .orc import read_orc, write_orc
+
+#: Explicit read schemas (inference over TBs is a full extra pass —
+#: and for CSV it would also coerce types the hash is sensitive to).
+DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+    " value double, props string"
+)
+
+
+def _staged(build: Callable[[str], DataFrame]) -> DataFrame:
+    """Run ``build(tmp)`` against a fresh temp dir, localCheckpoint the
+    result so the staged files can be deleted (drains recipe)."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="roundtrip_")
+    try:
+        return build(tmp).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _docs_digest(df: DataFrame) -> DataFrame:
+    """Digest projection compared against the raw table: md5 instead of
+    raw text keeps the driver payload small while still failing on any
+    single corrupted byte."""
+    return df.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+def csv_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → sharded CSV (engine-wide standard dialect) → schema-
+    explicit multiLine read → digest; must hash-match the raw table."""
+    docs = load_tables(spark, sf_dir, names=("documents",), register=False)[
+        "documents"
+    ].select("doc_id", "text", "lang", "source", "n_chars")
+
+    def build(tmp: str) -> DataFrame:
+        write_csv(docs, f"{tmp}/csv", shards=4)
+        back = (
+            spark.read.schema(DOCS_SCHEMA)
+            .options(**CSV_READ_OPTS)
+            .csv(f"{tmp}/csv")
+        )
+        return _docs_digest(back)
+
+    return _staged(build)
+
+
+def jsonl_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → sharded JSONL → schema-explicit read → digest; must
+    hash-match the raw table (JSON string escaping under the hash)."""
+    docs = load_tables(spark, sf_dir, names=("documents",), register=False)[
+        "documents"
+    ].select("doc_id", "text", "lang", "source", "n_chars")
+
+    def build(tmp: str) -> DataFrame:
+        write_jsonl(docs, f"{tmp}/jsonl", shards=4)
+        return _docs_digest(
+            read_jsonl(spark, f"{tmp}/jsonl", schema=DOCS_SCHEMA)
+        )
+
+    return _staged(build)
+
+
+def orc_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → sharded ORC → read → identity projection; must
+    hash-match the raw table, pinning microsecond timestamps and IEEE
+    doubles through the second columnar format."""
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+
+    def build(tmp: str) -> DataFrame:
+        write_orc(events, f"{tmp}/orc", shards=4)
+        back = read_orc(spark, f"{tmp}/orc")
+        if dict(back.dtypes).get("ts") == "timestamp_ntz":
+            back = back.withColumn("ts", F.col("ts").cast("timestamp"))
+        return back.select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+
+    return _staged(build)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "csv_roundtrip_digest": csv_roundtrip_digest,
+    "jsonl_roundtrip_digest": jsonl_roundtrip_digest,
+    "orc_roundtrip_digest": orc_roundtrip_digest,
+}
+
+_DOCS_DIGEST_SQL = """
+        SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        FROM documents"""
+
+ORACLES: dict[str, str] = {
+    # the oracle never sees the staged files: it recomputes the digest
+    # from the raw table, so the hash covers the whole encode→decode
+    "csv_roundtrip_digest": _DOCS_DIGEST_SQL,
+    "jsonl_roundtrip_digest": _DOCS_DIGEST_SQL,
+    "orc_roundtrip_digest": """
+        SELECT event_id, ts, user_id, event_type, value FROM events""",
+}

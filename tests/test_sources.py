@@ -155,3 +155,46 @@ def test_orc_roundtrip_pushdown_and_pruning(spark, sf_dir, tmp_path):
     pushed = back.filter(F.col("doc_id") == 1)
     pplan = pushed._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,1)" in pplan
+
+
+def test_roundtrip_entries_survive_hostile_strings(spark, tmp_path):
+    """The CSV/JSONL roundtrip digests run on benign driver testdata —
+    this test feeds the same writer/reader pairs text carrying every
+    classic format-breaking construct (embedded newlines, quotes,
+    commas, backslashes, unicode, leading/trailing spaces) and demands
+    byte-exact recovery."""
+    from customer_revenue_analysis_sql_tableau_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+    from customer_revenue_analysis_sql_tableau_spark.sources.roundtrips import (
+        DOCS_SCHEMA,
+    )
+
+    hostile = [
+        (1, 'comma, "quoted", done', "en", "web", 0),
+        (2, "line one\nline two\r\nline three", "en", "web", 0),
+        (3, 'backslash \\ and \\" mix', "en", "web", 0),
+        (4, "unicode: café — 中文 \U0001f600", "en", "web", 0),
+        (5, "  padded  ", "en", "web", 0),
+        (6, '","', "en", "web", 0),
+    ]
+    df = spark.createDataFrame(hostile, DOCS_SCHEMA)
+    want = {r[0]: r[1] for r in hostile}
+
+    from customer_revenue_analysis_sql_tableau_spark.sources.csv import (
+        CSV_READ_OPTS,
+        write_csv,
+    )
+
+    write_csv(df, str(tmp_path / "csv"), shards=1)
+    back_csv = (
+        spark.read.schema(DOCS_SCHEMA)
+        .options(**CSV_READ_OPTS)
+        .csv(str(tmp_path / "csv"))
+    )
+    assert {r.doc_id: r.text for r in back_csv.collect()} == want
+
+    write_jsonl(df, str(tmp_path / "jsonl"), shards=2)
+    back_jsonl = read_jsonl(spark, str(tmp_path / "jsonl"), schema=DOCS_SCHEMA)
+    assert {r.doc_id: r.text for r in back_jsonl.collect()} == want
