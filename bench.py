@@ -79,6 +79,9 @@ HEADLINE = [
     "text_unigram_logprob",
     "dedup_containment",
     "analytics_sessionize_events",
+    # added r6: the Arrow mapInPandas codec path (multimodal family) —
+    # synth + real RIFF parse per doc, the engine's Python-batch tier
+    "multimodal_decode_wav",
 ]
 
 

@@ -23,6 +23,13 @@ from ..operators.pipeline import training_data_pipeline
 from ..operators.splits import split_train_test
 
 
+#: Microsecond-precision timestamp format for JSONL. Spark's JSON
+#: default carries milliseconds only, so an events roundtrip through
+#: default options silently truncates ``ts`` — writer and reader must
+#: BOTH pin this format (tests/test_sources.py proves the fidelity).
+JSONL_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
 def write_jsonl(
     df: DataFrame,
     path: str,
@@ -32,7 +39,7 @@ def write_jsonl(
     """Write ``df`` as sharded JSONL (one JSON object per line, one file
     per shard), optionally hive-partitioned by ``partition_by``."""
     out = df.repartition(shards) if shards else df
-    w = out.write.mode("overwrite")
+    w = out.write.mode("overwrite").option("timestampFormat", JSONL_TS_FORMAT)
     if partition_by:
         w = w.partitionBy(partition_by)
     w.json(path)
@@ -43,7 +50,7 @@ def read_jsonl(
 ) -> DataFrame:
     """Read JSONL; pass an explicit DDL ``schema`` in production — at
     scale, inference costs a full pass over the data."""
-    reader = spark.read
+    reader = spark.read.option("timestampFormat", JSONL_TS_FORMAT)
     if schema:
         reader = reader.schema(schema)
     return reader.json(path)

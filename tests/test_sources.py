@@ -198,3 +198,27 @@ def test_roundtrip_entries_survive_hostile_strings(spark, tmp_path):
     write_jsonl(df, str(tmp_path / "jsonl"), shards=2)
     back_jsonl = read_jsonl(spark, str(tmp_path / "jsonl"), schema=DOCS_SCHEMA)
     assert {r.doc_id: r.text for r in back_jsonl.collect()} == want
+
+
+def test_jsonl_preserves_microsecond_timestamps(spark, sf_dir, tmp_path):
+    """Spark's default JSON timestamp format is millisecond-precision —
+    the pinned JSONL_TS_FORMAT must carry events.ts through a write/read
+    cycle to the exact microsecond."""
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+    from customer_revenue_analysis_sql_tableau_spark.sources.roundtrips import (
+        EVENTS_SCHEMA,
+    )
+
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ].select("event_id", "ts", "user_id", "event_type", "value", "props")
+    write_jsonl(events, str(tmp_path / "ev"), shards=2)
+    back = read_jsonl(spark, str(tmp_path / "ev"), schema=EVENTS_SCHEMA)
+    want = {r.event_id: r.ts for r in events.collect()}
+    got = {r.event_id: r.ts for r in back.collect()}
+    assert got == want  # microseconds intact
+    assert any(ts.microsecond % 1000 for ts in want.values())  # non-vacuous
