@@ -247,6 +247,81 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Temperature-mixture knobs: α = 1/2 flattening (weights ∝ √count —
+#: the classic multinomial temperature used to boost low-resource
+#: sources), and a target mixture of half the corpus. Rates carry in
+#: integer basis points so the keep rule is exact in both engines.
+TEMP_TARGET_DIV = 2
+RATE_BP = 10_000
+
+
+def split_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (α = 0.5): per-source keep
+    rates ∝ √count/count, scaled to a half-corpus budget, applied as a
+    deterministic per-doc hash decision.
+
+    Small sources keep a (much) larger fraction than big ones — the
+    low-resource up-weighting every multilingual / multi-domain
+    training mix applies. All arithmetic on the decision path is exact:
+    integer counts, ``floor(sqrt(double))`` weights (IEEE sqrt is
+    correctly rounded, so Spark and DuckDB agree bit-for-bit), and the
+    basis-point rate computed in DECIMAL(38,0) integer division —
+    products up to ~10²¹ stay exact where BIGINT would overflow at
+    100 TB counts.
+
+    Plan: one keyed shuffle (source counts, map-side combined), a
+    bounded sources×1 cross of the totals frame (broadcast, allowlisted
+    like ``split_mixture_sample``'s rate map), then a broadcast
+    equi-join of the per-source rates back to the corpus and a
+    stateless per-row hash — no global ordering anywhere."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("c_source"))
+    w = F.floor(F.sqrt(F.col("c_source").cast("double"))).cast("bigint")
+    weighted = counts.select("source", "c_source", w.alias("w_source"))
+    totals = weighted.agg(
+        F.sum("w_source").alias("w_total"),
+        F.sum("c_source").alias("c_total"),
+    )
+    rates = weighted.crossJoin(F.broadcast(totals)).selectExpr(
+        "source",
+        "c_source",
+        "w_source",
+        # exact integral floor-divide on DECIMAL(38,0): numerator up to
+        # ~10²¹ at 100 TB counts, past BIGINT but exact in decimal
+        f"""least(CAST({RATE_BP} AS BIGINT),
+              (CAST({RATE_BP} AS DECIMAL(38,0))
+               * CAST(c_total AS DECIMAL(38,0))
+               * CAST(w_source AS DECIMAL(38,0)))
+              div
+              (CAST({TEMP_TARGET_DIV} AS DECIMAL(38,0))
+               * CAST(w_total AS DECIMAL(38,0))
+               * CAST(c_source AS DECIMAL(38,0)))) AS rate_bp""",
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":temp"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % RATE_BP
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "c_source",
+            "w_source",
+            "rate_bp",
+            (bucket < F.col("rate_bp")).alias("kept"),
+        )
+    )
+
+
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count and mask email-shaped and 6+-digit-run substrings. Emails
     are replaced first in both dialects so a digit run inside a masked
@@ -270,10 +345,38 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_pack_concat": pack_concat_text,
     "split_chunk_documents": chunk_documents,
     "split_mixture_sample": mixture_sample,
+    "split_temperature_mixture": split_temperature_mixture,
     "split_pii_redact": pii_redact,
 }
 
 ORACLES: dict[str, str] = {
+    # exact mirror of the DECIMAL floor-divide rate and the :temp-salted
+    # md5 bucket; DuckDB's HUGEINT plays DECIMAL(38,0)'s role
+    "split_temperature_mixture": f"""
+        WITH counts AS (
+            SELECT source, count(*) AS c_source
+            FROM documents GROUP BY source),
+        weighted AS (
+            SELECT source, c_source,
+                   CAST(floor(sqrt(CAST(c_source AS DOUBLE))) AS BIGINT)
+                       AS w_source
+            FROM counts),
+        totals AS (
+            SELECT CAST(sum(w_source) AS BIGINT) AS w_total,
+                   CAST(sum(c_source) AS BIGINT) AS c_total
+            FROM weighted),
+        rates AS (
+            SELECT source, c_source, w_source,
+                   least(CAST({RATE_BP} AS BIGINT),
+                         CAST((CAST({RATE_BP} AS HUGEINT) * c_total * w_source)
+                              // (CAST({TEMP_TARGET_DIV} AS HUGEINT)
+                                  * w_total * c_source) AS BIGINT)) AS rate_bp
+            FROM weighted CROSS JOIN totals)
+        SELECT d.doc_id, d.source, r.c_source, r.w_source, r.rate_bp,
+               ('0x' || substring(
+                    md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8))::BIGINT
+                   % {RATE_BP} < r.rate_bp AS kept
+        FROM documents d JOIN rates r USING (source)""",
     "split_train_test": f"""
         WITH h AS (
             SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key

@@ -272,3 +272,62 @@ def test_unigram_logprob_matches_python_reference(spark, sf_dir):
         expected = -s / len(ts)
         assert got[doc_id].n_tokens == len(ts)
         assert abs(got[doc_id].avg_neg_logprob - expected) < 1e-9, doc_id
+
+
+def test_temperature_mixture_flattens_and_hits_budget(spark, sf_dir):
+    """α=0.5 temperature mixture: every source's keep rate is exact
+    integer basis points of the √count re-weighting, SMALL sources keep
+    a strictly larger fraction than the largest source, and the kept
+    total lands near the half-corpus budget (hash-uniformity tolerance)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.splits import (
+        RATE_BP,
+        TEMP_TARGET_DIV,
+        split_temperature_mixture,
+    )
+
+    out = split_temperature_mixture(spark, sf_dir)
+    rows = out.collect()
+    n = len(rows)
+    per_source = {}
+    for r in rows:
+        per_source[r.source] = (r.c_source, r.w_source, r.rate_bp)
+    c_total = sum(c for c, _, _ in per_source.values())
+    w_total = sum(w for _, w, _ in per_source.values())
+    assert c_total == n
+    for src, (c, w, bp) in per_source.items():
+        assert w == math.isqrt(c) or w == int(math.sqrt(c))  # IEEE floor(sqrt)
+        want = min(RATE_BP, RATE_BP * c_total * w // (TEMP_TARGET_DIV * w_total * c))
+        assert bp == want, src
+    # budget: kept fraction within ±10% of the target half
+    kept = sum(1 for r in rows if r.kept)
+    assert abs(kept / n - 1 / TEMP_TARGET_DIV) < 0.10
+
+
+def test_temperature_mixture_upweights_small_sources(spark, tmp_path):
+    """Flattening property on a SKEWED corpus (the driver corpus is
+    source-balanced, so this needs a synthetic one): a 20-doc source
+    must keep a strictly larger fraction than a 2000-doc source, and
+    rates never exceed 100%."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.splits import (
+        RATE_BP,
+        split_temperature_mixture,
+    )
+
+    rows = [(i, f"text {i}", "en", "big", 10) for i in range(2000)]
+    rows += [(10_000 + i, f"text {i}", "en", "small", 10) for i in range(20)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = split_temperature_mixture(spark, str(tmp_path))
+    bp = {
+        r["source"]: r["rate_bp"]
+        for r in out.select("source", "rate_bp").distinct().collect()
+    }
+    assert bp["small"] > bp["big"]
+    assert all(0 < v <= RATE_BP for v in bp.values())

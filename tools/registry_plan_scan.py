@@ -44,6 +44,7 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "tpch_q22_dormant_high_balance",  # scalar avg balance (1 row)
         "sim_lsh_topk",  # query set × banded buckets, queries bounded
         "split_mixture_sample",  # broadcast per-source rate map (rows = sources)
+        "split_temperature_mixture",  # sources x 1-row totals cross (bounded)
         "embed_profile_by_label",  # broadcast per-label stats (rows = labels)
         "sim_lsh_recall_check",  # inherits sim_lsh_topk's bounded query set
         "sim_ivf_recall_check",  # inherits sim_ivf_topk's bounded query set
