@@ -1160,3 +1160,73 @@ def test_ingest_pipeline_survives_torn_write_and_retry(spark, sf_dir):
         chaos = run(f"{t2}/work", torn=True)
     assert clean[0] and clean[1], "gates and near-dups must both fire"
     assert chaos == clean
+
+
+def test_wav_and_bmp_codecs_roundtrip_arbitrary_params():
+    """Property test: for arbitrary synth parameters, generate a
+    container with the stdlib writers and decode it back exactly —
+    codec correctness must not depend on the registry's doc_id-derived
+    parameter grid."""
+    import io
+    import struct
+    import wave
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        channels=st.integers(1, 4),
+        rate=st.sampled_from([8000, 11025, 22050, 44100, 48000]),
+        samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+    )
+    def wav_case(channels, rate, samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(
+                b"".join(struct.pack("<h", s) * channels for s in samples)
+            )
+        got = decode_wav(buf.getvalue())
+        assert got["channels"] == channels
+        assert got["sample_rate"] == rate
+        assert got["n_frames"] == len(samples)
+        assert got["peak_amp"] == max(abs(s) for s in samples)
+        assert got["duration_us"] == len(samples) * 1_000_000 // rate
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 7),
+        seed=st.integers(0, 2**31),
+    )
+    def bmp_case(w, h, seed):
+        stride = (w * 3 + 3) & ~3
+        pix = [
+            [(seed + 13 * r + 7 * c) % 256 for c in range(w * 3)]
+            for r in range(h)
+        ]
+        rows = b"".join(
+            bytes(pix[h - 1 - j]) + b"\x00" * (stride - w * 3)
+            for j in range(h)
+        )
+        payload = (
+            struct.pack("<2sIII", b"BM", 54 + len(rows), 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+            + rows
+        )
+        got = decode_bmp(payload)
+        assert (got["width"], got["height"]) == (w, h)
+        flat_b = [pix[r][3 * c] for r in range(h) for c in range(w)]
+        assert got["mean_b"] == sum(flat_b) // (w * h)
+        assert got["tl_b"] == pix[0][0]
+
+    wav_case()
+    bmp_case()
