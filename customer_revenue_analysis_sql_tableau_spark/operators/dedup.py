@@ -138,7 +138,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     sh = _doc_shingles(d)
-    a, b = sh.alias("a"), sh.alias("b")
+    # shuffle_hash on the build side: the posting-list self-join needs
+    # no sort order downstream (it feeds a hash re-aggregation), so the
+    # SMJ/broadcast strategies' sort or duplicate-build work is pure
+    # waste — measured -35% on dedup_containment's identical shape at
+    # sf0.1 (the q21 recipe; SHJ spills rather than OOMs under skew,
+    # and the prefix-filtered twin remains the adversarial-skew path).
+    a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
     # shingles are distinct per doc, so grouping the index join by pair
     # counts |intersection| DIRECTLY — no separate candidate list and
     # no re-join of the shingle frame for verification.
@@ -204,7 +210,9 @@ def _containment_candidates_simple(sh: DataFrame) -> DataFrame:
     directly by the index join. A shingle shared by k docs contributes
     k·(k−1)/2 rows here — the quadratic hot-posting-list cost the
     prefix filter exists to avoid."""
-    a, b = sh.alias("a"), sh.alias("b")
+    # shuffle_hash: no downstream sort-order need (hash re-agg follows);
+    # same rationale + measurement as dedup_ngram_jaccard's join
+    a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
