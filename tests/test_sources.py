@@ -222,3 +222,83 @@ def test_jsonl_preserves_microsecond_timestamps(spark, sf_dir, tmp_path):
     got = {r.event_id: r.ts for r in back.collect()}
     assert got == want  # microseconds intact
     assert any(ts.microsecond % 1000 for ts in want.values())  # non-vacuous
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
+    """Measure data skipping straight from the parquet footers: across
+    a 4x4 grid of small (ts-range AND user-range) query boxes, the
+    z-ordered events layout must leave FEWER eligible files on average
+    (box intersects the file's [min,max] envelope) than a ts-sorted
+    layout, whose every file spans the full user range. Uses sf0.01 so
+    the user axis has real resolution; also regression-guards the
+    TIMESTAMP_MICROS writer default — INT96 timestamps carry no footer
+    stats at all and would make every file ts-eligible."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.sources.zorder import (
+        write_zorder,
+    )
+
+    events = load_tables(
+        spark, "/root/testdata/sf0.01", names=("events",), register=False
+    )["events"].select("event_id", "ts", "user_id", "value")
+    n_files = 32
+    write_zorder(events, str(tmp_path / "z"), "ts", "user_id", files=n_files)
+    events.repartitionByRange(n_files, "ts").sortWithinPartitions(
+        "ts"
+    ).write.mode("overwrite").parquet(str(tmp_path / "t"))
+
+    def envelopes(path):
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = {}, {}
+            for rgi in range(md.num_row_groups):
+                rg = md.row_group(rgi)
+                for i in range(rg.num_columns):
+                    c = rg.column(i)
+                    if c.path_in_schema in ("ts", "user_id") and c.statistics:
+                        s, n = c.statistics, c.path_in_schema
+                        lo[n] = s.min if n not in lo else min(lo[n], s.min)
+                        hi[n] = s.max if n not in hi else max(hi[n], s.max)
+            assert "ts" in lo, "no ts footer stats (INT96 regression?)"
+            out.append((lo, hi))
+        return out
+
+    tmin, tmax, umin, umax = events.selectExpr(
+        "min(ts)", "max(ts)", "min(user_id)", "max(user_id)"
+    ).first()
+    tspan, uspan = tmax - tmin, umax - umin
+
+    def eligible(env, tq_lo, tq_hi, uq_lo, uq_hi):
+        n = 0
+        for lo, hi in env:
+            if hi["ts"].replace(tzinfo=None) < tq_lo:
+                continue
+            if lo["ts"].replace(tzinfo=None) > tq_hi:
+                continue
+            if hi["user_id"] < uq_lo or lo["user_id"] > uq_hi:
+                continue
+            n += 1
+        return n
+
+    z_env, t_env = envelopes(str(tmp_path / "z")), envelopes(str(tmp_path / "t"))
+    assert len(z_env) == n_files and len(t_env) == n_files
+    z_tot = t_tot = 0
+    for i in range(4):
+        for j in range(4):
+            tq_lo = tmin + tspan * (2 * i + 1) / 9
+            tq_hi = tmin + tspan * ((2 * i + 1) / 9 + 1 / 8)
+            uq_lo = umin + uspan * (2 * j + 1) // 9
+            uq_hi = uq_lo + uspan // 8
+            z_tot += eligible(z_env, tq_lo, tq_hi, uq_lo, uq_hi)
+            t_tot += eligible(t_env, tq_lo, tq_hi, uq_lo, uq_hi)
+    # measured 3.7 vs 5.0 avg eligible files; assert with margin, and
+    # that z-skipping is genuine (well under half the files per box)
+    assert z_tot <= 0.9 * t_tot, (z_tot, t_tot)
+    assert z_tot / 16 <= n_files / 4
+    # the layout loses no rows
+    assert spark.read.parquet(str(tmp_path / "z")).count() == events.count()
