@@ -218,7 +218,25 @@ def run_late_data_stream(
     inflate the emitted counts — the two-batch probe shows exactly
     that), and its fresh rows sit in never-emitted state. The DuckDB
     oracle computes the same set from the raw table and the watermark
-    arithmetic. Returns the append sink contents."""
+    arithmetic.
+
+    No-data micro-batches are pinned OFF for this run (save/restore): a
+    trailing empty batch would advance the watermark past delivery 1's
+    bound and emit extra windows, making the sink depend on a
+    version/timing-sensitive scheduler choice instead of the three data
+    batches the oracle models. Returns the append sink contents."""
+    nodata_conf = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(nodata_conf, "true")
+    spark.conf.set(nodata_conf, "false")
+    try:
+        return _run_late_data_stream(spark, source_dir, checkpoint_dir)
+    finally:
+        spark.conf.set(nodata_conf, prev)
+
+
+def _run_late_data_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str
+) -> DataFrame:
     raw = _read_events_stream(spark, source_dir, max_files_per_trigger=1)
     stream = (
         raw.withWatermark("ts", WATERMARK)
