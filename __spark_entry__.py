@@ -69,16 +69,17 @@ _REGISTRY_MODULES = [
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
 # at ENTRY level. Round-6 ordering (VERDICT.md r5, Next #2): (1) the
-# eight NEW entries; (2) every entry whose registered plan changed this
+# ten NEW entries; (2) every entry whose registered plan changed this
 # round — quality_decile_curriculum's self-scaling buckets + NULL
 # guard, and the five entries riding the quality score's new nullif
 # divisor (operators/text.py quality_scored); (3) the ELEVEN deferred
 # r2-cohort entries — with these the pre-r3 backlog is fully retired;
-# (4) twenty-five of the 47 entries whose last proof is r3 (oldest
+# (4) twenty-three of the 47 entries whose last proof is r3 (oldest
 # first by family) — proof freshness, not a correctness requirement:
-# r3 proofs are on current code paths. The 22 r3 entries past the cut
+# r3 proofs are on current code paths. The 24 r3 entries past the cut
 # (the text family, tableau_g2, analytics, two splits, events_json,
-# multimodal_size_stats) roll to r7. Guarded against rot by
+# multimodal_size_stats, dq_constraint_violations, inc_state_rollup)
+# roll to r7. Guarded against rot by
 # tests/test_registry_hygiene.py::test_priority_names_exist.
 _PRIORITY = [
     # -- new this round (r6): first driver proof --
@@ -90,6 +91,8 @@ _PRIORITY = [
     "jsonl_roundtrip_digest",  # JSONL escaping fidelity under the hash
     "orc_roundtrip_digest",  # ORC timestamp/double fidelity under the hash
     "split_temperature_mixture",  # temperature-flattened source mixture
+    "sim_pq_topk",  # product-quantization ANN tier (rows-only)
+    "sim_pq_recall_check",  # its driver-hash recall bound
     # -- plans changed this round: re-prove on current code --
     "quality_decile_curriculum",  # dynamic RANK buckets + NULL bucket
     "quality_decile_cutoffs",  # quality score nullif divisor
@@ -109,7 +112,7 @@ _PRIORITY = [
     "feat_stratified_sample",
     "emb_norm_stats",
     "emb_label_profile",
-    # -- proof refresh: r3-proven cohort, 25 of 47 --
+    # -- proof refresh: r3-proven cohort, 23 of 47 --
     "temporal_asof_join",
     "temporal_range_join",
     "temporal_pivot_user_values",
@@ -133,8 +136,6 @@ _PRIORITY = [
     "dedup_containment_prefix",
     "dedup_embedding_signlsh",
     "decontaminate_ngram_overlap",
-    "dq_constraint_violations",
-    "inc_state_rollup",
 ]
 
 

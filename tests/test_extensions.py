@@ -121,6 +121,28 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     assert all(v <= TOP_K for v in per_q.values())
 
 
+def test_pq_topk_recall_vs_bruteforce(spark, sf_dir):
+    from customer_revenue_analysis_sql_tableau_spark.operators.similarity import (
+        TOP_K,
+        sim_bruteforce_topk,
+        sim_pq_topk,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id) for r in sim_bruteforce_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in sim_pq_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # measured 0.85-0.93 across sf0.001-0.1 with the 16x32 codebooks
+    assert recall >= 0.7, f"PQ recall {recall:.2f} below floor"
+    per_q = {}
+    for q, _ in approx:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(v <= TOP_K for v in per_q.values())
+
+
 def test_multimodal_decode_plumbing(spark, sf_dir):
     out = multimodal_decode_features(spark, sf_dir)
     assert out.schema.simpleString() == (

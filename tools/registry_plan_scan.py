@@ -48,6 +48,8 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "embed_profile_by_label",  # broadcast per-label stats (rows = labels)
         "sim_lsh_recall_check",  # inherits sim_lsh_topk's bounded query set
         "sim_ivf_recall_check",  # inherits sim_ivf_topk's bounded query set
+        "sim_pq_topk",  # broadcast query LUTs x code scan, queries bounded
+        "sim_pq_recall_check",  # inherits sim_pq_topk's bounded query set
         "vocab_topk_containment_check",  # broadcast k-th-count scalar (1 row)
         "quality_decile_cutoffs_approx_check",  # broadcast sketch cutoffs (1 row)
     }
