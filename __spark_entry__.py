@@ -136,6 +136,11 @@ _PRIORITY = [
     "dedup_containment_prefix",
     "dedup_embedding_signlsh",
     "decontaminate_ngram_overlap",
+    # ---- ~50-entry budget cut falls here ----
+    # r6-late additions (locally hash-green at sf0.001/0.01; first
+    # driver proof lands in the r7 window): PERMISSIVE corrupt-line
+    # quarantine summary.
+    "jsonl_corrupt_tolerance",
 ]
 
 

