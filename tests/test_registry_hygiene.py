@@ -184,3 +184,17 @@ def test_global_window_detector_flags_the_r4_shape(spark, sf_dir):
         .select("doc_id", F.row_number().over(gw).alias("r"))
     )
     assert not _unbounded_global_windows(plan_of(join_capped))
+
+
+def test_bench_headline_names_exist():
+    """Every bench.py HEADLINE name must be a registry entry — a typo'd
+    or renamed name silently drops a query from the recorded artifact
+    and breaks round-over-round comparability."""
+    import bench
+
+    merged: dict = {}
+    for mod in entrymod._REGISTRY_MODULES:
+        merged.update(mod.QUERIES)
+    missing = [n for n in bench.HEADLINE if n not in merged]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
