@@ -139,8 +139,11 @@ _PRIORITY = [
     # ---- ~50-entry budget cut falls here ----
     # r6-late additions (locally hash-green at sf0.001/0.01; first
     # driver proof lands in the r7 window): PERMISSIVE corrupt-line
-    # quarantine summary.
+    # quarantine summary; the real stdlib PNG codec (zlib inflate +
+    # all five scanline filters, proven on the reference's own chart
+    # files in pytest).
     "jsonl_corrupt_tolerance",
+    "multimodal_decode_png",
 ]
 
 

@@ -6,13 +6,14 @@ are ``{bytes: binary, mime: string, meta: ...}`` built here from
 ``documents`` (the container ships no real image/audio assets). The
 Spark-side plumbing — schema, Arrow batching via ``mapInPandas``,
 partition-friendly per-row features — is real and tested. The codec
-tier is split: **WAV audio and BMP images decode for real** via stdlib
-parsers (``decode_wav`` — struct-unpacked RIFF chunk walk + PCM peak;
-``decode_bmp`` — BITMAPINFOHEADER + bottom-up padded pixel rows → exact
-channel means), while compressed image formats (PNG/JPEG) stay STUBBED
-behind a clearly-marked deterministic fake decoder (``real_decode``
-raises ``NotImplementedError`` for them until Pillow exists — it is
-not in this container).
+tier is split: **WAV audio, BMP and PNG images decode for real** via
+stdlib parsers (``decode_wav`` — struct-unpacked RIFF chunk walk + PCM
+peak; ``decode_bmp`` — BITMAPINFOHEADER + bottom-up padded pixel rows →
+exact channel means; ``decode_png`` — chunk walk + zlib inflate + all
+five scanline filters reversed), while JPEG stays STUBBED behind a
+clearly-marked deterministic fake decoder (``real_decode`` raises
+``NotImplementedError`` for it until Pillow exists — it is not in this
+container).
 
 Scale posture: binary payloads stay columnar (parquet binary), decode
 runs as ``mapInPandas`` over Arrow record batches → per-partition
@@ -165,18 +166,102 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL stdlib-only PNG codec for non-interlaced 8-bit RGB/RGBA:
+    chunk walk (IHDR/IDAT/IEND with CRC framing), ``zlib`` inflate of
+    the concatenated IDAT stream, and per-row reversal of all five
+    scanline filters (None/Sub/Up/Average/Paeth — the part a naive
+    'just inflate it' decoder gets wrong). Returns dimensions plus
+    exact integer channel means and the top-left pixel. Raises
+    ``ValueError`` on malformed or unsupported containers."""
+    import struct
+    import zlib
+
+    if len(payload) < 33 or payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG container")
+    pos = len(_PNG_SIG)
+    width = height = bit_depth = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if bit_depth != 8 or color_type not in (2, 6) or interlace:
+                raise ValueError("unsupported PNG variant")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + CRC
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    ch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("truncated pixel data")
+    prev = bytearray(stride)
+    tot = [0] * ch
+    tl = None
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0  # left
+            b = prev[i]  # up
+            c = prev[i - ch] if i >= ch else 0  # upper-left
+            if ftype == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif ftype == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif ftype == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif ftype == 4:  # Paeth predictor
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"unknown scanline filter {ftype}")
+        for i in range(stride):
+            tot[i % ch] += line[i]
+        if r == 0:
+            tl = line[0]
+        prev = line
+    n_px = width * height
+    out = {
+        "width": width,
+        "height": height,
+        "channels": ch,
+        "n_pixels": n_px,
+        "mean_r": tot[0] // n_px,
+        "mean_g": tot[1] // n_px,
+        "mean_b": tot[2] // n_px,
+        "tl_r": tl,
+    }
+    return out
+
+
 def real_decode(payload: bytes, mime: str):
-    """Real-codec dispatch: WAV audio and BMP images decode via the
-    stdlib parsers (:func:`decode_wav`, :func:`decode_bmp`); compressed
-    image formats (PNG/JPEG) still require Pillow, absent in this
-    container, and raise."""
+    """Real-codec dispatch: WAV audio, BMP and PNG images decode via
+    the stdlib parsers (:func:`decode_wav`, :func:`decode_bmp`,
+    :func:`decode_png` — zlib is stdlib); only JPEG still requires
+    Pillow, absent in this container, and raises."""
     if mime == "audio/wav":
         return decode_wav(payload)
     if mime == "image/bmp":
         return decode_bmp(payload)
+    if mime == "image/png":
+        return decode_png(payload)
     raise NotImplementedError(  # pragma: no cover - env-dependent stub
-        "compressed image decoding requires Pillow, not present in this "
-        "environment; use _fake_decode (deterministic stub)"
+        "JPEG decoding requires Pillow, not present in this environment; "
+        "use _fake_decode (deterministic stub)"
     )
 
 
@@ -326,6 +411,113 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _make_png(doc_id: int) -> bytes:
+    """Genuine PNG bytes (8-bit RGB, non-interlaced) with pixels derived
+    from ``doc_id``: width = 3 + id%10, height = 2 + id%9, channel
+    values at row r / col c are R=(id+5r+11c)%256, G=(3id+2r+7c)%256,
+    B=(7id+13r+3c)%256. Row r is written with scanline filter r % 5, so
+    decoding must reverse every filter type including Paeth."""
+    import struct
+    import zlib
+
+    w = 3 + doc_id % 10
+    h = 2 + doc_id % 9
+    ch = 3
+
+    def px(r: int, c: int) -> tuple[int, int, int]:
+        return (
+            (doc_id + 5 * r + 11 * c) % 256,
+            (3 * doc_id + 2 * r + 7 * c) % 256,
+            (7 * doc_id + 13 * r + 3 * c) % 256,
+        )
+
+    stride = w * ch
+    prev = bytearray(stride)
+    raw = bytearray()
+    for r in range(h):
+        line = bytearray()
+        for c in range(w):
+            line += bytes(px(r, c))
+        ftype = r % 5
+        enc = bytearray([ftype])
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            cc = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+            enc.append((line[i] - pred) & 0xFF)
+        raw += enc
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-image twin of :func:`multimodal_decode_bmp`: genuine
+    zlib-compressed PNG containers synthesized per document (every
+    scanline filter type exercised) and decoded back with the REAL
+    stdlib parser (:func:`decode_png`) in the Arrow-batched
+    ``mapInPandas`` boundary; the oracle recomputes dimensions, exact
+    channel means, and the top-left sample arithmetically — the filter
+    reversal and inflate path sit under the driver value-hash."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"].select(
+        "doc_id"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                real_decode(_make_png(int(i)), "image/png")
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "channels": [f["channels"] for f in feats],
+                    "n_pixels": [f["n_pixels"] for f in feats],
+                    "mean_r": [f["mean_r"] for f in feats],
+                    "mean_g": [f["mean_g"] for f in feats],
+                    "mean_b": [f["mean_b"] for f in feats],
+                    "tl_r": [f["tl_r"] for f in feats],
+                }
+            )
+
+    return d.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width long, height long, channels long, "
+            "n_pixels long, mean_r long, mean_g long, mean_b long, tl_r long"
+        ),
+    )
+
+
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode: Arrow-batched feature extraction per asset.
 
@@ -454,6 +646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_decode_wav": multimodal_decode_wav,
     "multimodal_decode_bmp": multimodal_decode_bmp,
+    "multimodal_decode_png": multimodal_decode_png,
     "multimodal_resize": multimodal_resize_digest,
     "multimodal_frame_sample": multimodal_frame_sample_digest,
 }
@@ -533,6 +726,29 @@ ORACLES: dict[str, str] = {
                     i -> (3 * doc_id + 11 * (i // w) + (i % w)) % 256))
                     // (w * h) AS BIGINT) AS mean_r,
                CAST(doc_id % 256 AS BIGINT) AS tl_b
+        FROM dims""",
+    # PNG twin: same arithmetic-oracle recipe — the engine decoded the
+    # genuine zlib-compressed, filter-encoded bytes; the oracle only
+    # recomputes what the pixels were.
+    "multimodal_decode_png": """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(3 + doc_id % 10 AS BIGINT) AS w,
+                   CAST(2 + doc_id % 9 AS BIGINT) AS h
+            FROM documents)
+        SELECT doc_id, w AS width, h AS height,
+               CAST(3 AS BIGINT) AS channels,
+               w * h AS n_pixels,
+               CAST(list_sum(list_transform(range(w * h),
+                    i -> (doc_id + 5 * (i // w) + 11 * (i % w)) % 256))
+                    // (w * h) AS BIGINT) AS mean_r,
+               CAST(list_sum(list_transform(range(w * h),
+                    i -> (3 * doc_id + 2 * (i // w) + 7 * (i % w)) % 256))
+                    // (w * h) AS BIGINT) AS mean_g,
+               CAST(list_sum(list_transform(range(w * h),
+                    i -> (7 * doc_id + 13 * (i // w) + 3 * (i % w)) % 256))
+                    // (w * h) AS BIGINT) AS mean_b,
+               CAST(doc_id % 256 AS BIGINT) AS tl_r
         FROM dims""",
     # The stride/slice arithmetic is pure byte manipulation, so DuckDB
     # rebuilds the exact frames (1-indexed substring, integer-division
