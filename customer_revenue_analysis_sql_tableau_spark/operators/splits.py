@@ -247,6 +247,60 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Power-of-two length-bucket caps for padding-efficiency batching;
+#: generated once and interpolated into BOTH dialects as a CASE ladder
+#: (float log2 is not guaranteed identically rounded across engines —
+#: exact integer thresholds are).
+LEN_BUCKETS = [2**i for i in range(4, 14)]  # 16 .. 8192 tokens
+
+
+def _len_bucket_case(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {col} <= {cap} THEN {cap}" for cap in LEN_BUCKETS[:-1]
+    )
+    return f"CASE {cases} ELSE {LEN_BUCKETS[-1]} END"
+
+
+def split_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report — the padding-efficiency planner
+    every training data loader runs: docs grouped into power-of-two
+    token-length buckets (a batch pads every sequence to its bucket
+    cap), with exact padded-token counts and the padding-waste ratio
+    per bucket. One token-size projection + one groupBy(bucket) —
+    embarrassingly parallel, bucket cardinality fixed at
+    ``len(LEN_BUCKETS)``. Waste ratios are single double divisions of
+    exact integers (reproducible across engines)."""
+    from .text import TOKENS_EXPR
+
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = d.select(
+        "doc_id", F.size(F.expr(TOKENS_EXPR)).cast("long").alias("n_tokens")
+    )
+    bucketed = toks.selectExpr(
+        "n_tokens", f"CAST({_len_bucket_case('n_tokens')} AS BIGINT) AS bucket_cap"
+    )
+    return (
+        bucketed.groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .withColumn("padded_tokens", F.col("n_docs") * F.col("bucket_cap"))
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "total_tokens",
+            "padded_tokens",
+            F.round(
+                F.lit(1.0)
+                - F.col("total_tokens") / F.col("padded_tokens").cast("double"),
+                9,
+            ).alias("waste_ratio"),
+        )
+        .orderBy("bucket_cap")
+    )
+
+
 #: Temperature-mixture knobs: α = 1/2 flattening (weights ∝ √count —
 #: the classic multinomial temperature used to boost low-resource
 #: sources), and a target mixture of half the corpus. Rates carry in
@@ -346,10 +400,33 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_chunk_documents": chunk_documents,
     "split_mixture_sample": mixture_sample,
     "split_temperature_mixture": split_temperature_mixture,
+    "split_length_buckets": split_length_buckets,
     "split_pii_redact": pii_redact,
 }
 
+from .text import TOKENS_SQL as _TOKENS_SQL  # noqa: E402 (oracle text)
+
 ORACLES: dict[str, str] = {
+    # same CASE ladder over the whitespace token count; waste ratio is
+    # one double division of exact integers
+    "split_length_buckets": f"""
+        WITH t AS (
+            SELECT CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+            FROM documents),
+        b AS (
+            SELECT n_tokens,
+                   CAST({_len_bucket_case('n_tokens')} AS BIGINT)
+                       AS bucket_cap
+            FROM t),
+        g AS (
+            SELECT bucket_cap, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM b GROUP BY bucket_cap)
+        SELECT bucket_cap, n_docs, total_tokens,
+               n_docs * bucket_cap AS padded_tokens,
+               round(1.0 - total_tokens
+                     / CAST(n_docs * bucket_cap AS DOUBLE), 9) AS waste_ratio
+        FROM g ORDER BY bucket_cap""",
     # exact mirror of the DECIMAL floor-divide rate and the :temp-salted
     # md5 bucket; DuckDB's HUGEINT plays DECIMAL(38,0)'s role
     "split_temperature_mixture": f"""

@@ -331,3 +331,28 @@ def test_temperature_mixture_upweights_small_sources(spark, tmp_path):
     }
     assert bp["small"] > bp["big"]
     assert all(0 < v <= RATE_BP for v in bp.values())
+
+
+def test_length_buckets_conserve_docs_and_bound_waste(spark, sf_dir):
+    """Padding-efficiency report invariants: buckets partition the
+    corpus (doc and token totals conserved), every cap is a power of
+    two >= its bucket's max token count, and waste is in [0, 1)."""
+    from pyspark.sql import functions as F
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.splits import (
+        split_length_buckets,
+    )
+    from customer_revenue_analysis_sql_tableau_spark.operators.text import (
+        TOKENS_EXPR,
+    )
+
+    rows = split_length_buckets(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.size(F.expr(TOKENS_EXPR)).alias("n"))
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert sum(r.total_tokens for r in rows) == toks.agg(F.sum("n")).first()[0]
+    for r in rows:
+        assert r.bucket_cap & (r.bucket_cap - 1) == 0  # power of two
+        assert 0 <= r.waste_ratio < 1
+        assert r.padded_tokens == r.n_docs * r.bucket_cap
+        assert r.total_tokens <= r.padded_tokens
