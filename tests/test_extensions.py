@@ -162,8 +162,12 @@ def test_multimodal_decode_plumbing(spark, sf_dir):
 
 
 def test_multimodal_real_decode_is_stubbed():
-    # image decoding stays stubbed (Pillow absent); WAV is real now
+    # only JPEG remains stubbed (Pillow absent); WAV/BMP/PNG are real
+    # stdlib codecs now — garbage PNG bytes are a codec ValueError, not
+    # a missing-library stub
     with pytest.raises(NotImplementedError):
+        real_decode(b"xx", "image/jpeg")
+    with pytest.raises(ValueError):
         real_decode(b"xx", "image/png")
 
 
