@@ -141,10 +141,12 @@ _PRIORITY = [
     # driver proof lands in the r7 window): PERMISSIVE corrupt-line
     # quarantine summary; the real stdlib PNG codec (zlib inflate +
     # all five scanline filters, proven on the reference's own chart
-    # files in pytest); the padding-efficiency length-bucket report.
+    # files in pytest); the padding-efficiency length-bucket report;
+    # the session-window late-drop drain (event-time drop rule pinned).
     "jsonl_corrupt_tolerance",
     "multimodal_decode_png",
     "split_length_buckets",
+    "stream_late_session_drain",
 ]
 
 

@@ -29,6 +29,7 @@ from .windows import (
     run_foreach_batch_upsert_stream,
     run_interval_join_stream,
     run_late_data_stream,
+    run_late_session_stream,
     run_latest_state_stream,
     run_resumable_stream,
     run_session_stream,
@@ -193,31 +194,62 @@ def stream_late_data_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows, the behavior the two-batch staging exhibits). See
     ``run_late_data_stream`` for the measured watermark-lag semantics
     this staging pins down."""
-    import glob
-    import os
-    import time
-
     events = load_tables(spark, sf_dir, names=("events",), register=False)[
         "events"
     ]
 
     def build(tmp: str) -> DataFrame:
-        src = f"{tmp}/src"
-        base = time.time() - 1000
-        seen: set[str] = set()
-        for k in range(LATE_SPLIT_MOD):
-            events.filter(
-                F.col("event_id") % LATE_SPLIT_MOD == k
-            ).coalesce(1).write.mode("append").parquet(src)
-            # the file source orders batches by modification time; pin
-            # a strictly increasing mtime on each delivery's new file so
-            # delivery k IS batch k (the drain stages on a local temp
-            # dir, so os.utime applies)
-            for f in glob.glob(f"{src}/part-*.parquet"):
-                if f not in seen:
-                    seen.add(f)
-                    os.utime(f, (base + k * 10, base + k * 10))
+        src = _stage_three_deliveries(events, tmp)
         return run_late_data_stream(spark, src, f"{tmp}/ckpt")
+
+    return _drain(spark, build)
+
+
+def _stage_three_deliveries(events: DataFrame, tmp: str) -> str:
+    """Write the event_id % 3 thirds as three one-file deliveries with
+    strictly increasing mtimes (the file source orders batches by
+    modification time, so delivery k IS batch k; the drains stage on a
+    local temp dir, so os.utime applies)."""
+    import glob
+    import os
+    import time
+
+    src = f"{tmp}/src"
+    base = time.time() - 1000
+    seen: set[str] = set()
+    for k in range(LATE_SPLIT_MOD):
+        events.filter(
+            F.col("event_id") % LATE_SPLIT_MOD == k
+        ).coalesce(1).write.mode("append").parquet(src)
+        for f in glob.glob(f"{src}/part-*.parquet"):
+            if f not in seen:
+                seen.add(f)
+                os.utime(f, (base + k * 10, base + k * 10))
+    return src
+
+
+def stream_late_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window late-data policy under the hash — the stateful
+    MERGING variant of :func:`stream_late_data_drain`. Measured rule
+    (it DIFFERS from the tumbling operator's): session-window input is
+    dropped on the row's EVENT TIME <= watermark, not on a provisional
+    window end — a stale row near an open session is discarded even
+    though a tumbling aggregation would still have admitted it. The
+    admitted remainder (ts > wm) provably cannot touch any emitted
+    session: a session it merges into ends past the watermark, and a
+    session ending at-or-before the watermark cannot reach it (end <=
+    wm < ts). The sink therefore equals gaps-and-islands sessions over
+    deliveries 1-2 alone, filtered to end <= the delivery-1 watermark
+    — which is exactly what the oracle computes, and what delivery 3's
+    thousands of dropped rows would corrupt if the engine admitted
+    them (see ``run_late_session_stream``)."""
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+
+    def build(tmp: str) -> DataFrame:
+        src = _stage_three_deliveries(events, tmp)
+        return run_late_session_stream(spark, src, f"{tmp}/ckpt")
 
     return _drain(spark, build)
 
@@ -273,6 +305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sliding_window_drain": stream_sliding_window_drain,
     "stream_session_window_drain": stream_session_window_drain,
     "stream_late_data_drain": stream_late_data_drain,
+    "stream_late_session_drain": stream_late_session_drain,
 }
 
 #: Exact money-sum text shared with the batch-twin oracles.
@@ -304,6 +337,41 @@ ORACLES: dict[str, str] = {
         WHERE time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
               <= wm.w
         GROUP BY 1, 2, 3""",
+    # session-window variant: the engine drops delivery-3 rows on
+    # EVENT TIME <= watermark (measured — not the tumbling window-end
+    # rule), and admitted ts > wm rows can never reach a session that
+    # ends at-or-before the watermark, so the emitted set is sessions
+    # over deliveries 1-2 alone with end <= the watermark.
+    "stream_late_session_drain": f"""
+        WITH wm AS (
+            SELECT max(ts) - INTERVAL 30 MINUTE AS w
+            FROM events WHERE event_id % {LATE_SPLIT_MOD} = 0),
+        admitted AS (
+            SELECT e.* FROM events e
+            WHERE event_id % {LATE_SPLIT_MOD} != {LATE_SPLIT_MOD - 1}),
+        marked AS (
+            SELECT user_id, ts, value, event_id,
+                CASE WHEN ts - lag(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '4 hours'
+                     OR lag(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+            FROM admitted),
+        numbered AS (
+            SELECT *, sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+            FROM marked),
+        sess AS (
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL '4 hours' AS session_end,
+                   count(*) AS n_events, {_VAL_SUM} AS total_value
+            FROM numbered GROUP BY user_id, session_id)
+        SELECT user_id, session_start, session_end, n_events, total_value
+        FROM sess, wm WHERE session_end <= wm.w""",
     "stream_interval_join_drain": """
         SELECT e.event_id AS error_id, e.user_id AS e_user_id,
                e.ts AS error_ts, c.event_id AS click_id, c.ts AS click_ts

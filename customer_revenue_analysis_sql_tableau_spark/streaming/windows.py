@@ -234,6 +234,66 @@ def run_late_data_stream(
         spark.conf.set(nodata_conf, prev)
 
 
+def run_late_session_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Session-window twin of :func:`run_late_data_stream` — the
+    stateful-MERGING variant of the late-data policy. Measured on this
+    build (three one-file batches, no-data batches pinned off):
+
+    - session-window input is dropped on the row's EVENT TIME <= the
+      effective watermark — a STRICTER rule than the tumbling
+      operator's window-end predicate (rows a tumbling aggregation
+      would still admit are discarded here);
+    - admitted late rows (ts > wm) merge into state before emission,
+      but can only extend sessions that already end past the
+      watermark — never one in the emitted set;
+    - at each batch end, merged sessions with end <= the watermark are
+      emitted exactly once.
+
+    The deterministic model the oracle computes: sessionize deliveries
+    1-2 and keep sessions whose end <= wm, where wm =
+    max(delivery-1 ts) - delay."""
+    nodata_conf = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(nodata_conf, "true")
+    spark.conf.set(nodata_conf, "false")
+    try:
+        return _run_late_session_stream(spark, source_dir, checkpoint_dir)
+    finally:
+        spark.conf.set(nodata_conf, prev)
+
+
+def _run_late_session_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    raw = _read_events_stream(spark, source_dir, max_files_per_trigger=1)
+    stream = (
+        raw.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(money("value")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("late_session_sink")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("late_session_sink")
+
+
 def _run_late_data_stream(
     spark: SparkSession, source_dir: str, checkpoint_dir: str
 ) -> DataFrame:
