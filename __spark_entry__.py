@@ -68,85 +68,77 @@ _REGISTRY_MODULES = [
 
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
-# at ENTRY level. Round-6 ordering (VERDICT.md r5, Next #2): (1) the
-# ten NEW entries; (2) every entry whose registered plan changed this
-# round — quality_decile_curriculum's self-scaling buckets + NULL
-# guard, and the five entries riding the quality score's new nullif
-# divisor (operators/text.py quality_scored); (3) the ELEVEN deferred
-# r2-cohort entries — with these the pre-r3 backlog is fully retired;
-# (4) twenty-three of the 47 entries whose last proof is r3 (oldest
-# first by family) — proof freshness, not a correctness requirement:
-# r3 proofs are on current code paths. The 24 r3 entries past the cut
-# (the text family, tableau_g2, analytics, two splits, events_json,
-# multimodal_size_stats, dq_constraint_violations, inc_state_rollup)
-# roll to r7. Guarded against rot by
+# at ENTRY level. Round-7 ordering (VERDICT.md r6, Next #1/#2/#3):
+# (1) the FOUR r6-late entries that have never been in a driver window
+# (front-loaded per the r6 verdict's top directive); (2) the one NEW
+# r7 entry (stdlib JPEG SOF-header tier, r6 Next #5); (3) entries
+# whose registered plan/digest changed this round — sim_pq_topk's
+# two-stage bounded ADC shortlist (r6 "What's wrong" #1) + its recall
+# bound, the approx-cutoffs non-null-population fix, and
+# jsonl_corrupt_tolerance's NULL-sentinel digest (both driver ADVICE);
+# (4) the ENTIRE 23-entry r3-freshness cohort — with these the r3
+# backlog empties completely (every registry entry's freshest proof
+# becomes r4+); (5) nineteen r4-proven reference-core entries
+# (flagship, the 8-table view, q1-q11, tableau charts) as the freshness
+# frontier advances. Guarded against rot by
 # tests/test_registry_hygiene.py::test_priority_names_exist.
 _PRIORITY = [
-    # -- new this round (r6): first driver proof --
-    "quality_decile_cutoffs_approx_check",  # sketch-tier bound twin
-    "multimodal_decode_wav",  # real stdlib RIFF codec under the hash
-    "multimodal_decode_bmp",  # real stdlib BMP codec under the hash
-    "stream_late_data_drain",  # multi-batch watermark late-drop policy
-    "csv_roundtrip_digest",  # CSV encode->decode fidelity under the hash
-    "jsonl_roundtrip_digest",  # JSONL escaping fidelity under the hash
-    "orc_roundtrip_digest",  # ORC timestamp/double fidelity under the hash
-    "split_temperature_mixture",  # temperature-flattened source mixture
-    "sim_pq_topk",  # product-quantization ANN tier (rows-only)
-    "sim_pq_recall_check",  # its driver-hash recall bound
-    # -- plans changed this round: re-prove on current code --
-    "quality_decile_curriculum",  # dynamic RANK buckets + NULL bucket
-    "quality_decile_cutoffs",  # quality score nullif divisor
-    "text_quality_score",  # quality score nullif divisor
-    "dedup_survivors_best_quality",  # retention policy reads the score
-    "training_data_pipeline",  # composed pipeline gates on the score
-    "stream_ingest_verdicts_drain",  # streamed quality gate
-    # -- last pre-r3 proofs: the 11 entries deferred in r5 --
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_dedup_first",
-    "sim_bruteforce_topk",
-    "multimodal_decode_features",
-    "rollup_hourly_from_minutes",
-    "rollup_daily_from_hours",
-    "feat_stratified_sample",
-    "emb_norm_stats",
-    "emb_label_profile",
-    # -- proof refresh: r3-proven cohort, 23 of 47 --
-    "temporal_asof_join",
-    "temporal_range_join",
-    "temporal_pivot_user_values",
-    "temporal_unpivot_user_values",
-    "temporal_rolling_value_10min",
-    "temporal_latest_per_user",
-    "temporal_value_percentiles",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_lines_by_flag",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_dominant_promo_suppliers",
-    "tpch_q21_sole_late_supplier",
-    "tpch_q22_dormant_high_balance",
-    "dedup_containment",
-    "dedup_containment_prefix",
-    "dedup_embedding_signlsh",
-    "decontaminate_ngram_overlap",
+    # -- r6-late, first driver proof (VERDICT r6, Next #1) --
+    "jsonl_corrupt_tolerance",  # PERMISSIVE quarantine + NULL-sentinel digest
+    "multimodal_decode_png",  # real stdlib PNG codec (zlib + 5 filters)
+    "split_length_buckets",  # padding-efficiency planner
+    "stream_late_session_drain",  # session-window event-time drop rule
+    # -- new this round (r7) --
+    "multimodal_decode_jpeg_header",  # stdlib SOF marker walk (r6 Next #5)
+    # -- plans/digests changed this round: re-prove on current code --
+    "sim_pq_topk",  # two-stage bounded ADC shortlist (rows-only)
+    "sim_pq_recall_check",  # recall bound over the new plan
+    "quality_decile_cutoffs_approx_check",  # non-null population fix
+    # -- proof refresh: the whole remaining r3 cohort (empties it) --
+    "text_doc_fingerprint",
+    "text_fulltext_search",
+    "text_gopher_filters",
+    "text_lang_histogram",
+    "text_lang_id_ngram",
+    "text_phrase_search",
+    "text_ranked_search",
+    "text_rolling_fingerprint",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_token_stats_bpe",
+    "text_top_terms_per_source",
+    "text_unigram_logprob",
+    "analytics_event_type_bigrams",
+    "analytics_funnel_conversion_lag",
+    "analytics_sessionize_events",
+    "dq_constraint_violations",
+    "events_json_extract",
+    "inc_state_rollup",
+    "multimodal_size_stats",
+    "split_mixture_sample",
+    "split_pack_sequences",
+    "tableau_g2_first_order_day",
+    # -- proof refresh: r4-proven reference-core surface --
+    "flagship_revenue_by_region",
+    "view_customer_value_summary",
+    "view_customer_value_summary_bucketed",
+    "q1_top_revenue_customers",
+    "q1_full",
+    "q2_most_frequent_customers",
+    "q3_top_late_fees",
+    "q4_frequency_segmentation",
+    "q5_churn_risk",
+    "q6_revenue_by_category",
+    "q7_customer_lifetime_value",
+    "q8_customer_cohorts",
+    "q9_revenue_by_nation",
+    "q10_revenue_by_nation_region",
+    "q11_avg_revenue_per_customer",
+    "mfc_window_top1",
+    "tableau_g1_country_map",
+    "tableau_g3_revenue_by_category",
+    "tableau_g4_late_fees_by_category",
     # ---- ~50-entry budget cut falls here ----
-    # r6-late additions (locally hash-green at sf0.001/0.01; first
-    # driver proof lands in the r7 window): PERMISSIVE corrupt-line
-    # quarantine summary; the real stdlib PNG codec (zlib inflate +
-    # all five scanline filters, proven on the reference's own chart
-    # files in pytest); the padding-efficiency length-bucket report;
-    # the session-window late-drop drain (event-time drop rule pinned).
-    "jsonl_corrupt_tolerance",
-    "multimodal_decode_png",
-    "split_length_buckets",
-    "stream_late_session_drain",
 ]
 
 

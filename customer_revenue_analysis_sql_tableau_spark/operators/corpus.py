@@ -262,7 +262,12 @@ def quality_decile_cutoffs_approx_check(
         ).alias("ap")
     )
     j = scored.crossJoin(F.broadcast(ap))
-    aggs = [F.count(F.lit(1)).alias("n")]
+    # n counts NON-NULL scores only: approx_percentile and the le/lt
+    # rank sums both ignore NULL quality scores (empty/NULL text), so
+    # the rank targets must be computed over the same population — a
+    # count(*) n would shift target by the NULL fraction and break the
+    # bound on corpora where that fraction exceeds the eps slack.
+    aggs = [F.count("quality_score").alias("n")]
     for i in range(1, N_DECILES):
         c = F.col("ap")[i - 1]
         aggs.append(

@@ -94,6 +94,11 @@ def decode_wav(payload: bytes) -> dict:
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            # the declared chunk size can truncate the fmt body; a
+            # bare unpack would raise struct.error, breaking the
+            # documented ValueError contract
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -248,10 +253,63 @@ def decode_png(payload: bytes) -> dict:
     return out
 
 
+def decode_jpeg_header(payload: bytes) -> dict:
+    """REAL stdlib-only JPEG *header* tier: walk the marker/segment
+    stream (SOI, APPn/DQT/DHT length-prefixed segments, RSTn/TEM
+    standalones, 0xFF fill bytes) to the frame header — SOF0 baseline,
+    SOF1 extended-sequential, or SOF2 progressive — and return the
+    facts a catalog needs (dimensions, component count, sample
+    precision, progressive flag) without entropy decoding. Full pixel
+    decode needs a Huffman+IDCT stack (Pillow — absent here, see
+    :func:`real_decode`); header metadata needs none of it, which is
+    what a 100 TB asset-profiling scan actually reads. Raises
+    ``ValueError`` on malformed containers (no struct.error leaks)."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG container")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("segment desync (expected marker)")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte before the real marker
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if seglen < 2 or pos + 2 + seglen > len(payload):
+            raise ValueError("truncated segment")
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2 frame header
+            body = payload[pos + 4 : pos + 2 + seglen]
+            if len(body) < 6:
+                raise ValueError("truncated SOF body")
+            precision, height, width, ncomp = struct.unpack_from(
+                ">BHHB", body, 0
+            )
+            return {
+                "width": width,
+                "height": height,
+                "channels": ncomp,
+                "sample_bits": precision,
+                "progressive": 1 if marker == 0xC2 else 0,
+            }
+        if marker == 0xDA:  # SOS: entropy data follows, SOF never seen
+            break
+        pos += 2 + seglen
+    raise ValueError("no SOF marker before SOS/EOI")
+
+
 def real_decode(payload: bytes, mime: str):
     """Real-codec dispatch: WAV audio, BMP and PNG images decode via
     the stdlib parsers (:func:`decode_wav`, :func:`decode_bmp`,
-    :func:`decode_png` — zlib is stdlib); only JPEG still requires
+    :func:`decode_png` — zlib is stdlib); JPEG has a real stdlib
+    HEADER tier (:func:`decode_jpeg_header` — dimensions/components
+    from the SOF marker), but full pixel decode still requires
     Pillow, absent in this container, and raises."""
     if mime == "audio/wav":
         return decode_wav(payload)
@@ -518,6 +576,87 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _make_jpeg(doc_id: int) -> bytes:
+    """Genuine JPEG container bytes (marker-correct: SOI, JFIF APP0,
+    DQT, SOF, DHT, SOS, stuffing-free scan bytes, EOI) with frame
+    parameters derived from ``doc_id``: height = 16 + id%200, width =
+    16 + (7·id)%300, components = 1 (grayscale) when id%5==0 else 3,
+    progressive (SOF2) when id is odd else baseline (SOF0). The scan
+    payload is entropy-invalid on purpose — the header tier must not
+    depend on it — but every segment length is real, so the marker
+    walk is exercised end-to-end."""
+    import struct
+
+    h = 16 + doc_id % 200
+    w = 16 + (7 * doc_id) % 300
+    ncomp = 1 if doc_id % 5 == 0 else 3
+    sof_marker = b"\xff\xc2" if doc_id % 2 else b"\xff\xc0"
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    )
+    dqt = (
+        b"\xff\xdb"
+        + struct.pack(">H", 67)
+        + b"\x00"
+        + bytes(1 + (doc_id + i) % 255 for i in range(64))
+    )
+    comps = b"".join(struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp))
+    sof = sof_marker + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp) + comps
+    dht = b"\xff\xc4" + struct.pack(">H", 19) + b"\x00" + bytes(16)
+    sos = (
+        b"\xff\xda"
+        + struct.pack(">H", 6 + 2 * ncomp)
+        + bytes([ncomp])
+        + b"".join(struct.pack(">BB", i + 1, 0) for i in range(ncomp))
+        + b"\x00\x3f\x00"
+    )
+    scan = bytes((doc_id + i) % 255 for i in range(32)).replace(b"\xff", b"\xfe")
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def multimodal_decode_jpeg_header(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JPEG metadata tier under the driver hash (VERDICT r6, Next #5):
+    per document, synthesize a genuine marker-correct JPEG container
+    (:func:`_make_jpeg`) and parse it back with the REAL stdlib SOF
+    walker (:func:`decode_jpeg_header`) in the same Arrow-batched
+    ``mapInPandas`` boundary as the other codecs. Dimensions, component
+    count, precision, and the progressive flag all come out of the
+    marker walk over real bytes; the oracle recomputes them
+    arithmetically. Full pixel decode stays Pillow-gated (documented);
+    header facts are what an asset-catalog scan reads anyway."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"].select(
+        "doc_id"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_jpeg_header(_make_jpeg(int(i))) for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "channels": [f["channels"] for f in feats],
+                    "sample_bits": [f["sample_bits"] for f in feats],
+                    "progressive": [f["progressive"] for f in feats],
+                }
+            )
+
+    return d.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width long, height long, channels long, "
+            "sample_bits long, progressive long"
+        ),
+    )
+
+
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode: Arrow-batched feature extraction per asset.
 
@@ -647,6 +786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_wav": multimodal_decode_wav,
     "multimodal_decode_bmp": multimodal_decode_bmp,
     "multimodal_decode_png": multimodal_decode_png,
+    "multimodal_decode_jpeg_header": multimodal_decode_jpeg_header,
     "multimodal_resize": multimodal_resize_digest,
     "multimodal_frame_sample": multimodal_frame_sample_digest,
 }
@@ -750,6 +890,18 @@ ORACLES: dict[str, str] = {
                     // (w * h) AS BIGINT) AS mean_b,
                CAST(doc_id % 256 AS BIGINT) AS tl_r
         FROM dims""",
+    # JPEG header tier: the engine walked genuine marker segments to
+    # the SOF frame header; the oracle recomputes the synth parameters
+    # arithmetically. ("precision" is a reserved word → sample_bits.)
+    "multimodal_decode_jpeg_header": """
+        SELECT doc_id,
+               CAST(16 + (7 * doc_id) % 300 AS BIGINT) AS width,
+               CAST(16 + doc_id % 200 AS BIGINT) AS height,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS BIGINT)
+                   AS channels,
+               CAST(8 AS BIGINT) AS sample_bits,
+               CAST(doc_id % 2 AS BIGINT) AS progressive
+        FROM documents""",
     # The stride/slice arithmetic is pure byte manipulation, so DuckDB
     # rebuilds the exact frames (1-indexed substring, integer-division
     # frame count — // not /). Payload bytes ride as md5 hex + length:

@@ -24,6 +24,14 @@ CSV_WRITE_OPTS: dict[str, str] = {
     "ignoreLeadingWhiteSpace": "false",
     "ignoreTrailingWhiteSpace": "false",
 }
+#: SPLITTABILITY TRADEOFF: ``multiLine=true`` is required for quoted
+#: embedded newlines to stay one record, but it makes every CSV file
+#: unsplittable — one task per file, so a single huge CSV serializes
+#: onto one core. Dialect-correct default for arbitrary app-layer
+#: inputs; for known newline-free inputs at scale pass
+#: ``read_csv(..., multiline=False)`` (splittable line reader), or
+#: better, shard the export (``write_csv(shards=N)``) so per-file
+#: parallelism is enough either way.
 CSV_READ_OPTS: dict[str, str] = {
     "header": "true",
     "escape": '"',
@@ -31,9 +39,21 @@ CSV_READ_OPTS: dict[str, str] = {
 }
 
 
-def read_csv(spark: SparkSession, path: str, infer: bool = True) -> DataFrame:
-    """App-layer CSV source (pandas ``read_csv`` twin)."""
-    return spark.read.options(**CSV_READ_OPTS).csv(path, inferSchema=infer)
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    infer: bool = True,
+    multiline: bool = True,
+) -> DataFrame:
+    """App-layer CSV source (pandas ``read_csv`` twin).
+
+    ``multiline=False`` is the splittable fast path for inputs known to
+    carry no quoted newlines (see ``CSV_READ_OPTS`` tradeoff note).
+    """
+    opts = dict(CSV_READ_OPTS)
+    if not multiline:
+        opts["multiLine"] = "false"
+    return spark.read.options(**opts).csv(path, inferSchema=infer)
 
 
 def write_csv_single(df: DataFrame, path: str) -> None:

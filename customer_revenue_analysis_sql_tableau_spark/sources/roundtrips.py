@@ -170,16 +170,21 @@ def jsonl_corrupt_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("columnNameOfCorruptRecord", "_corrupt_record")
             .json(f"{tmp}/jsonl")
         )
+        # NULLs encoded explicitly (coalesce to a \x00 sentinel):
+        # concat_ws silently SKIPS NULL fields, so rows differing only
+        # in WHICH field is NULL (a field-shift corruption) would
+        # otherwise collide to the same digest.
+        nz = lambda c: F.coalesce(c, F.lit("\x00"))  # noqa: E731
         row_h = F.conv(
             F.substring(
                 F.md5(
                     F.concat_ws(
                         "\x1f",
-                        F.col("doc_id").cast("string"),
-                        "text",
-                        "lang",
-                        "source",
-                        F.col("n_chars").cast("string"),
+                        nz(F.col("doc_id").cast("string")),
+                        nz(F.col("text")),
+                        nz(F.col("lang")),
+                        nz(F.col("source")),
+                        nz(F.col("n_chars").cast("string")),
                     )
                 ),
                 1,
@@ -228,8 +233,12 @@ ORACLES: dict[str, str] = {
     "jsonl_corrupt_tolerance": f"""
         WITH h AS (
             SELECT ('0x' || substring(md5(concat_ws(chr(31),
-                        CAST(doc_id AS VARCHAR), text, lang, source,
-                        CAST(n_chars AS VARCHAR))), 1, 15))::BIGINT AS h
+                        coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+                        coalesce(text, chr(0)),
+                        coalesce(lang, chr(0)),
+                        coalesce(source, chr(0)),
+                        coalesce(CAST(n_chars AS VARCHAR), chr(0)))),
+                    1, 15))::BIGINT AS h
             FROM documents)
         SELECT count(*) AS n_good,
                CAST({len(CORRUPT_LINES)} AS BIGINT) AS n_corrupt,

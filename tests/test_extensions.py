@@ -1326,6 +1326,66 @@ def test_multimodal_decode_png_matches_synth_params(spark, sf_dir):
         assert r.tl_r == r.doc_id % 256
 
 
+def test_jpeg_header_codec_walks_real_marker_streams():
+    """decode_jpeg_header must survive everything a real marker stream
+    carries — fill bytes, standalone markers, unknown APPn segments —
+    and reject truncations with ValueError (never struct.error)."""
+    import struct
+
+    import pytest as _pytest
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import (
+        _make_jpeg,
+        decode_jpeg_header,
+    )
+
+    for doc_id in (0, 1, 5, 7, 42, 199):
+        got = decode_jpeg_header(_make_jpeg(doc_id))
+        assert got["width"] == 16 + (7 * doc_id) % 300
+        assert got["height"] == 16 + doc_id % 200
+        assert got["channels"] == (1 if doc_id % 5 == 0 else 3)
+        assert got["sample_bits"] == 8
+        assert got["progressive"] == doc_id % 2
+
+    # hostile-but-legal stream: fill bytes + TEM + unknown APP15 before SOF
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 33, 44, 1) + b"\x01\x11\x00"
+    hostile = (
+        b"\xff\xd8"
+        + b"\xff\x01"  # TEM standalone
+        + b"\xff\xef" + struct.pack(">H", 4) + b"hi"  # APP15
+        + b"\xff"  # fill byte
+        + sof
+        + b"\xff\xd9"
+    )
+    got = decode_jpeg_header(hostile)
+    assert (got["width"], got["height"], got["channels"]) == (44, 33, 1)
+
+    for bad in (
+        b"not a jpeg",
+        b"\xff\xd8\xff\xd9",  # EOI immediately, no SOF
+        b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 500) + b"x",  # truncated
+        b"\xff\xd8" + b"\x00\x00\x00\x00",  # desync
+        _make_jpeg(3)[:20],  # cut mid-segment
+    ):
+        with _pytest.raises(ValueError):
+            decode_jpeg_header(bad)
+
+
+def test_multimodal_decode_jpeg_header_matches_synth_params(spark, sf_dir):
+    from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import (
+        multimodal_decode_jpeg_header,
+    )
+
+    rows = multimodal_decode_jpeg_header(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows[:50]:
+        assert r.width == 16 + (7 * r.doc_id) % 300
+        assert r.height == 16 + r.doc_id % 200
+        assert r.channels == (1 if r.doc_id % 5 == 0 else 3)
+        assert r.progressive == r.doc_id % 2
+
+
 def test_late_session_drain_uses_event_time_drop_rule(spark, sf_dir):
     """Session-window late policy: the sink must equal gaps-and-islands
     sessions over deliveries 1-2 with end <= the delivery-1 watermark —

@@ -287,6 +287,38 @@ def test_dedup_and_ann_candidates_are_never_all_pairs(spark, sf_dir):
     assert p.count("BroadcastNestedLoopJoin") <= 1  # the centroid probe
 
 
+def test_ann_windows_never_rank_full_corpus_per_query(spark, sf_dir):
+    """The round-6 PQ-ADC scale flaw, frozen: a Window whose partition
+    keys all come from the broadcast side of a BNLJ with an unbounded
+    streamed side puts the ENTIRE corpus in every query's sort group.
+    The mechanized detector (tools/registry_plan_scan.py) must pass
+    every ANN tier except the exact brute-force baseline, where the
+    full-corpus rank is the documented point."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from registry_plan_scan import _perkey_windows_over_bnlj
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.similarity import (
+        sim_bruteforce_topk,
+        sim_ivf_topk,
+        sim_lsh_topk,
+        sim_pq_topk,
+    )
+
+    def executed(fn):
+        return (
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+
+    # the detector must actually detect the class (brute force IS it)
+    assert _perkey_windows_over_bnlj(executed(sim_bruteforce_topk))
+    # ...and every approximate tier must be free of it
+    for fn in (sim_lsh_topk, sim_ivf_topk, sim_pq_topk):
+        assert not _perkey_windows_over_bnlj(executed(fn)), fn.__name__
+
+
 def test_decontamination_broadcasts_the_eval_gram_side(spark, sf_dir):
     """The eval k-gram index must ride a broadcast (it is MBs at any
     corpus size); the train side must never shuffle into a sort-merge
