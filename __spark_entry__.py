@@ -90,6 +90,9 @@ _PRIORITY = [
     "stream_late_session_drain",  # session-window event-time drop rule
     # -- new this round (r7) --
     "multimodal_decode_jpeg_header",  # stdlib SOF marker walk (r6 Next #5)
+    "multimodal_decode_gif",  # real LZW decoder + interlace under the hash
+    "sim_ivfpq_topk",  # IVF-PQ composed tier (rows-only)
+    "sim_ivfpq_recall_check",  # its driver-hash recall bound
     # -- plans/digests changed this round: re-prove on current code --
     "sim_pq_topk",  # two-stage bounded ADC shortlist (rows-only)
     "sim_pq_recall_check",  # recall bound over the new plan
@@ -135,10 +138,12 @@ _PRIORITY = [
     "q10_revenue_by_nation_region",
     "q11_avg_revenue_per_customer",
     "mfc_window_top1",
+    # ---- ~50-entry budget cut falls here ----
+    # (three tableau r4-refresh slots ceded to the new GIF + IVF-PQ
+    # entries; tableau charts stay r4-proven, code paths unchanged)
     "tableau_g1_country_map",
     "tableau_g3_revenue_by_category",
     "tableau_g4_late_fees_by_category",
-    # ---- ~50-entry budget cut falls here ----
 ]
 
 

@@ -304,19 +304,245 @@ def decode_jpeg_header(payload: bytes) -> dict:
     raise ValueError("no SOF marker before SOS/EOI")
 
 
+def _gif_lzw_decode(data: bytes, mcs: int, n_px: int) -> list[int]:
+    """GIF-variant LZW decompression: LSB-first bit packing, variable
+    code width starting at ``mcs``+1 and growing as the dictionary
+    fills (capped at 12 bits / 4096 entries — a full table freezes
+    until a CLEAR code, the spec's 'deferred clear'). Raises
+    ``ValueError`` on truncated or desynchronized streams."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    base: list[tuple[int, ...] | None] = [(i,) for i in range(clear)]
+    base += [None, None]  # CLEAR / EOI placeholders
+    table = list(base)
+    width = mcs + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while len(out) < n_px:
+        if bitpos + width > total_bits:
+            raise ValueError("truncated LZW stream")
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("first LZW code is not a literal")
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + (prev[0],)  # the KwKwK special case
+        else:
+            raise ValueError("LZW code out of range")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+    return out[:n_px]
+
+
+def _gif_lzw_encode(indices: list[int], mcs: int) -> bytes:
+    """GIF-variant LZW compression (the synth side of the roundtrip):
+    genuine dictionary growth and variable-width LSB-first emission,
+    width transitions mirrored exactly against the decoder's table-size
+    rule, CLEAR emitted on a full table."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    width = mcs + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += w
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear, width)
+    buf: tuple[int, ...] = ()
+    for idx in indices:
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # the decoder's table trails the encoder's by one entry (it
+            # adds nothing on the first code after CLEAR), so width
+            # grows when the DECODER's size (next_code - 1) fills the
+            # current width — one emit later than the encoder's own
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:  # table full: reset (decoder's deferred-clear handling)
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        buf = (idx,)
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if nacc:
+        bits.append(acc & 0xFF)
+    return bytes(bits)
+
+
+#: GIF interlace passes: (first row, row step) in storage order.
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL stdlib-only GIF codec: header + logical screen descriptor,
+    global/local color tables, extension-block skipping, full LZW
+    decompression of the image data (:func:`_gif_lzw_decode`), and
+    four-pass interlace reordering. Returns dimensions, palette size,
+    exact integer channel means through the palette, and the decoded
+    palette index at image row 1 / col 0 (``row1_idx`` — the sample
+    that proves interlace handling: an interlaced file stores row 1
+    LAST, so a decoder that ignores the interlace flag reads a
+    different index there). Raises ``ValueError`` on malformed or
+    unsupported containers."""
+    import struct
+
+    if len(payload) < 14 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF container")
+    _sw, _sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated global color table")
+        gct = [tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated extension block")
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                pos += sz
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated image descriptor")
+            _l, _t, iw, ih, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            if iw == 0 or ih == 0:
+                raise ValueError("empty image")
+            pal = gct
+            if ipacked & 0x80:  # local color table wins
+                n = 2 << (ipacked & 0x07)
+                if pos + 3 * n > len(payload):
+                    raise ValueError("truncated local color table")
+                pal = [
+                    tuple(payload[pos + 3 * i : pos + 3 * i + 3])
+                    for i in range(n)
+                ]
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("image has no color table")
+            interlaced = bool(ipacked & 0x40)
+            if pos >= len(payload):
+                raise ValueError("missing LZW minimum code size")
+            mcs = payload[pos]
+            pos += 1
+            if not 2 <= mcs <= 11:
+                raise ValueError("bad LZW minimum code size")
+            data = bytearray()
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated image data")
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                if pos + sz > len(payload):
+                    raise ValueError("truncated image sub-block")
+                data += payload[pos : pos + sz]
+                pos += sz
+            idx = _gif_lzw_decode(bytes(data), mcs, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("short pixel stream")
+            if interlaced:
+                grid: list[list[int] | None] = [None] * ih
+                src = 0
+                for start, step in _GIF_PASSES:
+                    for r in range(start, ih, step):
+                        grid[r] = idx[src * iw : (src + 1) * iw]
+                        src += 1
+            else:
+                grid = [idx[r * iw : (r + 1) * iw] for r in range(ih)]
+            tot = [0, 0, 0]
+            for row in grid:
+                for i in row:
+                    if i >= len(pal):
+                        raise ValueError("palette index out of range")
+                    c = pal[i]
+                    tot[0] += c[0]
+                    tot[1] += c[1]
+                    tot[2] += c[2]
+            n_px = iw * ih
+            return {
+                "width": iw,
+                "height": ih,
+                "n_pixels": n_px,
+                "n_colors": len(pal),
+                "interlaced": 1 if interlaced else 0,
+                "mean_r": tot[0] // n_px,
+                "mean_g": tot[1] // n_px,
+                "mean_b": tot[2] // n_px,
+                "row1_idx": grid[1][0] if ih > 1 else grid[0][0],
+            }
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("no image block in GIF")
+
+
 def real_decode(payload: bytes, mime: str):
-    """Real-codec dispatch: WAV audio, BMP and PNG images decode via
-    the stdlib parsers (:func:`decode_wav`, :func:`decode_bmp`,
-    :func:`decode_png` — zlib is stdlib); JPEG has a real stdlib
-    HEADER tier (:func:`decode_jpeg_header` — dimensions/components
-    from the SOF marker), but full pixel decode still requires
-    Pillow, absent in this container, and raises."""
+    """Real-codec dispatch: WAV audio, BMP, PNG and GIF images decode
+    via the stdlib parsers (:func:`decode_wav`, :func:`decode_bmp`,
+    :func:`decode_png`, :func:`decode_gif` — zlib and the LZW coder
+    are stdlib/pure-Python); JPEG has a real stdlib HEADER tier
+    (:func:`decode_jpeg_header` — dimensions/components from the SOF
+    marker), but full pixel decode still requires Pillow, absent in
+    this container, and raises."""
     if mime == "audio/wav":
         return decode_wav(payload)
     if mime == "image/bmp":
         return decode_bmp(payload)
     if mime == "image/png":
         return decode_png(payload)
+    if mime == "image/gif":
+        return decode_gif(payload)
     raise NotImplementedError(  # pragma: no cover - env-dependent stub
         "JPEG decoding requires Pillow, not present in this environment; "
         "use _fake_decode (deterministic stub)"
@@ -576,6 +802,108 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _make_gif(doc_id: int) -> bytes:
+    """Genuine GIF89a bytes, REAL LZW-compressed
+    (:func:`_gif_lzw_encode`), with parameters derived from ``doc_id``:
+    width = 3 + id%11, height = 2 + id%7, an 8-color global palette
+    where color i = ((id+17i)%256, (2id+29i)%256, (3id+43i)%256),
+    pixel index at row r / col c = (id + 3r + 5c) % 8, and INTERLACED
+    storage when id%3 == 0 (rows written in the four-pass order the
+    decoder must undo). A graphic-control extension precedes the image
+    so decoding must really skip sub-block chains."""
+    import struct
+
+    w = 3 + doc_id % 11
+    h = 2 + doc_id % 7
+    npal = 8
+    mcs = 3
+    interlaced = doc_id % 3 == 0
+    palette = b"".join(
+        bytes(
+            (
+                (doc_id + 17 * i) % 256,
+                (2 * doc_id + 29 * i) % 256,
+                (3 * doc_id + 43 * i) % 256,
+            )
+        )
+        for i in range(npal)
+    )
+    rows = [
+        [(doc_id + 3 * r + 5 * c) % npal for c in range(w)] for r in range(h)
+    ]
+    order = (
+        [r for start, step in _GIF_PASSES for r in range(start, h, step)]
+        if interlaced
+        else range(h)
+    )
+    indices = [i for r in order for i in rows[r]]
+    lzw = _gif_lzw_encode(indices, mcs)
+    sub_blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        sub_blocks += bytes([len(chunk)]) + chunk
+    sub_blocks += b"\x00"
+    header = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 0x02, 0, 0)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # skippable extension
+    img_desc = b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0
+    )
+    return (
+        header
+        + palette
+        + gce
+        + img_desc
+        + bytes([mcs])
+        + bytes(sub_blocks)
+        + b"\x3b"
+    )
+
+
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZW-compressed-image tier of the real-codec family: genuine
+    GIF89a containers synthesized per document (REAL LZW compression,
+    a third of them interlaced) and decoded back with the REAL stdlib
+    parser (:func:`decode_gif`) in the Arrow-batched ``mapInPandas``
+    boundary — dimensions, palette size, the interlace flag, exact
+    integer channel means through the palette, and the row-1 sample
+    that proves four-pass interlace reordering all come out of the
+    parser reading real bytes; the oracle recomputes them
+    arithmetically."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"].select(
+        "doc_id"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                real_decode(_make_gif(int(i)), "image/gif")
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "n_pixels": [f["n_pixels"] for f in feats],
+                    "n_colors": [f["n_colors"] for f in feats],
+                    "interlaced": [f["interlaced"] for f in feats],
+                    "mean_r": [f["mean_r"] for f in feats],
+                    "mean_g": [f["mean_g"] for f in feats],
+                    "mean_b": [f["mean_b"] for f in feats],
+                    "row1_idx": [f["row1_idx"] for f in feats],
+                }
+            )
+
+    return d.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width long, height long, n_pixels long, "
+            "n_colors long, interlaced long, mean_r long, mean_g long, "
+            "mean_b long, row1_idx long"
+        ),
+    )
+
+
 def _make_jpeg(doc_id: int) -> bytes:
     """Genuine JPEG container bytes (marker-correct: SOI, JFIF APP0,
     DQT, SOF, DHT, SOS, stuffing-free scan bytes, EOI) with frame
@@ -786,6 +1114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_wav": multimodal_decode_wav,
     "multimodal_decode_bmp": multimodal_decode_bmp,
     "multimodal_decode_png": multimodal_decode_png,
+    "multimodal_decode_gif": multimodal_decode_gif,
     "multimodal_decode_jpeg_header": multimodal_decode_jpeg_header,
     "multimodal_resize": multimodal_resize_digest,
     "multimodal_frame_sample": multimodal_frame_sample_digest,
@@ -889,6 +1218,35 @@ ORACLES: dict[str, str] = {
                     i -> (7 * doc_id + 13 * (i // w) + 3 * (i % w)) % 256))
                     // (w * h) AS BIGINT) AS mean_b,
                CAST(doc_id % 256 AS BIGINT) AS tl_r
+        FROM dims""",
+    # GIF twin: the engine LZW-decompressed genuine variable-width code
+    # streams and undid four-pass interlacing; the oracle recomputes the
+    # palette-mapped channel means arithmetically (pixel index and
+    # palette are both pure functions of doc_id).
+    "multimodal_decode_gif": """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(3 + doc_id % 11 AS BIGINT) AS w,
+                   CAST(2 + doc_id % 7 AS BIGINT) AS h
+            FROM documents)
+        SELECT doc_id, w AS width, h AS height,
+               w * h AS n_pixels,
+               CAST(8 AS BIGINT) AS n_colors,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS interlaced,
+               CAST(list_sum(list_transform(range(w * h),
+                    i -> (doc_id + 17 * ((doc_id + 3 * (i // w)
+                          + 5 * (i % w)) % 8)) % 256))
+                    // (w * h) AS BIGINT) AS mean_r,
+               CAST(list_sum(list_transform(range(w * h),
+                    i -> (2 * doc_id + 29 * ((doc_id + 3 * (i // w)
+                          + 5 * (i % w)) % 8)) % 256))
+                    // (w * h) AS BIGINT) AS mean_g,
+               CAST(list_sum(list_transform(range(w * h),
+                    i -> (3 * doc_id + 43 * ((doc_id + 3 * (i // w)
+                          + 5 * (i % w)) % 8)) % 256))
+                    // (w * h) AS BIGINT) AS mean_b,
+               CAST((doc_id + 3) % 8 AS BIGINT) AS row1_idx
         FROM dims""",
     # JPEG header tier: the engine walked genuine marker segments to
     # the SOF frame header; the oracle recomputes the synth parameters

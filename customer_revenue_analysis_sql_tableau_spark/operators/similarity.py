@@ -413,11 +413,139 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via IVF-PQ — the standard industrial
+    pairing (public FAISS ``IndexIVFPQ`` literature): the IVF coarse
+    quantizer prunes WHICH vectors each query scans, and PQ compresses
+    WHAT the scan reads, so neither family's cost term survives:
+
+    1. coarse quantizer: sample-trained k-means cells (the exact IVF
+       discipline — bounded driver-side sample, distributed assignment
+       via one Arrow ``pandas_udf``);
+    2. residual PQ: codebooks are trained on ``v - centroid[cell]``
+       (residuals are what's left AFTER the coarse quantizer explains
+       the vector — quantizing them wastes no codebook capacity on
+       cell-level structure) and every vector stores only its cell id
+       + ``PQ_M`` 5-bit residual codes;
+    3. probe: each query ranks the broadcast centroids and keeps its
+       ``nprobe`` nearest cells — per-query work is cell-bounded before
+       any corpus-sized table is touched;
+    4. per-(query, cell) ADC tables: the query's lookup table is built
+       against ITS residual in each probed cell (Q·nprobe·M·K doubles,
+       still broadcast-sized); the scan joins probed cells to codes ON
+       CELL — a key-bounded BroadcastHashJoin, so the per-query window
+       below it ranks only probed-cell candidates (the per-key-window-
+       over-BNLJ scale class cannot arise here by construction: there
+       is no non-equi join);
+    5. ADC shortlist (pure-JVM table lookups, same expression as
+       ``sim_pq_topk``), exact cosine re-rank of the shortlist only.
+
+    Recall < 1 by construction → rows-only oracle;
+    ``sim_ivfpq_recall_check`` pins the measured floor under the
+    driver hash like the other three ANN tiers."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    sample_rows = (
+        ed.orderBy(F.xxhash64(F.col("vec_id").cast("string"), F.lit(LSH_SEED)))
+        .limit(IVF_TRAIN_SAMPLE)
+        .collect()
+    )
+    sample = np.array([r["v"] for r in sample_rows])
+    nlist, nprobe = _ivf_geometry(len(sample_rows))
+    cents = _train_centroids(sample, nlist)
+    cnorm = (cents**2).sum(axis=1)
+
+    # residual codebooks: train on sample residuals vs the coarse cells
+    d2s = (sample**2).sum(axis=1)[:, None] - 2.0 * (sample @ cents.T) + cnorm
+    resid_sample = sample - cents[d2s.argmin(axis=1)]
+    books = _train_pq_codebooks(resid_sample)
+    sub = books.shape[2]
+
+    @pandas_udf("struct<cell:int, codes:array<int>>")
+    def assign_encode(vs: pd.Series) -> pd.DataFrame:
+        m = np.stack(vs.to_numpy())
+        d2 = (m**2).sum(axis=1)[:, None] - 2.0 * (m @ cents.T) + cnorm[None, :]
+        cell = d2.argmin(axis=1)
+        resid = m - cents[cell]
+        codes = np.empty((len(vs), PQ_M), dtype=np.int32)
+        for mi in range(PQ_M):
+            sl = resid[:, mi * sub : (mi + 1) * sub]
+            dd = (
+                (sl**2).sum(axis=1)[:, None]
+                - 2.0 * (sl @ books[mi].T)
+                + (books[mi] ** 2).sum(axis=1)[None, :]
+            )
+            codes[:, mi] = dd.argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": cell.astype(np.int32), "codes": list(codes)}
+        )
+
+    coded = ed.select(
+        "vec_id", assign_encode(F.col("v")).alias("ce")
+    ).select("vec_id", F.col("ce.cell").alias("cell"), F.col("ce.codes").alias("codes"))
+
+    # driver-side probe + per-(query, cell) residual LUTs: the query's
+    # residual differs per probed cell, so each (query, cell) pair gets
+    # its own M·K table — Q·nprobe·M·K doubles, broadcast-sized always.
+    qrows = ed.filter(F.col("vec_id") < N_QUERIES).collect()
+    lut_rows = []
+    for r in qrows:
+        qv = np.array(r["v"])
+        qd2 = (qv**2).sum() - 2.0 * (cents @ qv) + cnorm
+        for cell in np.argsort(qd2, kind="stable")[:nprobe]:
+            qres = qv - cents[cell]
+            lut = np.empty(PQ_M * PQ_K)
+            for mi in range(PQ_M):
+                qs = qres[mi * sub : (mi + 1) * sub]
+                lut[mi * PQ_K : (mi + 1) * PQ_K] = (
+                    (books[mi] - qs) ** 2
+                ).sum(axis=1)
+            lut_rows.append((r["vec_id"], int(cell), [float(x) for x in lut]))
+    luts = spark.createDataFrame(
+        lut_rows, "query_id long, cell int, lut array<double>"
+    )
+
+    adc = F.aggregate(
+        F.zip_with(
+            "codes",
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda c, m: F.element_at("lut", m * PQ_K + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    shortlist_n = PQ_SHORTLIST_MULT * TOP_K
+    ws = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    shortlist = (
+        coded.join(F.broadcast(luts), "cell")  # key-bounded: probed cells only
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+        )
+        .withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= shortlist_n)
+        .select("query_id", "neighbor_id")
+    )
+    q = ed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(ed.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .select("query_id", "neighbor_id", _cos("qv", "v").alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_topk": sim_lsh_topk,  # rows-only (probabilistic recall)
     "sim_ivf_topk": sim_ivf_topk,  # rows-only (probabilistic recall)
     "sim_pq_topk": sim_pq_topk,  # rows-only (probabilistic recall)
+    "sim_ivfpq_topk": sim_ivfpq_topk,  # rows-only (probabilistic recall)
 }
 
 ORACLES: dict[str, str] = {

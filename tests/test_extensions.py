@@ -143,6 +143,28 @@ def test_pq_topk_recall_vs_bruteforce(spark, sf_dir):
     assert all(v <= TOP_K for v in per_q.values())
 
 
+def test_ivfpq_topk_recall_vs_bruteforce(spark, sf_dir):
+    from customer_revenue_analysis_sql_tableau_spark.operators.similarity import (
+        TOP_K,
+        sim_bruteforce_topk,
+        sim_ivfpq_topk,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id) for r in sim_bruteforce_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in sim_ivfpq_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # measured 0.825-0.925 across sf0.001-0.1 (residual codebooks)
+    assert recall >= 0.7, f"IVF-PQ recall {recall:.2f} below floor"
+    per_q = {}
+    for q, _ in approx:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(v <= TOP_K for v in per_q.values())
+
+
 def test_multimodal_decode_plumbing(spark, sf_dir):
     out = multimodal_decode_features(spark, sf_dir)
     assert out.schema.simpleString() == (
@@ -1324,6 +1346,81 @@ def test_multimodal_decode_png_matches_synth_params(spark, sf_dir):
         assert r.height == 2 + r.doc_id % 9
         assert r.n_pixels == r.width * r.height
         assert r.tl_r == r.doc_id % 256
+
+
+def test_gif_codec_lzw_and_interlace():
+    """decode_gif must handle the published canonical 1x1 GIF (an
+    external spec pin — bytes we did not author), real LZW streams
+    with width growth and table resets, four-pass interlacing, and
+    reject malformed containers with ValueError."""
+    import pytest as _pytest
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+        _make_gif,
+        decode_gif,
+    )
+
+    # the widely-published smallest valid GIF: 1x1, 2-color, white pixel
+    one = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+        b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02\x44\x01\x00\x3b"
+    )
+    g = decode_gif(one)
+    assert (g["width"], g["height"], g["n_colors"]) == (1, 1, 2)
+    assert (g["mean_r"], g["mean_g"], g["mean_b"]) == (255, 255, 255)
+
+    # synth roundtrip vs direct arithmetic, interlaced and not
+    for doc_id in (0, 1, 2, 3, 42, 97, 266):
+        got = decode_gif(_make_gif(doc_id))
+        w, h = 3 + doc_id % 11, 2 + doc_id % 7
+        idx = [(doc_id + 3 * (i // w) + 5 * (i % w)) % 8 for i in range(w * h)]
+        assert got["width"] == w and got["height"] == h
+        assert got["interlaced"] == (1 if doc_id % 3 == 0 else 0)
+        assert got["row1_idx"] == (doc_id + 3) % 8
+        assert got["mean_g"] == (
+            sum((2 * doc_id + 29 * i) % 256 for i in idx) // (w * h)
+        )
+
+    # LZW stress: incompressible (width growth + 4096-table reset) and
+    # compressible (dictionary strings actually reused) streams
+    import random
+
+    rng = random.Random(7)
+    for bits in (2, 3, 7):
+        stream = [rng.randrange(1 << bits) for _ in range(20000)]
+        assert (
+            _gif_lzw_decode(_gif_lzw_encode(stream, bits), bits, len(stream))
+            == stream
+        )
+    rep = ([1, 2, 3, 4] * 3000)[:11000]
+    assert _gif_lzw_decode(_gif_lzw_encode(rep, 3), 3, len(rep)) == rep
+
+    for bad in (
+        b"not a gif",
+        b"GIF89a\x01\x00\x01\x00\x00\x00\x00\x3b",  # no image block
+        _make_gif(5)[:-10],  # truncated image data
+        one[:20],  # cut inside the color table / extension
+    ):
+        with _pytest.raises(ValueError):
+            decode_gif(bad)
+
+
+def test_multimodal_decode_gif_matches_synth_params(spark, sf_dir):
+    from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import (
+        multimodal_decode_gif,
+    )
+
+    rows = multimodal_decode_gif(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows[:50]:
+        assert r.width == 3 + r.doc_id % 11
+        assert r.height == 2 + r.doc_id % 7
+        assert r.interlaced == (1 if r.doc_id % 3 == 0 else 0)
+        assert r.row1_idx == (r.doc_id + 3) % 8
 
 
 def test_jpeg_header_codec_walks_real_marker_streams():

@@ -303,6 +303,7 @@ def test_ann_windows_never_rank_full_corpus_per_query(spark, sf_dir):
     from customer_revenue_analysis_sql_tableau_spark.operators.similarity import (
         sim_bruteforce_topk,
         sim_ivf_topk,
+        sim_ivfpq_topk,
         sim_lsh_topk,
         sim_pq_topk,
     )
@@ -315,7 +316,7 @@ def test_ann_windows_never_rank_full_corpus_per_query(spark, sf_dir):
     # the detector must actually detect the class (brute force IS it)
     assert _perkey_windows_over_bnlj(executed(sim_bruteforce_topk))
     # ...and every approximate tier must be free of it
-    for fn in (sim_lsh_topk, sim_ivf_topk, sim_pq_topk):
+    for fn in (sim_lsh_topk, sim_ivf_topk, sim_pq_topk, sim_ivfpq_topk):
         assert not _perkey_windows_over_bnlj(executed(fn)), fn.__name__
 
 

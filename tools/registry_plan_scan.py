@@ -60,6 +60,7 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "sim_ivf_recall_check",  # inherits sim_ivf_topk's bounded query set
         "sim_pq_topk",  # broadcast query LUTs x code scan, queries bounded
         "sim_pq_recall_check",  # inherits sim_pq_topk's bounded query set
+        "sim_ivfpq_recall_check",  # embeds sim_bruteforce_topk (exact side)
         "vocab_topk_containment_check",  # broadcast k-th-count scalar (1 row)
         "quality_decile_cutoffs_approx_check",  # broadcast sketch cutoffs (1 row)
     }
@@ -77,6 +78,7 @@ PERKEY_WINDOW_ALLOWLIST: frozenset[str] = frozenset(
         "sim_lsh_recall_check",  # embeds sim_bruteforce_topk
         "sim_ivf_recall_check",  # embeds sim_bruteforce_topk
         "sim_pq_recall_check",  # embeds sim_bruteforce_topk
+        "sim_ivfpq_recall_check",  # embeds sim_bruteforce_topk
     }
 )
 
