@@ -22,6 +22,7 @@ from customer_revenue_analysis_sql_tableau_spark.operators import decontaminatio
 from customer_revenue_analysis_sql_tableau_spark.operators import dedup as _dedup
 from customer_revenue_analysis_sql_tableau_spark.operators import embeddings as _embeddings
 from customer_revenue_analysis_sql_tableau_spark.operators import features as _features
+from customer_revenue_analysis_sql_tableau_spark.operators import graph as _graph
 from customer_revenue_analysis_sql_tableau_spark.operators import incremental as _incremental
 from customer_revenue_analysis_sql_tableau_spark.operators import multimodal as _multimodal
 from customer_revenue_analysis_sql_tableau_spark.operators import pipeline as _pipeline
@@ -56,6 +57,7 @@ _REGISTRY_MODULES = [
     _streaming,
     _dedup,
     _features,
+    _graph,
     _temporal,
     _tpch_complete,
     _text,
@@ -70,17 +72,21 @@ _REGISTRY_MODULES = [
 # walks the merged dict in insertion order, so the registry is ordered
 # at ENTRY level. Round-7 ordering (VERDICT.md r6, Next #1/#2/#3):
 # (1) the FOUR r6-late entries that have never been in a driver window
-# (front-loaded per the r6 verdict's top directive); (2) the one NEW
-# r7 entry (stdlib JPEG SOF-header tier, r6 Next #5); (3) entries
+# (front-loaded per the r6 verdict's top directive); (2) the SEVEN new
+# r7 entries — JPEG header tier (r6 Next #5), FULL baseline JPEG pixel
+# decode (last stub retired), real-LZW GIF, the composed IVF-PQ tier +
+# its recall bound, integer fixed-point PageRank (new iterative-graph
+# family), and the leakage-safe component-keyed split; (3) entries
 # whose registered plan/digest changed this round — sim_pq_topk's
 # two-stage bounded ADC shortlist (r6 "What's wrong" #1) + its recall
-# bound, the approx-cutoffs non-null-population fix, and
-# jsonl_corrupt_tolerance's NULL-sentinel digest (both driver ADVICE);
-# (4) the ENTIRE 23-entry r3-freshness cohort — with these the r3
-# backlog empties completely (every registry entry's freshest proof
-# becomes r4+); (5) nineteen r4-proven reference-core entries
-# (flagship, the 8-table view, q1-q11, tableau charts) as the freshness
-# frontier advances. Guarded against rot by
+# bound, the approx-cutoffs non-null-population fix,
+# jsonl_corrupt_tolerance's NULL-sentinel digest (driver ADVICE), and
+# the WAV/BMP codec entries (codec scans now repartitioned — plan
+# change); (4) the ENTIRE 23-entry r3-freshness cohort — with these
+# the r3 backlog empties completely (every registry entry's freshest
+# proof becomes r4+); (5) r4-proven reference-core entries (flagship,
+# the 8-table view, q1-q11) as the freshness frontier advances.
+# Guarded against rot by
 # tests/test_registry_hygiene.py::test_priority_names_exist.
 _PRIORITY = [
     # -- r6-late, first driver proof (VERDICT r6, Next #1) --
@@ -90,13 +96,18 @@ _PRIORITY = [
     "stream_late_session_drain",  # session-window event-time drop rule
     # -- new this round (r7) --
     "multimodal_decode_jpeg_header",  # stdlib SOF marker walk (r6 Next #5)
+    "multimodal_decode_jpeg",  # FULL baseline JPEG decode (last stub retired)
     "multimodal_decode_gif",  # real LZW decoder + interlace under the hash
     "sim_ivfpq_topk",  # IVF-PQ composed tier (rows-only)
     "sim_ivfpq_recall_check",  # its driver-hash recall bound
+    "graph_pagerank_copurchase",  # integer fixed-point PageRank (new family)
+    "split_leakage_safe",  # component-keyed split — near-dups never straddle
     # -- plans/digests changed this round: re-prove on current code --
     "sim_pq_topk",  # two-stage bounded ADC shortlist (rows-only)
     "sim_pq_recall_check",  # recall bound over the new plan
     "quality_decile_cutoffs_approx_check",  # non-null population fix
+    "multimodal_decode_wav",  # codec scans now repartitioned (plan change)
+    "multimodal_decode_bmp",  # codec scans now repartitioned (plan change)
     # -- proof refresh: the whole remaining r3 cohort (empties it) --
     "text_doc_fingerprint",
     "text_fulltext_search",
@@ -135,12 +146,14 @@ _PRIORITY = [
     "q7_customer_lifetime_value",
     "q8_customer_cohorts",
     "q9_revenue_by_nation",
+    # ---- ~50-entry budget cut falls here ----
+    # (seven r4-refresh slots ceded to the new GIF + IVF-PQ + full-JPEG
+    # + PageRank + leakage-safe-split entries and the two plan-changed
+    # codec re-proofs; the entries below stay r4-proven, code paths
+    # unchanged)
     "q10_revenue_by_nation_region",
     "q11_avg_revenue_per_customer",
     "mfc_window_top1",
-    # ---- ~50-entry budget cut falls here ----
-    # (three tableau r4-refresh slots ceded to the new GIF + IVF-PQ
-    # entries; tableau charts stay r4-proven, code paths unchanged)
     "tableau_g1_country_map",
     "tableau_g3_revenue_by_category",
     "tableau_g4_late_fees_by_category",

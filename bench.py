@@ -85,6 +85,9 @@ HEADLINE = [
     # added r6: the PQ/ADC ANN tier — codebook training + Arrow encode
     # + JVM lookup-table scan + exact shortlist re-rank
     "sim_pq_topk",
+    # added r7 (extends the common subset; doesn't displace it): the
+    # heaviest codec — full baseline JPEG entropy decode + IDCT per doc
+    "multimodal_decode_jpeg",
 ]
 
 

@@ -1,0 +1,167 @@
+"""Iterative graph analytics over relational facts: PageRank on the
+part co-purchase graph.
+
+The reference's analytical surface is single-pass SQL (its heaviest
+query is the 8-table revenue view, ``queries_shan.sql``); a
+training-data/feature platform also needs ITERATIVE algorithms whose
+per-step state is a distributed join — link analysis being the
+canonical one (PageRank, public Brin/Page 1998 formulation). This
+module runs it Spark-first: the graph is derived from ``lineitem``
+(two parts are linked when they appear in the same order — the classic
+co-purchase projection), each power iteration is one shuffle join +
+one aggregation, and the driver only steers the loop (no per-row
+driver work, no ``collect`` of state).
+
+Exactness discipline (the driver value-hash gate): float PageRank is
+partition-order dependent (float sums don't associate), so ranks are
+INTEGER FIXED-POINT — ``SCALE`` units = rank 1.0, every per-edge
+contribution is a truncating integer division ``rank div degree``,
+the damping step is ``TELEPORT + (85 * incoming) div 100``, and all
+folds are BIGINT sums (exact, order-independent). DuckDB recomputes
+the identical recurrence with ``//`` over three unrolled CTE
+iterations, so the final ranks hash-match to the last unit.
+
+Scale posture (100 TB):
+- the co-purchase self-join keys on ``l_orderkey``; TPC-H order
+  baskets are bounded (≤ 7 lines), so the join fans out ≤ C(7,2) rows
+  per order — linear in the fact table, never quadratic in parts; the
+  ``shuffle_hash`` hint skips the pointless sort (output feeds a
+  distinct re-shuffle anyway).
+- the edge list is materialized ONCE (eager ``localCheckpoint``) and
+  reused by the degree pass + every iteration — without it each
+  iteration would recompute the self-join from scratch (lineage
+  re-execution, measured elsewhere in this repo).
+- each iteration shuffles edges joined to the (node, rank) state on
+  ``src`` and aggregates on ``dst`` — the standard distributed
+  PageRank step; on a real cluster the edge frame would be
+  pre-partitioned/bucketed by ``src`` so only the (small) rank state
+  moves between iterations.
+- BIGINT headroom: total mass is ``n_nodes * SCALE``; the damping
+  multiply needs ``85 * incoming < 2^63``, which holds to ~10^7 nodes
+  at SCALE 10^10. At 10^9-node scale, drop SCALE to 10^8 or switch
+  the fold to DECIMAL(38,0) — same plan, wider buffer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+
+#: Fixed-point scale: SCALE units == rank 1.0 (10 decimal digits).
+SCALE = 10_000_000_000
+#: Damping factor 0.85 as an exact integer recurrence:
+#: rank' = TELEPORT + (DAMP_NUM * incoming) div DAMP_DEN.
+DAMP_NUM, DAMP_DEN = 85, 100
+TELEPORT = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN  # (1-d) * SCALE
+#: Power iterations; unrolled identically in the DuckDB oracle.
+N_ITERS = 3
+#: Result cap (deterministic total order: rank desc, part_id asc).
+TOP_N = 100
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric distinct edge list (src, dst): parts sharing an
+    order. Self-join on the order key (bounded basket ⇒ bounded
+    fan-out), ``p1 < p2`` kills self-loops and halves the pair space,
+    then both directions are emitted so the graph is undirected and
+    every node has in-degree == out-degree ≥ 1 (no dangling mass)."""
+    li = load_tables(spark, sf_dir, names=("lineitem",), register=False)[
+        "lineitem"
+    ].select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        .distinct()
+    )
+    return pairs.union(
+        pairs.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
+    ).toDF("src", "dst")
+
+
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TOP_N`` parts by integer fixed-point PageRank after
+    ``N_ITERS`` power iterations on the co-purchase graph. Every
+    arithmetic step is exact integer math (module docstring), so the
+    DuckDB oracle reproduces the ranks bit-for-bit."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    state = deg.withColumn("rank", F.lit(SCALE).cast("long"))
+    for _ in range(N_ITERS):
+        contrib = state.select("src", F.expr("rank div d").alias("c"))
+        inc = (
+            edges.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+            .withColumnRenamed("dst", "src")
+        )
+        # inner join is total: symmetric edges ⇒ every node has
+        # in-edges, so no teleport-only stragglers are lost
+        state = (
+            deg.join(inc, "src")
+            .withColumn(
+                "rank",
+                F.lit(TELEPORT)
+                + F.expr(f"({DAMP_NUM} * inc) div {DAMP_DEN}"),
+            )
+            .drop("inc")
+        )
+    return (
+        state.select(
+            F.col("src").alias("part_id"), F.col("rank").alias("rank_fp")
+        )
+        .orderBy(F.desc("rank_fp"), F.asc("part_id"))
+        .limit(TOP_N)
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled exact-integer recurrence, one CTE pair per iteration."""
+    sql = f"""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey),
+        edges AS (
+            SELECT p1 AS src, p2 AS dst FROM pairs
+            UNION ALL
+            SELECT p2 AS src, p1 AS dst FROM pairs),
+        deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        r0 AS (
+            SELECT src, d, CAST({SCALE} AS BIGINT) AS rank FROM deg)"""
+    prev = "r0"
+    for i in range(1, N_ITERS + 1):
+        sql += f""",
+        i{i} AS (
+            SELECT e.dst AS src, CAST(SUM(r.rank // r.d) AS BIGINT) AS inc
+            FROM edges e JOIN {prev} r ON e.src = r.src
+            GROUP BY e.dst),
+        r{i} AS (
+            SELECT g.src, g.d,
+                   CAST({TELEPORT} + ({DAMP_NUM} * i.inc) // {DAMP_DEN}
+                        AS BIGINT) AS rank
+            FROM deg g JOIN i{i} i ON g.src = i.src)"""
+        prev = f"r{i}"
+    sql += f"""
+        SELECT src AS part_id, rank AS rank_fp FROM {prev}
+        ORDER BY rank_fp DESC, part_id LIMIT {TOP_N}"""
+    return sql
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "graph_pagerank_copurchase": graph_pagerank_copurchase,
+}
+
+ORACLES: dict[str, str] = {
+    "graph_pagerank_copurchase": _pagerank_oracle(),
+}

@@ -392,8 +392,56 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split: the hash bucket is keyed by the NEAR-DUP
+    COMPONENT, not the document, so two near-duplicate documents can
+    never land in different splits (doc-keyed assignment leaks
+    train content into eval whenever the corpus has near-dups — the
+    standard contamination-through-duplication failure). Components
+    come from the distributed min-label propagation
+    (:func:`..dedup.dedup_components_distributed` — the registered
+    100 TB path: per round one edge join + one min-agg, lineage
+    truncated by localCheckpoint), then the split rule is the same
+    stateless md5 bucketing as :func:`split_train_test`, applied to
+    ``component_id``. Every doc in a component shares the bucket by
+    construction; the pytest twin exhibits a counterfactual where the
+    doc-keyed rule WOULD straddle a component. Scale: component ids
+    are one extra column on the doc list — assignment stays a pure
+    per-row projection, no coordination, reproducible under retries
+    and cluster resizes."""
+    from .dedup import dedup_components_distributed
+
+    comp = dedup_components_distributed(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("component_id").cast("string"), F.lit(":leak")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return comp.select(
+        "doc_id",
+        "component_id",
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VALID_PCT, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_train_test": split_train_test,
+    "split_leakage_safe": split_leakage_safe,
     "split_sample_per_source": sample_per_source,
     "split_pack_sequences": pack_sequences,
     "split_pack_concat": pack_concat_text,
@@ -406,7 +454,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 from .text import TOKENS_SQL as _TOKENS_SQL  # noqa: E402 (oracle text)
 
+from .dedup import _COMPONENTS_SQL as _COMP_SQL  # noqa: E402 (oracle text)
+
 ORACLES: dict[str, str] = {
+    # components via the recursive-CTE twin, then the identical
+    # md5(component_id || ':leak') bucket rule
+    "split_leakage_safe": f"""
+        WITH comps AS ({_COMP_SQL}),
+        b AS (
+            SELECT doc_id, component_id,
+                   ('0x' || substring(
+                        md5(CAST(component_id AS VARCHAR) || ':leak'),
+                        1, 8))::BIGINT % 100 AS bucket
+            FROM comps)
+        SELECT doc_id, component_id, bucket,
+               CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+                    WHEN bucket < {VALID_PCT} THEN 'validation'
+                    ELSE 'test' END AS split
+        FROM b""",
     # same CASE ladder over the whitespace token count; waste ratio is
     # one double division of exact integers
     "split_length_buckets": f"""

@@ -183,14 +183,16 @@ def test_multimodal_decode_plumbing(spark, sf_dir):
         assert r.n_bytes == docs[r.doc_id]
 
 
-def test_multimodal_real_decode_is_stubbed():
-    # only JPEG remains stubbed (Pillow absent); WAV/BMP/PNG are real
-    # stdlib codecs now — garbage PNG bytes are a codec ValueError, not
-    # a missing-library stub
-    with pytest.raises(NotImplementedError):
-        real_decode(b"xx", "image/jpeg")
+def test_multimodal_real_decode_has_no_stubs_left():
+    # every format decodes for real now; garbage bytes are a codec
+    # ValueError (malformed container), never a missing-library stub,
+    # and an unknown mime is a dispatch ValueError
+    for mime in ("image/jpeg", "image/png", "image/gif", "image/bmp",
+                 "audio/wav"):
+        with pytest.raises(ValueError):
+            real_decode(b"xx", mime)
     with pytest.raises(ValueError):
-        real_decode(b"xx", "image/png")
+        real_decode(b"xx", "video/mp4")
 
 
 def test_wav_codec_decodes_genuine_stdlib_wav_bytes():
@@ -1481,6 +1483,125 @@ def test_multimodal_decode_jpeg_header_matches_synth_params(spark, sf_dir):
         assert r.height == 16 + r.doc_id % 200
         assert r.channels == (1 if r.doc_id % 5 == 0 else 3)
         assert r.progressive == r.doc_id % 2
+
+
+def test_jpeg_codec_exact_uniform_roundtrip():
+    """The hash-entry contract: uniform 8x8 blocks + flat quant of 8s
+    decode bit-exact, for grayscale AND the 3-component gray-valued
+    color path (YCbCr roundtrips exactly there), with and without
+    restart markers (ids ≡ 0 mod 12 exercise color + RST resync +
+    DC-predictor resets together)."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import (
+        _make_jpeg_px,
+        real_decode,
+    )
+
+    for doc_id in (0, 1, 2, 3, 4, 6, 8, 11, 12, 24, 119, 500008):
+        got = real_decode(_make_jpeg_px(doc_id), "image/jpeg")
+        wb, hb = 1 + doc_id % 4, 1 + doc_id % 3
+        vals = [
+            (7 * doc_id + 13 * br + 29 * bc) % 256
+            for br in range(hb)
+            for bc in range(wb)
+        ]
+        assert (got["width"], got["height"]) == (8 * wb, 8 * hb)
+        assert got["channels"] == (3 if doc_id % 3 == 0 else 1)
+        assert got["n_pixels"] == 64 * wb * hb
+        exp_mean = sum(vals) // len(vals)
+        assert got["mean_r"] == got["mean_g"] == got["mean_b"] == exp_mean
+        assert got["tl"] == (7 * doc_id) % 256
+
+
+def test_jpeg_codec_lossy_general_content():
+    """General content (every AC path: runs, ZRL, EOB, byte
+    STUFFING, restart markers, real YCbCr color) decodes with means
+    exact-to-the-integer at quant 8 and the top-left sample within the
+    quantization error bound."""
+    import numpy as np
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    q8 = np.full((8, 8), 8.0)
+    # seed 0 provably emits 0xFF entropy bytes → unstuffing exercised
+    img = np.random.default_rng(0).integers(0, 256, size=(40, 40)).astype(
+        np.uint8
+    )
+    payload = encode_jpeg(img, q8)
+    assert b"\xff\x00" in payload
+    got = decode_jpeg(payload)
+    assert got["mean_r"] == int(img.astype(np.int64).sum()) // img.size
+    assert abs(got["tl"] - int(img[0, 0])) <= 8
+
+    # true-color noise, non-multiple-of-8 dims, restart interval 2
+    imgc = (
+        np.random.default_rng(3).integers(0, 256, size=(19, 27, 3))
+    ).astype(np.uint8)
+    pc = encode_jpeg(imgc, q8, restart_interval=2)
+    gc = decode_jpeg(pc)
+    for ch, key in enumerate(("mean_r", "mean_g", "mean_b")):
+        true = int(imgc[:, :, ch].astype(np.int64).sum()) // (19 * 27)
+        assert abs(gc[key] - true) <= 1
+    assert abs(gc["tl"] - int(imgc[0, 0, 0])) <= 8
+
+    # smooth gradient at quant 1 is near-lossless end to end
+    grad = (np.add.outer(np.arange(24), np.arange(32)) * 3 % 256).astype(
+        np.uint8
+    )
+    gg = decode_jpeg(encode_jpeg(grad, np.ones((8, 8))))
+    assert gg["mean_r"] == int(grad.astype(np.int64).sum()) // grad.size
+    assert gg["tl"] == int(grad[0, 0])
+
+
+def test_jpeg_codec_rejects_out_of_scope_and_malformed():
+    """Scope limits and malformed containers are ValueError, never a
+    struct.error or a wrong answer: progressive (SOF2), chroma
+    subsampling, 16-bit DQT, truncated entropy stream, garbage."""
+    import struct
+
+    import pytest as _pytest
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.jpeg import (
+        decode_jpeg,
+    )
+    from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import (
+        _make_jpeg,
+        _make_jpeg_px,
+    )
+
+    sub_sof = (
+        b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 16, 16, 1) + b"\x01\x22\x00"
+    )
+    dqt16 = b"\xff\xdb" + struct.pack(">H", 3 + 128) + b"\x10" + bytes(128)
+    cases = (
+        b"not a jpeg",
+        _make_jpeg(7),  # marker-correct SOF2 → progressive
+        b"\xff\xd8" + sub_sof + b"\xff\xd9",  # 2x2 sampling factors
+        b"\xff\xd8" + dqt16 + b"\xff\xd9",  # 16-bit quant table
+        _make_jpeg_px(5)[:-40],  # entropy stream cut mid-MCU
+        b"\xff\xd8\xff\xd9",  # no SOF/SOS at all
+    )
+    for bad in cases:
+        with _pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+
+def test_multimodal_decode_jpeg_matches_synth_params(spark, sf_dir):
+    from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import (
+        multimodal_decode_jpeg,
+    )
+
+    rows = multimodal_decode_jpeg(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows[:60]:
+        wb, hb = 1 + r.doc_id % 4, 1 + r.doc_id % 3
+        assert (r.width, r.height) == (8 * wb, 8 * hb)
+        assert r.channels == (3 if r.doc_id % 3 == 0 else 1)
+        assert r.mean_r == r.mean_g == r.mean_b
+        assert r.tl == (7 * r.doc_id) % 256
 
 
 def test_late_session_drain_uses_event_time_drop_rule(spark, sf_dir):
