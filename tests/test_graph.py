@@ -56,6 +56,17 @@ def test_pagerank_rank_invariants(spark, sf_dir):
     assert ranks == sorted(ranks, key=lambda t: (-t[0], t[1]))
 
 
+def test_pagerank_iterations_never_sort_merge_join(spark, sf_dir):
+    """Every per-iteration join feeds a hash aggregate or projection —
+    sort order is never needed, so the frozen strategy is
+    ShuffledHashJoin (six SMJ sorts cost ~0.6 s at sf0.1)."""
+    df = graph_pagerank_copurchase(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
 def test_leakage_safe_split_never_straddles_components(spark, sf_dir):
     from pyspark.sql import functions as F
 
