@@ -102,6 +102,7 @@ _PRIORITY = [
     "sim_ivfpq_recall_check",  # its driver-hash recall bound
     "graph_pagerank_copurchase",  # integer fixed-point PageRank (new family)
     "split_leakage_safe",  # component-keyed split — near-dups never straddle
+    "emb_kmeans_assign",  # exact fixed-point Lloyd's k-means (iterative ML)
     # -- plans/digests changed this round: re-prove on current code --
     "sim_pq_topk",  # two-stage bounded ADC shortlist (rows-only)
     "sim_pq_recall_check",  # recall bound over the new plan
@@ -143,14 +144,14 @@ _PRIORITY = [
     "q4_frequency_segmentation",
     "q5_churn_risk",
     "q6_revenue_by_category",
+    # ---- ~50-entry budget cut falls here ----
+    # (nine r4-refresh slots ceded to the new GIF + IVF-PQ + full-JPEG
+    # + PageRank + leakage-safe-split + k-means entries and the two
+    # plan-changed codec re-proofs; the entries below stay r4-proven,
+    # code paths unchanged)
     "q7_customer_lifetime_value",
     "q8_customer_cohorts",
     "q9_revenue_by_nation",
-    # ---- ~50-entry budget cut falls here ----
-    # (seven r4-refresh slots ceded to the new GIF + IVF-PQ + full-JPEG
-    # + PageRank + leakage-safe-split entries and the two plan-changed
-    # codec re-proofs; the entries below stay r4-proven, code paths
-    # unchanged)
     "q10_revenue_by_nation_region",
     "q11_avg_revenue_per_customer",
     "mfc_window_top1",

@@ -81,14 +81,180 @@ def emb_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: k-means geometry: K seed clusters, fixed Lloyd iterations, and the
+#: fixed-point quantization scale (1e6 units per 1.0 of embedding).
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_Q = 1_000_000
+#: Embedding dimensionality of the testdata corpus (the oracle unrolls
+#: component indices; the Spark side reads the array width directly).
+EMB_DIM = 64
+
+
+def _qvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized vectors: component -> floor(x * KMEANS_Q) as BIGINT.
+    floor() and BIGINT arithmetic are bit-identical across engines
+    (float k-means is partition-order dependent in the centroid fold;
+    integer sums are exact wherever rows land)."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    return e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * KMEANS_Q).cast("long"),
+        ).alias("q"),
+    )
+
+
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means, EXACT under the driver hash: the
+    classic iterative-ML workload (public MLlib formulation) run as
+    pure DataFrame ops with integer fixed-point arithmetic so the
+    DuckDB oracle reproduces every assignment bit-for-bit.
+
+    Recurrence (identical in the unrolled SQL twin):
+    - seeds: centroid j = quantized vector of ``vec_id == j`` for
+      j < ``KMEANS_K`` (deterministic, no RNG);
+    - assign: argmin_j Σ_i (q_i - c_j_i)² — BIGINT squared distances,
+      ties broken toward the LOWEST j (strict-less ascending scan here,
+      ``ORDER BY dist, j`` in the oracle);
+    - update: component-wise truncating integer mean
+      ``sum div count`` (Spark ``div`` == DuckDB ``//``, both truncate
+      toward zero — probed on negatives);
+    - ``KMEANS_ITERS`` assignment rounds with one update between.
+
+    Scale posture: each iteration is one scan + a per-row K×dim
+    projection (distances against centroid LITERALS — k-means state is
+    tiny and belongs in the plan, the same broadcast-scalars discipline
+    as the text family) + one posexplode groupBy over K×dim cells for
+    the update; the only driver traffic is the K×dim centroid matrix
+    (bounded collect, same class as the IVF/PQ codebook training). At
+    100 TB you cache the quantized frame once and the per-iteration
+    cost is a single pass; empty clusters drop out of the centroid set
+    in both engines identically.
+
+    Returns (vec_id, cluster_id, dist_sq) after the final assignment.
+    """
+    d = _qvecs(spark, sf_dir)
+    cents = [
+        (int(r.vec_id), [int(x) for x in r.q])
+        for r in sorted(
+            d.filter(F.col("vec_id") < KMEANS_K).collect(),
+            key=lambda r: r.vec_id,
+        )
+    ]
+
+    def dist_to(c: list[int]) -> F.Column:
+        arr = F.array(*[F.lit(x).cast("long") for x in c])
+        return F.aggregate(
+            F.zip_with("q", arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(frame: DataFrame, cents_now: list) -> DataFrame:
+        scored = frame.select(
+            "vec_id",
+            "q",
+            *[dist_to(c).alias(f"_d{j}") for j, c in cents_now],
+        )
+        js = [j for j, _ in cents_now]
+        best_j = F.lit(js[0]).cast("long")
+        best_d = F.col(f"_d{js[0]}")
+        for j in js[1:]:
+            closer = F.col(f"_d{j}") < best_d
+            best_j = F.when(closer, F.lit(j).cast("long")).otherwise(best_j)
+            best_d = F.when(closer, F.col(f"_d{j}")).otherwise(best_d)
+        return scored.select(
+            "vec_id",
+            "q",
+            best_j.alias("cluster_id"),
+            best_d.alias("dist_sq"),
+        )
+
+    for it in range(KMEANS_ITERS):
+        assigned = assign(d, cents)
+        if it == KMEANS_ITERS - 1:
+            break
+        comp = assigned.select(
+            "cluster_id", F.posexplode("q").alias("i", "x")
+        )
+        sums = comp.groupBy("cluster_id", "i").agg(
+            F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        rows = (
+            sums.selectExpr("cluster_id", "i", "s div n AS c")
+            .groupBy("cluster_id")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("i", "c"))).alias("p")
+            )
+            .select("cluster_id", F.col("p.c").alias("c"))
+            .collect()
+        )
+        cents = sorted(
+            (int(r.cluster_id), [int(x) for x in r.c]) for r in rows
+        )
+    return assigned.select("vec_id", "cluster_id", "dist_sq")
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled twin: one (dist, argmin) CTE pair per assignment round
+    and one component-mean CTE per update."""
+    qx = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {KMEANS_Q}) AS BIGINT))"
+    )
+    dist = (
+        f"CAST(list_sum(list_transform(range({EMB_DIM}),"
+        " i -> (v.q[i+1] - c.c[i+1]) * (v.q[i+1] - c.c[i+1])))"
+        " AS BIGINT)"
+    )
+    sql = f"""
+        WITH q AS (
+            SELECT vec_id, {qx} AS q FROM embeddings),
+        c0 AS (SELECT vec_id AS j, q AS c FROM q WHERE vec_id < {KMEANS_K})"""
+    prev = "c0"
+    for it in range(1, KMEANS_ITERS + 1):
+        sql += f""",
+        d{it} AS (
+            SELECT v.vec_id, c.j, {dist} AS dist
+            FROM q v CROSS JOIN {prev} c),
+        a{it} AS (
+            SELECT vec_id, j AS cl, dist FROM (
+                SELECT vec_id, j, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, j) AS rn
+                FROM d{it})
+            WHERE rn = 1)"""
+        if it < KMEANS_ITERS:
+            sql += f""",
+        s{it} AS (
+            SELECT a.cl, r.range AS i,
+                   CAST(SUM(v.q[r.range + 1]) AS BIGINT) AS s,
+                   COUNT(*) AS n
+            FROM q v JOIN a{it} a USING (vec_id)
+            CROSS JOIN range({EMB_DIM}) r
+            GROUP BY a.cl, r.range),
+        c{it} AS (
+            SELECT cl AS j, list(s // n ORDER BY i) AS c
+            FROM s{it} GROUP BY cl)"""
+            prev = f"c{it}"
+    sql += f"""
+        SELECT vec_id, CAST(cl AS BIGINT) AS cluster_id, dist AS dist_sq
+        FROM a{KMEANS_ITERS}"""
+    return sql
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_norm_stats": emb_norm_stats,
     "emb_label_profile": emb_label_profile,
+    "emb_kmeans_assign": emb_kmeans_assign,
 }
 
 _NORM_SQL = "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
 
 ORACLES: dict[str, str] = {
+    "emb_kmeans_assign": _kmeans_oracle(),
     "emb_norm_stats": f"""
         SELECT vec_id, label,
                CAST(len(embedding) AS BIGINT) AS dim,

@@ -93,6 +93,64 @@ def test_leakage_safe_split_never_straddles_components(spark, sf_dir):
         assert r.bucket == int(h[:8], 16) % 100
 
 
+def test_kmeans_matches_pure_python_reference_exactly(spark, sf_dir):
+    """The exact integer recurrence, recomputed in plain Python from
+    the raw parquet floats — independent of both Spark and DuckDB."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.embeddings import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        KMEANS_Q,
+        emb_kmeans_assign,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    qv = {
+        vid: [math.floor(float(x) * KMEANS_Q) for x in emb]
+        for vid, emb in zip(tbl["vec_id"], tbl["embedding"])
+    }
+    cents = {j: qv[j] for j in range(KMEANS_K)}
+
+    def assign_all(c):
+        out = {}
+        for vid, q in qv.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(q, cv)), j)
+                for j, cv in c.items()
+            )
+            out[vid] = best  # (dist, j) — min() breaks ties toward low j
+        return out
+
+    a = assign_all(cents)
+    for _ in range(KMEANS_ITERS - 1):
+        groups: dict[int, list[int]] = {}
+        for vid, (_, j) in a.items():
+            groups.setdefault(j, []).append(vid)
+        def tdiv(x: int, n: int) -> int:
+            # trunc-toward-zero division, same as Spark div / DuckDB //
+            q = abs(x) // n
+            return q if x >= 0 else -q
+
+        cents = {
+            j: [
+                tdiv(sum(qv[v][i] for v in vs), len(vs))
+                for i in range(len(next(iter(qv.values()))))
+            ]
+            for j, vs in groups.items()
+        }
+        a = assign_all(cents)
+
+    got = {
+        r.vec_id: (r.dist_sq, r.cluster_id)
+        for r in emb_kmeans_assign(spark, sf_dir).collect()
+    }
+    assert got == a
+    assert len(got) == len(qv)
+
+
 def test_leakage_safe_split_fixes_a_doc_keyed_straddle():
     """Counterfactual on a synthetic 2-doc near-dup component whose
     doc-keyed buckets land in different splits: doc-keyed assignment
