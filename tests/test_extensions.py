@@ -1604,6 +1604,45 @@ def test_multimodal_decode_jpeg_matches_synth_params(spark, sf_dir):
         assert r.tl == (7 * r.doc_id) % 256
 
 
+def test_jpeg_codec_roundtrips_arbitrary_images_property():
+    """Property test: arbitrary dims/content/quant/restart-interval
+    roundtrip through the real encoder+decoder with the channel means
+    exact at quant 8 (integer DC error cancels in the mean only up to
+    rounding — bound the drift) and dims/channels always exact."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 28),
+        w=st.integers(1, 28),
+        color=st.booleans(),
+        rst=st.sampled_from([0, 1, 2, 5]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def case(h, w, color, rst, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(img, np.full((8, 8), 8.0), rst))
+        assert (got["width"], got["height"]) == (w, h)
+        assert got["channels"] == (3 if color else 1)
+        flat = img if color else img[:, :, None].repeat(3, axis=2)
+        for ch, key in enumerate(("mean_r", "mean_g", "mean_b")):
+            true = int(flat[:, :, ch].astype(np.int64).sum()) // (h * w)
+            # quant-8 DC error ≤ ±4/pixel pre-rounding; means of random
+            # content cancel to ≤ ±2 in practice — assert the bound
+            assert abs(got[key] - true) <= 2
+
+    case()
+
+
 def test_late_session_drain_uses_event_time_drop_rule(spark, sf_dir):
     """Session-window late policy: the sink must equal gaps-and-islands
     sessions over deliveries 1-2 with end <= the delivery-1 watermark —
