@@ -103,6 +103,7 @@ _PRIORITY = [
     "graph_pagerank_copurchase",  # integer fixed-point PageRank (new family)
     "split_leakage_safe",  # component-keyed split — near-dups never straddle
     "emb_kmeans_assign",  # exact fixed-point Lloyd's k-means (iterative ML)
+    "dedup_incremental_lsh",  # delivery-vs-base asymmetric band join
     # -- plans/digests changed this round: re-prove on current code --
     "sim_pq_topk",  # two-stage bounded ADC shortlist (rows-only)
     "sim_pq_recall_check",  # recall bound over the new plan
@@ -143,12 +144,12 @@ _PRIORITY = [
     "q3_top_late_fees",
     "q4_frequency_segmentation",
     "q5_churn_risk",
-    "q6_revenue_by_category",
     # ---- ~50-entry budget cut falls here ----
-    # (nine r4-refresh slots ceded to the new GIF + IVF-PQ + full-JPEG
-    # + PageRank + leakage-safe-split + k-means entries and the two
-    # plan-changed codec re-proofs; the entries below stay r4-proven,
-    # code paths unchanged)
+    # (ten r4-refresh slots ceded to the new GIF + IVF-PQ + full-JPEG
+    # + PageRank + leakage-safe-split + k-means + incremental-dedup
+    # entries and the two plan-changed codec re-proofs; the entries
+    # below stay r4-proven, code paths unchanged)
+    "q6_revenue_by_category",
     "q7_customer_lifetime_value",
     "q8_customer_cohorts",
     "q9_revenue_by_nation",

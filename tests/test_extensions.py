@@ -46,6 +46,30 @@ def test_minhash_lsh_equals_exact_jaccard(spark, sf_dir):
     assert len(exact) > 0  # planted near-dups exist in the testdata
 
 
+def test_incremental_lsh_equals_cross_side_exact_pairs(spark, sf_dir):
+    """The asymmetric delivery-vs-base band join must recover exactly
+    the cross-side subset of the exact pair set, oriented new→base."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
+        INC_DELIVERY_MOD,
+        dedup_incremental_lsh,
+    )
+
+    exact = _pairs(dedup_ngram_jaccard(spark, sf_dir))
+    want = {
+        (d1, d2) if d1 % INC_DELIVERY_MOD == 0 else (d2, d1)
+        for d1, d2 in exact
+        if (d1 % INC_DELIVERY_MOD == 0) != (d2 % INC_DELIVERY_MOD == 0)
+    }
+    got = {
+        (r.new_doc_id, r.base_doc_id)
+        for r in dedup_incremental_lsh(spark, sf_dir).collect()
+    }
+    assert got == want
+    # every emitted pair is oriented: new side always on the left
+    assert all(n % INC_DELIVERY_MOD == 0 for n, _ in got)
+    assert all(b % INC_DELIVERY_MOD != 0 for _, b in got)
+
+
 def test_simhash_pairs_are_close_and_deterministic(spark, sf_dir):
     out = dedup_simhash(spark, sf_dir)
     rows = out.collect()
