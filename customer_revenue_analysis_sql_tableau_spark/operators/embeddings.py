@@ -97,7 +97,13 @@ def _qvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (float k-means is partition-order dependent in the centroid fold;
     integer sums are exact wherever rows land)."""
     e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    return e.select(
+    # NULL vectors are excluded SYMMETRICALLY with the oracle: a NULL
+    # embedding would propagate NULL distances and make the argmin
+    # engine-defined (Spark WHEN vs DuckDB row_number order NULLs
+    # differently) — the same population rule on both sides keeps the
+    # recurrence total. (The testdata corpus has none; the guard is
+    # for the contract, not the fixture.)
+    return e.filter(F.col("embedding").isNotNull()).select(
         "vec_id",
         F.transform(
             "embedding",
@@ -211,7 +217,8 @@ def _kmeans_oracle() -> str:
     )
     sql = f"""
         WITH q AS (
-            SELECT vec_id, {qx} AS q FROM embeddings),
+            SELECT vec_id, {qx} AS q FROM embeddings
+            WHERE embedding IS NOT NULL),
         c0 AS (SELECT vec_id AS j, q AS c FROM q WHERE vec_id < {KMEANS_K})"""
     prev = "c0"
     for it in range(1, KMEANS_ITERS + 1):

@@ -318,3 +318,56 @@ def test_jsonl_corrupt_tolerance_quarantines_exactly_the_bad_lines(spark, sf_dir
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert row.n_good == n_docs
     assert row.n_corrupt == len(CORRUPT_LINES)
+
+
+def test_dump_parser_roundtrips_arbitrary_rows_property():
+    """Fuzz the MySQL-dump value parser: arbitrary rows (hostile
+    strings with quotes/backslashes/newlines, NULLs, ints,
+    two-decimal numerics, hex BLOBs) rendered in the dump dialect must
+    parse back value-identical — the parser can't depend on Sakila's
+    actual byte layout."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from customer_revenue_analysis_sql_tableau_spark.sources.mysql_dump import (
+        _parse_values,
+    )
+
+    def render(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bytes):
+            return "0x" + v.hex()
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+        return repr(v)
+
+    scalar = st.one_of(
+        st.none(),
+        st.integers(-10**9, 10**9),
+        st.builds(
+            lambda a, b: float(f"{a}.{b:02d}"),
+            st.integers(0, 10**6),
+            st.integers(0, 99),
+        ),
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=24,
+        ),
+        st.binary(min_size=1, max_size=16),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(rows=st.lists(st.lists(scalar, min_size=1, max_size=6), min_size=1, max_size=5))
+    def case(rows):
+        # all rows in one statement need not share arity for the parser
+        text = ",\n ".join(
+            "(" + ",".join(render(v) for v in row) + ")" for row in rows
+        ) + ";"
+        got, end = _parse_values(text, 0)
+        assert end == len(text)
+        assert got == [tuple(r) for r in rows]
+
+    case()
