@@ -72,11 +72,13 @@ _REGISTRY_MODULES = [
 # walks the merged dict in insertion order, so the registry is ordered
 # at ENTRY level. Round-7 ordering (VERDICT.md r6, Next #1/#2/#3):
 # (1) the FOUR r6-late entries that have never been in a driver window
-# (front-loaded per the r6 verdict's top directive); (2) the SEVEN new
+# (front-loaded per the r6 verdict's top directive); (2) the TEN new
 # r7 entries — JPEG header tier (r6 Next #5), FULL baseline JPEG pixel
 # decode (last stub retired), real-LZW GIF, the composed IVF-PQ tier +
 # its recall bound, integer fixed-point PageRank (new iterative-graph
-# family), and the leakage-safe component-keyed split; (3) entries
+# family), the leakage-safe component-keyed split, exact fixed-point
+# Lloyd's k-means, incremental ingest dedup, and the sliding-window
+# late-drop drain; (3) entries
 # whose registered plan/digest changed this round — sim_pq_topk's
 # two-stage bounded ADC shortlist (r6 "What's wrong" #1) + its recall
 # bound, the approx-cutoffs non-null-population fix,
@@ -104,6 +106,7 @@ _PRIORITY = [
     "split_leakage_safe",  # component-keyed split — near-dups never straddle
     "emb_kmeans_assign",  # exact fixed-point Lloyd's k-means (iterative ML)
     "dedup_incremental_lsh",  # delivery-vs-base asymmetric band join
+    "stream_late_sliding_drain",  # per-window-copy late-drop rule
     # -- plans/digests changed this round: re-prove on current code --
     "sim_pq_topk",  # two-stage bounded ADC shortlist (rows-only)
     "sim_pq_recall_check",  # recall bound over the new plan
@@ -143,12 +146,13 @@ _PRIORITY = [
     "q2_most_frequent_customers",
     "q3_top_late_fees",
     "q4_frequency_segmentation",
-    "q5_churn_risk",
     # ---- ~50-entry budget cut falls here ----
-    # (ten r4-refresh slots ceded to the new GIF + IVF-PQ + full-JPEG
-    # + PageRank + leakage-safe-split + k-means + incremental-dedup
-    # entries and the two plan-changed codec re-proofs; the entries
-    # below stay r4-proven, code paths unchanged)
+    # (eleven r4-refresh slots ceded to the new GIF + IVF-PQ +
+    # full-JPEG + PageRank + leakage-safe-split + k-means +
+    # incremental-dedup + sliding-late-drain entries and the two
+    # plan-changed codec re-proofs; the entries below stay r4-proven,
+    # code paths unchanged)
+    "q5_churn_risk",
     "q6_revenue_by_category",
     "q7_customer_lifetime_value",
     "q8_customer_cohorts",

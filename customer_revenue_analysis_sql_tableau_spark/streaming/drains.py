@@ -30,6 +30,7 @@ from .windows import (
     run_interval_join_stream,
     run_late_data_stream,
     run_late_session_stream,
+    run_late_sliding_stream,
     run_latest_state_stream,
     run_resumable_stream,
     run_session_stream,
@@ -254,6 +255,27 @@ def stream_late_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, build)
 
 
+def stream_late_sliding_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window late-data policy under the hash — completes the
+    late-drop matrix (tumbling: window-end rule; session: event-time
+    rule; sliding: window-end rule applied PER OVERLAPPING WINDOW
+    COPY). A stale delivery-3 row can lose its older window but keep a
+    newer one in state; neither affects the sink — the emitted set is
+    every sliding window with end <= the delivery-1 watermark,
+    aggregated over deliveries 1-2 (the oracle explodes each admitted
+    row into its two 5-minute-aligned windows and applies the same
+    end-<=-watermark gate). See :func:`run_late_sliding_stream`."""
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+
+    def build(tmp: str) -> DataFrame:
+        src = _stage_three_deliveries(events, tmp)
+        return run_late_sliding_stream(spark, src, f"{tmp}/ckpt")
+
+    return _drain(spark, build)
+
+
 def stream_tumbling_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the events table through the REAL watermarked tumbling-
     window stream (complete mode); must hash-match the batch twin's
@@ -306,6 +328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_session_window_drain": stream_session_window_drain,
     "stream_late_data_drain": stream_late_data_drain,
     "stream_late_session_drain": stream_late_session_drain,
+    "stream_late_sliding_drain": stream_late_sliding_drain,
 }
 
 #: Exact money-sum text shared with the batch-twin oracles.
@@ -336,6 +359,32 @@ ORACLES: dict[str, str] = {
         FROM admitted, wm
         WHERE time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
               <= wm.w
+        GROUP BY 1, 2, 3""",
+    # sliding-window variant: each admitted row explodes into its two
+    # 5-minute-aligned 10-minute windows; the emitted set is windows
+    # with end <= the delivery-1 watermark over deliveries 1-2 (a
+    # delivery-3 row's surviving newer-window copy stays in state,
+    # never emitted).
+    "stream_late_sliding_drain": f"""
+        WITH wm AS (
+            SELECT max(ts) - INTERVAL 30 MINUTE AS w
+            FROM events WHERE event_id % {LATE_SPLIT_MOD} = 0),
+        admitted AS (
+            SELECT * FROM events
+            WHERE event_id % {LATE_SPLIT_MOD} != {LATE_SPLIT_MOD - 1}),
+        exploded AS (
+            SELECT unnest([
+                       time_bucket(INTERVAL '5 minutes', ts),
+                       time_bucket(INTERVAL '5 minutes', ts)
+                           - INTERVAL '5 minutes'
+                   ]) AS window_start,
+                   event_type, value
+            FROM admitted)
+        SELECT window_start,
+               window_start + INTERVAL '10 minutes' AS window_end,
+               event_type, count(*) AS n_events, {_VAL_SUM} AS total_value
+        FROM exploded, wm
+        WHERE window_start + INTERVAL '10 minutes' <= wm.w
         GROUP BY 1, 2, 3""",
     # session-window variant: the engine drops delivery-3 rows on
     # EVENT TIME <= watermark (measured — not the tumbling window-end

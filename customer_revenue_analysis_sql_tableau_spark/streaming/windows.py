@@ -325,6 +325,60 @@ def _run_late_data_stream(
     return spark.table("late_data_sink")
 
 
+def run_late_sliding_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Sliding-window twin of :func:`run_late_data_stream` — the
+    OVERLAPPING-window variant of the late-data policy. Each event
+    belongs to two 10-minute windows (5-minute step); the drop rule is
+    per exploded window copy, same predicate as tumbling (window end <=
+    the effective watermark), so a late row can be dropped for its
+    older window while its newer window's copy survives in state. The
+    emitted set is still a pure function of the deliveries: every
+    sliding window with end <= the delivery-1 watermark, aggregated
+    over deliveries 1-2 — a surviving newer-window copy (end > wm) is
+    never emitted by the availableNow drain, so it cannot reach the
+    sink either way. No-data batches pinned off (same reasoning as the
+    tumbling drain)."""
+    nodata_conf = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(nodata_conf, "true")
+    spark.conf.set(nodata_conf, "false")
+    try:
+        raw = _read_events_stream(spark, source_dir, max_files_per_trigger=1)
+        stream = (
+            raw.withWatermark("ts", WATERMARK)
+            .groupBy(
+                F.window("ts", SLIDE_DURATION, SLIDE_STEP).alias("w"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(money("value")), 2)
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+        query = (
+            stream.writeStream.format("memory")
+            .queryName("late_sliding_sink")
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.table("late_sliding_sink")
+    finally:
+        spark.conf.set(nodata_conf, prev)
+
+
 def run_dedup_stream(
     spark: SparkSession, source_dir: str, checkpoint_dir: str
 ) -> DataFrame:

@@ -1667,6 +1667,61 @@ def test_jpeg_codec_roundtrips_arbitrary_images_property():
     case()
 
 
+def test_late_sliding_drain_drops_per_window_copy(spark, sf_dir):
+    """Sliding-window late policy: the sink must equal the exploded
+    admitted model (each deliveries-1-2 row in BOTH its 10-min/5-min
+    windows, gated on window end <= the delivery-1 watermark) and
+    differ from the no-drop counterfactual — delivery 3 carries stale
+    copies for finalized windows at volume."""
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.streaming.drains import (
+        LATE_SPLIT_MOD,
+        stream_late_sliding_drain,
+    )
+
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+    wm = (
+        events.filter(F.col("event_id") % LATE_SPLIT_MOD == 0)
+        .agg((F.max("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w"))
+        .first()
+        .w
+    )
+
+    def agg_of(df):
+        w = F.window("ts", "10 minutes", "5 minutes")
+        return {
+            (r.window_start, r.event_type): r.n_events
+            for r in df.groupBy(w.alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .filter(F.col("w.end") <= F.lit(wm))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+            .collect()
+        }
+
+    expected = agg_of(
+        events.filter(F.col("event_id") % LATE_SPLIT_MOD != LATE_SPLIT_MOD - 1)
+    )
+    counterfactual = agg_of(events)
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in stream_late_sliding_drain(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert got != counterfactual  # per-copy drops genuinely happened
+    # every event lands in exactly two sliding windows: the admitted
+    # model's total count is twice the admitted-row count (gated rows
+    # excluded) — sanity that the explode is really overlapping
+    assert len(expected) > len(
+        {k for k in expected if k[0].minute % 10 == 0}
+    )
+
+
 def test_late_session_drain_uses_event_time_drop_rule(spark, sf_dir):
     """Session-window late policy: the sink must equal gaps-and-islands
     sessions over deliveries 1-2 with end <= the delivery-1 watermark —
