@@ -278,8 +278,39 @@ def events_value_percentiles_approx(
     )
 
 
+#: Tolerance bound for the bounded as-of variant (pandas
+#: ``merge_asof(tolerance=...)`` semantics): matches older than this
+#: are discarded, the left row survives with NULLs.
+ASOF_TOL_MINUTES = 60
+
+
+def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left as-of join with a TOLERANCE bound — the pandas
+    ``merge_asof(tolerance=Timedelta('60m'))`` semantics a user
+    migrating a feature pipeline expects: the latest prior click still
+    matches only when it is at most ``ASOF_TOL_MINUTES`` old;
+    staler matches are discarded (click columns NULL) while the
+    purchase row survives. Composes the union+window as-of plan
+    (:func:`asof_join_purchase_click` — no pairwise join, one
+    user-keyed window) with a pure projection, so the scale posture is
+    unchanged; the oracle applies the same CASE gate over DuckDB's
+    native ASOF LEFT JOIN."""
+    tol_us = ASOF_TOL_MINUTES * 60 * 1_000_000
+    base = asof_join_purchase_click(spark, sf_dir)
+    within = F.col("gap_us") <= tol_us
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("click_id")).alias("click_id"),
+        F.when(within, F.col("click_ts")).alias("click_ts"),
+        F.when(within, F.col("gap_us")).alias("gap_us"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_asof_join": asof_join_purchase_click,
+    "temporal_asof_tolerance": asof_join_with_tolerance,
     "temporal_range_join": range_join_clicks_before_errors,
     "temporal_pivot_user_values": pivot_user_event_values,
     "temporal_unpivot_user_values": unpivot_user_event_values,
@@ -305,6 +336,28 @@ ORACLES: dict[str, str] = {
         FROM purchases p
         ASOF LEFT JOIN clicks c
             ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    # tolerance gate over the same native ASOF join: stale matches
+    # (> ASOF_TOL_MINUTES) revert to NULL, left rows survive
+    "temporal_asof_tolerance": f"""
+        WITH purchases AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'),
+        clicks AS ({_CLICKS_SQL}),
+        base AS (
+            SELECT p.event_id, p.user_id, p.ts,
+                   c.click_id, c.ts AS click_ts,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM purchases p
+            ASOF LEFT JOIN clicks c
+                ON p.user_id = c.user_id AND p.ts >= c.ts)
+        SELECT event_id, user_id, ts,
+               CASE WHEN gap_us <= {ASOF_TOL_MINUTES * 60 * 1_000_000}
+                    THEN click_id END AS click_id,
+               CASE WHEN gap_us <= {ASOF_TOL_MINUTES * 60 * 1_000_000}
+                    THEN click_ts END AS click_ts,
+               CASE WHEN gap_us <= {ASOF_TOL_MINUTES * 60 * 1_000_000}
+                    THEN gap_us END AS gap_us
+        FROM base""",
     "temporal_range_join": f"""
         WITH errors AS (
             SELECT event_id, user_id, ts FROM events

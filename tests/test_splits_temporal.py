@@ -356,3 +356,35 @@ def test_length_buckets_conserve_docs_and_bound_waste(spark, sf_dir):
         assert 0 <= r.waste_ratio < 1
         assert r.padded_tokens == r.n_docs * r.bucket_cap
         assert r.total_tokens <= r.padded_tokens
+
+
+def test_asof_tolerance_nulls_stale_matches_only(spark, sf_dir):
+    """The tolerance variant must keep every left row, NULL exactly the
+    matches older than the bound, and agree with the unbounded as-of on
+    everything younger."""
+    from pyspark.sql import functions as F
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.temporal import (
+        ASOF_TOL_MINUTES,
+        asof_join_purchase_click,
+        asof_join_with_tolerance,
+    )
+
+    tol_us = ASOF_TOL_MINUTES * 60 * 1_000_000
+    base = {r.event_id: r for r in asof_join_purchase_click(spark, sf_dir).collect()}
+    tol = {r.event_id: r for r in asof_join_with_tolerance(spark, sf_dir).collect()}
+    assert set(base) == set(tol)  # left rows all survive
+    stale = fresh = 0
+    for eid, b in base.items():
+        t = tol[eid]
+        if b.gap_us is not None and b.gap_us > tol_us:
+            stale += 1
+            assert (t.click_id, t.click_ts, t.gap_us) == (None, None, None)
+        else:
+            fresh += 1
+            assert (t.click_id, t.click_ts, t.gap_us) == (
+                b.click_id,
+                b.click_ts,
+                b.gap_us,
+            )
+    assert stale > 0 and fresh > 0  # the bound is exercised both ways
