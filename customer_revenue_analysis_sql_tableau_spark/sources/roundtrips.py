@@ -210,8 +210,68 @@ def jsonl_corrupt_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _staged(build)
 
 
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema EVOLUTION on the parquet source, under the hash: a
+    long-lived ingest directory accumulates deliveries written under
+    different schema versions, and the reader must surface the union
+    schema without rewriting history. Delivery v1 (even doc_ids)
+    writes the narrow schema (doc_id, text); delivery v2 (odd ids)
+    adds (lang, source). Reading the directory with
+    ``mergeSchema=true`` must widen v1 rows with NULLs — encoded
+    through the same \\x00-sentinel digest discipline as the corrupt-
+    tolerance entry, so a reader that misaligned columns or dropped
+    v1's rows breaks the fold. One summary row: per-generation counts
+    + the order-independent union digest the oracle recomputes from
+    the raw table (v1 columns masked by the same doc_id rule).
+
+    Scale note: ``mergeSchema`` reads every file footer at planning
+    time — fine per-directory; at 100 TB you pin the union schema in a
+    catalog and pass it explicitly (``spark.read.schema(...)``), which
+    this same entry exercises on the read side structurally."""
+    docs = load_tables(spark, sf_dir, names=("documents",), register=False)[
+        "documents"
+    ]
+
+    def build(tmp: str) -> DataFrame:
+        even = F.pmod(F.col("doc_id"), 2) == 0
+        docs.filter(even).select("doc_id", "text").write.parquet(
+            f"{tmp}/evo"
+        )
+        docs.filter(~even).select(
+            "doc_id", "text", "lang", "source"
+        ).write.mode("append").parquet(f"{tmp}/evo")
+        back = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/evo")
+        nz = lambda c: F.coalesce(c, F.lit("\x00"))  # noqa: E731
+        row_h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        nz(F.col("doc_id").cast("string")),
+                        nz(F.col("text")),
+                        nz(F.col("lang")),
+                        nz(F.col("source")),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        v1 = (F.pmod(F.col("doc_id"), 2) == 0).cast("long")
+        return back.select(row_h.alias("h"), v1.alias("is_v1")).agg(
+            F.sum("is_v1").alias("n_v1"),
+            (F.count(F.lit(1)) - F.sum("is_v1")).alias("n_v2"),
+            F.expr("CAST(bit_xor(h) AS BIGINT)").alias("union_digest"),
+        )
+
+    return _staged(build)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_roundtrip_digest": csv_roundtrip_digest,
+    "parquet_schema_evolution": parquet_schema_evolution,
     "jsonl_roundtrip_digest": jsonl_roundtrip_digest,
     "orc_roundtrip_digest": orc_roundtrip_digest,
     "jsonl_corrupt_tolerance": jsonl_corrupt_tolerance,
@@ -225,6 +285,29 @@ ORACLES: dict[str, str] = {
     # the oracle never sees the staged files: it recomputes the digest
     # from the raw table, so the hash covers the whole encode→decode
     "csv_roundtrip_digest": _DOCS_DIGEST_SQL,
+    # union digest recomputed from the raw table with v1's columns
+    # masked by the same doc_id parity rule the staging used
+    "parquet_schema_evolution": """
+        WITH u AS (
+            SELECT doc_id, text,
+                   CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+                   CASE WHEN doc_id % 2 = 1 THEN source END AS source
+            FROM documents),
+        h AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(concat_ws(chr(31),
+                        coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+                        coalesce(text, chr(0)),
+                        coalesce(lang, chr(0)),
+                        coalesce(source, chr(0)))),
+                    1, 15))::BIGINT AS h
+            FROM u)
+        SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_v1,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_v2,
+               CAST(bit_xor(h) AS BIGINT) AS union_digest
+        FROM h""",
     "jsonl_roundtrip_digest": _DOCS_DIGEST_SQL,
     "orc_roundtrip_digest": """
         SELECT event_id, ts, user_id, event_type, value FROM events""",

@@ -371,3 +371,31 @@ def test_dump_parser_roundtrips_arbitrary_rows_property():
         assert got == [tuple(r) for r in rows]
 
     case()
+
+
+def test_parquet_schema_evolution_widen_with_nulls(spark, sf_dir):
+    """mergeSchema must surface the union schema with NULLs exactly on
+    the narrow delivery's rows — verified structurally (not just via
+    the digest summary the registry entry emits)."""
+    import tempfile
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="evo_test_")
+    try:
+        even = F.pmod(F.col("doc_id"), 2) == 0
+        docs.filter(even).select("doc_id", "text").write.parquet(f"{tmp}/evo")
+        docs.filter(~even).select("doc_id", "text", "lang", "source").write.mode(
+            "append"
+        ).parquet(f"{tmp}/evo")
+        back = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/evo")
+        assert set(back.columns) == {"doc_id", "text", "lang", "source"}
+        assert back.count() == docs.count()
+        # narrow-delivery rows widened with NULLs, wide rows intact
+        assert back.filter(even & F.col("lang").isNotNull()).count() == 0
+        wide_nulls = docs.filter(~even).filter(F.col("lang").isNull()).count()
+        assert back.filter(~even & F.col("lang").isNull()).count() == wide_nulls
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
