@@ -745,9 +745,11 @@ def dedup_embedding_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over verified near-dup pairs → keep-list.
 
-    Driver-side union-find over the (small) verified pair set; at
-    100 TB-scale pair counts, replace with the iterative
-    large-star/small-star map-reduce algorithm. Returns
+    Driver-side union-find over the (small) verified pair set — the
+    small-data twin. Both 100 TB paths are implemented:
+    :func:`dedup_components_distributed` (min-label propagation,
+    O(diameter) rounds) and :func:`dedup_components_bigstar`
+    (large-star/small-star, O(log n) rounds). Returns
     (doc_id, component_id = min doc_id in component).
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").collect()
@@ -833,6 +835,102 @@ def dedup_components_distributed(
     return labels
 
 
+def dedup_components_bigstar(
+    spark: SparkSession, sf_dir: str, max_iter: int = 12
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    rounds (public Kiveris et al. map-reduce formulation) — the
+    O(log n)-round algorithm the union-find docstring names for
+    100 TB-scale pair counts, now implemented rather than only cited.
+    Min-label propagation (:func:`dedup_components_distributed`) needs
+    O(diameter) rounds over the full label frame; the star rounds
+    instead REWRITE THE EDGE SET, shrinking it toward 2-level stars
+    rooted at each component's min node, so long chains collapse
+    exponentially and per-round data is the (shrinking) edge list:
+
+    - large-star(u): every neighbor v > u re-attaches to
+      m = min(Γ(u) ∪ {u}) — computed here as a window min over the
+      symmetric edge frame partitioned by u (no collect_list: hub
+      neighborhoods stay distributed; per-partition width = node
+      degree, the algorithm's documented hot spot);
+    - small-star(u): orient edges (u = max, v = min); every smaller
+      neighbor AND u itself re-attach to m = min(Γ⁻(u) ∪ {u});
+    - converged when the edge set reaches a fixpoint (exact
+      set-difference probe, not a hash signature — a false stop would
+      silently under-merge); the fixpoint edges are exactly
+      (node → component root).
+
+    Same output contract and DuckDB oracle as the other two component
+    entries: (doc_id, component_id = min doc_id), singletons mapping
+    to themselves; pytest proves row-identity with the min-label path.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    labels = _star_rounds(pairs, max_iter)
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return (
+        d.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .selectExpr(
+            "doc_id", "coalesce(component_id, doc_id) AS component_id"
+        )
+    )
+
+
+def _star_rounds(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
+    """Alternate large-star/small-star over a (d1, d2) pair frame to a
+    fixpoint; return (doc_id, component_id) for every node that has at
+    least one edge (docstring above)."""
+    edges = (
+        pairs.filter(F.col("d1") != F.col("d2")).distinct().localCheckpoint()
+    )
+    for _ in range(max_iter):
+        sym = edges.select(
+            F.col("d1").alias("u"), F.col("d2").alias("v")
+        ).union(edges.select(F.col("d2").alias("u"), F.col("d1").alias("v")))
+        w = Window.partitionBy("u")
+        ls = (
+            sym.withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("d1"), F.col("m").alias("d2"))
+            .filter(F.col("d1") != F.col("d2"))
+            .distinct()
+        )
+        o = ls.select(
+            F.greatest("d1", "d2").alias("u"), F.least("d1", "d2").alias("v")
+        )
+        ss_base = o.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+        ss = (
+            ss_base.select(F.col("v").alias("d1"), F.col("m").alias("d2"))
+            .union(
+                ss_base.select(F.col("u").alias("d1"), F.col("m").alias("d2"))
+            )
+            .filter(F.col("d1") != F.col("d2"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = ss.subtract(edges).count() + edges.subtract(ss).count()
+        edges = ss
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"star rounds did not reach a fixpoint within {max_iter} "
+            "iterations; raise max_iter — partial stars would silently "
+            "under-merge components"
+        )
+    # fixpoint edges are (node → root); roots appear only on the right
+    roots = edges.select(F.col("d2").alias("doc_id")).distinct().withColumn(
+        "component_id", F.col("doc_id")
+    )
+    return (
+        edges.groupBy(F.col("d1").alias("doc_id"))
+        .agg(F.min("d2").alias("component_id"))
+        .unionByName(roots)
+        .groupBy("doc_id")
+        .agg(F.min("component_id").alias("component_id"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -846,6 +944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_signlsh": dedup_embedding_signlsh,
     "dedup_components": dedup_components,
     "dedup_components_distributed": dedup_components_distributed,
+    "dedup_components_bigstar": dedup_components_bigstar,
     "dedup_survivors_best_quality": dedup_survivors_best_quality,
 }
 
@@ -1048,5 +1147,6 @@ ORACLES: dict[str, str] = {
                         * sqrt(list_dot_product(b.v, b.v))) >= {COSINE_T}""",
     "dedup_components": _COMPONENTS_SQL,
     "dedup_components_distributed": _COMPONENTS_SQL,
+    "dedup_components_bigstar": _COMPONENTS_SQL,
     "dedup_survivors_best_quality": _survivors_oracle(),
 }

@@ -107,6 +107,36 @@ def test_distributed_components_equal_unionfind(spark, sf_dir):
     assert uf == lp
 
 
+def test_bigstar_components_equal_unionfind(spark, sf_dir):
+    from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
+        dedup_components,
+        dedup_components_bigstar,
+    )
+
+    uf = {r.doc_id: r.component_id for r in dedup_components(spark, sf_dir).collect()}
+    bs = {
+        r.doc_id: r.component_id
+        for r in dedup_components_bigstar(spark, sf_dir).collect()
+    }
+    assert uf == bs
+
+
+def test_bigstar_collapses_a_long_chain_in_log_rounds(spark):
+    """The case the star algorithm exists for: a 64-node path graph
+    has diameter 63 (min-label propagation would need ~63 rounds), but
+    alternating star rounds collapse it within the 12-round budget —
+    and every node lands on component root 0."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
+        _star_rounds,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "d1 long, d2 long"
+    )
+    labels = {r.doc_id: r.component_id for r in _star_rounds(chain).collect()}
+    assert labels == {i: 0 for i in range(64)}
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     exact = {
         (r.query_id, r.neighbor_id) for r in sim_bruteforce_topk(spark, sf_dir).collect()
