@@ -88,6 +88,10 @@ HEADLINE = [
     # added r7 (extends the common subset; doesn't displace it): the
     # heaviest codec — full baseline JPEG entropy decode + IDCT per doc
     "multimodal_decode_jpeg",
+    # added r7: the iterative-workload representative — co-purchase
+    # edge build (self-join + distinct, checkpointed once) + 3 exact
+    # fixed-point power iterations (join + agg each)
+    "graph_pagerank_copurchase",
 ]
 
 
