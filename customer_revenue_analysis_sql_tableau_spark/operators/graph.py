@@ -128,6 +128,63 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row co-purchase graph summary: node count, undirected edge
+    count, and the EXACT triangle count via the DEGREE-ORDERED wedge
+    algorithm (public Schank/Wagner & MapReduce-triangles
+    formulation). Each undirected edge is oriented from its
+    lower-(degree, id) endpoint to the higher; every triangle then has
+    exactly one pivot vertex with two out-edges, so counting
+    (pivot→b, pivot→c) wedges closed by the oriented edge b→c counts
+    each triangle once — and out-degrees are bounded by O(√m), which
+    is what keeps the wedge self-join from exploding on hubs at
+    100 TB (orienting by raw id instead leaves hub fan-outs unbounded;
+    that is the whole point of the degree order). All counts are exact
+    BIGINTs; the oracle replays the identical orientation and joins."""
+    sym = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        sym.filter(F.col("src") < F.col("dst"))
+        .join(deg.select(F.col("src"), F.col("d").alias("ds")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("d").alias("dd")),
+            "dst",
+        )
+    )
+    fwd = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = pairs.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("b"),
+        F.when(fwd, F.col("dd")).otherwise(F.col("ds")).alias("db"),
+    ).localCheckpoint()
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.a") == F.col("e2.a"))
+        & (
+            (F.col("e1.db") < F.col("e2.db"))
+            | (
+                (F.col("e1.db") == F.col("e2.db"))
+                & (F.col("e1.b") < F.col("e2.b"))
+            )
+        ),
+    )
+    tris = wedges.join(
+        e3,
+        (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")),
+    )
+    n_tri = tris.agg(F.count(F.lit(1)).alias("n")).select("n")
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n")).select("n")
+    n_edges = oriented.agg(F.count(F.lit(1)).alias("n")).select("n")
+    return (
+        n_nodes.withColumnRenamed("n", "n_nodes")
+        .crossJoin(n_edges.withColumnRenamed("n", "n_edges"))
+        .crossJoin(n_tri.withColumnRenamed("n", "n_triangles"))
+    )
+
+
 def _pagerank_oracle() -> str:
     """Unrolled exact-integer recurrence, one CTE pair per iteration."""
     sql = f"""
@@ -164,8 +221,42 @@ def _pagerank_oracle() -> str:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank_copurchase": graph_pagerank_copurchase,
+    "graph_triangle_stats": graph_triangle_stats,
 }
+
+#: Shared edge CTEs for the oracle twins.
+_EDGE_CTES = """
+        pairs AS (
+            SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey),
+        deg AS (
+            SELECT src, COUNT(*) AS d FROM (
+                SELECT p1 AS src FROM pairs
+                UNION ALL SELECT p2 FROM pairs) GROUP BY src)"""
 
 ORACLES: dict[str, str] = {
     "graph_pagerank_copurchase": _pagerank_oracle(),
+    # identical degree orientation and wedge closure, replayed in SQL
+    "graph_triangle_stats": f"""
+        WITH {_EDGE_CTES},
+        oriented AS (
+            SELECT CASE WHEN (ds.d, p1) < (dd.d, p2) THEN p1 ELSE p2 END
+                       AS a,
+                   CASE WHEN (ds.d, p1) < (dd.d, p2) THEN p2 ELSE p1 END
+                       AS b,
+                   CASE WHEN (ds.d, p1) < (dd.d, p2) THEN dd.d ELSE ds.d END
+                       AS db
+            FROM pairs
+            JOIN deg ds ON ds.src = p1
+            JOIN deg dd ON dd.src = p2)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM oriented) AS n_edges,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM oriented e1
+                JOIN oriented e2
+                  ON e1.a = e2.a AND (e1.db, e1.b) < (e2.db, e2.b)
+                JOIN oriented e3
+                  ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""",
 }

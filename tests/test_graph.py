@@ -93,6 +93,35 @@ def test_leakage_safe_split_never_straddles_components(spark, sf_dir):
         assert r.bucket == int(h[:8], 16) % 100
 
 
+def test_triangle_stats_match_brute_force_reference(spark, sf_dir):
+    """Exact triangle count cross-checked against a brute-force
+    pure-Python count over the collected edge set (independent of the
+    degree-ordered wedge algorithm under test)."""
+    from itertools import combinations
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.graph import (
+        graph_triangle_stats,
+    )
+
+    edge_rows = _copurchase_edges(spark, sf_dir).collect()
+    und = {(min(r.src, r.dst), max(r.src, r.dst)) for r in edge_rows}
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n_tri = sum(
+        1
+        for node, nbrs in adj.items()
+        for x, y in combinations(sorted(nbrs), 2)
+        if node < x and node < y and (min(x, y), max(x, y)) in und
+    )
+    got = graph_triangle_stats(spark, sf_dir).first()
+    assert got.n_nodes == len(adj)
+    assert got.n_edges == len(und)
+    assert got.n_triangles == n_tri
+    assert n_tri > 0  # baskets of ≥3 parts guarantee triangles exist
+
+
 def test_kmeans_matches_pure_python_reference_exactly(spark, sf_dir):
     """The exact integer recurrence, recomputed in plain Python from
     the raw parquet floats — independent of both Spark and DuckDB."""

@@ -63,6 +63,7 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "sim_ivfpq_recall_check",  # embeds sim_bruteforce_topk (exact side)
         "vocab_topk_containment_check",  # broadcast k-th-count scalar (1 row)
         "quality_decile_cutoffs_approx_check",  # broadcast sketch cutoffs (1 row)
+        "graph_triangle_stats",  # cross of three 1-row count frames
     }
 )
 
