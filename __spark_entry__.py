@@ -111,6 +111,7 @@ _PRIORITY = [
     "parquet_schema_evolution",  # mergeSchema union-widening digest
     "dedup_components_bigstar",  # large-star/small-star O(log n) components
     "graph_triangle_stats",  # degree-ordered exact triangle count
+    "stream_interval_join_multibatch_drain",  # join state across batches
     # -- plans/digests changed this round: re-prove on current code --
     "sim_pq_topk",  # two-stage bounded ADC shortlist (rows-only)
     "sim_pq_recall_check",  # recall bound over the new plan
@@ -145,8 +146,8 @@ _PRIORITY = [
     "flagship_revenue_by_region",
     "view_customer_value_summary",
     "view_customer_value_summary_bucketed",
-    "q1_top_revenue_customers",
     # ---- ~50-entry budget cut falls here ----
+    "q1_top_revenue_customers",
     "q1_full",
     "q2_most_frequent_customers",
     "q3_top_late_fees",

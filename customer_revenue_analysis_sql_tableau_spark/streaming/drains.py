@@ -255,6 +255,35 @@ def stream_late_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, build)
 
 
+def stream_interval_join_multibatch_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream JOIN state retention across micro-batches, under
+    the hash: three ordered deliveries (same staging as the late-data
+    drains) through the watermarked error⋈click interval join must
+    reproduce the COMPLETE batch pair set — which requires both join
+    directions to work through state (a delivery-2 error matching a
+    delivery-1 click held in state, AND a delivery-3 click matching a
+    delivery-1 error; measured on this corpus: half the pairs are
+    cross-delivery). Measured policy pinned here: stream-stream join
+    inputs are NOT watermark-dropped during a 3-batch availableNow
+    drain — the tracker's two-batch lag plus end-of-batch eviction
+    mean the first possible state eviction lands after the final
+    batch's join, so the sink is exactly the batch join (drops would
+    first manifest from batch 4 onward via evicted counterpart state;
+    the windowed-aggregation drains pin the DROP side of the policy).
+    """
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+
+    def build(tmp: str) -> DataFrame:
+        src = _stage_three_deliveries(events, tmp)
+        return run_interval_join_stream(spark, src, f"{tmp}/ckpt")
+
+    return _drain(spark, build)
+
+
 def stream_late_sliding_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window late-data policy under the hash — completes the
     late-drop matrix (tumbling: window-end rule; session: event-time
@@ -329,6 +358,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_late_data_drain": stream_late_data_drain,
     "stream_late_session_drain": stream_late_session_drain,
     "stream_late_sliding_drain": stream_late_sliding_drain,
+    "stream_interval_join_multibatch_drain": stream_interval_join_multibatch_drain,
 }
 
 #: Exact money-sum text shared with the batch-twin oracles.
@@ -421,6 +451,16 @@ ORACLES: dict[str, str] = {
             FROM numbered GROUP BY user_id, session_id)
         SELECT user_id, session_start, session_end, n_events, total_value
         FROM sess, wm WHERE session_end <= wm.w""",
+    # multi-batch variant proves cross-delivery state retention; the
+    # admitted set is the COMPLETE pair set (measured: no input drops
+    # within a 3-batch drain), so the oracle is the same batch join
+    "stream_interval_join_multibatch_drain": """
+        SELECT e.event_id AS error_id, e.user_id AS e_user_id,
+               e.ts AS error_ts, c.event_id AS click_id, c.ts AS click_ts
+        FROM events e JOIN events c
+          ON e.user_id = c.user_id
+         AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 10 MINUTE
+        WHERE e.event_type = 'error' AND c.event_type = 'click'""",
     "stream_interval_join_drain": """
         SELECT e.event_id AS error_id, e.user_id AS e_user_id,
                e.ts AS error_ts, c.event_id AS click_id, c.ts AS click_ts

@@ -1836,3 +1836,44 @@ def test_late_session_drain_uses_event_time_drop_rule(spark, sf_dir):
         & (F.col("ts") <= F.lit(wm))
     ).count()
     assert stale > 100
+
+
+def test_multibatch_interval_join_retains_cross_delivery_state(spark, sf_dir):
+    """The 3-delivery drain must equal the complete batch join AND the
+    pair set must include cross-delivery matches in both directions —
+    the rows that only exist if join state survives across batches."""
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.streaming.drains import (
+        LATE_SPLIT_MOD,
+        stream_interval_join_multibatch_drain,
+    )
+
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+    e = events.filter(F.col("event_type") == "error").alias("e")
+    c = events.filter(F.col("event_type") == "click").alias("c")
+    batch = {
+        (r.error_id, r.click_id)
+        for r in e.join(
+            c,
+            F.expr(
+                "e.user_id = c.user_id AND c.ts <= e.ts"
+                " AND c.ts >= e.ts - INTERVAL 10 MINUTES"
+            ),
+        )
+        .select(
+            F.col("e.event_id").alias("error_id"),
+            F.col("c.event_id").alias("click_id"),
+        )
+        .collect()
+    }
+    got = {
+        (r.error_id, r.click_id)
+        for r in stream_interval_join_multibatch_drain(spark, sf_dir).collect()
+    }
+    assert got == batch and len(got) > 0
+    cross = [
+        (a, b) for a, b in got if a % LATE_SPLIT_MOD != b % LATE_SPLIT_MOD
+    ]
+    assert cross  # state-dependent pairs actually occur on this corpus
