@@ -1877,3 +1877,57 @@ def test_multibatch_interval_join_retains_cross_delivery_state(spark, sf_dir):
         (a, b) for a, b in got if a % LATE_SPLIT_MOD != b % LATE_SPLIT_MOD
     ]
     assert cross  # state-dependent pairs actually occur on this corpus
+
+
+def test_gif_lzw_roundtrips_arbitrary_index_streams_property():
+    """Property test for the trickiest codec code: arbitrary palette
+    index streams (long runs force dictionary growth past width
+    boundaries, the KwKwK case, and table-full CLEAR/rebuild) must
+    survive encode -> decode bit-identically at every minimum code
+    size the GIF spec allows."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        mcs=st.integers(2, 8),
+        data=st.data(),
+    )
+    def case(mcs, data):
+        npal = 1 << mcs
+        # mix random symbols with runs — runs are what grow the table
+        # fast enough to hit width transitions and the 12-bit CLEAR
+        chunks = data.draw(
+            st.lists(
+                st.tuples(st.integers(0, npal - 1), st.integers(1, 40)),
+                min_size=1,
+                max_size=60,
+            )
+        )
+        indices = [sym for sym, n in chunks for _ in range(n)]
+        back = _gif_lzw_decode(_gif_lzw_encode(indices, mcs), mcs, len(indices))
+        assert back == indices
+
+    case()
+
+
+def test_gif_lzw_kwkwk_case_explicitly():
+    """The cScS pattern (code-not-yet-in-table) decoded correctly: an
+    aaa... stream forces the decoder to emit a code one step ahead of
+    its own table on every run extension."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    for mcs in (2, 4, 7):
+        for n in (1, 2, 3, 10, 500, 5000):
+            stream = [1] * n
+            assert (
+                _gif_lzw_decode(_gif_lzw_encode(stream, mcs), mcs, n) == stream
+            )
