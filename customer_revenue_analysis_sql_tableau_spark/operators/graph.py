@@ -178,10 +178,18 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tri = tris.agg(F.count(F.lit(1)).alias("n")).select("n")
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n")).select("n")
     n_edges = oriented.agg(F.count(F.lit(1)).alias("n")).select("n")
+    # wedges = Σ C(d, 2): the global clustering coefficient is
+    # 3·n_triangles / n_wedges — emitted as exact BIGINT numerator and
+    # denominator (a double ratio would be fine too, but exact integers
+    # keep the entry float-free)
+    n_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n")
+    ).select("n")
     return (
         n_nodes.withColumnRenamed("n", "n_nodes")
         .crossJoin(n_edges.withColumnRenamed("n", "n_edges"))
         .crossJoin(n_tri.withColumnRenamed("n", "n_triangles"))
+        .crossJoin(n_wedges.withColumnRenamed("n", "n_wedges"))
     )
 
 
@@ -258,5 +266,7 @@ ORACLES: dict[str, str] = {
                 JOIN oriented e2
                   ON e1.a = e2.a AND (e1.db, e1.b) < (e2.db, e2.b)
                 JOIN oriented e3
-                  ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""",
+                  ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles,
+               (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
+                   AS n_wedges""",
 }

@@ -119,7 +119,12 @@ def test_triangle_stats_match_brute_force_reference(spark, sf_dir):
     assert got.n_nodes == len(adj)
     assert got.n_edges == len(und)
     assert got.n_triangles == n_tri
+    assert got.n_wedges == sum(
+        len(v) * (len(v) - 1) // 2 for v in adj.values()
+    )
     assert n_tri > 0  # baskets of ≥3 parts guarantee triangles exist
+    # clustering coefficient is well-defined: 3*tri <= wedges
+    assert 3 * got.n_triangles <= got.n_wedges
 
 
 def test_kmeans_matches_pure_python_reference_exactly(spark, sf_dir):
