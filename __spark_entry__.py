@@ -112,6 +112,7 @@ _PRIORITY = [
     "dedup_components_bigstar",  # large-star/small-star O(log n) components
     "graph_triangle_stats",  # degree-ordered exact triangle count
     "stream_interval_join_multibatch_drain",  # join state across batches
+    "inc_revenue_with_retractions",  # IVM under DELETES (signed merge)
     # -- plans/digests changed this round: re-prove on current code --
     "sim_pq_topk",  # two-stage bounded ADC shortlist (rows-only)
     "sim_pq_recall_check",  # recall bound over the new plan
@@ -145,8 +146,8 @@ _PRIORITY = [
     # -- proof refresh: r4-proven reference-core surface --
     "flagship_revenue_by_region",
     "view_customer_value_summary",
-    "view_customer_value_summary_bucketed",
     # ---- ~50-entry budget cut falls here ----
+    "view_customer_value_summary_bucketed",
     "q1_top_revenue_customers",
     "q1_full",
     "q2_most_frequent_customers",

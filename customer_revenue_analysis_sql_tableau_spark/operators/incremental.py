@@ -93,15 +93,114 @@ def state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Orders with ``o_orderkey % RETRACT_MOD == 0`` are cancelled by the
+#: final CDC batch (a DELETE feed).
+RETRACT_MOD = 17
+
+
+def revenue_with_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance under DELETES — the retraction side of
+    IVM the insert-only entries don't exercise: after the insert
+    batches land, a final CDC batch CANCELS every order with
+    ``o_orderkey % RETRACT_MOD == 0``, and the running per-customer
+    state must absorb it by folding SIGNED partials (units and order
+    counts negated) rather than recomputing. Only the retractable
+    measure class rides this entry — SUM and COUNT invert exactly
+    under signed merge; MIN/MAX and the view's argmax top-1 do NOT
+    (removing the current extremum needs auxiliary per-key structure,
+    the textbook deletable-aggregate distinction — those measures stay
+    on the insert-only path, ``inc_view_maintenance``).
+
+    Exactness: revenue folds as BIGINT micro-dollar units
+    (``cents(price) * (10000 - discount basis points)`` per lineitem —
+    the repo's integer-money discipline), so insert+retract is
+    bit-exact and order-independent; customers whose every order is
+    cancelled leave state at n_orders == 0 and are dropped, matching
+    the oracle's recompute over surviving orders. Scale: state stays
+    per-customer; each batch folds state ∪ delta with one groupBy,
+    lineage truncated per fold; a real deployment reads the same
+    signed-delta shape straight from a CDC feed's +I/-D rows."""
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    o, l = t["orders"], t["lineitem"]
+    from ..functions.money import cents
+
+    per_order = (
+        l.groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice"))
+                * (F.lit(10000) - cents(F.col("l_discount"), 4))
+            ).alias("units")
+        )
+        .join(
+            o.select(
+                F.col("o_orderkey").alias("okey"),
+                F.col("o_custkey").alias("custkey"),
+            ),
+            "okey",
+        )
+        .localCheckpoint()  # feeds every batch filter + the retraction
+    )
+
+    def fold(state: DataFrame, delta: DataFrame) -> DataFrame:
+        return (
+            state.unionByName(delta)
+            .groupBy("custkey")
+            .agg(
+                F.sum("units").alias("units"),
+                F.sum("n_orders").alias("n_orders"),
+            )
+            .localCheckpoint()
+        )
+
+    state = None
+    for b in range(BATCHES):
+        delta = per_order.filter(F.col("okey") % BATCHES == b).select(
+            "custkey", "units", F.lit(1).cast("long").alias("n_orders")
+        )
+        state = delta.groupBy("custkey").agg(
+            F.sum("units").alias("units"), F.sum("n_orders").alias("n_orders")
+        ).localCheckpoint() if state is None else fold(state, delta)
+    retraction = per_order.filter(
+        F.col("okey") % RETRACT_MOD == 0
+    ).select(
+        "custkey",
+        (-F.col("units")).alias("units"),
+        F.lit(-1).cast("long").alias("n_orders"),
+    )
+    state = fold(state, retraction)
+    return state.filter(F.col("n_orders") > 0).select(
+        "custkey",
+        F.col("units").alias("revenue_units"),
+        "n_orders",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inc_view_maintenance": view_incremental,
     "inc_state_rollup": state_rollup,
+    "inc_revenue_with_retractions": revenue_with_retractions,
 }
 
 ORACLES: dict[str, str] = {
     # The strongest possible oracle: incremental output must hash-match
     # a from-scratch recompute of the whole view.
     "inc_view_maintenance": VIEW_ORACLE_SQL,
+    # retractions: recompute over SURVIVING orders only — the signed
+    # insert+delete folds must land exactly there
+    "inc_revenue_with_retractions": f"""
+        WITH per_l AS (
+            SELECT o.o_custkey AS custkey, o.o_orderkey,
+                   CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (10000 -
+                      CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT))
+                       AS u
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey % {RETRACT_MOD} != 0)
+        SELECT custkey,
+               CAST(SUM(u) AS BIGINT) AS revenue_units,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        FROM per_l GROUP BY custkey""",
     "inc_state_rollup": """
         WITH fact AS (
             SELECT o.o_custkey AS Customer_ID, p.p_type, o.o_orderkey

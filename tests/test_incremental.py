@@ -62,3 +62,65 @@ def test_state_is_compressed_relative_to_facts(spark, sf_dir):
         F.sum("state_rows").alias("s"), F.sum("fact_rows_folded").alias("f")
     ).collect()[0]
     assert tot["s"] < tot["f"]
+
+
+def test_revenue_retractions_fold_deletes_exactly(spark, sf_dir):
+    """Signed-merge maintenance must equal the recompute over surviving
+    orders, and the delete batch must have genuinely changed state
+    (cancelled orders exist and carried revenue)."""
+    from pyspark.sql import functions as F
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.incremental import (
+        RETRACT_MOD,
+        revenue_with_retractions,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from customer_revenue_analysis_sql_tableau_spark.functions.money import cents
+
+    per_order = (
+        l.groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice"))
+                * (F.lit(10000) - cents(F.col("l_discount"), 4))
+            ).alias("units")
+        )
+        .join(
+            o.select(
+                F.col("o_orderkey").alias("okey"),
+                F.col("o_custkey").alias("custkey"),
+            ),
+            "okey",
+        )
+    )
+    surviving = per_order.filter(F.col("okey") % RETRACT_MOD != 0)
+    expected = {
+        r.custkey: (r.revenue_units, r.n_orders)
+        for r in surviving.groupBy("custkey")
+        .agg(
+            F.sum("units").alias("revenue_units"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .collect()
+    }
+    got = {
+        r.custkey: (r.revenue_units, r.n_orders)
+        for r in revenue_with_retractions(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the retraction batch was non-vacuous
+    cancelled = per_order.filter(F.col("okey") % RETRACT_MOD == 0)
+    assert cancelled.count() > 0
+    touched = {r.custkey for r in cancelled.select("custkey").distinct().collect()}
+    full = {
+        r.custkey: (r.revenue_units, r.n_orders)
+        for r in per_order.groupBy("custkey")
+        .agg(
+            F.sum("units").alias("revenue_units"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .collect()
+    }
+    assert any(got.get(c) != full.get(c) for c in touched)
