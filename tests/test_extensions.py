@@ -1661,8 +1661,13 @@ def test_multimodal_decode_jpeg_matches_synth_params(spark, sf_dir):
 def test_jpeg_codec_roundtrips_arbitrary_images_property():
     """Property test: arbitrary dims/content/quant/restart-interval
     roundtrip through the real encoder+decoder with the channel means
-    exact at quant 8 (integer DC error cancels in the mean only up to
-    rounding — bound the drift) and dims/channels always exact."""
+    bounded at quant 8 and dims/channels always exact. Quantizing all
+    64 coefficients by 8 leaves ≤ ±4 per coefficient; over a crop of
+    n pixels the per-coefficient errors only partially cancel in the
+    mean, so the drift bound scales ~1/√n: measured worst is 6 at
+    n=4 and ≤2 for n≥32, hence tol = max(2, ceil(16/√n))."""
+    import math
+
     import numpy as np
     from hypothesis import given, settings
     from hypothesis import strategies as st
@@ -1671,6 +1676,24 @@ def test_jpeg_codec_roundtrips_arbitrary_images_property():
         decode_jpeg,
         encode_jpeg,
     )
+
+    def check(h, w, color, rst, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(img, np.full((8, 8), 8.0), rst))
+        assert (got["width"], got["height"]) == (w, h)
+        assert got["channels"] == (3 if color else 1)
+        flat = img if color else img[:, :, None].repeat(3, axis=2)
+        n_px = h * w
+        tol = max(2, math.ceil(16 / math.sqrt(n_px)))
+        for ch, key in enumerate(("mean_r", "mean_g", "mean_b")):
+            true = int(flat[:, :, ch].astype(np.int64).sum()) // n_px
+            assert abs(got[key] - true) <= tol
+
+    # The r7 falsifying example: a 1x2 crop of one 8x8 block has no
+    # room for AC-error cancellation; mean drifted 3 > the old ±2.
+    check(h=1, w=2, color=True, rst=0, seed=2)
 
     @settings(max_examples=25, deadline=None)
     @given(
@@ -1681,18 +1704,7 @@ def test_jpeg_codec_roundtrips_arbitrary_images_property():
         seed=st.integers(0, 2**31 - 1),
     )
     def case(h, w, color, rst, seed):
-        rng = np.random.default_rng(seed)
-        shape = (h, w, 3) if color else (h, w)
-        img = rng.integers(0, 256, size=shape).astype(np.uint8)
-        got = decode_jpeg(encode_jpeg(img, np.full((8, 8), 8.0), rst))
-        assert (got["width"], got["height"]) == (w, h)
-        assert got["channels"] == (3 if color else 1)
-        flat = img if color else img[:, :, None].repeat(3, axis=2)
-        for ch, key in enumerate(("mean_r", "mean_g", "mean_b")):
-            true = int(flat[:, :, ch].astype(np.int64).sum()) // (h * w)
-            # quant-8 DC error ≤ ±4/pixel pre-rounding; means of random
-            # content cancel to ≤ ±2 in practice — assert the bound
-            assert abs(got[key] - true) <= 2
+        check(h, w, color, rst, seed)
 
     case()
 
