@@ -268,16 +268,77 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Product-quantization geometry: 16 subspaces × 32 centroids = 5-bit
-#: codes, 10 bytes per vector vs 512 for the raw float64 array — the
-#: ~50× compression that makes a 100 TB ANN index RAM-resident. The
-#: ADC shortlist re-ranked exactly is PQ_SHORTLIST_MULT×k deep.
-#: Geometry measured on this weak-similarity corpus (max cos ≈ 0.48):
-#: recall 0.85-0.93 vs brute force across SFs; the coarser 8×16 grid
-#: managed only 0.33-0.48 — quantization noise swamps weak signals, so
-#: finer subspaces matter more than codebook size here.
+#: codes, PACKED into ``PQ_BYTES`` = 10 bytes per vector (BinaryType —
+#: a real 80-bit bitstream, not an array<int> demo) vs 512 for the raw
+#: float64 array — the ~50× compression that makes a 100 TB ANN index
+#: RAM-resident. The ADC shortlist re-ranked exactly is
+#: PQ_SHORTLIST_MULT×k deep. Geometry measured on this weak-similarity
+#: corpus (max cos ≈ 0.48): recall 0.85-0.93 vs brute force across
+#: SFs; the coarser 8×16 grid managed only 0.33-0.48 — quantization
+#: noise swamps weak signals, so finer subspaces matter more than
+#: codebook size here.
 PQ_M = 16
 PQ_K = 32
+PQ_BITS = 5  # log2(PQ_K)
+PQ_BYTES = PQ_M * PQ_BITS // 8  # 10
 PQ_SHORTLIST_MULT = 8
+
+
+def _pack_codes_np(codes: np.ndarray) -> np.ndarray:
+    """(batch, M) integer codes → (batch, PQ_BYTES) uint8: each 5-bit
+    code MSB-first, concatenated into one big-endian 80-bit bitstream
+    (code m occupies bitstream bits [5m, 5m+5), bit 0 = MSB of byte 0).
+    Big-endian so ``hex()`` of the stored bytes reads the bitstream in
+    order — that is what lets the JVM side rebuild the codes with two
+    ``conv`` calls and shifts (see ``_pq_adc``)."""
+    bits = (
+        (codes[:, :, None] >> np.arange(PQ_BITS - 1, -1, -1)[None, None, :]) & 1
+    ).astype(np.uint8)
+    return np.packbits(bits.reshape(len(codes), PQ_M * PQ_BITS), axis=1)
+
+
+def _unpack_codes_np(buf: bytes) -> np.ndarray:
+    """Inverse of ``_pack_codes_np`` for one vector (pytest twin)."""
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+    weights = 1 << np.arange(PQ_BITS - 1, -1, -1)
+    return bits[: PQ_M * PQ_BITS].reshape(PQ_M, PQ_BITS) @ weights
+
+
+def _pq_unpack(codes_col: str) -> list:
+    """Two columns rebuilding the packed bitstream as longs: ``hex``
+    turns the big-endian 10-byte stream into 20 nibbles and two
+    ``conv`` calls parse bits [0, 60) / [60, 80) (codes 0-11 / 12-15).
+    Project these ONCE per corpus row, BELOW the query join — unpacking
+    inside the ADC expression instead re-parses the stream per
+    (query, vector) pair (measured +27% on sim_pq_topk)."""
+    hx = F.hex(F.col(codes_col))
+    return [
+        F.conv(F.substring(hx, 1, 15), 16, 10).cast("long").alias("pq_hi"),
+        F.conv(F.substring(hx, 16, 5), 16, 10).cast("long").alias("pq_lo"),
+    ]
+
+
+def _pq_adc(lut_col: str):
+    """Pure-JVM ADC over the ``_pq_unpack`` longs: each 5-bit code is
+    one shift+mask feeding ``element_at`` on the broadcast lookup
+    table — a flat sum of 16 whole-stage-codegen'd terms, no
+    higher-order functions (measured slower here: see the
+    perf-pitfalls note on HOFs), no Python, and the scan stores
+    10 bytes/vector instead of 512."""
+
+    def code(m: int):
+        if m < 12:
+            return F.shiftrightunsigned(F.col("pq_hi"), 60 - PQ_BITS * (m + 1))
+        return F.shiftrightunsigned(F.col("pq_lo"), 20 - PQ_BITS * (m - 11))
+
+    total = None
+    for m in range(PQ_M):
+        idx = (code(m).bitwiseAND(F.lit(PQ_K - 1)) + F.lit(m * PQ_K + 1)).cast(
+            "int"
+        )
+        term = F.element_at(F.col(lut_col), idx)
+        total = term if total is None else total + term
+    return total
 
 
 def _train_pq_codebooks(vectors: np.ndarray) -> np.ndarray:
@@ -302,14 +363,16 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
        numpy, seeded — the quantizer-training discipline IVF uses);
     2. encode: every corpus vector becomes ``PQ_M`` 5-bit codes
        (``PQ_K``=32 centroids) via one vectorized Arrow ``pandas_udf``
-       (numpy argmin per subspace) — after this pass the search never
-       touches raw vectors. (The ~10-byte/50× figure in the constants
-       block describes the packed production layout; this demo stores
-       codes as ``array<int>``, ~64 B/vector, same access pattern);
+       (numpy argmin per subspace), PACKED into a ``PQ_BYTES``=10-byte
+       ``BinaryType`` bitstream (``_pack_codes_np``) — the real ~50×
+       layout, 10 B/vector vs 512 B raw (measured on-disk ratio in
+       SCALE.md) — after this pass the search never touches raw
+       vectors;
     3. ADC scan: each query precomputes its (M·K)-entry lookup table of
        subspace distances (tiny — broadcast as a column); the scored
-       scan is pure JVM — ``aggregate(zip_with(codes, sequence))`` sums
-       M table lookups per row, no Python, no raw-vector reads;
+       scan is pure JVM — ``_pq_adc`` unpacks the bitstream with two
+       ``conv`` calls + shifts and sums M codegen'd table lookups per
+       row, no Python, no raw-vector reads;
     4. shortlist: ADC top ``PQ_SHORTLIST_MULT``·k per query via
        TWO-STAGE bounded selection — stage 1 keeps each scan
        partition's local ADC top shortlist_n per query (window keyed
@@ -336,10 +399,10 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _train_pq_codebooks(np.array([r["v"] for r in sample_rows]))
     sub = books.shape[2]
 
-    @pandas_udf("array<int>")
+    @pandas_udf("binary")
     def encode(vs: pd.Series) -> pd.Series:
         m = np.stack(vs.to_numpy())  # (batch, dim)
-        codes = np.empty((len(vs), PQ_M), dtype=np.int32)
+        codes = np.empty((len(vs), PQ_M), dtype=np.int64)
         for mi in range(PQ_M):
             sl = m[:, mi * sub : (mi + 1) * sub]
             d2 = (
@@ -348,7 +411,8 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + (books[mi] ** 2).sum(axis=1)[None, :]
             )
             codes[:, mi] = d2.argmin(axis=1)
-        return pd.Series(list(codes))
+        packed = _pack_codes_np(codes)
+        return pd.Series([packed[i].tobytes() for i in range(len(vs))])
 
     coded = ed.select("vec_id", encode(F.col("v")).alias("codes"))
 
@@ -367,20 +431,15 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lut_rows.append((r["vec_id"], [float(x) for x in lut]))
     luts = spark.createDataFrame(lut_rows, "query_id long, lut array<double>")
 
-    # JVM ADC: adc = sum over subspaces of lut[m*K + code_m]
-    adc = F.aggregate(
-        F.zip_with(
-            "codes",
-            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-            lambda c, m: F.element_at("lut", m * PQ_K + c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # JVM ADC: adc = sum over subspaces of lut[m*K + code_m]; the
+    # bitstream is unpacked to two longs once per CORPUS row (below the
+    # query join — Q× cheaper than unpacking per scored pair)
+    unpacked = coded.select("vec_id", *_pq_unpack("codes"))
+    adc = _pq_adc("lut")
     shortlist_n = PQ_SHORTLIST_MULT * TOP_K
     scored = (
         F.broadcast(luts)
-        .join(coded, F.col("query_id") != F.col("vec_id"))
+        .join(unpacked, F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
         )
@@ -426,7 +485,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
        (residuals are what's left AFTER the coarse quantizer explains
        the vector — quantizing them wastes no codebook capacity on
        cell-level structure) and every vector stores only its cell id
-       + ``PQ_M`` 5-bit residual codes;
+       + ``PQ_M`` 5-bit residual codes packed into ``PQ_BYTES``=10
+       bytes of ``BinaryType`` (same bitstream as ``sim_pq_topk``);
     3. probe: each query ranks the broadcast centroids and keeps its
        ``nprobe`` nearest cells — per-query work is cell-bounded before
        any corpus-sized table is touched;
@@ -461,13 +521,13 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _train_pq_codebooks(resid_sample)
     sub = books.shape[2]
 
-    @pandas_udf("struct<cell:int, codes:array<int>>")
+    @pandas_udf("struct<cell:int, codes:binary>")
     def assign_encode(vs: pd.Series) -> pd.DataFrame:
         m = np.stack(vs.to_numpy())
         d2 = (m**2).sum(axis=1)[:, None] - 2.0 * (m @ cents.T) + cnorm[None, :]
         cell = d2.argmin(axis=1)
         resid = m - cents[cell]
-        codes = np.empty((len(vs), PQ_M), dtype=np.int32)
+        codes = np.empty((len(vs), PQ_M), dtype=np.int64)
         for mi in range(PQ_M):
             sl = resid[:, mi * sub : (mi + 1) * sub]
             dd = (
@@ -476,8 +536,12 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + (books[mi] ** 2).sum(axis=1)[None, :]
             )
             codes[:, mi] = dd.argmin(axis=1)
+        packed = _pack_codes_np(codes)
         return pd.DataFrame(
-            {"cell": cell.astype(np.int32), "codes": list(codes)}
+            {
+                "cell": cell.astype(np.int32),
+                "codes": [packed[i].tobytes() for i in range(len(vs))],
+            }
         )
 
     coded = ed.select(
@@ -505,19 +569,12 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lut_rows, "query_id long, cell int, lut array<double>"
     )
 
-    adc = F.aggregate(
-        F.zip_with(
-            "codes",
-            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-            lambda c, m: F.element_at("lut", m * PQ_K + c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    unpacked = coded.select("vec_id", "cell", *_pq_unpack("codes"))
+    adc = _pq_adc("lut")
     shortlist_n = PQ_SHORTLIST_MULT * TOP_K
     ws = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
     shortlist = (
-        coded.join(F.broadcast(luts), "cell")  # key-bounded: probed cells only
+        unpacked.join(F.broadcast(luts), "cell")  # key-bounded: probed cells only
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")

@@ -175,6 +175,45 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     assert all(v <= TOP_K for v in per_q.values())
 
 
+def test_pq_packed_codes_roundtrip_and_jvm_adc(spark):
+    """The 10-byte BinaryType PQ layout is lossless (numpy pack →
+    unpack identity) and the JVM conv/shift ADC over the packed
+    stream reproduces the numpy lookup sum exactly."""
+    import numpy as np
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.similarity import (
+        PQ_BYTES,
+        PQ_K,
+        PQ_M,
+        _pack_codes_np,
+        _pq_adc,
+        _pq_unpack,
+        _unpack_codes_np,
+    )
+
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, PQ_K, size=(40, PQ_M)).astype(np.int64)
+    packed = _pack_codes_np(codes)
+    assert packed.shape == (40, PQ_BYTES)
+    for i in range(40):
+        assert (_unpack_codes_np(packed[i].tobytes()) == codes[i]).all()
+
+    lut = rng.standard_normal(PQ_M * PQ_K).tolist()
+    df = spark.createDataFrame(
+        [(i, bytearray(packed[i].tobytes()), lut) for i in range(40)],
+        "id int, codes binary, lut array<double>",
+    )
+    got = {
+        r.id: r.adc
+        for r in df.select("id", "lut", *_pq_unpack("codes"))
+        .select("id", _pq_adc("lut").alias("adc"))
+        .collect()
+    }
+    for i in range(40):
+        want = sum(lut[m * PQ_K + codes[i, m]] for m in range(PQ_M))
+        assert abs(got[i] - want) < 1e-12
+
+
 def test_pq_topk_recall_vs_bruteforce(spark, sf_dir):
     from customer_revenue_analysis_sql_tableau_spark.operators.similarity import (
         TOP_K,
