@@ -98,33 +98,13 @@ def state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 RETRACT_MOD = 17
 
 
-def revenue_with_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental maintenance under DELETES — the retraction side of
-    IVM the insert-only entries don't exercise: after the insert
-    batches land, a final CDC batch CANCELS every order with
-    ``o_orderkey % RETRACT_MOD == 0``, and the running per-customer
-    state must absorb it by folding SIGNED partials (units and order
-    counts negated) rather than recomputing. Only the retractable
-    measure class rides this entry — SUM and COUNT invert exactly
-    under signed merge; MIN/MAX and the view's argmax top-1 do NOT
-    (removing the current extremum needs auxiliary per-key structure,
-    the textbook deletable-aggregate distinction — those measures stay
-    on the insert-only path, ``inc_view_maintenance``).
-
-    Exactness: revenue folds as BIGINT micro-dollar units
-    (``cents(price) * (10000 - discount basis points)`` per lineitem —
-    the repo's integer-money discipline), so insert+retract is
-    bit-exact and order-independent; customers whose every order is
-    cancelled leave state at n_orders == 0 and are dropped, matching
-    the oracle's recompute over surviving orders. Scale: state stays
-    per-customer; each batch folds state ∪ delta with one groupBy,
-    lineage truncated per fold; a real deployment reads the same
-    signed-delta shape straight from a CDC feed's +I/-D rows."""
-    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
-    o, l = t["orders"], t["lineitem"]
+def _per_order_units(o: DataFrame, l: DataFrame) -> DataFrame:
+    """(custkey, okey, units): BIGINT micro-dollar revenue per order —
+    the exact-integer granule both retraction entries fold. Checkpointed
+    once: it feeds every batch filter plus the retraction/delete scans."""
     from ..functions.money import cents
 
-    per_order = (
+    return (
         l.groupBy(F.col("l_orderkey").alias("okey"))
         .agg(
             F.sum(
@@ -139,8 +119,33 @@ def revenue_with_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "okey",
         )
-        .localCheckpoint()  # feeds every batch filter + the retraction
+        .localCheckpoint()
     )
+
+
+def revenue_with_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance under DELETES — the retraction side of
+    IVM the insert-only entries don't exercise: after the insert
+    batches land, a final CDC batch CANCELS every order with
+    ``o_orderkey % RETRACT_MOD == 0``, and the running per-customer
+    state must absorb it by folding SIGNED partials (units and order
+    counts negated) rather than recomputing. Only the retractable
+    measure class rides this entry — SUM and COUNT invert exactly
+    under signed merge; MIN/MAX need auxiliary per-key structure (the
+    textbook deletable-aggregate distinction) and are maintained by
+    ``inc_minmax_with_retractions`` below via top-N candidate buffers.
+
+    Exactness: revenue folds as BIGINT micro-dollar units
+    (``cents(price) * (10000 - discount basis points)`` per lineitem —
+    the repo's integer-money discipline), so insert+retract is
+    bit-exact and order-independent; customers whose every order is
+    cancelled leave state at n_orders == 0 and are dropped, matching
+    the oracle's recompute over surviving orders. Scale: state stays
+    per-customer; each batch folds state ∪ delta with one groupBy,
+    lineage truncated per fold; a real deployment reads the same
+    signed-delta shape straight from a CDC feed's +I/-D rows."""
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    per_order = _per_order_units(t["orders"], t["lineitem"])
 
     def fold(state: DataFrame, delta: DataFrame) -> DataFrame:
         return (
@@ -176,10 +181,146 @@ def revenue_with_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Candidate-buffer depth for deletable MIN/MAX: each key keeps its
+#: top-/bottom-``MINMAX_BUF_N`` (value, okey) pairs. 2 is deliberately
+#: small so the drain-recompute path genuinely runs on this data
+#: (measured keys drained by the %17 delete batch: 1 at sf0.001, 2 at
+#: sf0.01, 48 at sf0.1) — production would size it to the expected
+#: delete rate; correctness never depends on the choice.
+MINMAX_BUF_N = 2
+
+
+def minmax_with_retractions(
+    spark: SparkSession, sf_dir: str, buf_n: int = MINMAX_BUF_N
+) -> DataFrame:
+    """Deletable MIN/MAX IVM — the non-trivially-retractable aggregate
+    class ``inc_revenue_with_retractions`` documents: a deleted SUM
+    term is subtracted, but a deleted extremum must be REPLACED, which
+    needs auxiliary per-key state. This entry maintains the textbook
+    structure: per customer, the top-``buf_n`` and bottom-``buf_n``
+    (units, okey) candidate pairs plus the surviving order count.
+
+    - **insert fold** (one per batch): merge buffers by
+      ``slice(array_sort(flatten(...)), 1, n)`` — collect order is
+      nondeterministic but the sort makes the fold order-independent
+      (struct keys are unique: okey breaks ties);
+    - **delete fold**: ``array_except(buffer, deleted_pairs)`` — a
+      deleted value below the buffer floor is a no-op, a deleted
+      extremum falls out and the next candidate takes over. While the
+      post-delete buffer is non-empty its head IS the true extremum
+      (everything outside the buffer is dominated by every surviving
+      buffer element);
+    - **drain recompute**: a key whose buffer empties while orders
+      survive (> ``buf_n`` of its top orders deleted) is recomputed
+      from base — bounded by a SEMI JOIN to exactly the drained keys,
+      never a full rebuild. Cost ∝ drained keys × their fact rows,
+      the recompute-on-retract partition of the published IVM
+      treatment of non-invertible aggregates.
+
+    Oracle = full recompute of min/max/count over surviving orders;
+    the driver hash proves insert-folds + deletes + drain-recompute
+    land bit-exactly on it. Pytest additionally forces ``buf_n=1``
+    (every deleted max drains) and asserts the delete batch genuinely
+    changed at least one customer's max."""
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    per_order = _per_order_units(t["orders"], t["lineitem"])
+
+    def partial(delta: DataFrame) -> DataFrame:
+        """Per-key insert partial: buffers + count from raw rows."""
+        neg = F.struct(
+            (-F.col("units")).alias("nu"), F.col("okey").alias("okey")
+        )
+        pos = F.struct(
+            F.col("units").alias("units"), F.col("okey").alias("okey")
+        )
+        return delta.groupBy("custkey").agg(
+            F.slice(F.array_sort(F.collect_list(neg)), 1, buf_n).alias(
+                "buf_max"
+            ),
+            F.slice(F.array_sort(F.collect_list(pos)), 1, buf_n).alias(
+                "buf_min"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+
+    def fold(state: DataFrame, delta_partial: DataFrame) -> DataFrame:
+        return (
+            state.unionByName(delta_partial)
+            .groupBy("custkey")
+            .agg(
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("buf_max"))),
+                    1,
+                    buf_n,
+                ).alias("buf_max"),
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("buf_min"))),
+                    1,
+                    buf_n,
+                ).alias("buf_min"),
+                F.sum("n_orders").alias("n_orders"),
+            )
+            .localCheckpoint()
+        )
+
+    state = None
+    for b in range(BATCHES):
+        p = partial(per_order.filter(F.col("okey") % BATCHES == b))
+        state = p.localCheckpoint() if state is None else fold(state, p)
+
+    # the CDC delete batch: remove each cancelled (value, okey) pair
+    deleted = per_order.filter(F.col("okey") % RETRACT_MOD == 0)
+    dels = deleted.groupBy("custkey").agg(
+        F.collect_list(
+            F.struct((-F.col("units")).alias("nu"), F.col("okey").alias("okey"))
+        ).alias("del_max"),
+        F.collect_list(
+            F.struct(F.col("units").alias("units"), F.col("okey").alias("okey"))
+        ).alias("del_min"),
+        F.count(F.lit(1)).cast("long").alias("n_del"),
+    )
+    after = (
+        state.join(dels, "custkey", "left")
+        .select(
+            "custkey",
+            F.when(F.col("del_max").isNull(), F.col("buf_max"))
+            .otherwise(F.array_except("buf_max", "del_max"))
+            .alias("buf_max"),
+            F.when(F.col("del_min").isNull(), F.col("buf_min"))
+            .otherwise(F.array_except("buf_min", "del_min"))
+            .alias("buf_min"),
+            (F.col("n_orders") - F.coalesce(F.col("n_del"), F.lit(0))).alias(
+                "n_orders"
+            ),
+        )
+        .filter(F.col("n_orders") > 0)
+        .localCheckpoint()  # referenced twice below (healthy + drained)
+    )
+    drained_keys = after.filter(
+        (F.size("buf_max") == 0) | (F.size("buf_min") == 0)
+    ).select("custkey")
+    healthy = after.filter(
+        (F.size("buf_max") > 0) & (F.size("buf_min") > 0)
+    )
+    # bounded recompute: surviving base rows for DRAINED keys only
+    recomputed = partial(
+        per_order.filter(F.col("okey") % RETRACT_MOD != 0).join(
+            drained_keys, "custkey", "semi"
+        )
+    )
+    return healthy.unionByName(recomputed).select(
+        "custkey",
+        (-F.element_at("buf_max", 1).getField("nu")).alias("max_order_units"),
+        F.element_at("buf_min", 1).getField("units").alias("min_order_units"),
+        "n_orders",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inc_view_maintenance": view_incremental,
     "inc_state_rollup": state_rollup,
     "inc_revenue_with_retractions": revenue_with_retractions,
+    "inc_minmax_with_retractions": minmax_with_retractions,
 }
 
 ORACLES: dict[str, str] = {
@@ -201,6 +342,24 @@ ORACLES: dict[str, str] = {
                CAST(SUM(u) AS BIGINT) AS revenue_units,
                CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
         FROM per_l GROUP BY custkey""",
+    # deletable min/max: buffers + drain-recompute must land exactly on
+    # the from-scratch extremes over surviving orders
+    "inc_minmax_with_retractions": f"""
+        WITH per_o AS (
+            SELECT o.o_custkey AS custkey, o.o_orderkey AS okey,
+                   CAST(SUM(
+                       CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (10000 -
+                          CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT))
+                   ) AS BIGINT) AS units
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey % {RETRACT_MOD} != 0
+            GROUP BY 1, 2)
+        SELECT custkey,
+               CAST(MAX(units) AS BIGINT) AS max_order_units,
+               CAST(MIN(units) AS BIGINT) AS min_order_units,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM per_o GROUP BY custkey""",
     "inc_state_rollup": """
         WITH fact AS (
             SELECT o.o_custkey AS Customer_ID, p.p_type, o.o_orderkey

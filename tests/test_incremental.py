@@ -124,3 +124,47 @@ def test_revenue_retractions_fold_deletes_exactly(spark, sf_dir):
         .collect()
     }
     assert any(got.get(c) != full.get(c) for c in touched)
+
+
+def test_minmax_retractions_replace_deleted_extrema(spark, sf_dir):
+    """Deletable MIN/MAX: the buffered-candidate + drain-recompute
+    maintenance must equal the from-scratch extremes over surviving
+    orders; at buf_n=1 EVERY deleted per-key max drains its buffer, so
+    the recompute path is exercised hard; and the delete batch must
+    have genuinely changed at least one customer's max."""
+    from pyspark.sql import functions as F
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.incremental import (
+        RETRACT_MOD,
+        _per_order_units,
+        minmax_with_retractions,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    per_order = _per_order_units(o, l)
+
+    def extremes(df):
+        return {
+            r.custkey: (r.mx, r.mn, r.n)
+            for r in df.groupBy("custkey")
+            .agg(
+                F.max("units").alias("mx"),
+                F.min("units").alias("mn"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        }
+
+    expected = extremes(per_order.filter(F.col("okey") % RETRACT_MOD != 0))
+    for buf_n in (1, 2):
+        got = {
+            r.custkey: (r.max_order_units, r.min_order_units, r.n_orders)
+            for r in minmax_with_retractions(spark, sf_dir, buf_n).collect()
+        }
+        assert got == expected, f"buf_n={buf_n} diverged from recompute"
+    # a delete changed at least one customer's max (not just counts)
+    full = extremes(per_order)
+    assert any(
+        expected[c][0] != full[c][0] for c in expected if c in full
+    ), "fixture never deletes a per-key max — test is vacuous"
