@@ -128,6 +128,126 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Back-edges (part → customer) exist only for high-quantity returns —
+#: deliberately sparse so the directed fixture has REAL teleport-only
+#: nodes (in-degree 0: 73/727/6988 at sf0.001/0.01/0.1) and dangling
+#: nodes (out-degree 0: 102/1134/10930).
+RETURN_QTY_MIN = 48
+
+
+def _supply_return_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED distinct edge list over a two-kind node space
+    (customer = 2·custkey, part = 2·partkey+1 — parity disambiguates
+    the overlapping key ranges): customer → part for every purchase,
+    part → customer only for returned high-quantity lines
+    (``l_returnflag = 'R'``, quantity ≥ ``RETURN_QTY_MIN``). The two
+    legs are disjoint by parity, so their union is already distinct."""
+    t = load_tables(spark, sf_dir, names=("lineitem", "orders"), register=False)
+    li, o = t["lineitem"], t["orders"]
+    joined = li.join(
+        o.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.col("o_custkey").alias("custkey"),
+        ),
+        "l_orderkey",
+    )
+    fwd = joined.select(
+        (F.col("custkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    ret = (
+        joined.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_quantity") >= RETURN_QTY_MIN)
+        )
+        .select(
+            (F.col("l_partkey") * 2 + 1).alias("src"),
+            (F.col("custkey") * 2).alias("dst"),
+        )
+        .distinct()
+    )
+    return fwd.union(ret)
+
+
+def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TOP_N`` nodes by integer fixed-point PageRank on the
+    DIRECTED supply/return graph — the twin the symmetric co-purchase
+    entry cannot exercise (its inner join is total only because every
+    node there has in-edges; ``graph.py`` r7 verdict item). Two extra
+    mechanisms of the published formulation appear here:
+
+    - **teleport-only nodes** (in-degree 0 — customers nobody returns
+      to, never-returned parts): the per-iteration rank update is a
+      LEFT join from the node set to the incoming-contribution
+      aggregate with ``coalesce(inc, 0)``, so they re-rank to the
+      teleport term instead of silently dropping out of the state (an
+      inner join shrinks the graph every iteration);
+    - **dangling mass** (out-degree 0 — parts never returned): their
+      rank cannot flow along edges, so each iteration redistributes it
+      uniformly — ``share = (Σ rank of d=0 nodes) div n_nodes``, an
+      exact-integer scalar computed as a 1-row frame and cross-joined
+      (broadcast) into the update, never a driver collect.
+
+    rank' = TELEPORT + 85·(coalesce(inc, 0) + share) div 100, all
+    BIGINT — the DuckDB oracle unrolls the identical recurrence, so
+    ranks hash-match to the last fixed-point unit. Scale posture
+    matches the co-purchase entry: edges checkpointed once, one
+    shuffle_hash join + one aggregation per iteration, plus two
+    broadcast-sized scalar frames (dangling sum, node count)."""
+    edges = _supply_return_edges(spark, sf_dir).localCheckpoint()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    base = (
+        nodes.join(outdeg.withColumnRenamed("src", "id"), "id", "left")
+        .select("id", F.coalesce("d", F.lit(0)).alias("d"))
+        .localCheckpoint()  # node set + out-degrees reused every iteration
+    )
+    n_frame = base.agg(F.count(F.lit(1)).alias("n_nodes"))
+    state = base.withColumn("rank", F.lit(SCALE).cast("long"))
+    for _ in range(N_ITERS):
+        contrib = state.filter(F.col("d") > 0).select(
+            F.col("id").alias("src"), F.expr("rank div d").alias("c")
+        )
+        inc = (
+            edges.join(contrib.hint("shuffle_hash"), "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+            .withColumnRenamed("dst", "id")
+        )
+        share = (
+            state.filter(F.col("d") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dm"))
+            .crossJoin(n_frame)
+            .select(F.expr("dm div n_nodes").alias("share"))
+        )
+        state = (
+            base.join(inc.hint("shuffle_hash"), "id", "left")
+            .crossJoin(F.broadcast(share))
+            .select(
+                "id",
+                "d",
+                (
+                    F.lit(TELEPORT)
+                    + F.expr(
+                        f"({DAMP_NUM} * (coalesce(inc, CAST(0 AS BIGINT))"
+                        f" + share)) div {DAMP_DEN}"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return (
+        state.select(
+            F.col("id").alias("node_id"), F.col("rank").alias("rank_fp")
+        )
+        .orderBy(F.desc("rank_fp"), F.asc("node_id"))
+        .limit(TOP_N)
+    )
+
+
 def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row co-purchase graph summary: node count, undirected edge
     count, and the EXACT triangle count via the DEGREE-ORDERED wedge
@@ -227,8 +347,56 @@ def _pagerank_oracle() -> str:
     return sql
 
 
+def _pagerank_directed_oracle() -> str:
+    """Unrolled directed recurrence with dangling-share and left-join
+    teleport re-rank — identical integer math to the Spark loop."""
+    sql = f"""
+        WITH fwd AS (
+            SELECT DISTINCT o.o_custkey * 2 AS src,
+                   l.l_partkey * 2 + 1 AS dst
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        ret AS (
+            SELECT DISTINCT l.l_partkey * 2 + 1 AS src,
+                   o.o_custkey * 2 AS dst
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_returnflag = 'R'
+              AND l.l_quantity >= {RETURN_QTY_MIN}),
+        edges AS (SELECT * FROM fwd UNION SELECT * FROM ret),
+        nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        deg AS (
+            SELECT n.id, COALESCE(o.d, 0) AS d
+            FROM nodes n LEFT JOIN (
+                SELECT src, COUNT(*) AS d FROM edges GROUP BY src) o
+              ON o.src = n.id),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        r0 AS (
+            SELECT id, d, CAST({SCALE} AS BIGINT) AS rank FROM deg)"""
+    prev = "r0"
+    for i in range(1, N_ITERS + 1):
+        sql += f""",
+        d{i} AS (
+            SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dm
+            FROM {prev} WHERE d = 0),
+        i{i} AS (
+            SELECT e.dst AS id, CAST(SUM(r.rank // r.d) AS BIGINT) AS inc
+            FROM edges e JOIN {prev} r ON e.src = r.id
+            WHERE r.d > 0 GROUP BY e.dst),
+        r{i} AS (
+            SELECT g.id, g.d,
+                   CAST({TELEPORT} + ({DAMP_NUM} * (COALESCE(i.inc, 0) +
+                        (SELECT dm FROM d{i}) // (SELECT n FROM nn)))
+                        // {DAMP_DEN} AS BIGINT) AS rank
+            FROM deg g LEFT JOIN i{i} i ON g.id = i.id)"""
+        prev = f"r{i}"
+    sql += f"""
+        SELECT id AS node_id, rank AS rank_fp FROM {prev}
+        ORDER BY rank_fp DESC, node_id LIMIT {TOP_N}"""
+    return sql
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank_copurchase": graph_pagerank_copurchase,
+    "graph_pagerank_directed": graph_pagerank_directed,
     "graph_triangle_stats": graph_triangle_stats,
 }
 
@@ -246,6 +414,7 @@ _EDGE_CTES = """
 
 ORACLES: dict[str, str] = {
     "graph_pagerank_copurchase": _pagerank_oracle(),
+    "graph_pagerank_directed": _pagerank_directed_oracle(),
     # identical degree orientation and wedge closure, replayed in SQL
     "graph_triangle_stats": f"""
         WITH {_EDGE_CTES},

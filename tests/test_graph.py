@@ -67,6 +67,68 @@ def test_pagerank_iterations_never_sort_merge_join(spark, sf_dir):
     assert "ShuffledHashJoin" in plan
 
 
+def _reference_pagerank_directed(
+    edges: list[tuple[int, int]],
+) -> dict[int, int]:
+    """Pure-Python twin of the DIRECTED recurrence: left-join teleport
+    re-rank for in-degree-0 nodes plus uniform integer redistribution
+    of dangling (out-degree-0) mass."""
+    deg: dict[int, int] = {}
+    nodes = set()
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+        nodes.update((s, d))
+    rank = {n: SCALE for n in nodes}
+    for _ in range(N_ITERS):
+        inc: dict[int, int] = {}
+        for s, d in edges:
+            inc[d] = inc.get(d, 0) + rank[s] // deg[s]
+        dangling = sum(r for n, r in rank.items() if deg.get(n, 0) == 0)
+        share = dangling // len(nodes)
+        rank = {
+            n: TELEPORT + (DAMP_NUM * (inc.get(n, 0) + share)) // DAMP_DEN
+            for n in nodes
+        }
+    return rank
+
+
+def test_pagerank_directed_handles_teleport_only_and_dangling(spark, sf_dir):
+    from customer_revenue_analysis_sql_tableau_spark.operators.graph import (
+        _supply_return_edges,
+        graph_pagerank_directed,
+    )
+
+    edges = [
+        (r.src, r.dst) for r in _supply_return_edges(spark, sf_dir).collect()
+    ]
+    srcs = {s for s, _ in edges}
+    dsts = {d for _, d in edges}
+    # the fixture must genuinely exercise both mechanisms
+    assert srcs - dsts, "no teleport-only (in-degree-0) node in fixture"
+    assert dsts - srcs, "no dangling (out-degree-0) node in fixture"
+    ref = _reference_pagerank_directed(edges)
+    expected = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_N]
+    got = [
+        (r.node_id, r.rank_fp)
+        for r in graph_pagerank_directed(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # teleport-only nodes stayed in the state (an inner join would have
+    # dropped them after iteration 1): every node is still ranked
+    assert len(ref) == len(srcs | dsts)
+
+
+def test_pagerank_directed_never_sort_merge_joins_iterations(spark, sf_dir):
+    from customer_revenue_analysis_sql_tableau_spark.operators.graph import (
+        graph_pagerank_directed,
+    )
+
+    df = graph_pagerank_directed(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+
 def test_leakage_safe_split_never_straddles_components(spark, sf_dir):
     from pyspark.sql import functions as F
 
