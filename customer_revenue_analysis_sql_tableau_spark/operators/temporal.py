@@ -308,6 +308,59 @@ def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gap_fill_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series GAP FILL + forward fill — the resampling step every
+    feature/metrics pipeline needs before a model sees regular-interval
+    series, and one Spark has no builtin for: per user, the hourly
+    sum(value) series densified to EVERY hour between that user's first
+    and last event, missing hours carrying the last observed value
+    forward and flagged ``is_gap``.
+
+    Spark-first shape: (1) one groupBy to the hourly actuals (decimal
+    sum — order-independent); (2) the dense grid from
+    ``explode(sequence(h0, h1))`` per user — generated, not joined
+    against a calendar table, so there is no second scan and the
+    fan-out is bounded by each key's own span; (3) a left join back to
+    actuals on (user, hour) — same key as the grid's partitioning, so
+    AQE plans it without an extra exchange of the big side; (4) one
+    ``last(ignorenulls)`` window per user for the carry-forward. Hour
+    buckets are integer ``unix_micros div 3600e6`` — no timezone or
+    calendar arithmetic to diverge between engines. The first bucket
+    per user is an actual by construction, so the fill is total.
+    Scale: everything is keyed by user_id end-to-end (one shuffle),
+    grid size ∝ Σ per-user spans, never |users| × global span."""
+    e = _events(spark, sf_dir)
+    hour = F.expr("unix_micros(ts) div 3600000000").alias("hour_bucket")
+    actual = e.groupBy("user_id", hour).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    span = actual.groupBy("user_id").agg(
+        F.min("hour_bucket").alias("h0"), F.max("hour_bucket").alias("h1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour_bucket")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(actual, ["user_id", "hour_bucket"], "left")
+        .select(
+            "user_id",
+            "hour_bucket",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.last("v", ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("value_filled"),
+            F.col("v").isNull().alias("is_gap"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_asof_join": asof_join_purchase_click,
     "temporal_asof_tolerance": asof_join_with_tolerance,
@@ -318,6 +371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_latest_per_user": latest_event_per_user,
     "temporal_value_percentiles": events_value_percentiles,
     "temporal_value_percentiles_approx": events_value_percentiles_approx,
+    "temporal_gap_fill": gap_fill_hourly_value,
 }
 
 _CLICKS_SQL = """
@@ -423,4 +477,27 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(value, 0.9), 9) AS p90_value,
                max(value) AS max_value
         FROM events GROUP BY event_type""",
+    # same integer hour buckets, generate_series grid, IGNORE NULLS fill
+    "temporal_gap_fill": """
+        WITH actual AS (
+            SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+        span AS (
+            SELECT user_id, min(hour_bucket) AS h0, max(hour_bucket) AS h1
+            FROM actual GROUP BY user_id),
+        grid AS (
+            SELECT user_id, unnest(generate_series(h0, h1)) AS hour_bucket
+            FROM span)
+        SELECT g.user_id, g.hour_bucket,
+               COALESCE(a.n, 0) AS n_events,
+               CAST(last_value(a.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour_bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS value_filled,
+               a.v IS NULL AS is_gap
+        FROM grid g
+        LEFT JOIN actual a
+          ON a.user_id = g.user_id AND a.hour_bucket = g.hour_bucket""",
 }

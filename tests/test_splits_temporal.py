@@ -388,3 +388,36 @@ def test_asof_tolerance_nulls_stale_matches_only(spark, sf_dir):
                 b.gap_us,
             )
     assert stale > 0 and fresh > 0  # the bound is exercised both ways
+
+
+def test_gap_fill_densifies_and_carries_forward(spark, sf_dir):
+    """The filled series must be dense per user (every hour between the
+    user's first and last event), carry the last observed hourly sum
+    across gap hours, and never flag an hour that had events."""
+    from pyspark.sql import functions as F
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.temporal import (
+        gap_fill_hourly_value,
+    )
+
+    rows = gap_fill_hourly_value(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    saw_gap = False
+    for series in by_user.values():
+        series.sort(key=lambda r: r.hour_bucket)
+        hours = [r.hour_bucket for r in series]
+        assert hours == list(range(hours[0], hours[-1] + 1))  # dense
+        assert not series[0].is_gap  # first bucket is an actual
+        last_val = None
+        for r in series:
+            if r.is_gap:
+                saw_gap = True
+                assert r.n_events == 0
+                assert r.value_filled == last_val  # carried forward
+            else:
+                assert r.n_events > 0
+                last_val = r.value_filled
+    assert saw_gap, "fixture has no gap hours - test is vacuous"
