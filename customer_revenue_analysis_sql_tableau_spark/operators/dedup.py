@@ -931,8 +931,94 @@ def _star_rounds(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     )
 
 
+#: Edit-distance join: report pairs within ``ED_K`` edits. The
+#: candidate stage is the Ed-Join-style q-gram PREFIX filter (public
+#: Xiao/Wang/Lin 2008 + Chaudhuri et al. prefix-filtering principle):
+#: one edit destroys at most ``ED_Q`` gram types, so two strings within
+#: ``ED_K`` edits each miss at most ``ED_K·ED_Q`` of the other's gram
+#: set — their first ``ED_K·ED_Q + 1`` grams under ANY shared total
+#: order must intersect. Ordering grams rarest-first makes the shared
+#: prefix grams selective, so the gram self-join stays near-linear.
+ED_K = 8
+ED_Q = 3
+ED_PREFIX = ED_K * ED_Q + 1
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-duplicate pairs within ``ED_K`` edits (unit-cost
+    Levenshtein), exact result via a LOSSLESS prefix filter:
+
+    1. character ``ED_Q``-grams per doc (distinct — set semantics keep
+       the destroy-at-most-``k·q``-types bound, see ``ED_K`` note);
+    2. global gram frequencies (one agg) define the total order
+       (count asc, gram asc) — rarest grams first;
+    3. per-doc prefix = first ``ED_PREFIX`` grams in that order; the
+       candidate set is the prefix self-join on gram (equi-join,
+       plan-scan-clean) — provably a superset of all true pairs;
+    4. exact verification: ``levenshtein(text_a, text_b) ≤ ED_K`` plus
+       the free length-difference prune (|Δlen| ≤ k always holds at
+       distance k).
+
+    The oracle is the brute-force all-pairs DuckDB ``levenshtein`` —
+    the driver hash proves the filter dropped nothing. Scale: the
+    all-pairs form is O(n²·len²); the prefix form moves
+    docs × ``ED_PREFIX`` rows into a posting-list join whose fan-out
+    is bounded by rare-gram frequencies, and only candidates pay the
+    quadratic-in-length verify. Docs shorter than ``ED_Q`` chars are
+    out of the operator's domain (both engines filter them)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    docs = d.select("doc_id", "text").filter(F.length("text") >= ED_Q)
+    grams = docs.selectExpr(
+        "doc_id",
+        f"explode(array_distinct(transform("
+        f"sequence(0, length(text) - {ED_Q}), "
+        f"i -> substring(text, i + 1, {ED_Q})))) AS gram",
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gf"))
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("gf"), F.asc("gram"))
+    prefix = (
+        grams.join(counts.hint("shuffle_hash"), "gram")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") <= ED_PREFIX)
+        .select("doc_id", "gram")
+    )
+    cand = (
+        prefix.alias("a")
+        .hint("shuffle_hash")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(
+            F.abs(F.length("text_a") - F.length("text_b")) <= ED_K
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= ED_K)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
+    "dedup_edit_distance": dedup_edit_distance,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
     "dedup_containment_prefix": dedup_containment_prefix,
@@ -1121,6 +1207,19 @@ ORACLES: dict[str, str] = {
         SELECT md5(lower(trim(text))) AS text_hash,
                min(doc_id) AS keep_doc_id, count(*) AS n_copies
         FROM documents GROUP BY 1""",
+    # brute-force all-pairs Levenshtein: the driver hash proves the
+    # Spark prefix filter was lossless (the |Δlen| prune is implied by
+    # dist <= k; it only speeds the oracle up)
+    "dedup_edit_distance": f"""
+        WITH d AS (
+            SELECT doc_id, text FROM documents
+            WHERE length(text) >= {ED_Q})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        FROM d a JOIN d b
+          ON a.doc_id < b.doc_id
+         AND abs(length(a.text) - length(b.text)) <= {ED_K}
+        WHERE levenshtein(a.text, b.text) <= {ED_K}""",
     "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
     "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
     # cross-side restriction of the exact pair set, oriented new→base

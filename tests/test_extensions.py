@@ -1982,3 +1982,50 @@ def test_gif_lzw_kwkwk_case_explicitly():
             assert (
                 _gif_lzw_decode(_gif_lzw_encode(stream, mcs), mcs, n) == stream
             )
+
+
+def test_edit_distance_join_prefix_filter_is_lossless(spark, sf_dir):
+    """The q-gram prefix filter must recover EVERY brute-force pair (it
+    is a provable superset; verification trims it). Brute force is
+    quadratic in docs × len², so it runs on a deterministic ~40%
+    subset — but the operator's output is computed on the FULL corpus
+    (prefix selectivity depends on global gram frequencies), then
+    restricted to subset pairs, so the filter is tested in its real
+    operating regime. The fixture must contain true near-pairs."""
+    from pyspark.sql import functions as F
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
+        ED_K,
+        ED_Q,
+        dedup_edit_distance,
+    )
+
+    keep = F.col("doc_id") % 5 < 2  # deterministic subset
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.length("text") >= ED_Q)
+        .filter(keep)
+        .select("doc_id", "text")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    brute = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in a.join(
+            b,
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.length("ta") - F.length("tb")) <= ED_K),
+        )
+        .select(
+            "doc_a", "doc_b", F.levenshtein("ta", "tb").cast("long").alias("dist")
+        )
+        .filter(F.col("dist") <= ED_K)
+        .collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in dedup_edit_distance(spark, sf_dir).collect()
+        if r.doc_a % 5 < 2 and r.doc_b % 5 < 2
+    }
+    assert got == brute
+    assert brute, "fixture has no pairs within ED_K edits - vacuous"

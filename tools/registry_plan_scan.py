@@ -58,6 +58,7 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "embed_profile_by_label",  # broadcast per-label stats (rows = labels)
         "sim_lsh_recall_check",  # inherits sim_lsh_topk's bounded query set
         "sim_ivf_recall_check",  # inherits sim_ivf_topk's bounded query set
+        "graph_pagerank_directed",  # 1-row dangling-share scalar frame per iteration
         "sim_pq_topk",  # broadcast query LUTs x code scan, queries bounded
         "sim_pq_recall_check",  # inherits sim_pq_topk's bounded query set
         "sim_ivfpq_recall_check",  # embeds sim_bruteforce_topk (exact side)
