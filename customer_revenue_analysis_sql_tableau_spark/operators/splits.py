@@ -439,8 +439,47 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Stratified sampling rate as an exact integer rule: quota per
+#: stratum = ceil(n / STRAT_DENOM) — float fractions round differently
+#: across engines; integer division never does.
+STRAT_DENOM = 5
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample — the eval-set builder's allocation rule: from
+    every (lang, source) stratum take exactly ``ceil(n/5)`` documents
+    (20%, rounded up so no stratum is empty), chosen by a reproducible
+    hash order. This is what keeps a held-out set representative when
+    sources/languages are imbalanced — a global 20% hash split would
+    under-sample small strata with binomial noise; the stratified form
+    is exact per stratum by construction.
+
+    Determinism across engines and partitionings: the per-stratum order
+    is md5(doc_id || ':strat') — both engines produce identical
+    lowercase hex — with doc_id as the tiebreaker; the quota is integer
+    arithmetic. One shuffle (window by stratum); at 100 TB strata are
+    orders of magnitude wider than executors, so the per-stratum sort
+    is the bounded per-group kind, not a global one."""
+    d = _docs(spark, sf_dir)
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat")))
+    w = Window.partitionBy("lang", "source").orderBy("sample_key", "doc_id")
+    wn = Window.partitionBy("lang", "source")
+    return (
+        d.select("doc_id", "lang", "source", key.alias("sample_key"))
+        .withColumn("strat_n", F.count(F.lit(1)).over(wn).cast("long"))
+        .withColumn(
+            "quota",
+            F.expr(f"(strat_n + {STRAT_DENOM - 1}) div {STRAT_DENOM}"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "lang", "source", "strat_n", "quota", "rn")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_train_test": split_train_test,
+    "split_stratified_sample": stratified_sample,
     "split_leakage_safe": split_leakage_safe,
     "split_sample_per_source": sample_per_source,
     "split_pack_sequences": pack_sequences,
@@ -457,6 +496,22 @@ from .text import TOKENS_SQL as _TOKENS_SQL  # noqa: E402 (oracle text)
 from .dedup import _COMPONENTS_SQL as _COMP_SQL  # noqa: E402 (oracle text)
 
 ORACLES: dict[str, str] = {
+    # identical md5 order, integer ceil-quota, per-stratum row_number
+    "split_stratified_sample": f"""
+        WITH keyed AS (
+            SELECT doc_id, lang, source,
+                   md5(CAST(doc_id AS VARCHAR) || ':strat') AS sample_key,
+                   CAST(count(*) OVER (PARTITION BY lang, source) AS BIGINT)
+                       AS strat_n,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat'),
+                                doc_id) AS BIGINT) AS rn
+            FROM documents)
+        SELECT doc_id, lang, source, strat_n,
+               (strat_n + {STRAT_DENOM - 1}) // {STRAT_DENOM} AS quota, rn
+        FROM keyed
+        WHERE rn <= (strat_n + {STRAT_DENOM - 1}) // {STRAT_DENOM}""",
     # components via the recursive-CTE twin, then the identical
     # md5(component_id || ':leak') bucket rule
     "split_leakage_safe": f"""

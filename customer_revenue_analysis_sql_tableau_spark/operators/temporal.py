@@ -361,8 +361,47 @@ def gap_fill_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 interval build — the warehouse pattern for "what was
+    this entity's state at time t": collapse each user's event stream
+    into validity intervals, one row per RUN of equal ``event_type``,
+    with ``valid_from``/``valid_to`` (NULL = current) and a version
+    number. The CDC-to-dimension step every history-preserving
+    warehouse load performs.
+
+    Shape: one lag() to mark run starts, one filter, one lead() for
+    the closing timestamp — two windows over the same (user_id) keying,
+    so a single shuffle end-to-end; no self-join, no explode. Ordering
+    ties at identical ts break on event_id in both engines, so the
+    intervals are deterministic."""
+    e = _events(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(wo).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return starts.select(
+        "user_id",
+        F.row_number().over(wv).cast("long").alias("version"),
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wv).alias("valid_to"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_asof_join": asof_join_purchase_click,
+    "temporal_scd2_user_state": scd2_user_state,
     "temporal_asof_tolerance": asof_join_with_tolerance,
     "temporal_range_join": range_join_clicks_before_errors,
     "temporal_pivot_user_values": pivot_user_event_values,
@@ -477,6 +516,25 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(value, 0.9), 9) AS p90_value,
                max(value) AS max_value
         FROM events GROUP BY event_type""",
+    # identical run-start detection + closing lead() in SQL
+    "temporal_scd2_user_state": """
+        WITH ordered AS (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events),
+        starts AS (
+            SELECT user_id, ts, event_id, event_type
+            FROM ordered
+            WHERE prev_type IS NULL OR prev_type != event_type)
+        SELECT user_id,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               event_type,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to
+        FROM starts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     # same integer hour buckets, generate_series grid, IGNORE NULLS fill
     "temporal_gap_fill": """
         WITH actual AS (

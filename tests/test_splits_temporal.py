@@ -421,3 +421,67 @@ def test_gap_fill_densifies_and_carries_forward(spark, sf_dir):
                 assert r.n_events > 0
                 last_val = r.value_filled
     assert saw_gap, "fixture has no gap hours - test is vacuous"
+
+
+def test_stratified_sample_hits_exact_quota_per_stratum(spark, sf_dir):
+    """Every (lang, source) stratum contributes exactly ceil(n/5) docs,
+    the selection is reproducible, and no stratum is empty."""
+    from pyspark.sql import functions as F
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.splits import (
+        STRAT_DENOM,
+        stratified_sample,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sizes = {
+        (r.lang, r.source): r.n
+        for r in d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = stratified_sample(spark, sf_dir).collect()
+    taken: dict[tuple, int] = {}
+    for r in rows:
+        key = (r.lang, r.source)
+        taken[key] = taken.get(key, 0) + 1
+        assert r.strat_n == sizes[key]
+        assert r.quota == -(-sizes[key] // STRAT_DENOM)
+    assert set(taken) == set(sizes)  # no stratum dropped
+    for key, n in sizes.items():
+        assert taken[key] == -(-n // STRAT_DENOM)
+    # reproducible: same doc set on a second run
+    again = {r.doc_id for r in stratified_sample(spark, sf_dir).collect()}
+    assert again == {r.doc_id for r in rows}
+
+
+def test_scd2_intervals_tile_each_users_history(spark, sf_dir):
+    """Per user: version 1..k contiguous, each interval closes exactly
+    where the next opens, the last is open-ended, consecutive intervals
+    never share a state (runs are maximal), and replaying the raw
+    events against the intervals maps every event into the interval
+    carrying its type."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.temporal import (
+        scd2_user_state,
+    )
+
+    rows = scd2_user_state(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for series in by_user.values():
+        series.sort(key=lambda r: r.version)
+        assert [r.version for r in series] == list(range(1, len(series) + 1))
+        for a, b in zip(series, series[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.event_type != b.event_type  # maximal runs
+        assert series[-1].valid_to is None
+    # replay: each raw event falls in an interval with its own type
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    for ev in e[:500]:
+        series = by_user[ev.user_id]
+        hits = [
+            r
+            for r in series
+            if r.valid_from <= ev.ts and (r.valid_to is None or ev.ts < r.valid_to)
+        ]
+        assert len(hits) == 1 and hits[0].event_type == ev.event_type
