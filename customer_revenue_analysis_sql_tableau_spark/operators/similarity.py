@@ -597,8 +597,116 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Incremental-ingest split: vectors with ``vec_id % DELIVERY_MOD ==
+#: DELIVERY_MOD - 1`` are the NEW DELIVERY; the rest are the persisted
+#: base index.
+DELIVERY_MOD = 10
+
+
+def sim_delivery_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact delivery-vs-base cosine top-k — the baseline the
+    incremental tier is measured against, and an oracle-backed entry
+    itself (delivery is 10% of the corpus, so the pair space is
+    0.1·N² — fine as a CHECK, the thing the IVF tier exists to avoid
+    as a production path)."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    is_new = F.col("vec_id") % DELIVERY_MOD == DELIVERY_MOD - 1
+    q = ed.filter(is_new).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    base = ed.filter(~is_new)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(base, F.lit(True))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos("qv", "v").alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def sim_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN INDEX MAINTENANCE — the production shape of
+    vector search under continuous ingest (the ANN sibling of
+    ``dedup_incremental_lsh``): a new DELIVERY of vectors arrives, the
+    coarse quantizer is NOT retrained (FAISS discipline — the quantizer
+    is a stable artifact; retraining would re-encode the whole base),
+    and each delivery vector is (a) assigned to its cell — ready to be
+    appended to the persisted inverted lists — and (b) searched against
+    the BASE index through the normal nprobe path.
+
+    Cost ∝ |delivery| × probed cells — never re-touches the full base
+    corpus except through cell-bounded candidate reads (the probed join
+    is a key-bounded equi-join on cell). Quantizer training reads a
+    bounded sample of the BASE only (the delivery must not shift the
+    cells it is being matched into). Recall < 1 by construction →
+    rows-only oracle; ``sim_incremental_recall_check`` pins the floor
+    vs ``sim_delivery_brute_topk`` under the driver hash."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    is_new = F.col("vec_id") % DELIVERY_MOD == DELIVERY_MOD - 1
+    base = ed.filter(~is_new)
+    delivery = ed.filter(is_new)
+    sample_rows = (
+        base.orderBy(F.xxhash64(F.col("vec_id").cast("string"), F.lit(LSH_SEED)))
+        .limit(IVF_TRAIN_SAMPLE)
+        .collect()
+    )
+    nlist, nprobe = _ivf_geometry(len(sample_rows))
+    cents = _train_centroids(np.array([r["v"] for r in sample_rows]), nlist)
+    cmat, cnorm = cents, (cents**2).sum(axis=1)
+
+    @pandas_udf("int")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy())
+        d2 = (m**2).sum(axis=1)[:, None] - 2.0 * (m @ cmat.T) + cnorm[None, :]
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    # the persisted inverted lists (stand-in: checkpointed frame)
+    assigned_base = base.withColumn("cell", cell_of(F.col("v"))).localCheckpoint()
+
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, cv array<double>",
+    )
+    l2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probed = (
+        delivery.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("d2", l2)
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = probed.join(assigned_base, "cell").select(
+        "query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", _cos("qv", "v").alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
+    "sim_delivery_brute_topk": sim_delivery_brute_topk,
+    "sim_incremental_ivf": sim_incremental_ivf,  # rows-only (probabilistic)
     "sim_lsh_topk": sim_lsh_topk,  # rows-only (probabilistic recall)
     "sim_ivf_topk": sim_ivf_topk,  # rows-only (probabilistic recall)
     "sim_pq_topk": sim_pq_topk,  # rows-only (probabilistic recall)
@@ -606,6 +714,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "sim_delivery_brute_topk": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                   list_dot_product(q.v, x.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(x.v, x.v))) AS cosine
+            FROM e q JOIN e x
+              ON x.vec_id % {DELIVERY_MOD} != {DELIVERY_MOD - 1}
+            WHERE q.vec_id % {DELIVERY_MOD} = {DELIVERY_MOD - 1}),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {TOP_K}""",
     "sim_bruteforce_topk": f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -2029,3 +2029,32 @@ def test_edit_distance_join_prefix_filter_is_lossless(spark, sf_dir):
     }
     assert got == brute
     assert brute, "fixture has no pairs within ED_K edits - vacuous"
+
+
+def test_incremental_ivf_recall_and_cell_bounded_candidates(spark, sf_dir):
+    """The incremental tier must hit the recall floor vs the exact
+    delivery-vs-base baseline, never return a delivery vector as a
+    neighbor (the base index excludes the delivery), and respect k."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.similarity import (
+        DELIVERY_MOD,
+        TOP_K,
+        sim_delivery_brute_topk,
+        sim_incremental_ivf,
+    )
+    from customer_revenue_analysis_sql_tableau_spark.operators.sketch_checks import (
+        INCREMENTAL_RECALL_FLOOR,
+    )
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_delivery_brute_topk(spark, sf_dir).collect()
+    }
+    rows = sim_incremental_ivf(spark, sf_dir).collect()
+    ap = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(bf & ap) / len(bf) >= INCREMENTAL_RECALL_FLOOR
+    per_q: dict[int, int] = {}
+    for r in rows:
+        assert r.query_id % DELIVERY_MOD == DELIVERY_MOD - 1
+        assert r.neighbor_id % DELIVERY_MOD != DELIVERY_MOD - 1
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(v <= TOP_K for v in per_q.values())
