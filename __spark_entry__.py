@@ -70,94 +70,47 @@ _REGISTRY_MODULES = [
 
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
-# at ENTRY level. Round-7 ordering (VERDICT.md r6, Next #1/#2/#3):
-# (1) the FOUR r6-late entries that have never been in a driver window
-# (front-loaded per the r6 verdict's top directive); (2) the TEN new
-# r7 entries — JPEG header tier (r6 Next #5), FULL baseline JPEG pixel
-# decode (last stub retired), real-LZW GIF, the composed IVF-PQ tier +
-# its recall bound, integer fixed-point PageRank (new iterative-graph
-# family), the leakage-safe component-keyed split, exact fixed-point
-# Lloyd's k-means, incremental ingest dedup, and the sliding-window
-# late-drop drain; (3) entries
-# whose registered plan/digest changed this round — sim_pq_topk's
-# two-stage bounded ADC shortlist (r6 "What's wrong" #1) + its recall
-# bound, the approx-cutoffs non-null-population fix,
-# jsonl_corrupt_tolerance's NULL-sentinel digest (driver ADVICE), and
-# the WAV/BMP codec entries (codec scans now repartitioned — plan
-# change); (4) the ENTIRE 23-entry r3-freshness cohort — with these
-# the r3 backlog empties completely (every registry entry's freshest
-# proof becomes r4+); (5) r4-proven reference-core entries (flagship,
-# the 8-table view, q1-q11) as the freshness frontier advances.
-# Guarded against rot by
-# tests/test_registry_hygiene.py::test_priority_names_exist.
+# at ENTRY level. Round-8 ordering (VERDICT.md r7, Next #2/#3/#4/#5/#6):
+# (1) the NINE new r8 entries that have never been in a driver
+# window — deletable min/max IVM (r7 Next #5), the directed PageRank
+# twin with dangling-mass handling (r7 Next #6), time-series gap fill,
+# the edit-distance fuzzy join, stratified sampling, SCD Type 2
+# intervals, and the incremental-ANN triple (delivery brute baseline,
+# rows-only IVF ingest tier, its recall bound); (2) the FOUR PQ
+# entries whose registered plans changed this round — codes are now a
+# packed 10-byte BinaryType bitstream with a conv/shift JVM unpack
+# (r7 Next #4) — re-proved on current code; (3) the SEVENTEEN
+# r4-proven reference-core parity entries (q1–q11, q1_full, the MFC
+# window, three Tableau charts, the bucketed view fill) promoted per
+# r7 Next #2 — the parity surface is the project's name and must
+# never be the stalest thing in the registry (floor becomes r5+);
+# (4) the FIVE stale rows-only entries (last windowed r1–r3) re-listed
+# adjacent to their hash-green bound twins per r7 Next #3; (5) slack
+# slots go to the next-stalest r5-proven cohort. Guarded against rot
+# by tests/test_registry_hygiene.py::test_priority_names_exist.
 _PRIORITY = [
-    # -- r6-late, first driver proof (VERDICT r6, Next #1) --
-    "jsonl_corrupt_tolerance",  # PERMISSIVE quarantine + NULL-sentinel digest
-    "multimodal_decode_png",  # real stdlib PNG codec (zlib + 5 filters)
-    "split_length_buckets",  # padding-efficiency planner
-    "stream_late_session_drain",  # session-window event-time drop rule
-    # -- new this round (r7) --
-    "multimodal_decode_jpeg_header",  # stdlib SOF marker walk (r6 Next #5)
-    "multimodal_decode_jpeg",  # FULL baseline JPEG decode (last stub retired)
-    "multimodal_decode_gif",  # real LZW decoder + interlace under the hash
-    "sim_ivfpq_topk",  # IVF-PQ composed tier (rows-only)
-    "sim_ivfpq_recall_check",  # its driver-hash recall bound
-    "graph_pagerank_copurchase",  # integer fixed-point PageRank (new family)
-    "split_leakage_safe",  # component-keyed split — near-dups never straddle
-    "emb_kmeans_assign",  # exact fixed-point Lloyd's k-means (iterative ML)
-    "dedup_incremental_lsh",  # delivery-vs-base asymmetric band join
-    "stream_late_sliding_drain",  # per-window-copy late-drop rule
-    "temporal_asof_tolerance",  # merge_asof tolerance-bound semantics
-    "parquet_schema_evolution",  # mergeSchema union-widening digest
-    "dedup_components_bigstar",  # large-star/small-star O(log n) components
-    "graph_triangle_stats",  # degree-ordered exact triangle count
-    "stream_interval_join_multibatch_drain",  # join state across batches
-    "inc_revenue_with_retractions",  # IVM under DELETES (signed merge)
-    # -- plans/digests changed this round: re-prove on current code --
-    "sim_pq_topk",  # two-stage bounded ADC shortlist (rows-only)
-    "sim_pq_recall_check",  # recall bound over the new plan
-    "quality_decile_cutoffs_approx_check",  # non-null population fix
-    "multimodal_decode_wav",  # codec scans now repartitioned (plan change)
-    "multimodal_decode_bmp",  # codec scans now repartitioned (plan change)
-    # -- proof refresh: the whole remaining r3 cohort (empties it) --
-    "text_doc_fingerprint",
-    "text_fulltext_search",
-    "text_gopher_filters",
-    "text_lang_histogram",
-    "text_lang_id_ngram",
-    "text_phrase_search",
-    "text_ranked_search",
-    "text_rolling_fingerprint",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "text_token_stats_bpe",
-    "text_top_terms_per_source",
-    "text_unigram_logprob",
-    "analytics_event_type_bigrams",
-    "analytics_funnel_conversion_lag",
-    "analytics_sessionize_events",
-    "dq_constraint_violations",
-    "events_json_extract",
-    "inc_state_rollup",
-    "multimodal_size_stats",
-    "split_mixture_sample",
-    "split_pack_sequences",
-    "tableau_g2_first_order_day",
-    # -- proof refresh: r4-proven reference-core surface --
-    "flagship_revenue_by_region",
-    "view_customer_value_summary",
-    # ---- ~50-entry budget cut falls here ----
+    # -- new this round (r8), first driver proof --
+    "inc_minmax_with_retractions",  # deletable MIN/MAX IVM (buffers + drain recompute)
+    "graph_pagerank_directed",  # teleport-only re-rank + dangling-mass share
+    "temporal_gap_fill",  # dense hourly grid + forward fill per user
+    "dedup_edit_distance",  # lossless q-gram prefix filter + banded verify
+    "split_stratified_sample",  # exact ceil(n/5) per (lang, source) stratum
+    "temporal_scd2_user_state",  # SCD Type 2 validity intervals
+    "sim_delivery_brute_topk",  # exact delivery-vs-base baseline (oracle-backed)
+    "sim_incremental_ivf",  # ANN ingest vs persisted quantizer (rows-only)
+    "sim_incremental_recall_check",  # its driver-hash recall bound
+    # -- plans changed this round (packed 10-byte PQ storage): re-prove --
+    "sim_pq_topk",  # rows-only; BinaryType codes + conv/shift ADC
+    "sim_pq_recall_check",  # recall bound over the packed plan
+    "sim_ivfpq_topk",  # rows-only; packed residual codes
+    "sim_ivfpq_recall_check",  # recall bound over the packed plan
+    # -- r7 Next #2: reference-core proof refresh (r4 → r8) --
     "view_customer_value_summary_bucketed",
     "q1_top_revenue_customers",
     "q1_full",
     "q2_most_frequent_customers",
     "q3_top_late_fees",
     "q4_frequency_segmentation",
-    # (eleven r4-refresh slots ceded to the new GIF + IVF-PQ +
-    # full-JPEG + PageRank + leakage-safe-split + k-means +
-    # incremental-dedup + sliding-late-drain entries and the two
-    # plan-changed codec re-proofs; the entries below stay r4-proven,
-    # code paths unchanged)
     "q5_churn_risk",
     "q6_revenue_by_category",
     "q7_customer_lifetime_value",
@@ -169,6 +122,36 @@ _PRIORITY = [
     "tableau_g1_country_map",
     "tableau_g3_revenue_by_category",
     "tableau_g4_late_fees_by_category",
+    # -- r7 Next #3: stale rows-only re-windows, each beside its twin --
+    "sim_lsh_topk",  # rows-only, last windowed r2
+    "sim_lsh_recall_check",
+    "sim_ivf_topk",  # rows-only, last windowed r2
+    "sim_ivf_recall_check",
+    "approx_distinct_customers_by_nation",  # rows-only, last windowed r1
+    "approx_distinct_error_check",
+    "feat_vocab_topk_sketch",  # rows-only, last windowed r2
+    "vocab_topk_containment_check",
+    "temporal_value_percentiles_approx",  # rows-only, last windowed r3
+    "approx_percentile_error_check",
+    # -- slack: next-stalest r5-proven refreshes --
+    "scalar_function_gallery",
+    "nations_having_many_customers",
+    "customers_above_avg_balance",
+    "nation_customer_list",
+    "app_any_column_search",
+    "app_range_filter",
+    # ---- ~50-entry budget cut falls here ----
+    # (r6/r7-proven entries keep their fresh proofs; code unchanged)
+    "flagship_revenue_by_region",
+    "view_customer_value_summary",
+    "jsonl_corrupt_tolerance",
+    "multimodal_decode_png",
+    "multimodal_decode_jpeg",
+    "graph_pagerank_copurchase",
+    "inc_revenue_with_retractions",
+    "split_leakage_safe",
+    "emb_kmeans_assign",
+    "dedup_incremental_lsh",
 ]
 
 

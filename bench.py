@@ -92,6 +92,16 @@ HEADLINE = [
     # edge build (self-join + distinct, checkpointed once) + 3 exact
     # fixed-point power iterations (join + agg each)
     "graph_pagerank_copurchase",
+    # added r8 (extend the common subset; don't displace): the directed
+    # twin — left-join teleport re-rank + dangling-mass share frames
+    "graph_pagerank_directed",
+    # added r8: the fuzzy-join family — q-gram prefix candidates with
+    # the length band inside the join, banded-threshold levenshtein
+    # verify (the heaviest single entry; the all-pairs form it replaces
+    # is the 5-minute DuckDB oracle)
+    "dedup_edit_distance",
+    # added r8: per-key grid generation + forward-fill window
+    "temporal_gap_fill",
 ]
 
 

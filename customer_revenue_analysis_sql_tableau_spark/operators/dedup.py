@@ -954,25 +954,34 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
        (count asc, gram asc) — rarest grams first;
     3. per-doc prefix = first ``ED_PREFIX`` grams in that order; the
        candidate set is the prefix self-join on gram (equi-join,
-       plan-scan-clean) — provably a superset of all true pairs;
-    4. exact verification: ``levenshtein(text_a, text_b) ≤ ED_K`` plus
-       the free length-difference prune (|Δlen| ≤ k always holds at
-       distance k).
+       plan-scan-clean) with the length-difference prune (|Δlen| ≤ k
+       always holds at distance k) INSIDE the join condition — on
+       weak-gram-signal text the length band prunes ~30× more than the
+       grams do, so it must run before the distinct, not after
+       (measured 11.0M → 0.41M candidate pairs at sf0.1);
+    4. BANDED verification: ``levenshtein(text_a, text_b, ED_K)`` —
+       the threshold form runs the banded DP, O(k·len) per pair
+       instead of O(len²), returning the exact distance when ≤ k and
+       -1 otherwise (measured 18.3 s → well under 1 s on the ~0.4M
+       surviving pairs).
 
     The oracle is the brute-force all-pairs DuckDB ``levenshtein`` —
     the driver hash proves the filter dropped nothing. Scale: the
     all-pairs form is O(n²·len²); the prefix form moves
     docs × ``ED_PREFIX`` rows into a posting-list join whose fan-out
-    is bounded by rare-gram frequencies, and only candidates pay the
-    quadratic-in-length verify. Docs shorter than ``ED_Q`` chars are
-    out of the operator's domain (both engines filter them)."""
+    is bounded by rare-gram frequencies × the length band, and only
+    candidates pay the banded verify. Docs shorter than ``ED_Q`` chars
+    are out of the operator's domain (both engines filter them)."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     docs = d.select("doc_id", "text").filter(F.length("text") >= ED_Q)
+    # grams ride as xxhash64 longs (8-byte shuffle keys; a hash
+    # collision can only ADD candidates — still a lossless superset)
     grams = docs.selectExpr(
         "doc_id",
+        "length(text) AS len",
         f"explode(array_distinct(transform("
         f"sequence(0, length(text) - {ED_Q}), "
-        f"i -> substring(text, i + 1, {ED_Q})))) AS gram",
+        f"i -> xxhash64(substring(text, i + 1, {ED_Q}))))) AS gram",
     )
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gf"))
     wdoc = Window.partitionBy("doc_id").orderBy(F.asc("gf"), F.asc("gram"))
@@ -980,7 +989,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.join(counts.hint("shuffle_hash"), "gram")
         .withColumn("rn", F.row_number().over(wdoc))
         .filter(F.col("rn") <= ED_PREFIX)
-        .select("doc_id", "gram")
+        .select("doc_id", "len", "gram")
     )
     cand = (
         prefix.alias("a")
@@ -988,7 +997,8 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             prefix.alias("b"),
             (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= ED_K),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -1004,15 +1014,12 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .filter(
-            F.abs(F.length("text_a") - F.length("text_b")) <= ED_K
-        )
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("text_a", "text_b").cast("long").alias("dist"),
+            F.levenshtein("text_a", "text_b", ED_K).cast("long").alias("dist"),
         )
-        .filter(F.col("dist") <= ED_K)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= ED_K))
     )
 
 
