@@ -132,6 +132,58 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): a nested JSON document
+    is built per event from the typed columns plus the raw ``props``
+    payload, ingested with ``parse_json`` into a VARIANT, navigated
+    with ``try_variant_get`` (object paths, array indexing, a typed
+    leaf inside the embedded raw JSON), and re-aggregated. This is the
+    open-schema ingest path a training-data pipeline uses for
+    heterogeneous event payloads — VARIANT keeps the document binary
+    and shredded JVM-side, where ``get_json_object`` re-parses the
+    string per access.
+
+    The oracle recomputes the same facts straight from the typed
+    columns (`json_extract` only for the embedded k) — hash-matching
+    proves the variant round-trip (build → parse → navigate → cast)
+    is lossless for strings, longs, doubles, and array elements."""
+    e = _events(spark, sf_dir)
+    doc = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.col("value").alias("value"),
+            ).alias("event"),
+            F.struct(F.col("user_id").alias("id")).alias("user"),
+            F.array(F.lit("evt"), F.col("event_type")).alias("tags"),
+            F.col("props").alias("props_raw"),
+        )
+    )
+    v = F.parse_json(doc)
+    picked = e.select(
+        F.try_variant_get(v, "$.event.type", "string").alias("etype"),
+        F.try_variant_get(v, "$.event.value", "double").alias("val"),
+        F.try_variant_get(v, "$.user.id", "long").alias("uid"),
+        F.try_variant_get(v, "$.tags[1]", "string").alias("tag1"),
+        F.try_variant_get(
+            F.parse_json(F.try_variant_get(v, "$.props_raw", "string")),
+            "$.k",
+            "long",
+        ).alias("k"),
+    )
+    return picked.groupBy(F.col("etype").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("uid").alias("n_users"),
+        F.sum(F.col("val").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.sum("k").alias("sum_k"),
+        F.sum((F.col("tag1") == F.col("etype")).cast("long")).alias(
+            "n_tag_match"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # The real streaming pipeline (tested in pytest against the batch twin)
 # --------------------------------------------------------------------------
@@ -834,6 +886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_session_windows": events_session_windows,
     "stream_dedup_first": events_stream_dedup,
     "events_json_extract": events_json_extract,
+    "events_variant_extract": events_variant_extract,
 }
 
 _VAL_SUM = "CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)"
@@ -884,5 +937,17 @@ ORACLES: dict[str, str] = {
                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
                     AS BIGINT) AS sum_k,
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type""",
+    # recompute the variant-navigated facts from the typed columns:
+    # hash-match proves the build->parse->navigate->cast round-trip
+    "events_variant_extract": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_value,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(count(*) AS BIGINT) AS n_tag_match
         FROM events GROUP BY event_type""",
 }

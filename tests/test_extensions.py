@@ -2058,3 +2058,35 @@ def test_incremental_ivf_recall_and_cell_bounded_candidates(spark, sf_dir):
         assert r.neighbor_id % DELIVERY_MOD != DELIVERY_MOD - 1
         per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
     assert all(v <= TOP_K for v in per_q.values())
+
+
+def test_variant_extract_roundtrips_typed_facts(spark, sf_dir):
+    """The VARIANT build->parse->navigate round-trip must reproduce the
+    typed columns exactly: counts, distinct users, decimal value sums,
+    the embedded-JSON k, and the array-index tag probe all match the
+    plain relational aggregate."""
+    from pyspark.sql import functions as F
+
+    from customer_revenue_analysis_sql_tableau_spark.streaming.windows import (
+        events_variant_extract,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    expected = {
+        r.event_type: (r.n, r.u, r.sv, r.sk, r.n)  # tag matches every row
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("u"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sv"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sk"),
+        )
+        .collect()
+    }
+    got = {
+        r.event_type: (r.n_events, r.n_users, r.sum_value, r.sum_k, r.n_tag_match)
+        for r in events_variant_extract(spark, sf_dir).collect()
+    }
+    assert got == expected
