@@ -238,6 +238,14 @@ def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("rank"),
             )
+            # unlike the co-purchase loop (one state reference per
+            # iteration), this recurrence reads state TWICE (contrib +
+            # dangling sum), so an untruncated lineage doubles per
+            # iteration (28 join nodes in the 3-iteration plan);
+            # checkpointing is a measured wash at sf0.1 (3.06 vs
+            # 3.19 s min-of-4) and removes the 2^iters re-execution
+            # hazard at scale
+            .localCheckpoint()
         )
     return (
         state.select(
