@@ -1023,9 +1023,58 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Exact-substring window width: a duplicated span of >= SUB_W chars
+#: is flagged wherever it occurs (stride 1 — strided grids silently
+#: miss duplicates whose offsets differ mod the stride).
+SUB_W = 40
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING duplication coverage — the per-document metric
+    behind suffix-array training-data dedup (public Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, how many of its ``SUB_W``-char windows also occur
+    verbatim in ANOTHER document. High coverage = boilerplate /
+    near-copy; the downstream policy (drop, trim, down-weight) hangs
+    off exactly this number.
+
+    Spark-first shape: one projection builds each doc's window-hash
+    array (``transform(sequence(...))`` + ``md5`` — md5 because the
+    oracle must hash identically; within-doc occurrences collapse via
+    ``array_distinct`` so "duplicated" means CROSS-DOC by
+    construction), one explode, one groupBy h for distinct-doc counts,
+    one join back, one per-doc aggregate. Everything is keyed by the
+    window hash — no pairwise document join ever forms, which is what
+    lets the window table stream at corpus scale (the suffix-array
+    original is a single-machine construction; this is its
+    shuffle-friendly fixed-width projection)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    wins = (
+        d.filter(F.length("text") >= SUB_W)
+        .selectExpr(
+            "doc_id",
+            f"explode(array_distinct(transform("
+            f"sequence(0, length(text) - {SUB_W}), "
+            f"i -> md5(substring(text, i + 1, {SUB_W}))))) AS h",
+        )
+    )
+    occ = wins.groupBy("h").agg(
+        F.count(F.lit(1)).alias("nd")  # post-distinct: docs per window
+    )
+    return (
+        wins.join(occ.hint("shuffle_hash"), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_windows"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_edit_distance": dedup_edit_distance,
+    "dedup_exact_substring": dedup_exact_substring,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
     "dedup_containment_prefix": dedup_containment_prefix,
@@ -1214,6 +1263,24 @@ ORACLES: dict[str, str] = {
         SELECT md5(lower(trim(text))) AS text_hash,
                min(doc_id) AS keep_doc_id, count(*) AS n_copies
         FROM documents GROUP BY 1""",
+    # identical window grid (1-based vs 0-based start adjusted), same
+    # md5 window hashes, same distinct-per-doc collapse
+    "dedup_exact_substring": f"""
+        WITH d AS (
+            SELECT doc_id, text FROM documents
+            WHERE length(text) >= {SUB_W}),
+        wins AS (
+            SELECT DISTINCT doc_id,
+                   md5(substring(text, i, {SUB_W})) AS h
+            FROM d, unnest(generate_series(1, length(text) - {SUB_W - 1}))
+                 AS t(i)),
+        occ AS (SELECT h, count(*) AS nd FROM wins GROUP BY h)
+        SELECT w.doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN o.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_windows
+        FROM wins w JOIN occ o USING (h)
+        GROUP BY w.doc_id""",
     # brute-force all-pairs Levenshtein: the driver hash proves the
     # Spark prefix filter was lossless (the |Δlen| prune is implied by
     # dist <= k; it only speeds the oracle up)

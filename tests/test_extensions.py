@@ -2090,3 +2090,41 @@ def test_variant_extract_roundtrips_typed_facts(spark, sf_dir):
         for r in events_variant_extract(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_exact_substring_coverage_matches_python_reference(spark, sf_dir):
+    """Window accounting re-derived in plain Python on a deterministic
+    subset: distinct 40-char windows per doc, cross-doc duplication
+    flags, and the fixture must actually contain duplicated spans."""
+    import hashlib
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
+        SUB_W,
+        dedup_exact_substring,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        if len(r.text) >= SUB_W
+    }
+    sets = {
+        did: {
+            hashlib.md5(t[i : i + SUB_W].encode()).hexdigest()
+            for i in range(len(t) - SUB_W + 1)
+        }
+        for did, t in docs.items()
+    }
+    from collections import Counter
+
+    nd = Counter(h for s in sets.values() for h in s)
+    expected = {
+        did: (len(s), sum(1 for h in s if nd[h] > 1)) for did, s in sets.items()
+    }
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in dedup_exact_substring(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert any(v[1] > 0 for v in expected.values()), "no duplicated spans"
+    assert any(v[1] == 0 for v in expected.values()), "everything duplicated?"
