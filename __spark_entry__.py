@@ -101,6 +101,7 @@ _PRIORITY = [
     "sim_incremental_recall_check",  # its driver-hash recall bound
     "events_variant_extract",  # Spark 4 VARIANT parse/navigate round-trip
     "dedup_exact_substring",  # Lee-et-al. window duplication coverage
+    "feat_ewma_user_value",  # fixed-order exponential-decay feature
     # -- plans changed this round (packed 10-byte PQ storage): re-prove --
     "sim_pq_topk",  # rows-only; BinaryType codes + conv/shift ADC
     "sim_pq_recall_check",  # recall bound over the packed plan
@@ -139,8 +140,8 @@ _PRIORITY = [
     "scalar_function_gallery",
     "nations_having_many_customers",
     "customers_above_avg_balance",
-    "nation_customer_list",
     # ---- ~50-entry budget cut falls here ----
+    "nation_customer_list",
     "app_any_column_search",
     "app_range_filter",
     # (r6/r7-proven entries keep their fresh proofs; code unchanged)

@@ -246,8 +246,40 @@ def word_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted activity feature — the exponential-decay score
+    feature pipelines keep per entity (fraud, engagement, churn): fold
+    each user's events in (ts, event_id) order with ``s' = s/2 + v``,
+    so every later event halves the influence of all history before it
+    (half-life = one event; count-decay rather than wall-clock decay —
+    ``pow(0.5, Δt/τ)`` is a libm call whose last ulp differs across
+    engines, while ``/2`` is exact IEEE scaling).
+
+    Exactness: the fold is float, but in a FIXED order — collect,
+    ``array_sort`` by the unique (ts, event_id) key, fold — the same
+    bit-exact-ordering discipline as the unigram-LM scorer, so the
+    result is identical at any partitioning and both engines execute
+    the identical IEEE-double sequence (DuckDB ``list_reduce`` seeds
+    with the first element; ``0/2 + v₁ = v₁`` makes the recurrences
+    equal). State is bounded by one user's events."""
+    e = _events(spark, sf_dir)
+    evs = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", F.col("value")))
+    )
+    g = e.groupBy("user_id").agg(
+        evs.alias("evs"), F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    score = F.aggregate(
+        F.transform("evs", lambda s: s.getField("value")),
+        F.lit(0.0),
+        lambda acc, x: acc / F.lit(2.0) + x,
+    )
+    return g.select("user_id", "n_events", score.alias("ewma_value"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feat_stratified_sample": stratified_sample,
+    "feat_ewma_user_value": ewma_user_value,
     "feat_value_quartile_bins": value_quartile_bins,
     "feat_zscore_outliers": zscore_outliers,
     "feat_minmax_normalize": minmax_normalize,
@@ -265,6 +297,13 @@ _PCT_CASE = (
 )
 
 ORACLES: dict[str, str] = {
+    # list_reduce seeds with the first element; the Spark fold seeds
+    # 0.0 — identical recurrence since 0/2 + v1 = v1
+    "feat_ewma_user_value": """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               list_reduce(list(value ORDER BY ts, event_id),
+                           (acc, x) -> acc / 2 + x) AS ewma_value
+        FROM events GROUP BY user_id""",
     "feat_stratified_sample": f"""
         WITH b AS (
             SELECT doc_id, lang,

@@ -178,3 +178,28 @@ def test_gopher_gate_is_consistent_with_measurements(spark, sf_dir):
         assert r.keep == expect, (r.doc_id, r)
         kept += bool(r.keep)
     assert 0 < kept < len(rows)  # the gate discriminates
+
+
+def test_ewma_matches_python_fold_and_partitioning(spark, sf_dir):
+    """The decayed score must equal a plain-Python fold over each
+    user's time-ordered events exactly (bit-for-bit — the fold order
+    is pinned), regardless of shuffle partitioning."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.features import (
+        ewma_user_value,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    expected = {}
+    for uid, evs in by_user.items():
+        s = 0.0
+        for _, _, v in sorted(evs):
+            s = s / 2.0 + v
+        expected[uid] = (len(evs), s)
+    got = {
+        r.user_id: (r.n_events, r.ewma_value)
+        for r in ewma_user_value(spark, sf_dir).collect()
+    }
+    assert got == expected
