@@ -102,6 +102,7 @@ _PRIORITY = [
     "events_variant_extract",  # Spark 4 VARIANT parse/navigate round-trip
     "dedup_exact_substring",  # Lee-et-al. window duplication coverage
     "feat_ewma_user_value",  # fixed-order exponential-decay feature
+    "stream_crossbatch_dedup_drain",  # dedup late/expiry/no-extension rules
     # -- plans changed this round (packed 10-byte PQ storage): re-prove --
     "sim_pq_topk",  # rows-only; BinaryType codes + conv/shift ADC
     "sim_pq_recall_check",  # recall bound over the packed plan
@@ -139,8 +140,8 @@ _PRIORITY = [
     # -- slack: next-stalest r5-proven refreshes --
     "scalar_function_gallery",
     "nations_having_many_customers",
-    "customers_above_avg_balance",
     # ---- ~50-entry budget cut falls here ----
+    "customers_above_avg_balance",
     "nation_customer_list",
     "app_any_column_search",
     "app_range_filter",

@@ -26,6 +26,7 @@ from ..operators.text import QUALITY_SQL
 from .dedup_ingest import run_streaming_ingest_pipeline, seed_eval_grams
 from .windows import (
     ORACLES as _WINDOW_ORACLES,
+    run_crossbatch_dedup_stream,
     run_foreach_batch_upsert_stream,
     run_interval_join_stream,
     run_late_data_stream,
@@ -229,6 +230,62 @@ def _stage_three_deliveries(events: DataFrame, tmp: str) -> str:
     return src
 
 
+def stream_crossbatch_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` CROSS-BATCH state rules under
+    the driver hash. Deliveries are the event_id % 3 thirds, each
+    PRE-COLLAPSED to one deterministic row per (user_id, event_type)
+    (the min (ts, event_id) row) — within-batch arrival order among
+    same-key rows is the operator's one genuine nondeterminism, so the
+    staging removes it and what remains is pure engine policy, probed
+    and pinned in :func:`run_crossbatch_dedup_stream`:
+
+    - batches 1-2 run at watermark 0 (the measured two-batch lag), so
+      delivery 1 emits every key and delivery 2 exactly its new keys;
+    - batch 3 runs at wm = max_ts(delivery 1) − 30 min: its rows with
+      ts <= wm are LATE-DROPPED even for never-seen keys, while keys
+      whose FIRST-seen ts + 30 min <= wm have EXPIRED state — their
+      fresh rows are RE-ADMITTED, so the correct sink genuinely
+      carries those keys twice (suppressed delivery-2 duplicates do
+      NOT extend expiry — probed).
+
+    The oracle reconstructs that admitted set relationally; thousands
+    of delivery-3 rows land on each side of the late/expiry boundaries
+    at sf0.01+, so any drift in the engine rules hash-fails."""
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+
+    def build(tmp: str) -> DataFrame:
+        import glob
+        import os
+        import time
+
+        src = f"{tmp}/src"
+        base = time.time() - 1000
+        seen: set[str] = set()
+        for k in range(LATE_SPLIT_MOD):
+            collapsed = (
+                events.filter(F.col("event_id") % LATE_SPLIT_MOD == k)
+                .groupBy("user_id", "event_type")
+                .agg(F.min(F.struct("ts", "event_id", "value")).alias("s"))
+                .select(
+                    F.col("s.event_id").alias("event_id"),
+                    F.col("s.ts").alias("ts"),
+                    "user_id",
+                    "event_type",
+                    F.col("s.value").alias("value"),
+                )
+            )
+            collapsed.coalesce(1).write.mode("append").parquet(src)
+            for f in glob.glob(f"{src}/part-*.parquet"):
+                if f not in seen:
+                    seen.add(f)
+                    os.utime(f, (base + k * 10, base + k * 10))
+        return run_crossbatch_dedup_stream(spark, src, f"{tmp}/ckpt")
+
+    return _drain(spark, build)
+
+
 def stream_late_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window late-data policy under the hash — the stateful
     MERGING variant of :func:`stream_late_data_drain`. Measured rule
@@ -356,6 +413,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sliding_window_drain": stream_sliding_window_drain,
     "stream_session_window_drain": stream_session_window_drain,
     "stream_late_data_drain": stream_late_data_drain,
+    "stream_crossbatch_dedup_drain": stream_crossbatch_dedup_drain,
     "stream_late_session_drain": stream_late_session_drain,
     "stream_late_sliding_drain": stream_late_sliding_drain,
     "stream_interval_join_multibatch_drain": stream_interval_join_multibatch_drain,
@@ -375,6 +433,52 @@ ORACLES: dict[str, str] = {
     # (delivery 3's stale rows are dropped by the engine; its fresh
     # rows are newer than every emitted window). Spark's window end is
     # epoch-aligned bucket start + 10 min = DuckDB time_bucket + 10 min.
+    # the probed cross-batch dedup rules, reconstructed relationally:
+    # per-delivery winners, delivery-1 all emitted, delivery-2 new keys
+    # (wm still 0 — two-batch lag), delivery-3 gated on ts > wm3 and on
+    # first-seen-expiry (first_seen + 30min <= wm3 → state gone →
+    # re-admit; dup arrivals never extend expiry)
+    "stream_crossbatch_dedup_drain": f"""
+        WITH ranked AS (
+            SELECT event_id % {LATE_SPLIT_MOD} AS b, user_id, event_type,
+                   ts, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY event_id % {LATE_SPLIT_MOD},
+                                    user_id, event_type
+                       ORDER BY ts, event_id) AS rn
+            FROM events),
+        w AS (SELECT b, user_id, event_type, ts, event_id, value
+              FROM ranked WHERE rn = 1),
+        wm AS (
+            -- the stream reads the PRE-COLLAPSED delivery, so its
+            -- watermark derives from the per-key winner times, not
+            -- the raw third's max ts
+            SELECT max(ts) - INTERVAL 30 MINUTE AS wm3
+            FROM w WHERE b = 0),
+        fs AS (
+            SELECT user_id, event_type, ts FROM (
+                SELECT user_id, event_type, ts,
+                       row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY b) AS r
+                FROM w WHERE b <= 1) WHERE r = 1)
+        SELECT event_id, ts, user_id, event_type, value
+        FROM w WHERE b = 0
+        UNION ALL
+        SELECT w1.event_id, w1.ts, w1.user_id, w1.event_type, w1.value
+        FROM w w1
+        WHERE w1.b = 1 AND NOT EXISTS (
+            SELECT 1 FROM w w0
+            WHERE w0.b = 0 AND w0.user_id = w1.user_id
+              AND w0.event_type = w1.event_type)
+        UNION ALL
+        SELECT w2.event_id, w2.ts, w2.user_id, w2.event_type, w2.value
+        FROM w w2
+        CROSS JOIN wm
+        LEFT JOIN fs ON fs.user_id = w2.user_id
+                    AND fs.event_type = w2.event_type
+        WHERE w2.b = {LATE_SPLIT_MOD - 1} AND w2.ts > wm.wm3
+          AND (fs.ts IS NULL OR fs.ts + INTERVAL 30 MINUTE <= wm.wm3)""",
     "stream_late_data_drain": f"""
         WITH wm AS (
             SELECT max(ts) - INTERVAL 30 MINUTE AS w

@@ -461,6 +461,47 @@ def run_dedup_stream(
     return spark.table("dedup_sink")
 
 
+def run_crossbatch_dedup_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` with one micro-batch per
+    source file — the multi-batch run shape that exposes the
+    operator's THREE empirically pinned rules (probed on this Spark
+    build; ``stream_crossbatch_dedup_drain`` hashes them):
+
+    - LATE DROP: an incoming row with event time <= the batch's
+      watermark is discarded even for a never-seen key (strict >
+      admits — ts == wm probed dropped);
+    - EXPIRY: a key's state expires when first_seen_ts + delay <= wm
+      (boundary probed: equality expires), after which a fresh
+      duplicate is RE-ADMITTED — the sink can legitimately carry the
+      same key twice;
+    - NO EXTENSION: a suppressed duplicate arrival does NOT extend its
+      key's expiry; the FIRST-seen event time alone pins it (probed:
+      a later in-window dup did not keep the key alive).
+
+    The caller stages deliveries pre-collapsed to one row per key so
+    the only nondeterminism Spark has (within-batch arrival order
+    among same-key rows) is removed and the cross-batch engine rules
+    above are the entire behavior."""
+    stream = (
+        _read_events_stream(spark, source_dir, max_files_per_trigger=1)
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("crossbatch_dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("crossbatch_dedup_sink")
+
+
 def run_sliding_stream(
     spark: SparkSession, source_dir: str, checkpoint_dir: str
 ) -> DataFrame:

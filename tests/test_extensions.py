@@ -2128,3 +2128,63 @@ def test_exact_substring_coverage_matches_python_reference(spark, sf_dir):
     assert got == expected
     assert any(v[1] > 0 for v in expected.values()), "no duplicated spans"
     assert any(v[1] == 0 for v in expected.values()), "everything duplicated?"
+
+
+def test_crossbatch_dedup_drain_pins_late_and_expiry_rules(spark, sf_dir):
+    """The sink must equal the probed-rule model (delivery-1 winners +
+    delivery-2 new keys + delivery-3 rows past the watermark whose
+    first-seen state expired), late-dropping must be non-vacuous, and
+    at sf0.01 the expiry rule genuinely RE-ADMITS keys (the sink
+    carries a key twice)."""
+    from pyspark.sql import functions as F
+
+    from customer_revenue_analysis_sql_tableau_spark.streaming.drains import (
+        LATE_SPLIT_MOD,
+        stream_crossbatch_dedup_drain,
+    )
+
+    def model(sf):
+        e = spark.read.parquet(f"{sf}/events.parquet")
+        w = (
+            e.withColumn("b", F.col("event_id") % LATE_SPLIT_MOD)
+            .groupBy("b", "user_id", "event_type")
+            .agg(F.min(F.struct("ts", "event_id", "value")).alias("s"))
+            .select("b", "user_id", "event_type", F.col("s.ts").alias("ts"),
+                    F.col("s.event_id").alias("event_id"))
+            .collect()
+        )
+        wm3 = max(r.ts for r in w if r.b == 0)
+        import datetime
+
+        delay = datetime.timedelta(minutes=30)
+        wm3 = wm3 - delay
+        first_seen: dict[tuple, object] = {}
+        admitted = set()
+        for b in range(LATE_SPLIT_MOD):
+            for r in (x for x in w if x.b == b):
+                key = (r.user_id, r.event_type)
+                if b < 2:
+                    if key not in first_seen:
+                        first_seen[key] = r.ts
+                        admitted.add(r.event_id)
+                else:
+                    fs = first_seen.get(key)
+                    if r.ts > wm3 and (fs is None or fs + delay <= wm3):
+                        admitted.add(r.event_id)
+        n_d3_winners = sum(1 for r in w if r.b == 2)
+        return admitted, n_d3_winners
+
+    for sf in (sf_dir, "/root/testdata/sf0.01"):
+        expected, n_d3 = model(sf)
+        rows = stream_crossbatch_dedup_drain(spark, sf).collect()
+        got = {r.event_id for r in rows}
+        assert got == expected, f"{sf}: sink != probed-rule model"
+        d3_admitted = sum(
+            1 for r in rows if r.event_id % LATE_SPLIT_MOD == LATE_SPLIT_MOD - 1
+        )
+        assert d3_admitted < n_d3, f"{sf}: no delivery-3 row was dropped"
+        if sf.endswith("sf0.01"):
+            from collections import Counter
+
+            keys = Counter((r.user_id, r.event_type) for r in rows)
+            assert max(keys.values()) == 2, "no expired key was re-admitted"
