@@ -932,64 +932,124 @@ def _star_rounds(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
 
 
 #: Edit-distance join: report pairs within ``ED_K`` edits. The
-#: candidate stage is the Ed-Join-style q-gram PREFIX filter (public
-#: Xiao/Wang/Lin 2008 + Chaudhuri et al. prefix-filtering principle):
-#: one edit destroys at most ``ED_Q`` gram types, so two strings within
-#: ``ED_K`` edits each miss at most ``ED_K·ED_Q`` of the other's gram
-#: set — their first ``ED_K·ED_Q + 1`` grams under ANY shared total
-#: order must intersect. Ordering grams rarest-first makes the shared
-#: prefix grams selective, so the gram self-join stays near-linear.
+#: candidate stage is the Ed-Join q-gram prefix filter over POSITIONAL
+#: grams (public Xiao/Wang/Lin VLDB'08 + the Gravano et al. count
+#: filter): one edit destroys at most ``ED_Q`` gram occurrences and
+#: shifts survivors by at most ``ED_K`` positions, so two strings
+#: within ``ED_K`` edits must share — among the first
+#: ``ED_K·ED_Q + 1`` occurrences under ANY shared total order on gram
+#: values — at least one gram pair whose positions differ by ≤
+#: ``ED_K`` (Ed-Join's location-based mismatch filter). Ordering grams
+#: rarest-first keeps the prefix self-join near-linear. The count
+#: bound needs at least ``ED_K·ED_Q + 1`` gram occurrences, i.e.
+#: ``len ≥ ED_SHORT_MAX + 1``; shorter docs route through an exact
+#: length-bucketed fallback (see ``dedup_edit_distance``).
 ED_K = 8
 ED_Q = 3
 ED_PREFIX = ED_K * ED_Q + 1
+#: Longest doc whose gram-occurrence count can be ≤ ED_K·ED_Q — the
+#: prefix-filter bound is vacuous there ('aaaaaaaa' vs 'bbbbbbbb' is
+#: within 8 edits yet shares zero grams), so these docs take the
+#: fallback path (ADVICE r8: the filter is lossless only above this).
+ED_SHORT_MAX = ED_K * ED_Q + ED_Q - 1  # 26: len-ED_Q+1 <= ED_K*ED_Q
 
 
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-duplicate pairs within ``ED_K`` edits (unit-cost
-    Levenshtein), exact result via a LOSSLESS prefix filter:
+    Levenshtein), exact result via a LOSSLESS two-path plan:
 
-    1. character ``ED_Q``-grams per doc (distinct — set semantics keep
-       the destroy-at-most-``k·q``-types bound, see ``ED_K`` note);
+    Main path (both docs longer than ``ED_SHORT_MAX`` chars — where
+    the q-gram count bound has slack):
+
+    1. positional character ``ED_Q``-grams per doc (occurrences, not
+       distinct types: one edit destroys ≤ ``ED_Q`` occurrences and
+       shifts the survivors by ≤ ``ED_K`` positions — the Ed-Join
+       form, which is what licenses the position filter in step 3);
     2. global gram frequencies (one agg) define the total order
-       (count asc, gram asc) — rarest grams first;
-    3. per-doc prefix = first ``ED_PREFIX`` grams in that order; the
-       candidate set is the prefix self-join on gram (equi-join,
-       plan-scan-clean) with the length-difference prune (|Δlen| ≤ k
-       always holds at distance k) INSIDE the join condition — on
-       weak-gram-signal text the length band prunes ~30× more than the
-       grams do, so it must run before the distinct, not after
-       (measured 11.0M → 0.41M candidate pairs at sf0.1);
+       (count asc, gram asc, pos asc within a doc) — rarest first;
+       per-doc prefix = first ``ED_PREFIX`` occurrences in that order;
+    3. the candidate set is the prefix self-join on gram (equi-join,
+       plan-scan-clean) with BOTH pair-level prunes INSIDE the join
+       condition, before the distinct: the length band (|Δlen| ≤ k
+       always holds at distance k; prunes ~30× on weak-gram-signal
+       text — measured 11.0M → 0.41M pairs at sf0.1) and Ed-Join's
+       location-based mismatch filter (|Δpos| ≤ k for the matched
+       occurrence pair — a surviving occurrence cannot shift further;
+       measured 0.41M → 0.10M pairs at sf0.1, r9);
     4. BANDED verification: ``levenshtein(text_a, text_b, ED_K)`` —
        the threshold form runs the banded DP, O(k·len) per pair
        instead of O(len²), returning the exact distance when ≤ k and
-       -1 otherwise (measured 18.3 s → well under 1 s on the ~0.4M
-       surviving pairs).
+       -1 otherwise (measured 18.3 s → well under 1 s).
 
-    The oracle is the brute-force all-pairs DuckDB ``levenshtein`` —
-    the driver hash proves the filter dropped nothing. Scale: the
-    all-pairs form is O(n²·len²); the prefix form moves
-    docs × ``ED_PREFIX`` rows into a posting-list join whose fan-out
-    is bounded by rare-gram frequencies × the length band, and only
-    candidates pay the banded verify. Docs shorter than ``ED_Q`` chars
-    are out of the operator's domain (both engines filter them)."""
+    Fallback path (docs with ≤ ``ED_SHORT_MAX`` chars, where the
+    count bound is vacuous — e.g. 'aaaaaaaa' vs 'bbbbbbbb' is within
+    ``ED_K`` edits yet shares zero grams, ADVICE r8): every such doc
+    is paired against ALL docs within the length band (partner len ≤
+    ``ED_SHORT_MAX + ED_K``) via a length-BUCKET equi-join (bucket
+    width k+1, explode one side to its 3 adjacent buckets — no
+    cartesian), then banded-verified. Exactness needs no gram
+    reasoning there, and the cohort is length-bounded by construction;
+    its cost is quadratic only in the short-doc density per length
+    bucket (a production corpus would salt within bucket).
+
+    The two paths partition the pair space (main: both long; fallback:
+    at least one short), so their union is the FULL domain — the
+    oracle is the brute-force all-pairs DuckDB ``levenshtein`` and the
+    driver hash proves the plan dropped nothing. Scale: the all-pairs
+    form is O(n²·len²); the prefix form moves docs × ``ED_PREFIX``
+    rows into a posting-list join whose fan-out is bounded by
+    rare-gram frequencies × the length band × the position band, and
+    only candidates pay the banded verify. Docs shorter than ``ED_Q``
+    chars are out of the operator's domain (both engines filter
+    them)."""
     d = load_tables(spark, sf_dir, names=("documents",))["documents"]
     docs = d.select("doc_id", "text").filter(F.length("text") >= ED_Q)
-    # grams ride as xxhash64 longs (8-byte shuffle keys; a hash
-    # collision can only ADD candidates — still a lossless superset)
-    grams = docs.selectExpr(
-        "doc_id",
-        "length(text) AS len",
-        f"explode(array_distinct(transform("
-        f"sequence(0, length(text) - {ED_Q}), "
-        f"i -> xxhash64(substring(text, i + 1, {ED_Q}))))) AS gram",
+
+    # ---- main path: docs long enough for the prefix-count bound ----
+    # repartition before the gram explode: the sf parquet is a single
+    # file, so without it the whole substring-hash scan runs on ONE
+    # core (measured 4.1 s → 0.4 s for the prefix build; same lesson
+    # as the r7 codec scans, multimodal.py). doc_id keying keeps each
+    # doc's grams co-located for the prefix window's exchange.
+    long_docs = docs.filter(F.length("text") > ED_SHORT_MAX).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
+    # positional grams ride as (xxhash64 long, pos int) — 8-byte
+    # shuffle keys; a hash collision can only ADD candidates (it
+    # merges gram values), so the superset stays lossless. The hash is
+    # a POST-explode projection, not a `transform` lambda: HOFs run
+    # interpreted while explode + projection stay inside whole-stage
+    # codegen (measured 2.4 s interpreted vs 0.25 s codegen'd warm for
+    # this scan at sf0.1), and `text` never crosses the shuffle. NOT
+    # checkpointed: the warm codegen'd scan is cheaper than a 1.5M-row
+    # checkpoint write, and the candidate self-join's two reads of the
+    # prefix share one physical exchange (ReusedExchange).
+    grams = long_docs.select(
+        "doc_id",
+        F.length("text").alias("len"),
+        "text",
+        F.explode(
+            F.sequence(F.lit(0), F.length("text") - ED_Q)
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "len",
+        "pos",
+        F.expr(f"xxhash64(substring(text, pos + 1, {ED_Q}))").alias(
+            "gram"
+        ),
+    )
+    # gram-type space is charset-bounded (|Σ|^q types ≪ corpus), so
+    # the frequency table broadcasts at any corpus scale
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gf"))
-    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("gf"), F.asc("gram"))
+    wdoc = Window.partitionBy("doc_id").orderBy(
+        F.asc("gf"), F.asc("gram"), F.asc("pos")
+    )
     prefix = (
-        grams.join(counts.hint("shuffle_hash"), "gram")
+        grams.join(F.broadcast(counts), "gram")
         .withColumn("rn", F.row_number().over(wdoc))
         .filter(F.col("rn") <= ED_PREFIX)
-        .select("doc_id", "len", "gram")
+        .select("doc_id", "len", "gram", "pos")
     )
     cand = (
         prefix.alias("a")
@@ -998,7 +1058,8 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             prefix.alias("b"),
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.len") - F.col("b.len")) <= ED_K),
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= ED_K)
+            & (F.abs(F.col("a.pos") - F.col("b.pos")) <= ED_K),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -1011,9 +1072,47 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = docs.select(
         F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
     )
+    main = cand.join(ta, "doc_a").join(tb, "doc_b")
+
+    # ---- fallback path: at least one side short ----
+    bucket = (F.length("text") / (ED_K + 1)).cast("int")
+    shorts = docs.filter(F.length("text") <= ED_SHORT_MAX).select(
+        F.col("doc_id").alias("s_id"),
+        F.col("text").alias("s_text"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bk"),
+    )
+    near = docs.filter(F.length("text") <= ED_SHORT_MAX + ED_K).select(
+        F.col("doc_id").alias("n_id"),
+        F.col("text").alias("n_text"),
+        bucket.alias("bk"),
+    )
+    fallback = (
+        shorts.hint("shuffle_hash")
+        .join(
+            near,
+            (shorts.bk == near.bk)
+            & (F.col("s_id") != F.col("n_id"))
+            & (
+                F.abs(F.length("s_text") - F.length("n_text")) <= ED_K
+            ),
+        )
+        .select(
+            F.least("s_id", "n_id").alias("doc_a"),
+            F.greatest("s_id", "n_id").alias("doc_b"),
+            F.when(F.col("s_id") < F.col("n_id"), F.col("s_text"))
+            .otherwise(F.col("n_text"))
+            .alias("text_a"),
+            F.when(F.col("s_id") < F.col("n_id"), F.col("n_text"))
+            .otherwise(F.col("s_text"))
+            .alias("text_b"),
+        )
+        .distinct()
+    )
+
     return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
+        main.unionByName(fallback)
         .select(
             "doc_a",
             "doc_b",

@@ -178,9 +178,14 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
         F.sum("k").alias("sum_k"),
-        F.sum((F.col("tag1") == F.col("etype")).cast("long")).alias(
-            "n_tag_match"
-        ),
+        # null-safe: to_json drops a NULL event_type, so tag1 comes back
+        # NULL and `tag1 == etype` is NULL — count it as 0, not NULL, so
+        # the oracle's count(event_type) mirrors it exactly (ADVICE r8)
+        F.sum(
+            F.when(F.col("tag1") == F.col("etype"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        ).alias("n_tag_match"),
     )
 
 
@@ -989,6 +994,8 @@ ORACLES: dict[str, str] = {
                    AS sum_value,
                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
                     AS BIGINT) AS sum_k,
-               CAST(count(*) AS BIGINT) AS n_tag_match
+               -- count(event_type), not count(*): a NULL event_type row
+               -- has its tag dropped by to_json, so Spark scores it 0
+               CAST(count(event_type) AS BIGINT) AS n_tag_match
         FROM events GROUP BY event_type""",
 }

@@ -2031,6 +2031,66 @@ def test_edit_distance_join_prefix_filter_is_lossless(spark, sf_dir):
     assert brute, "fixture has no pairs within ED_K edits - vacuous"
 
 
+def test_edit_distance_short_doc_fallback_is_exact(spark, tmp_path):
+    """Docs with ≤ ED_SHORT_MAX chars can be within ED_K edits while
+    sharing ZERO q-grams ('aaaaaaaa' vs 'bbbbbbbb' — the ADVICE r8
+    latent-loss case), so the prefix filter is vacuous for them; the
+    length-bucketed fallback path must still recover every pair,
+    including short×long pairs across the main-path boundary."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
+        ED_K,
+        ED_Q,
+        dedup_edit_distance,
+    )
+
+    texts = [
+        "aaaaaaaa",  # 0: len 8 — dist 8 to doc 1, zero shared grams
+        "bbbbbbbb",  # 1
+        "x" * 24,  # 2: short side of a short×long pair
+        "x" * 30,  # 3: long-enough partner (len 30 > ED_SHORT_MAX)
+        "qrs" * 20,  # 4: main-path pair with 5
+        "qrs" * 18 + "qr" + "Z" * 3,  # 5: within a few edits of 4
+        "completely unrelated decoy string that is long enough",  # 6
+        "zz",  # 7: below ED_Q — out of domain on both engines
+    ]
+    rows = [
+        (i, t, "en", "synt", len(t)) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    brute = {
+        (i, j, lev(texts[i], texts[j]))
+        for i, j in itertools.combinations(range(len(texts)), 2)
+        if len(texts[i]) >= ED_Q
+        and len(texts[j]) >= ED_Q
+        and lev(texts[i], texts[j]) <= ED_K
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in dedup_edit_distance(spark, str(tmp_path)).collect()
+    }
+    assert got == brute
+    assert (0, 1, 8) in brute, "zero-shared-gram case missing - vacuous"
+    assert (2, 3, 6) in brute, "short-x-long boundary case missing"
+
+
 def test_incremental_ivf_recall_and_cell_bounded_candidates(spark, sf_dir):
     """The incremental tier must hit the recall floor vs the exact
     delivery-vs-base baseline, never return a delivery vector as a
