@@ -29,6 +29,7 @@ from .windows import (
     run_crossbatch_dedup_stream,
     run_foreach_batch_upsert_stream,
     run_interval_join_stream,
+    run_interval_left_join_stream,
     run_late_data_stream,
     run_late_session_stream,
     run_late_sliding_stream,
@@ -341,6 +342,43 @@ def stream_interval_join_multibatch_drain(
     return _drain(spark, build)
 
 
+def stream_interval_left_join_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Left-outer stream-stream join NULL-EMISSION semantics under the
+    driver hash — the outer twin of
+    :func:`stream_interval_join_multibatch_drain`. Three ordered
+    deliveries (event_id % 3 thirds) drain through the watermarked
+    error⟕click interval join; because real event data spans far more
+    than the 30-min delay, the engine schedules a trailing no-data
+    cleanup batch whose eviction pass emits the outer nulls. The sink
+    is a pure function of the deliveries (rules probed and pinned in
+    :func:`run_interval_left_join_stream`):
+
+    - MATCHED pairs: both rows admitted at their arrival batch —
+      deliveries 1-2 run at late-watermark 0 (two-batch lag); delivery
+      3 admits only rows with ``ts > lw3`` where ``lw3`` = min over
+      the two sides of delivery 1's max event time, minus 30 min
+      (boundary: ts == lw3 is dropped);
+    - NULL rows: admitted errors with no admitted matching click and
+      ``error_ts < final_wm`` (strict), where ``final_wm`` = min over
+      the two sides of the max event time across ALL deliveries,
+      minus 30 min — errors at/above it stay silently in state.
+
+    Thousands of fixture rows land on each side of both boundaries at
+    sf0.01+, so any drift in either lag, the min-of-sides rule, or the
+    strictness hash-fails."""
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+
+    def build(tmp: str) -> DataFrame:
+        src = _stage_three_deliveries(events, tmp)
+        return run_interval_left_join_stream(spark, src, f"{tmp}/ckpt")
+
+    return _drain(spark, build)
+
+
 def stream_late_sliding_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window late-data policy under the hash — completes the
     late-drop matrix (tumbling: window-end rule; session: event-time
@@ -417,6 +455,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_late_session_drain": stream_late_session_drain,
     "stream_late_sliding_drain": stream_late_sliding_drain,
     "stream_interval_join_multibatch_drain": stream_interval_join_multibatch_drain,
+    "stream_interval_left_join_drain": stream_interval_left_join_drain,
 }
 
 #: Exact money-sum text shared with the batch-twin oracles.
@@ -572,6 +611,42 @@ ORACLES: dict[str, str] = {
           ON e.user_id = c.user_id
          AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 10 MINUTE
         WHERE e.event_type = 'error' AND c.event_type = 'click'""",
+    # the probed outer-join rules, reconstructed relationally: two
+    # differently-lagged watermarks (admission = two-batch lag over
+    # delivery 1; eviction/null emission = the final min-of-sides
+    # watermark over all deliveries), strict boundaries on both
+    "stream_interval_left_join_drain": f"""
+        WITH e AS (
+            SELECT event_id % {LATE_SPLIT_MOD} AS b, event_id, user_id, ts
+            FROM events WHERE event_type = 'error'),
+        c AS (
+            SELECT event_id % {LATE_SPLIT_MOD} AS b, event_id, user_id, ts
+            FROM events WHERE event_type = 'click'),
+        tr AS (
+            SELECT least((SELECT max(ts) FROM e WHERE b = 0),
+                         (SELECT max(ts) FROM c WHERE b = 0))
+                       - INTERVAL 30 MINUTE AS lw3,
+                   least((SELECT max(ts) FROM e),
+                         (SELECT max(ts) FROM c))
+                       - INTERVAL 30 MINUTE AS final_wm),
+        ae AS (SELECT e.* FROM e, tr
+               WHERE b < {LATE_SPLIT_MOD - 1} OR ts > tr.lw3),
+        ac AS (SELECT c.* FROM c, tr
+               WHERE b < {LATE_SPLIT_MOD - 1} OR ts > tr.lw3),
+        matched AS (
+            SELECT ae.event_id AS error_id, ae.user_id AS e_user_id,
+                   ae.ts AS error_ts, ac.event_id AS click_id,
+                   ac.ts AS click_ts
+            FROM ae JOIN ac ON ae.user_id = ac.user_id
+             AND ac.ts <= ae.ts AND ac.ts >= ae.ts - INTERVAL 10 MINUTE)
+        SELECT error_id, e_user_id, error_ts, click_id, click_ts
+        FROM matched
+        UNION ALL
+        SELECT ae.event_id, ae.user_id, ae.ts,
+               CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+        FROM ae, tr
+        WHERE ae.ts < tr.final_wm AND NOT EXISTS (
+            SELECT 1 FROM matched m WHERE m.error_id = ae.event_id)""",
     "stream_cdc_latest_drain": """
         WITH ranked AS (
             SELECT user_id, ts, event_id, event_type, value,

@@ -765,6 +765,80 @@ def run_interval_join_stream(
     return spark.table("interval_join_sink")
 
 
+def run_interval_left_join_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every error event, with
+    its same-user clicks from the preceding 10 minutes when they exist
+    and NULL click columns once the watermark proves no match can
+    arrive — the semantics production pipelines most often get wrong,
+    because null emission is governed by TWO differently-lagged
+    watermarks (probed on this engine, availableNow file-source drains,
+    ``maxFilesPerTrigger=1``):
+
+    - the global watermark is the MIN across both sides' trackers
+      (each side's max observed event time − the 30-min delay; stats
+      are collected at the EventTimeWatermark node, so late-dropped
+      rows still advance the tracker);
+    - batch k admits an input row iff ``ts > late_wm(k)`` where
+      ``late_wm(k)`` is the watermark from batch k−2's stats (the
+      familiar two-batch lag; boundary probed: ts == wm is DROPPED);
+    - state eviction — and with it outer-NULL emission — runs inside
+      batch k against ``evict_wm(k)``, the watermark from batch k−1's
+      stats (one batch FRESHER than the admission watermark): an
+      unmatched error emits its null row iff ``error_ts < evict_wm``
+      (strict; boundary probed — ts == wm stays in state), so nulls
+      can appear in a DATA batch, not only in the trailing no-data
+      cleanup batch the engine schedules when eviction is pending;
+    - a pair is emitted iff BOTH sides were admitted at their arrival
+      batches: the interval geometry makes counterpart-state eviction
+      redundant with admission (a click matching an admitted error
+      satisfies ``click_ts + 10min ≥ error_ts > late_wm``, so its
+      state provably survived the previous batch's strict-< cleanup —
+      and symmetrically for errors), which is what lets the drain's
+      oracle reconstruct the sink relationally.
+
+    Inner-join twin: :func:`run_interval_join_stream`."""
+    src = _read_events_stream(spark, source_dir, max_files_per_trigger=1)
+    errors = (
+        src.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", WATERMARK)
+    )
+    clicks = (
+        _read_events_stream(spark, source_dir, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    joined = errors.join(
+        clicks,
+        F.expr(
+            "e_user_id = c_user_id AND click_ts <= error_ts"
+            " AND click_ts >= error_ts - INTERVAL 10 MINUTES"
+        ),
+        "leftOuter",
+    ).select("error_id", "e_user_id", "error_ts", "click_id", "click_ts")
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("interval_left_join_sink")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("interval_left_join_sink")
+
+
 def run_resumable_stream(
     spark: SparkSession, source_dir: str, checkpoint_dir: str, sink_dir: str
 ) -> DataFrame:

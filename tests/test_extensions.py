@@ -1930,6 +1930,127 @@ def test_multibatch_interval_join_retains_cross_delivery_state(spark, sf_dir):
     assert cross  # state-dependent pairs actually occur on this corpus
 
 
+def test_left_outer_interval_join_null_emission_timing(spark, tmp_path):
+    """Pins WHEN a left-outer stream-stream interval join emits its
+    null rows, batch by batch (the probed rules documented on
+    ``run_interval_left_join_stream``):
+
+    - admission uses the TWO-batch-lagged watermark, strict boundary
+      (a click at exactly late_wm is dropped — user 3's error nulls);
+    - null emission uses the ONE-batch-lagged eviction watermark,
+      strict boundary (an error at exactly evict_wm stays in state —
+      user 5's error never emits), and fires inside the trailing
+      no-data cleanup batch the engine schedules when eviction is
+      pending;
+    - the drain sink equals the foreachBatch union (same staging)."""
+    import glob
+    import os
+    import time
+
+    from customer_revenue_analysis_sql_tableau_spark.streaming.windows import (
+        WATERMARK,
+        run_interval_left_join_stream,
+    )
+
+    base = "2024-01-01 "
+
+    def ev(eid, uid, etype, hm):
+        return (eid, uid, etype, f"{base}{hm}")
+
+    # trackers after d1: min(errors 10:00, clicks 10:00) - 30m = 9:30
+    # final trackers (d1..d4): 11:00 both sides -> final evict_wm 10:30
+    deliveries = [
+        [ev(1, 1, "error", "10:00:00"), ev(2, 2, "click", "10:00:00")],
+        [ev(3, 8, "error", "10:00:00")],
+        [
+            ev(4, 3, "click", "09:30:00"),  # == late_wm(b2): dropped
+            ev(5, 3, "error", "09:31:00"),  # nulls (its click was late)
+            ev(6, 4, "click", "09:31:00"),  # > late_wm: admitted
+            ev(7, 4, "error", "09:32:00"),  # matches 6 in-batch
+            ev(8, 5, "error", "10:30:00"),  # == final evict_wm: stays
+            ev(9, 6, "error", "10:29:00"),  # < final evict_wm: nulls
+            ev(10, 7, "error", "10:31:00"),  # > final evict_wm: stays
+        ],
+        [ev(11, 10, "error", "11:00:00"), ev(12, 11, "click", "11:00:00")],
+    ]
+    src = f"{tmp_path}/src"
+    t0 = time.time() - 1000
+    seen: set[str] = set()
+    for k, rows in enumerate(deliveries):
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts_s string"
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+        for f in glob.glob(f"{src}/part-*.parquet"):
+            if f not in seen:
+                seen.add(f)
+                os.utime(f, (t0 + k * 10, t0 + k * 10))
+
+    schema = spark.read.parquet(src).schema
+
+    def side(etype, prefix):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix[0]}_user_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", WATERMARK)
+        )
+
+    joined = side("error", "error").join(
+        side("click", "click"),
+        F.expr(
+            "e_user_id = c_user_id AND click_ts <= error_ts"
+            " AND click_ts >= error_ts - INTERVAL 10 MINUTES"
+        ),
+        "leftOuter",
+    ).select("error_id", "e_user_id", "error_ts", "click_id", "click_ts")
+
+    batches: list[tuple[int, list]] = []
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, bid: batches.append((bid, df.collect()))
+        )
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    per_batch = {
+        bid: {(r.error_id, r.click_id) for r in rows} for bid, rows in batches
+    }
+    # the trailing no-data cleanup batch ran (4 data batches + 1)
+    assert len(per_batch) == 5
+    # in-batch match; the ==late_wm click was dropped (no pair 5-4)
+    assert per_batch[2] == {(7, 6)}
+    # nulls emit ONLY in the cleanup batch here (evict_wm passes the
+    # old errors only once delivery 4's stats land): strict boundary —
+    # err 8 (== final evict_wm) and err 10 (above) never emit
+    assert per_batch[0] == set() and per_batch[1] == set()
+    assert per_batch[3] == set()
+    assert per_batch[4] == {(1, None), (3, None), (5, None), (9, None)}
+
+    # the memory-sink runner returns the same union on this staging
+    sink = {
+        (r.error_id, r.click_id)
+        for r in run_interval_left_join_stream(
+            spark, src, f"{tmp_path}/ckpt2"
+        ).collect()
+    }
+    assert sink == {p for s in per_batch.values() for p in s}
+
+
 def test_gif_lzw_roundtrips_arbitrary_index_streams_property():
     """Property test for the trickiest codec code: arbitrary palette
     index streams (long runs force dictionary growth past width

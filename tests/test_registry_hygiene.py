@@ -108,7 +108,11 @@ def test_registry_plans_have_no_scale_red_flags(spark, sf_dir):
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     import __spark_entry__ as entrymod
-    from registry_plan_scan import BNLJ_ALLOWLIST, _unbounded_global_windows
+    from registry_plan_scan import (
+        BNLJ_ALLOWLIST,
+        _oversized_global_window_caps,
+        _unbounded_global_windows,
+    )
 
     flags = {}
     for name, fn in entrymod.queries().items():
@@ -119,6 +123,8 @@ def test_registry_plans_have_no_scale_red_flags(spark, sf_dir):
             flags[name] = "BNLJ not allowlisted"
         elif _unbounded_global_windows(plan):
             flags[name] = "unpartitioned Window over unbounded input"
+        elif _oversized_global_window_caps(plan):
+            flags[name] = "unpartitioned Window cap above the ceiling"
     assert not flags, flags
 
 
@@ -186,6 +192,55 @@ def test_global_window_detector_flags_the_r4_shape(spark, sf_dir):
         .select("doc_id", F.row_number().over(gw).alias("r"))
     )
     assert not _unbounded_global_windows(plan_of(join_capped))
+
+
+def test_global_window_cap_size_is_a_checked_invariant(spark, sf_dir):
+    """r8 Next #8: a single-partition window blessed by a limit below
+    it must also have a SMALL limit — limit(5) passes, but a cap above
+    GLOBAL_WINDOW_CAP_MAX flags even though it technically bounds the
+    window (10M rows through one task is a volume, not a constant).
+    The blessed ranked families (feat_vocab_coverage / bigram tops)
+    must pass the new check on their real plans."""
+    import sys
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import __spark_entry__ as entrymod
+    from registry_plan_scan import (
+        GLOBAL_WINDOW_CAP_MAX,
+        _oversized_global_window_caps,
+        _unbounded_global_windows,
+    )
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.corpus import (
+        _scored_docs,
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    scored = _scored_docs(spark, sf_dir)
+    gw = Window.orderBy("quality_score", "doc_id")
+    small = (
+        scored.orderBy("quality_score", "doc_id")
+        .limit(5)
+        .select("doc_id", F.row_number().over(gw).alias("r"))
+    )
+    assert not _oversized_global_window_caps(plan_of(small))
+    big = (
+        scored.orderBy("quality_score", "doc_id")
+        .limit(GLOBAL_WINDOW_CAP_MAX + 1)
+        .select("doc_id", F.row_number().over(gw).alias("r"))
+    )
+    assert not _unbounded_global_windows(plan_of(big))  # bounded, but...
+    assert _oversized_global_window_caps(plan_of(big))  # ...oversized
+    qs = entrymod.queries()
+    for entry in ("feat_vocab_coverage", "feat_word_bigram_counts"):
+        plan = plan_of(qs[entry](spark, sf_dir))
+        assert not _unbounded_global_windows(plan), entry
+        assert not _oversized_global_window_caps(plan), entry
 
 
 def test_bench_headline_names_exist():

@@ -13,7 +13,11 @@ reports scale red flags:
   fine when the input is provably bounded (a ``TakeOrderedAndProject``
   / ``GlobalLimit`` top-K or a literal/1-row frame below it in the
   plan), a 100 TB scale-killer otherwise (the round-4 curriculum-ntile
-  class — VERDICT.md r4, "What's wrong" #1);
+  class — VERDICT.md r4, "What's wrong" #1). The CAP SIZE is itself
+  checked (r8 Next #8): a limit-bounded single-partition window must
+  cap at ≤ ``GLOBAL_WINDOW_CAP_MAX`` rows, so every ``WindowExec: No
+  Partition Defined`` runtime warning provably traces to a
+  constant-row pass, never a data volume;
 - **per-broadcast-key Window over an unbounded BNLJ probe side** — a
   Window whose partition keys ALL come from the broadcast side of a
   BroadcastNestedLoopJoin below it, with the streamed side unbounded:
@@ -203,6 +207,63 @@ def _unbounded_global_windows(plan: str) -> bool:
     return False
 
 
+#: Largest top-K cap under which a single-partition Window pass is
+#: accepted: K rows through one task is a constant, not a data volume.
+#: The blessed ranked families cap at 40-50 (features.py VOCAB_TOP /
+#: BIGRAM_TOP, corpus.py); the ceiling leaves headroom for bigger
+#: report caps while still rejecting a limit(10_000_000) that would
+#: technically "bound" the window yet sort 10M rows on one core.
+GLOBAL_WINDOW_CAP_MAX = 100_000
+
+_LIMIT_RE = None
+
+
+def _limit_values(subtree: str) -> list[int]:
+    """Every explicit row cap in a plan subtree: TakeOrderedAndProject
+    (limit=K), GlobalLimit K, CollectLimit K."""
+    global _LIMIT_RE
+    import re
+
+    if _LIMIT_RE is None:
+        _LIMIT_RE = re.compile(
+            r"TakeOrderedAndProject\(limit=(\d+)|"
+            r"GlobalLimit (\d+)|CollectLimit (\d+)"
+        )
+    return [
+        int(next(g for g in m.groups() if g))
+        for m in _LIMIT_RE.finditer(subtree)
+    ]
+
+
+def _oversized_global_window_caps(plan: str) -> bool:
+    """True when an unpartitioned Window is bounded ONLY by limit-style
+    caps and some cap exceeds ``GLOBAL_WINDOW_CAP_MAX``: the r8 plan
+    audit blessed the ranked families' single-partition passes because
+    their inputs are K-row-capped — this makes the CAP SIZE itself a
+    checked invariant (the `WindowExec: No Partition Defined` runtime
+    warnings stay a clean signal: every one must trace to a window
+    whose input cap is small enough to be a constant, not a volume).
+    One-row bounds (global aggregates, literal frames) pass without a
+    limit."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if not _node_name(ln).startswith("Window "):
+            continue
+        if not _spec_is_unpartitioned(ln):
+            continue
+        kids = _children(lines, i)
+        if not kids or not all(_node_bounded(lines, k) for k in kids):
+            continue  # the unbounded rule flags it; not this check's job
+        caps = [
+            c
+            for k in kids
+            for c in _limit_values(_subtree_text(lines, k))
+        ]
+        if any(c > GLOBAL_WINDOW_CAP_MAX for c in caps):
+            return True
+    return False
+
+
 def _subtree_text(lines: list[str], j: int) -> str:
     """Concatenated text of the subtree rooted at ``lines[j]``,
     including the root node's own name/attribute list (but not its
@@ -317,6 +378,11 @@ def scan(sf_dir: str) -> dict[str, str]:
             flags[name] = "BroadcastNestedLoopJoin (not allowlisted)"
         elif _unbounded_global_windows(plan):
             flags[name] = "unpartitioned Window over unbounded input"
+        elif _oversized_global_window_caps(plan):
+            flags[name] = (
+                "unpartitioned Window capped above "
+                f"{GLOBAL_WINDOW_CAP_MAX} rows"
+            )
         elif (
             _perkey_windows_over_bnlj(plan)
             and name not in PERKEY_WINDOW_ALLOWLIST
