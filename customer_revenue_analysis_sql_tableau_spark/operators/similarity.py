@@ -709,9 +709,158 @@ def sim_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deletion split (r8 Next #5): two tombstone waves over the corpus —
+#: wave A (``% DEL_MOD == DEL_COMPACTED``) has already been folded in
+#: by compaction (the affected inverted lists were rebuilt), wave B
+#: (``% DEL_MOD == DEL_PENDING``) is pending and must be masked by a
+#: query-time tombstone anti-join. Production vector stores run
+#: exactly this split: recent deletes are tombstones, a periodic
+#: compaction rewrites only the cells they touch.
+DEL_MOD = 9
+DEL_COMPACTED = 4
+DEL_PENDING = 7
+
+def _is_deleted():
+    """Tombstone predicate (both waves). A function, not a module-level
+    Column: building a Column needs an active SparkContext."""
+    return (F.col("vec_id") % DEL_MOD == DEL_COMPACTED) | (
+        F.col("vec_id") % DEL_MOD == DEL_PENDING
+    )
+
+
+def sim_delete_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k over the SURVIVING corpus after both delete
+    waves — the oracle-backed baseline the tombstoning IVF tier is
+    measured against. A deleted vector must appear neither as a query
+    nor as a neighbor; the driver hash proves the survivor set is
+    exactly the complement of the two tombstone waves."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    ed = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).filter(~_is_deleted())
+    q = ed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(ed, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos("qv", "v").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def sim_delete_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search under DELETIONS — the index-maintenance shape
+    production vector stores run (the delete sibling of
+    ``sim_incremental_ivf``'s insert path):
+
+    - the coarse quantizer is NOT retrained (FAISS discipline: it is a
+      stable artifact; deletes shift cell centroids no more than
+      inserts do);
+    - wave-A deletes are COMPACTED: only the cells that contain a
+      deleted vector are rebuilt (an anti-join bounded by a semi-join
+      to exactly the affected cell ids — the IVM drain-recompute
+      pattern from ``incremental.py``), untouched cells pass through
+      verbatim;
+    - wave-B deletes are PENDING tombstones, masked at query time by
+      an anti-join on the shortlist — the index still holds them, the
+      reader never sees them.
+
+    Cost: compaction ∝ rows of affected cells (never the full index);
+    the query path is the normal nprobe candidate read + a broadcast
+    anti-join against the (small) pending-tombstone set. Recall < 1 by
+    construction → rows-only oracle; ``sim_delete_recall_check`` pins
+    the floor vs ``sim_delete_brute_topk`` under the driver hash."""
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    live = ed.filter(~_is_deleted())
+    # quantizer trained on the pre-delete base (the persisted artifact)
+    sample_rows = (
+        ed.orderBy(F.xxhash64(F.col("vec_id").cast("string"), F.lit(LSH_SEED)))
+        .limit(IVF_TRAIN_SAMPLE)
+        .collect()
+    )
+    nlist, nprobe = _ivf_geometry(len(sample_rows))
+    cents = _train_centroids(np.array([r["v"] for r in sample_rows]), nlist)
+    cmat, cnorm = cents, (cents**2).sum(axis=1)
+
+    @pandas_udf("int")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy())
+        d2 = (m**2).sum(axis=1)[:, None] - 2.0 * (m @ cmat.T) + cnorm[None, :]
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    # the persisted inverted lists (pre-delete index state)
+    assigned = ed.withColumn("cell", cell_of(F.col("v"))).localCheckpoint()
+
+    # ---- compaction of wave A: rebuild ONLY the affected cells ----
+    wave_a = assigned.filter(F.col("vec_id") % DEL_MOD == DEL_COMPACTED)
+    affected = wave_a.select("cell").distinct()
+    untouched = assigned.join(F.broadcast(affected), "cell", "left_anti")
+    rebuilt = assigned.join(F.broadcast(affected), "cell", "left_semi").join(
+        F.broadcast(wave_a.select("vec_id")), "vec_id", "left_anti"
+    )
+    compacted = untouched.unionByName(rebuilt)
+
+    # ---- query path: nprobe probe + pending-tombstone anti-join ----
+    pending = ed.filter(F.col("vec_id") % DEL_MOD == DEL_PENDING).select(
+        "vec_id"
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, cv array<double>",
+    )
+    l2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probed = (
+        live.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("d2", l2)
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = (
+        probed.join(
+            compacted,
+            (probed.cell == compacted.cell)
+            & (F.col("query_id") != compacted.vec_id),
+        )
+        .join(F.broadcast(pending), "vec_id", "left_anti")
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id", _cos("qv", "v").alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_delivery_brute_topk": sim_delivery_brute_topk,
+    "sim_delete_brute_topk": sim_delete_brute_topk,
+    "sim_delete_ivf_topk": sim_delete_ivf_topk,  # rows-only (probabilistic)
     "sim_incremental_ivf": sim_incremental_ivf,  # rows-only (probabilistic)
     "sim_lsh_topk": sim_lsh_topk,  # rows-only (probabilistic recall)
     "sim_ivf_topk": sim_ivf_topk,  # rows-only (probabilistic recall)
@@ -731,6 +880,25 @@ ORACLES: dict[str, str] = {
             FROM e q JOIN e x
               ON x.vec_id % {DELIVERY_MOD} != {DELIVERY_MOD - 1}
             WHERE q.vec_id % {DELIVERY_MOD} = {DELIVERY_MOD - 1}),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {TOP_K}""",
+    "sim_delete_brute_topk": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id % {DEL_MOD} != {DEL_COMPACTED}
+              AND vec_id % {DEL_MOD} != {DEL_PENDING}),
+        scored AS (
+            SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                   list_dot_product(q.v, x.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(x.v, x.v))) AS cosine
+            FROM e q JOIN e x ON q.vec_id != x.vec_id
+            WHERE q.vec_id < {N_QUERIES}),
         ranked AS (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id

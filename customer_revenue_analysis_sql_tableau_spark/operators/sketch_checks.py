@@ -28,10 +28,15 @@ from pyspark.sql import functions as F
 from ..catalog import load_tables
 from .features import _docs
 from .similarity import (
+    DEL_COMPACTED,
+    DEL_MOD,
+    DEL_PENDING,
     DELIVERY_MOD,
     N_QUERIES,
     TOP_K,
     sim_bruteforce_topk,
+    sim_delete_brute_topk,
+    sim_delete_ivf_topk,
     sim_delivery_brute_topk,
     sim_incremental_ivf,
     sim_ivf_topk,
@@ -57,6 +62,11 @@ IVFPQ_RECALL_FLOOR = 0.7
 #: excludes them), so their recall runs lower than the in-corpus IVF
 #: tier: measured 0.706-0.776 across SFs.
 INCREMENTAL_RECALL_FLOOR = 0.6
+#: The delete tier searches in-corpus queries against a compacted +
+#: tombstone-masked index — measured 0.80-0.93 across SFs (sf0.1 sits
+#: at 0.80 exactly, so the floor leaves a margin below the measured
+#: minimum rather than riding the knife edge).
+DELETE_RECALL_FLOOR = 0.75
 
 #: HLL++ is run at rsd=0.02; 5 sigma = 10% relative slack, plus an
 #: absolute slack of 2 so single-digit groups can't trip the ratio.
@@ -201,6 +211,20 @@ def sim_ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_check(spark, sf_dir, sim_ivfpq_topk, IVFPQ_RECALL_FLOOR)
 
 
+def sim_delete_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstoning-IVF recall >= 0.75 vs the exact surviving-corpus
+    baseline — and, because ``_recall_check`` left-joins the baseline,
+    the hash also proves the approx tier returned NO deleted vector
+    the baseline excludes."""
+    return _recall_check(
+        spark,
+        sf_dir,
+        sim_delete_ivf_topk,
+        DELETE_RECALL_FLOOR,
+        baseline_fn=sim_delete_brute_topk,
+    )
+
+
 def sim_incremental_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-IVF delivery recall >= 0.6 vs the exact
     delivery-vs-base baseline (measured 0.706-0.776 — out-of-corpus
@@ -269,6 +293,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pq_recall_check": sim_pq_recall_check,
     "sim_ivfpq_recall_check": sim_ivfpq_recall_check,
     "sim_incremental_recall_check": sim_incremental_recall_check,
+    "sim_delete_recall_check": sim_delete_recall_check,
     "vocab_topk_containment_check": vocab_topk_containment_check,
 }
 
@@ -293,6 +318,12 @@ ORACLES: dict[str, str] = {
                CAST({TOP_K} AS BIGINT) AS k, TRUE AS recall_ok
         FROM embeddings
         WHERE vec_id % {DELIVERY_MOD} = {DELIVERY_MOD - 1}""",
+    "sim_delete_recall_check": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST({TOP_K} AS BIGINT) AS k, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+          AND vec_id % {DEL_MOD} != {DEL_COMPACTED}
+          AND vec_id % {DEL_MOD} != {DEL_PENDING}""",
     "sim_ivf_recall_check": f"""
         SELECT CAST(count(*) AS BIGINT) AS n_queries,
                CAST({TOP_K} AS BIGINT) AS k, TRUE AS recall_ok

@@ -2241,6 +2241,50 @@ def test_incremental_ivf_recall_and_cell_bounded_candidates(spark, sf_dir):
     assert all(v <= TOP_K for v in per_q.values())
 
 
+def test_delete_ivf_masks_tombstones_and_hits_recall_floor(spark, sf_dir):
+    """The tombstoning IVF tier must hit the recall floor vs the exact
+    surviving-corpus baseline, never return a deleted vector (neither
+    compacted wave-A nor pending wave-B), respect k — and the deletes
+    must be NON-VACUOUS: some pre-delete brute-force neighbor is
+    deleted, so the tier provably reranks rather than inheriting the
+    undeleted answer."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.similarity import (
+        DEL_COMPACTED,
+        DEL_MOD,
+        DEL_PENDING,
+        TOP_K,
+        sim_bruteforce_topk,
+        sim_delete_brute_topk,
+        sim_delete_ivf_topk,
+    )
+    from customer_revenue_analysis_sql_tableau_spark.operators.sketch_checks import (
+        DELETE_RECALL_FLOOR,
+    )
+
+    def deleted(vid: int) -> bool:
+        return vid % DEL_MOD in (DEL_COMPACTED, DEL_PENDING)
+
+    pre = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_bruteforce_topk(spark, sf_dir).collect()
+    }
+    assert any(deleted(n) for _, n in pre), "no pre-delete top-k hit is deleted - vacuous"
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_delete_brute_topk(spark, sf_dir).collect()
+    }
+    assert not any(deleted(q) or deleted(n) for q, n in bf)
+    rows = sim_delete_ivf_topk(spark, sf_dir).collect()
+    ap = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(bf & ap) / len(bf) >= DELETE_RECALL_FLOOR
+    per_q: dict[int, int] = {}
+    for r in rows:
+        assert not deleted(r.query_id) and not deleted(r.neighbor_id)
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(v <= TOP_K for v in per_q.values())
+
+
 def test_variant_extract_roundtrips_typed_facts(spark, sf_dir):
     """The VARIANT build->parse->navigate round-trip must reproduce the
     typed columns exactly: counts, distinct users, decimal value sums,

@@ -64,6 +64,9 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "sim_ivf_recall_check",  # inherits sim_ivf_topk's bounded query set
         "graph_pagerank_directed",  # 1-row dangling-share scalar frame per iteration
         "sim_delivery_brute_topk",  # exact CHECK baseline (cost of the proof, not the production path)
+        "sim_delete_brute_topk",  # exact surviving-corpus CHECK baseline (bounded query set)
+        "sim_delete_ivf_topk",  # queries x <=64 broadcast centroids: constant fan-out probe
+        "sim_delete_recall_check",  # composes the two delete entries
         "sim_incremental_ivf",  # delivery x <=64 broadcast centroids: constant fan-out probe
         "sim_incremental_recall_check",  # composes the two entries above
         "sim_pq_topk",  # broadcast query LUTs x code scan, queries bounded
@@ -90,6 +93,8 @@ PERKEY_WINDOW_ALLOWLIST: frozenset[str] = frozenset(
         "sim_ivfpq_recall_check",  # embeds sim_bruteforce_topk
         "sim_delivery_brute_topk",  # exact delivery-vs-base CHECK baseline
         "sim_incremental_recall_check",  # embeds sim_delivery_brute_topk
+        "sim_delete_brute_topk",  # exact surviving-corpus CHECK baseline
+        "sim_delete_recall_check",  # embeds sim_delete_brute_topk
     }
 )
 
