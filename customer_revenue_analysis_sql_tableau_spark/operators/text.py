@@ -564,7 +564,175 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BPE training: number of merges learned (bounded iterations — each
+#: is one distributed pair-count agg + a 1-row argmax + a projection)
+#: and the two token-boundary sentinels. Words are [a-z]+ (the split
+#: regex guarantees it), so the control-char sentinels can never
+#: collide with token content — that is what makes greedy leftmost
+#: non-overlapping merge application expressible as plain string
+#: ``replace`` on BOTH engines (a pattern match can only start at a
+#: true token boundary).
+BPE_MERGES = 6
+BPE_S1 = chr(30)  # token start sentinel (RS)
+BPE_S2 = chr(31)  # token end sentinel (US)
+
+
+def _bpe_word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, cnt, tokstr) over the corpus: lowercased [a-z]+ word
+    types with frequencies, each wrapped as per-character sentinel
+    tokens — the classic BPE training input (Sennrich et al. 2016
+    trains on the word-type table, never the raw corpus)."""
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    words = (
+        d.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+", -1)).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return words.withColumn(
+        "tokstr",
+        F.regexp_replace("word", "(.)", f"{BPE_S1}$1{BPE_S2}"),
+    )
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE BPE merge-table training, distributed (r8 Next #7 — the
+    regex pre-tokenizer in ``text_token_stats_bpe`` segments text; this
+    learns the merge table itself, the one big text-pipeline primitive
+    that was still missing). Reference semantics (Sennrich et al.,
+    public): start from characters, repeat ``BPE_MERGES`` times —
+    count all adjacent symbol pairs across the word-type table
+    weighted by word frequency (overlapping occurrences count, e.g.
+    'aaa' has (a,a) twice), merge the most frequent pair everywhere
+    (greedy leftmost non-overlapping within each word), deterministic
+    tie-break (count desc, left asc, right asc).
+
+    Spark shape: the word-freq table is checkpointed ONCE (it is read
+    every iteration); each iteration is one pair-count groupBy (the
+    only shuffle — over pair keys, map-side combined), a 1-row
+    ``limit(1).collect()`` argmax (a bounded scalar, the k-means
+    centroid pattern), and a stateless ``replace`` projection, so the
+    per-iteration cost is O(word types), never O(corpus). Tokenization
+    state lives in the sentinel-wrapped string (see ``BPE_S1``), which
+    is what makes merge application a JVM-side ``replace`` instead of
+    a Python UDF loop.
+
+    The oracle replays the identical merge sequence in DuckDB as an
+    unrolled CTE chain (count → argmax → replace per iteration), so
+    the driver hash proves the full training trajectory — counts,
+    tie-breaks, and greedy application — not just the final table.
+    Returns (rank, left, right, pair_count), rank 1-based in merge
+    order. Domain: the corpus must yield at least ``BPE_MERGES``
+    distinct pairs (any real corpus does; asserted loudly)."""
+    wf = _bpe_word_freqs(spark, sf_dir).localCheckpoint()
+    tok_re = f"{BPE_S1}([^{BPE_S1}{BPE_S2}]*){BPE_S2}"
+    merges: list[tuple[int, str, str, int]] = []
+    cur = wf
+    for rank in range(1, BPE_MERGES + 1):
+        pairs = (
+            cur.select(
+                "cnt",
+                F.expr(f"regexp_extract_all(tokstr, '{tok_re}', 1)").alias(
+                    "toks"
+                ),
+            )
+            # single-token words have no pairs — and Spark's
+            # sequence(1, 0) counts DOWN (yielding index 0), so they
+            # must be filtered, not left to an empty sequence
+            .filter(F.expr("size(toks) >= 2"))
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1), "
+                        "i -> struct(element_at(toks, i) AS l, "
+                        "element_at(toks, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = (
+            pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # degenerate corpus — out of the operator's domain
+            raise ValueError(
+                f"corpus exhausted after {rank - 1} merges; "
+                f"BPE_MERGES={BPE_MERGES} needs more pair diversity"
+            )
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rank, l, r, c))
+        cur = cur.withColumn(
+            "tokstr",
+            F.replace(
+                "tokstr",
+                F.lit(f"{BPE_S1}{l}{BPE_S2}{BPE_S1}{r}{BPE_S2}"),
+                F.lit(f"{BPE_S1}{l}{r}{BPE_S2}"),
+            ),
+        )
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )
+
+
+def _bpe_oracle() -> str:
+    """Unrolled DuckDB replay of the training loop: w0 is the wrapped
+    word-freq table; each stage i computes pair counts p_i from w_i,
+    the argmax b_i under the same (count desc, pair asc) order, and
+    w_{i+1} by the same sentinel-delimited ``replace``."""
+    s1, s2 = "chr(30)", "chr(31)"
+    tok_re = f"{s1} || '([^' || {s1} || {s2} || ']*)' || {s2}"
+    parts = [
+        f"""WITH w0 AS (
+            SELECT word, cnt,
+                   regexp_replace(word, '(.)',
+                                  {s1} || '\\1' || {s2}, 'g') AS tokstr
+            FROM (
+                SELECT word, CAST(count(*) AS BIGINT) AS cnt
+                FROM (
+                    SELECT unnest(string_split_regex(lower(text),
+                                                     '[^a-z]+')) AS word
+                    FROM documents)
+                WHERE word != '' GROUP BY word))"""
+    ]
+    for i in range(BPE_MERGES):
+        parts.append(f"""p{i} AS (
+            SELECT pair['l'] AS l, pair['r'] AS r,
+                   CAST(sum(cnt) AS BIGINT) AS c
+            FROM (
+                SELECT cnt,
+                       unnest(list_transform(
+                           generate_series(1, len(toks) - 1),
+                           i -> struct_pack(l := toks[i],
+                                            r := toks[i + 1]))) AS pair
+                FROM (SELECT cnt,
+                             regexp_extract_all(tokstr, {tok_re}, 1) AS toks
+                      FROM w{i}))
+            GROUP BY 1, 2),
+        b{i} AS (
+            SELECT {i + 1} AS rank, l, r, c FROM p{i}
+            ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+        w{i + 1} AS (
+            SELECT word, cnt,
+                   replace(tokstr,
+                           {s1} || b.l || {s2} || {s1} || b.r || {s2},
+                           {s1} || b.l || b.r || {s2}) AS tokstr
+            FROM w{i}, b{i} b)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(rank AS BIGINT) AS rank, l AS left, r AS right, "
+        f"c AS pair_count FROM b{i}"
+        for i in range(BPE_MERGES)
+    )
+    return ",\n".join(parts) + "\n" + union
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_bpe_train": text_bpe_train,
     "text_token_stats": text_token_stats,
     "text_gopher_filters": text_gopher_filters,
     "text_token_stats_bpe": text_token_stats_bpe,
@@ -674,6 +842,7 @@ _GOPHER_MEASURES_SQL = f"""
         FROM documents"""
 
 ORACLES: dict[str, str] = {
+    "text_bpe_train": _bpe_oracle(),
     "text_gopher_filters": f"""
         WITH m AS ({_GOPHER_MEASURES_SQL})
         SELECT *,

@@ -2285,6 +2285,67 @@ def test_delete_ivf_masks_tombstones_and_hits_recall_floor(spark, sf_dir):
     assert all(v <= TOP_K for v in per_q.values())
 
 
+def test_bpe_train_matches_reference_python_replay(spark, tmp_path):
+    """The distributed BPE trainer must reproduce a plain-Python
+    reference implementation (Sennrich semantics) on a corpus built to
+    exercise the tricky rules: overlapping pair counts ('aaaa' counts
+    (a,a) three times), greedy LEFTMOST non-overlapping application
+    ('aaaa' -> [aa][aa] after merging (a,a)), merged symbols joining
+    later pairs, and the (count desc, pair asc) tie-break."""
+    import collections
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.text import (
+        BPE_MERGES,
+        text_bpe_train,
+    )
+
+    text = "aaaa aaaa banana bandana cabana ab ab ab zz zz zz zz"
+    spark.createDataFrame(
+        [(1, text, "en", "synt", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+
+    # reference replay
+    import re
+
+    words = collections.Counter(
+        w for w in re.split("[^a-z]+", text.lower()) if w
+    )
+    toks = {w: list(w) for w in words}
+    expected = []
+    for rank in range(1, BPE_MERGES + 1):
+        counts: collections.Counter = collections.Counter()
+        for w, cnt in words.items():
+            t = toks[w]
+            for i in range(len(t) - 1):
+                counts[(t[i], t[i + 1])] += cnt
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rank, l, r, c))
+        for w in toks:
+            t, out, i = toks[w], [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == l and t[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            toks[w] = out
+
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in text_bpe_train(spark, str(tmp_path))
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expected
+    # the corpus actually exercised the overlap rule: 'aaaa' x2 plus
+    # banana/cabana's (a,*) pairs make (a,a) win round 1 with count 6
+    assert expected[0][1:] == ("a", "a", 6)
+
+
 def test_variant_extract_roundtrips_typed_facts(spark, sf_dir):
     """The VARIANT build->parse->navigate round-trip must reproduce the
     typed columns exactly: counts, distinct users, decimal value sums,
