@@ -70,92 +70,93 @@ _REGISTRY_MODULES = [
 
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
-# at ENTRY level. Round-8 ordering (VERDICT.md r7, Next #2/#3/#4/#5/#6):
-# (1) the NINE new r8 entries that have never been in a driver
-# window — deletable min/max IVM (r7 Next #5), the directed PageRank
-# twin with dangling-mass handling (r7 Next #6), time-series gap fill,
-# the edit-distance fuzzy join, stratified sampling, SCD Type 2
-# intervals, and the incremental-ANN triple (delivery brute baseline,
-# rows-only IVF ingest tier, its recall bound); (2) the FOUR PQ
-# entries whose registered plans changed this round — codes are now a
-# packed 10-byte BinaryType bitstream with a conv/shift JVM unpack
-# (r7 Next #4) — re-proved on current code; (3) the SEVENTEEN
-# r4-proven reference-core parity entries (q1–q11, q1_full, the MFC
-# window, three Tableau charts, the bucketed view fill) promoted per
-# r7 Next #2 — the parity surface is the project's name and must
-# never be the stalest thing in the registry (floor becomes r5+);
-# (4) the FIVE stale rows-only entries (last windowed r1–r3) re-listed
-# adjacent to their hash-green bound twins per r7 Next #3; (5) slack
-# slots go to the next-stalest r5-proven cohort. Guarded against rot
-# by tests/test_registry_hygiene.py::test_priority_names_exist.
+# at ENTRY level. Round-9 ordering (VERDICT.md r8, Next #2/#3/#4/#5/#7):
+# (1) the FIVE new r9 entries that have never been in a driver window —
+# the ANN-deletion triple (exact surviving-corpus baseline, rows-only
+# tombstoning IVF tier, its recall bound; r8 Next #5), the left-outer
+# stream-stream interval-join drain (r8 Next #4), and true BPE
+# merge-table training (r8 Next #7); (2) the TWO entries whose
+# registered plan or oracle changed this round and must re-prove on
+# current code — the edit-distance join (positional Ed-Join filter +
+# short-doc fallback, r8 Next #3 + ADVICE) and the variant extract
+# (null-safe n_tag_match on both sides, ADVICE); (3) the full
+# TWENTY-THREE-entry r4 proof-staleness cohort promoted per r8 Next #2
+# (seven streaming drains, five TPC-H shapes, funnel/retention,
+# tableau G5, semi/anti joins, two multimodal ops, grouped LSH, corpus
+# report, DQ profile, pack-concat) — the freshest-proof floor becomes
+# r5+ for every entry; (4) slack slots go to the next-stalest
+# r5-proven cohort (dedup family, rollup, TPC-H q7/q8/q13/q14/q15,
+# procedures, features, splits, IVM). Guarded against rot by
+# tests/test_registry_hygiene.py::test_priority_names_exist.
 _PRIORITY = [
-    # -- new this round (r8), first driver proof --
-    "inc_minmax_with_retractions",  # deletable MIN/MAX IVM (buffers + drain recompute)
-    "graph_pagerank_directed",  # teleport-only re-rank + dangling-mass share
-    "temporal_gap_fill",  # dense hourly grid + forward fill per user
-    "dedup_edit_distance",  # lossless q-gram prefix filter + banded verify
-    "split_stratified_sample",  # exact ceil(n/5) per (lang, source) stratum
-    "temporal_scd2_user_state",  # SCD Type 2 validity intervals
-    "sim_delivery_brute_topk",  # exact delivery-vs-base baseline (oracle-backed)
-    "sim_incremental_ivf",  # ANN ingest vs persisted quantizer (rows-only)
-    "sim_incremental_recall_check",  # its driver-hash recall bound
-    "events_variant_extract",  # Spark 4 VARIANT parse/navigate round-trip
-    "dedup_exact_substring",  # Lee-et-al. window duplication coverage
-    "feat_ewma_user_value",  # fixed-order exponential-decay feature
-    "stream_crossbatch_dedup_drain",  # dedup late/expiry/no-extension rules
-    # -- plans changed this round (packed 10-byte PQ storage): re-prove --
-    "sim_pq_topk",  # rows-only; BinaryType codes + conv/shift ADC
-    "sim_pq_recall_check",  # recall bound over the packed plan
-    "sim_ivfpq_topk",  # rows-only; packed residual codes
-    "sim_ivfpq_recall_check",  # recall bound over the packed plan
-    # -- r7 Next #2: reference-core proof refresh (r4 → r8) --
-    "view_customer_value_summary_bucketed",
-    "q1_top_revenue_customers",
-    "q1_full",
-    "q2_most_frequent_customers",
-    "q3_top_late_fees",
-    "q4_frequency_segmentation",
-    "q5_churn_risk",
-    "q6_revenue_by_category",
-    "q7_customer_lifetime_value",
-    "q8_customer_cohorts",
-    "q9_revenue_by_nation",
-    "q10_revenue_by_nation_region",
-    "q11_avg_revenue_per_customer",
-    "mfc_window_top1",
-    "tableau_g1_country_map",
-    "tableau_g3_revenue_by_category",
-    "tableau_g4_late_fees_by_category",
-    # -- r7 Next #3: stale rows-only re-windows, each beside its twin --
-    "sim_lsh_topk",  # rows-only, last windowed r2
-    "sim_lsh_recall_check",
-    "sim_ivf_topk",  # rows-only, last windowed r2
-    "sim_ivf_recall_check",
-    "approx_distinct_customers_by_nation",  # rows-only, last windowed r1
-    "approx_distinct_error_check",
-    "feat_vocab_topk_sketch",  # rows-only, last windowed r2
-    "vocab_topk_containment_check",
-    "temporal_value_percentiles_approx",  # rows-only, last windowed r3
-    "approx_percentile_error_check",
+    # -- new this round (r9), first driver proof --
+    "sim_delete_brute_topk",  # exact top-k over survivors (oracle-backed)
+    "sim_delete_ivf_topk",  # tombstone anti-join + cell compaction (rows-only)
+    "sim_delete_recall_check",  # its driver-hash recall bound
+    "stream_interval_left_join_drain",  # probed outer-null emission rules
+    "text_bpe_train",  # full-trajectory BPE merge training
+    # -- plan/oracle changed this round: re-prove on current code --
+    "dedup_edit_distance",  # positional Ed-Join filter + short-doc fallback
+    "events_variant_extract",  # null-safe n_tag_match on both sides
+    # -- r8 Next #2: the full r4 proof-staleness cohort (floor -> r5+) --
+    "stream_minute_rollup_drain",
+    "stream_user_upsert_drain",
+    "stream_cdc_latest_drain",
+    "stream_tumbling_window_drain",
+    "stream_interval_join_drain",
+    "stream_sliding_window_drain",
+    "stream_session_window_drain",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "analytics_funnel_stage_counts",
+    "analytics_retention_day_cohorts",
+    "tableau_g5_spend_by_type_year",
+    "top_nations_customers_semi",
+    "parts_never_ordered_anti",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "dedup_minhash_lsh_grouped",
+    "corpus_stats_report",
+    "dq_column_profile",
+    "split_pack_concat",
     # -- slack: next-stalest r5-proven refreshes --
-    "scalar_function_gallery",
-    "nations_having_many_customers",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_components",
+    "dedup_components_distributed",
+    "rollup_minute",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_order_count_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "proc_customer_balance",
+    "proc_rewards_report",
+    "feat_minmax_normalize",
+    "feat_vocab_coverage",
+    "feat_word_bigram_counts",
+    "split_train_test",
+    "inc_view_maintenance",
     # ---- ~50-entry budget cut falls here ----
-    "customers_above_avg_balance",
-    "nation_customer_list",
-    "app_any_column_search",
-    "app_range_filter",
-    # (r6/r7-proven entries keep their fresh proofs; code unchanged)
+    "stream_resumable_restart_drain",
+    "split_pii_redact",
+    "proc_parts_in_stock",
+    "split_chunk_documents",
+    "feat_value_quartile_bins",
+    "feat_zscore_outliers",
+    # (r6-r8-proven entries keep their fresh proofs; code unchanged)
     "flagship_revenue_by_region",
     "view_customer_value_summary",
-    "jsonl_corrupt_tolerance",
-    "multimodal_decode_png",
-    "multimodal_decode_jpeg",
-    "graph_pagerank_copurchase",
-    "inc_revenue_with_retractions",
-    "split_leakage_safe",
-    "emb_kmeans_assign",
-    "dedup_incremental_lsh",
+    "view_customer_value_summary_bucketed",
+    "q1_top_revenue_customers",
+    "q5_churn_risk",
+    "mfc_window_top1",
 ]
 
 

@@ -259,6 +259,48 @@ def prepare_bucketed_facts(
         save_bucketed(df, name, key, buckets)
 
 
+def prepare_analyzed_catalog(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = (
+        "region",
+        "nation",
+        "customer",
+        "orders",
+        "lineitem",
+        "part",
+    ),
+) -> dict[str, str]:
+    """Persist the sf tables to the warehouse catalog and run
+    ``ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS`` — the
+    one-time statistics pass that lets the cost-based optimizer
+    (``spark.sql.cbo.enabled``) pick join orders and build sides from
+    measured row counts and NDVs instead of file-size heuristics
+    (r8 Next #6; SCALE.md listed "no ANALYZE stats" as a known limit).
+    Returns {table: catalog_name}. Idempotent per (metastore, sf_dir):
+    existing analyzed tables are reused — ANALYZE re-runs only on
+    fresh builds, mirroring a production ingest that refreshes stats
+    when (and only when) the data changes."""
+    import hashlib
+
+    from ..streaming.statefs import delete_dir
+
+    h = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    t = load_tables(spark, sf_dir, names=tables, register=False)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    out: dict[str, str] = {}
+    for name in tables:
+        cat = f"{name}_stats_{h}"
+        out[name] = cat
+        if spark.catalog.tableExists(cat):
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {cat}")
+        delete_dir(spark, f"{warehouse}/{cat}")
+        t[name].write.saveAsTable(cat)
+        spark.sql(f"ANALYZE TABLE {cat} COMPUTE STATISTICS FOR ALL COLUMNS")
+    return out
+
+
 def customer_value_summary_bucketed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
