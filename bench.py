@@ -106,12 +106,34 @@ HEADLINE = [
     "dedup_edit_distance",
     # added r8: per-key grid generation + forward-fill window
     "temporal_gap_fill",
+    # added r9 (extend the common subset; don't displace): the
+    # iterative text-training representative — six rounds of
+    # pair-count agg + argmax + JVM replace over the checkpointed
+    # word-type table
+    "text_bpe_train",
 ]
+
+
+def _cpu_calibration() -> float:
+    """Absolute single-core speed gauge: SHA-256 over a fixed 192 MB
+    buffer (pure CPU, no BLAS threading, no JVM). Per-pass sentinels
+    catch INTRA-run drift; this constant is the cross-run yardstick —
+    a uniformly contended host slows every query AND this loop by the
+    same factor, so round-over-round totals can be compared at equal
+    calibration (r8's 1.13× "regression" was exactly this ambiguity:
+    host load 4-5 from other tenants with zero engine processes)."""
+    import hashlib
+
+    buf = bytes(range(256)) * (192 * 1024 * 1024 // 256)
+    t0 = time.perf_counter()
+    hashlib.sha256(buf).hexdigest()
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    calibration = min(_cpu_calibration() for _ in range(3))
     spark = get_spark("bench")
     queries = entrymod.queries()
 
@@ -180,6 +202,12 @@ def main() -> None:
     flagship = queries["flagship_revenue_by_region"]
     samples: dict[str, list[float]] = {}
     active = [(n, queries[n]) for n in HEADLINE if n in queries]
+    # one untimed flagship run at the MEASURED sf before sentinel 0:
+    # the codegen warmup above runs at sf0.001, so the first sf-dir
+    # execution pays first-touch parquet reads — a systematic bias
+    # that made sentinel 0 read as phantom contention (measured 1.10 s
+    # cold vs 0.79-0.84 s for every later sentinel)
+    run_once("flagship_revenue_by_region", flagship)
     sentinels = [run_once("flagship_revenue_by_region", flagship)]
     for _ in range(3):
         for name, fn in active:
@@ -236,6 +264,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "aux": aux,
+                "cpu_calibration_s": calibration,
                 "normalized_total": round(sum(normalized.values()), 3),
                 "queries_normalized": normalized,
                 "load_sentinel": {
