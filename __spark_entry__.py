@@ -94,7 +94,9 @@ _PRIORITY = [
     "sim_delete_ivf_topk",  # tombstone anti-join + cell compaction (rows-only)
     "sim_delete_recall_check",  # its driver-hash recall bound
     "stream_interval_left_join_drain",  # probed outer-null emission rules
+    "stream_interval_full_join_drain",  # + click-side nulls (strict bound)
     "text_bpe_train",  # full-trajectory BPE merge training
+    "text_bpe_tokenize",  # merge-table application over the corpus
     # -- plan/oracle changed this round: re-prove on current code --
     "dedup_edit_distance",  # positional Ed-Join filter + short-doc fallback
     "events_variant_extract",  # null-safe n_tag_match on both sides
@@ -141,9 +143,9 @@ _PRIORITY = [
     "feat_minmax_normalize",
     "feat_vocab_coverage",
     "feat_word_bigram_counts",
+    # ---- ~50-entry budget cut falls here ----
     "split_train_test",
     "inc_view_maintenance",
-    # ---- ~50-entry budget cut falls here ----
     "stream_resumable_restart_drain",
     "split_pii_redact",
     "proc_parts_in_stock",

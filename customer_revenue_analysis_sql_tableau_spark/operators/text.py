@@ -626,6 +626,18 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (rank, left, right, pair_count), rank 1-based in merge
     order. Domain: the corpus must yield at least ``BPE_MERGES``
     distinct pairs (any real corpus does; asserted loudly)."""
+    merges, _ = _bpe_fit(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )
+
+
+def _bpe_fit(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the training loop; return (merge table, final word-type
+    frame with fully-merged ``tokstr``). Shared by the train entry and
+    the corpus tokenizer (:func:`text_bpe_tokenize`)."""
     wf = _bpe_word_freqs(spark, sf_dir).localCheckpoint()
     tok_re = f"{BPE_S1}([^{BPE_S1}{BPE_S2}]*){BPE_S2}"
     merges: list[tuple[int, str, str, int]] = []
@@ -675,8 +687,63 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"{BPE_S1}{l}{r}{BPE_S2}"),
             ),
         )
-    return spark.createDataFrame(
-        merges, "rank long, left string, right string, pair_count long"
+    return merges, cur
+
+
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table to the WHOLE corpus — the
+    tokenizer-application shape a training-data pipeline runs per
+    document (token budgeting, packing, cost estimation). Training
+    already produced the fully-merged segmentation of every word TYPE,
+    so application is a vocabulary join, never a per-document merge
+    loop: explode documents into words, join the word-type table
+    (``shuffle_hash`` — both sides are corpus-sized; at 100 TB the
+    vocab side is heavy-tailed Zipfian and the join is key-bounded),
+    and sum. Per doc: word count, BPE token count, and the
+    character-per-token compression integer-scaled ×100 (exact int —
+    no float division crosses the hash). Docs with no [a-z] words
+    report zero counts (left join + coalesce)."""
+    _, fitted = _bpe_fit(spark, sf_dir)
+    tok_re = f"{BPE_S1}([^{BPE_S1}{BPE_S2}]*){BPE_S2}"
+    vocab = fitted.select(
+        "word",
+        F.expr(f"size(regexp_extract_all(tokstr, '{tok_re}', 1))")
+        .cast("long")
+        .alias("n_tok"),
+        F.length("word").cast("long").alias("n_chr"),
+    )
+    d = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    doc_words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+", -1)).alias("word"),
+    ).filter(F.col("word") != "")
+    per_doc = (
+        doc_words.hint("shuffle_hash")
+        .join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+            F.sum("n_chr").alias("n_word_chars"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+            # chars-per-token x100 via exact integer division (`div`
+            # == DuckDB `//` for non-negative operands, probed r7 —
+            # float division + cast would round differently per engine)
+            F.coalesce(
+                F.expr("(n_word_chars * 100) div n_bpe_tokens"),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("chars_per_token_x100"),
+        )
     )
 
 
@@ -731,8 +798,44 @@ def _bpe_oracle() -> str:
     return ",\n".join(parts) + "\n" + union
 
 
+def _bpe_tokenize_oracle() -> str:
+    """Tokenizer-application twin: reuse the training CTE chain through
+    w{N} (the fully-merged word table), then join documents' words to
+    the vocabulary and aggregate per doc — same counts, same exact
+    integer division (`//` == Spark `div` for non-negative)."""
+    s1, s2 = "chr(30)", "chr(31)"
+    tok_re = f"{s1} || '([^' || {s1} || {s2} || ']*)' || {s2}"
+    prefix = _bpe_oracle().split("\nSELECT CAST(rank")[0]
+    n = BPE_MERGES
+    return f"""{prefix},
+        vocab AS (
+            SELECT word,
+                   CAST(len(regexp_extract_all(tokstr, {tok_re}, 1))
+                        AS BIGINT) AS n_tok,
+                   CAST(length(word) AS BIGINT) AS n_chr
+            FROM w{n}),
+        dw AS (
+            SELECT doc_id, unnest(string_split_regex(lower(text),
+                                                     '[^a-z]+')) AS word
+            FROM documents),
+        agg AS (
+            SELECT d.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(v.n_tok) AS BIGINT) AS n_bpe_tokens,
+                   CAST(sum(v.n_chr) AS BIGINT) AS n_chr
+            FROM (SELECT * FROM dw WHERE word != '') d
+            JOIN vocab v USING (word) GROUP BY 1)
+        SELECT doc.doc_id,
+               coalesce(a.n_words, 0) AS n_words,
+               coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+               CAST(coalesce((a.n_chr * 100) // a.n_bpe_tokens, 0)
+                    AS BIGINT) AS chars_per_token_x100
+        FROM documents doc LEFT JOIN agg a USING (doc_id)"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_train": text_bpe_train,
+    "text_bpe_tokenize": text_bpe_tokenize,
     "text_token_stats": text_token_stats,
     "text_gopher_filters": text_gopher_filters,
     "text_token_stats_bpe": text_token_stats_bpe,
@@ -843,6 +946,7 @@ _GOPHER_MEASURES_SQL = f"""
 
 ORACLES: dict[str, str] = {
     "text_bpe_train": _bpe_oracle(),
+    "text_bpe_tokenize": _bpe_tokenize_oracle(),
     "text_gopher_filters": f"""
         WITH m AS ({_GOPHER_MEASURES_SQL})
         SELECT *,

@@ -29,6 +29,7 @@ from .windows import (
     run_crossbatch_dedup_stream,
     run_foreach_batch_upsert_stream,
     run_interval_join_stream,
+    run_interval_full_join_stream,
     run_interval_left_join_stream,
     run_late_data_stream,
     run_late_session_stream,
@@ -379,6 +380,28 @@ def stream_interval_left_join_drain(
     return _drain(spark, build)
 
 
+def stream_interval_full_join_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full-outer stream-stream join under the driver hash — completes
+    the outer-join matrix (inner: multibatch drain; left:
+    :func:`stream_interval_left_join_drain`). Same 3-delivery staging;
+    the sink adds CLICK-side null rows for admitted clicks that never
+    matched and whose last possible matching error time has passed:
+    ``click_ts + 10min < final_wm`` (strict — probed; a click exactly
+    at the boundary stays silently in state). Error-side nulls and the
+    matched set follow the left drain's probed rules."""
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+
+    def build(tmp: str) -> DataFrame:
+        src = _stage_three_deliveries(events, tmp)
+        return run_interval_full_join_stream(spark, src, f"{tmp}/ckpt")
+
+    return _drain(spark, build)
+
+
 def stream_late_sliding_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window late-data policy under the hash — completes the
     late-drop matrix (tumbling: window-end rule; session: event-time
@@ -456,6 +479,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_late_sliding_drain": stream_late_sliding_drain,
     "stream_interval_join_multibatch_drain": stream_interval_join_multibatch_drain,
     "stream_interval_left_join_drain": stream_interval_left_join_drain,
+    "stream_interval_full_join_drain": stream_interval_full_join_drain,
 }
 
 #: Exact money-sum text shared with the batch-twin oracles.
@@ -611,6 +635,45 @@ ORACLES: dict[str, str] = {
           ON e.user_id = c.user_id
          AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 10 MINUTE
         WHERE e.event_type = 'error' AND c.event_type = 'click'""",
+    # the full-outer twin adds click-side nulls: unmatched admitted
+    # clicks whose last matching error time passed the final watermark
+    # (click_ts + 10min < final_wm, strict — probed)
+    "stream_interval_full_join_drain": f"""
+        WITH e AS (
+            SELECT event_id % {LATE_SPLIT_MOD} AS b, event_id, user_id, ts
+            FROM events WHERE event_type = 'error'),
+        c AS (
+            SELECT event_id % {LATE_SPLIT_MOD} AS b, event_id, user_id, ts
+            FROM events WHERE event_type = 'click'),
+        tr AS (
+            SELECT least((SELECT max(ts) FROM e WHERE b = 0),
+                         (SELECT max(ts) FROM c WHERE b = 0))
+                       - INTERVAL 30 MINUTE AS lw3,
+                   least((SELECT max(ts) FROM e),
+                         (SELECT max(ts) FROM c))
+                       - INTERVAL 30 MINUTE AS final_wm),
+        ae AS (SELECT e.* FROM e, tr
+               WHERE b < {LATE_SPLIT_MOD - 1} OR ts > tr.lw3),
+        ac AS (SELECT c.* FROM c, tr
+               WHERE b < {LATE_SPLIT_MOD - 1} OR ts > tr.lw3),
+        matched AS (
+            SELECT ae.event_id AS error_id, ae.ts AS error_ts,
+                   ac.event_id AS click_id, ac.ts AS click_ts
+            FROM ae JOIN ac ON ae.user_id = ac.user_id
+             AND ac.ts <= ae.ts AND ac.ts >= ae.ts - INTERVAL 10 MINUTE)
+        SELECT error_id, error_ts, click_id, click_ts FROM matched
+        UNION ALL
+        SELECT ae.event_id, ae.ts,
+               CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+        FROM ae, tr
+        WHERE ae.ts < tr.final_wm AND NOT EXISTS (
+            SELECT 1 FROM matched m WHERE m.error_id = ae.event_id)
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+               ac.event_id, ac.ts
+        FROM ac, tr
+        WHERE ac.ts + INTERVAL 10 MINUTE < tr.final_wm AND NOT EXISTS (
+            SELECT 1 FROM matched m WHERE m.click_id = ac.event_id)""",
     # the probed outer-join rules, reconstructed relationally: two
     # differently-lagged watermarks (admission = two-batch lag over
     # delivery 1; eviction/null emission = the final min-of-sides

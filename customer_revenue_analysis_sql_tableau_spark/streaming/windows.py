@@ -839,6 +839,58 @@ def run_interval_left_join_stream(
     return spark.table("interval_left_join_sink")
 
 
+def run_interval_full_join_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """FULL-OUTER stream-stream interval join — both sides emit null
+    rows on state expiry. The error side follows
+    :func:`run_interval_left_join_stream`'s probed rules; the click
+    side's eviction bound derives from the interval condition
+    (a click can match errors with ``error_ts ∈ [click_ts,
+    click_ts + 10min]``), and probing pinned it STRICT: an unmatched
+    click emits its null row iff ``click_ts + 10min < evict_wm``
+    (a click at exactly the boundary stays in state). Output keeps the
+    id/ts pairs only — either side may be null, never both."""
+    src = _read_events_stream(spark, source_dir, max_files_per_trigger=1)
+    errors = (
+        src.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", WATERMARK)
+    )
+    clicks = (
+        _read_events_stream(spark, source_dir, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    joined = errors.join(
+        clicks,
+        F.expr(
+            "e_user_id = c_user_id AND click_ts <= error_ts"
+            " AND click_ts >= error_ts - INTERVAL 10 MINUTES"
+        ),
+        "fullOuter",
+    ).select("error_id", "error_ts", "click_id", "click_ts")
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("interval_full_join_sink")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("interval_full_join_sink")
+
+
 def run_resumable_stream(
     spark: SparkSession, source_dir: str, checkpoint_dir: str, sink_dir: str
 ) -> DataFrame:

@@ -2050,6 +2050,22 @@ def test_left_outer_interval_join_null_emission_timing(spark, tmp_path):
     }
     assert sink == {p for s in per_batch.values() for p in s}
 
+    # full-outer twin on the SAME staging adds exactly the click-side
+    # nulls whose last matching-error time passed the final watermark:
+    # click 2 (10:00 + 10min < 10:30) — while click 12 (11:00) stays
+    # in state and click 4 was late-dropped (no null for dropped rows)
+    from customer_revenue_analysis_sql_tableau_spark.streaming.windows import (
+        run_interval_full_join_stream,
+    )
+
+    fsink = {
+        (r.error_id, r.click_id)
+        for r in run_interval_full_join_stream(
+            spark, src, f"{tmp_path}/ckpt3"
+        ).collect()
+    }
+    assert fsink == sink | {(None, 2)}
+
 
 def test_gif_lzw_roundtrips_arbitrary_index_streams_property():
     """Property test for the trickiest codec code: arbitrary palette
