@@ -95,8 +95,10 @@ _PRIORITY = [
     "sim_delete_recall_check",  # its driver-hash recall bound
     "stream_interval_left_join_drain",  # probed outer-null emission rules
     "stream_interval_full_join_drain",  # + click-side nulls (strict bound)
+    "stream_interval_semi_join_drain",  # once-only matched-flag emission
     "text_bpe_train",  # full-trajectory BPE merge training
     "text_bpe_tokenize",  # merge-table application over the corpus
+    "cbo_stats_revenue_by_customer",  # CBO-planned unhinted join (ANALYZE stats)
     # -- plan/oracle changed this round: re-prove on current code --
     "dedup_edit_distance",  # positional Ed-Join filter + short-doc fallback
     "events_variant_extract",  # null-safe n_tag_match on both sides
@@ -141,9 +143,9 @@ _PRIORITY = [
     "proc_customer_balance",
     "proc_rewards_report",
     "feat_minmax_normalize",
+    # ---- ~50-entry budget cut falls here ----
     "feat_vocab_coverage",
     "feat_word_bigram_counts",
-    # ---- ~50-entry budget cut falls here ----
     "split_train_test",
     "inc_view_maintenance",
     "stream_resumable_restart_drain",

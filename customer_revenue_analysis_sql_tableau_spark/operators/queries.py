@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 from ..catalog import ensure_utc_session, load_tables
 from ..functions.money import money, round2_div, round2_div_sql
 from .warehouse import (
+    CBO_REVENUE_SQL,
     VIEW_ORACLE_SQL,
+    cbo_stats_revenue_by_customer,
     customer_value_summary,
     customer_value_summary_bucketed as _view_bucketed,
     most_frequent_part_type,
@@ -392,6 +394,7 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "view_customer_value_summary": materialized_view,
     "view_customer_value_summary_bucketed": _view_bucketed,
+    "cbo_stats_revenue_by_customer": cbo_stats_revenue_by_customer,
     "q1_top_revenue_customers": q1_top_revenue_customers,
     "q1_full": q1_full,
     "q2_most_frequent_customers": q2_most_frequent_customers,
@@ -419,6 +422,9 @@ _Q11_AVG_SQL = round2_div_sql(
 
 ORACLES: dict[str, str] = {
     "view_customer_value_summary": VIEW_ORACLE_SQL,
+    "cbo_stats_revenue_by_customer": CBO_REVENUE_SQL.format(
+        region="region", nation="nation", customer="customer",
+        orders="orders", lineitem="lineitem", part="part"),
     # same 13 columns from the bucketed fact layout — same oracle
     "view_customer_value_summary_bucketed": VIEW_ORACLE_SQL,
     "q1_top_revenue_customers": f"""{_VIEW_CTE}

@@ -301,6 +301,50 @@ def prepare_analyzed_catalog(
     return out
 
 
+#: Shared-dialect SQL core for the CBO-planned entry: identical text
+#: runs on Spark (against the analyzed catalog tables) and DuckDB
+#: (against the raw parquet views) — table names are the placeholders.
+CBO_REVENUE_SQL = """
+    SELECT c.c_custkey AS customer_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS gross_revenue
+    FROM {region} r
+    JOIN {nation} n ON n.n_regionkey = r.r_regionkey
+    JOIN {customer} c ON c.c_nationkey = n.n_nationkey
+    JOIN {orders} o ON o.o_custkey = c.c_custkey
+    JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+    JOIN {part} p ON p.p_partkey = l.l_partkey
+    GROUP BY c.c_custkey
+"""
+
+
+def cbo_stats_revenue_by_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CBO path as a REGISTRY entry (r8 Next #6 follow-through):
+    the unhinted 6-table join-aggregate, planned by the cost-based
+    optimizer against ``ANALYZE``d catalog tables — join order and
+    build sides chosen from measured row counts/NDVs, no hints, no
+    hand-frozen order (``tests/test_cbo.py`` freezes what the
+    optimizer picks). The frame is materialized (localCheckpoint)
+    while the CBO confs are on, then the session confs are restored so
+    no other entry's plan is affected; the driver hash therefore
+    covers rows produced by the genuinely CBO-planned execution.
+    Money is DECIMAL-exact and cast once, the same text the DuckDB
+    oracle runs against the raw parquet views."""
+    names = prepare_analyzed_catalog(spark, sf_dir)
+    confs = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    old = {k: spark.conf.get(k) for k in confs}
+    for k in confs:
+        spark.conf.set(k, "true")
+    try:
+        return spark.sql(CBO_REVENUE_SQL.format(**names)).localCheckpoint()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def customer_value_summary_bucketed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

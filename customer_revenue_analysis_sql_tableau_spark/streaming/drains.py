@@ -31,6 +31,7 @@ from .windows import (
     run_interval_join_stream,
     run_interval_full_join_stream,
     run_interval_left_join_stream,
+    run_interval_semi_join_stream,
     run_late_data_stream,
     run_late_session_stream,
     run_late_sliding_stream,
@@ -402,6 +403,26 @@ def stream_interval_full_join_drain(
     return _drain(spark, build)
 
 
+def stream_interval_semi_join_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Left-semi stream-stream join under the driver hash: the emitted
+    set must be exactly the DISTINCT admitted errors with at least one
+    admitted matching click — which simultaneously proves the engine's
+    matched-flag state suppresses re-emission (errors matching clicks
+    in several deliveries would otherwise appear once per match) and
+    that the admission rules equal the left-outer drain's."""
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+
+    def build(tmp: str) -> DataFrame:
+        src = _stage_three_deliveries(events, tmp)
+        return run_interval_semi_join_stream(spark, src, f"{tmp}/ckpt")
+
+    return _drain(spark, build)
+
+
 def stream_late_sliding_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window late-data policy under the hash — completes the
     late-drop matrix (tumbling: window-end rule; session: event-time
@@ -480,6 +501,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_interval_join_multibatch_drain": stream_interval_join_multibatch_drain,
     "stream_interval_left_join_drain": stream_interval_left_join_drain,
     "stream_interval_full_join_drain": stream_interval_full_join_drain,
+    "stream_interval_semi_join_drain": stream_interval_semi_join_drain,
 }
 
 #: Exact money-sum text shared with the batch-twin oracles.
@@ -635,6 +657,29 @@ ORACLES: dict[str, str] = {
           ON e.user_id = c.user_id
          AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 10 MINUTE
         WHERE e.event_type = 'error' AND c.event_type = 'click'""",
+    # the semi twin: distinct admitted errors with >= 1 admitted match
+    "stream_interval_semi_join_drain": f"""
+        WITH e AS (
+            SELECT event_id % {LATE_SPLIT_MOD} AS b, event_id, user_id, ts
+            FROM events WHERE event_type = 'error'),
+        c AS (
+            SELECT event_id % {LATE_SPLIT_MOD} AS b, event_id, user_id, ts
+            FROM events WHERE event_type = 'click'),
+        tr AS (
+            SELECT least((SELECT max(ts) FROM e WHERE b = 0),
+                         (SELECT max(ts) FROM c WHERE b = 0))
+                       - INTERVAL 30 MINUTE AS lw3),
+        ae AS (SELECT e.* FROM e, tr
+               WHERE b < {LATE_SPLIT_MOD - 1} OR ts > tr.lw3),
+        ac AS (SELECT c.* FROM c, tr
+               WHERE b < {LATE_SPLIT_MOD - 1} OR ts > tr.lw3)
+        SELECT ae.event_id AS error_id, ae.user_id AS e_user_id,
+               ae.ts AS error_ts
+        FROM ae WHERE EXISTS (
+            SELECT 1 FROM ac
+            WHERE ac.user_id = ae.user_id
+              AND ac.ts <= ae.ts
+              AND ac.ts >= ae.ts - INTERVAL 10 MINUTE)""",
     # the full-outer twin adds click-side nulls: unmatched admitted
     # clicks whose last matching error time passed the final watermark
     # (click_ts + 10min < final_wm, strict — probed)

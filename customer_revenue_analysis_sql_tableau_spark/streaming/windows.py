@@ -891,6 +891,59 @@ def run_interval_full_join_stream(
     return spark.table("interval_full_join_sink")
 
 
+def run_interval_semi_join_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """LEFT-SEMI stream-stream interval join: each error event emitted
+    AT MOST ONCE, when its first same-user click in the preceding 10
+    minutes is seen — the "has a matching event" gate pipelines use to
+    avoid the pair fan-out of an inner join. The engine tracks the
+    matched flag in join state, so an error matching clicks in several
+    micro-batches still emits exactly once — the fixture's pair space
+    has no multi-click errors, so that rule is pinned by the synthetic
+    pytest (tests/test_extensions.py), while the drain hash covers the
+    admission rules on the fixture (the probed dual-watermark rules
+    documented on :func:`run_interval_left_join_stream`)."""
+    src = _read_events_stream(spark, source_dir, max_files_per_trigger=1)
+    errors = (
+        src.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", WATERMARK)
+    )
+    clicks = (
+        _read_events_stream(spark, source_dir, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    joined = errors.join(
+        clicks,
+        F.expr(
+            "e_user_id = c_user_id AND click_ts <= error_ts"
+            " AND click_ts >= error_ts - INTERVAL 10 MINUTES"
+        ),
+        "leftSemi",
+    ).select("error_id", "e_user_id", "error_ts")
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("interval_semi_join_sink")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("interval_semi_join_sink")
+
+
 def run_resumable_stream(
     spark: SparkSession, source_dir: str, checkpoint_dir: str, sink_dir: str
 ) -> DataFrame:

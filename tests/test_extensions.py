@@ -2067,6 +2067,57 @@ def test_left_outer_interval_join_null_emission_timing(spark, tmp_path):
     assert fsink == sink | {(None, 2)}
 
 
+def test_semi_interval_join_emits_each_error_once(spark, tmp_path):
+    """Left-semi stream-stream join: an error matching clicks in TWO
+    different micro-batches must emit exactly once (the matched flag
+    lives in join state) — the fixture has no multi-click errors, so
+    the once-only rule needs this synthetic staging. A matchless error
+    must not emit at all."""
+    import glob
+    import os
+    import time
+
+    from customer_revenue_analysis_sql_tableau_spark.streaming.windows import (
+        run_interval_semi_join_stream,
+    )
+
+    base = "2024-01-01 "
+
+    def ev(eid, uid, etype, hm):
+        return (eid, uid, etype, f"{base}{hm}")
+
+    deliveries = [
+        [ev(1, 1, "click", "10:00:00"), ev(9, 9, "error", "10:00:00")],
+        [ev(2, 1, "click", "10:02:00"), ev(3, 1, "error", "10:05:00")],
+        # second batch of matches for the SAME error (state-held error
+        # meets a new click) — must not re-emit error 3
+        [ev(4, 1, "click", "10:04:00")],
+    ]
+    src = f"{tmp_path}/src"
+    t0 = time.time() - 1000
+    seen: set[str] = set()
+    for k, rows in enumerate(deliveries):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts_s string"
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(src)
+        for f in glob.glob(f"{src}/part-*.parquet"):
+            if f not in seen:
+                seen.add(f)
+                os.utime(f, (t0 + k * 10, t0 + k * 10))
+
+    rows = run_interval_semi_join_stream(
+        spark, src, f"{tmp_path}/ckpt"
+    ).collect()
+    # error 3 matched clicks 1, 2 (batch 1) and click 4 (batch 2):
+    # exactly ONE output row; matchless error 9 never emits
+    assert [(r.error_id, r.e_user_id) for r in rows] == [(3, 1)]
+
+
 def test_gif_lzw_roundtrips_arbitrary_index_streams_property():
     """Property test for the trickiest codec code: arbitrary palette
     index streams (long runs force dictionary growth past width
