@@ -102,6 +102,7 @@ _PRIORITY = [
     # -- plan/oracle changed this round: re-prove on current code --
     "dedup_edit_distance",  # positional Ed-Join filter + short-doc fallback
     "events_variant_extract",  # null-safe n_tag_match on both sides
+    "stream_interval_join_multibatch_drain",  # REAL multi-batch staging (r9 rework)
     # -- r8 Next #2: the full r4 proof-staleness cohort (floor -> r5+) --
     "stream_minute_rollup_drain",
     "stream_user_upsert_drain",
@@ -142,8 +143,8 @@ _PRIORITY = [
     "tpch_q15_top_supplier",
     "proc_customer_balance",
     "proc_rewards_report",
-    "feat_minmax_normalize",
     # ---- ~50-entry budget cut falls here ----
+    "feat_minmax_normalize",
     "feat_vocab_coverage",
     "feat_word_bigram_counts",
     "split_train_test",

@@ -29,6 +29,7 @@ from .windows import (
     run_crossbatch_dedup_stream,
     run_foreach_batch_upsert_stream,
     run_interval_join_stream,
+    run_interval_join_multibatch_stream,
     run_interval_full_join_stream,
     run_interval_left_join_stream,
     run_interval_semi_join_stream,
@@ -319,27 +320,43 @@ def stream_interval_join_multibatch_drain(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Stream-stream JOIN state retention across micro-batches, under
-    the hash: three ordered deliveries (same staging as the late-data
-    drains) through the watermarked error⋈click interval join must
-    reproduce the COMPLETE batch pair set — which requires both join
-    directions to work through state (a delivery-2 error matching a
-    delivery-1 click held in state, AND a delivery-3 click matching a
-    delivery-1 error; measured on this corpus: half the pairs are
-    cross-delivery). Measured policy pinned here: stream-stream join
-    inputs are NOT watermark-dropped during a 3-batch availableNow
-    drain — the tracker's two-batch lag plus end-of-batch eviction
-    mean the first possible state eviction lands after the final
-    batch's join, so the sink is exactly the batch join (drops would
-    first manifest from batch 4 onward via evicted counterpart state;
-    the windowed-aggregation drains pin the DROP side of the policy).
-    """
+    the hash — REWORKED r9: probing showed the old form (no
+    ``maxFilesPerTrigger``) drained all three staged files in ONE
+    availableNow batch, so its "cross-batch retention" reading was a
+    single-batch artifact. Now the staging is adversarial and the
+    batches are real: delivery 1 carries every NON-error event
+    (clicks included), delivery 2 carries every error, and the join
+    runs one file per micro-batch — so EVERY emitted pair requires a
+    click held in join state across the batch boundary. The watermark
+    provably drops nothing: the errors-side tracker sees no data in
+    batch 1, the global watermark is the MIN across sides (probed,
+    see ``run_interval_left_join_stream``), so admission runs at
+    watermark 0 for both batches and the sink must equal the COMPLETE
+    batch join — which is exactly what the oracle computes."""
     events = load_tables(spark, sf_dir, names=("events",), register=False)[
         "events"
     ]
 
     def build(tmp: str) -> DataFrame:
-        src = _stage_three_deliveries(events, tmp)
-        return run_interval_join_stream(spark, src, f"{tmp}/ckpt")
+        import glob
+        import os
+        import time
+
+        src = f"{tmp}/src"
+        base = time.time() - 1000
+        seen: set[str] = set()
+        for k, part in enumerate(
+            (
+                events.filter(F.col("event_type") != "error"),
+                events.filter(F.col("event_type") == "error"),
+            )
+        ):
+            part.coalesce(1).write.mode("append").parquet(src)
+            for f in glob.glob(f"{src}/part-*.parquet"):
+                if f not in seen:
+                    seen.add(f)
+                    os.utime(f, (base + k * 10, base + k * 10))
+        return run_interval_join_multibatch_stream(spark, src, f"{tmp}/ckpt")
 
     return _drain(spark, build)
 

@@ -891,6 +891,58 @@ def run_interval_full_join_stream(
     return spark.table("interval_full_join_sink")
 
 
+def run_interval_join_multibatch_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """The inner interval join with ``maxFilesPerTrigger=1`` — each
+    staged delivery is a REAL micro-batch. (Without the option the
+    file source drains every available file in ONE availableNow batch
+    — probed r9; the r7 drain's "cross-batch retention" reading was a
+    single-batch artifact. With clicks staged in batch 1 and errors in
+    batch 2, every emitted pair now genuinely crosses a batch
+    boundary through click state, and the errors-side tracker stays at
+    zero through batch 1 — no data — so the global min-of-sides
+    watermark admits everything and the complete-join oracle is
+    exact.)"""
+    src = _read_events_stream(spark, source_dir, max_files_per_trigger=1)
+    errors = (
+        src.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", WATERMARK)
+    )
+    clicks = (
+        _read_events_stream(spark, source_dir, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    joined = errors.join(
+        clicks,
+        F.expr(
+            "e_user_id = c_user_id AND click_ts <= error_ts"
+            " AND click_ts >= error_ts - INTERVAL 10 MINUTES"
+        ),
+    ).select("error_id", "e_user_id", "error_ts", "click_id", "click_ts")
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("interval_join_mb_sink")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("interval_join_mb_sink")
+
+
 def run_interval_semi_join_stream(
     spark: SparkSession, source_dir: str, checkpoint_dir: str
 ) -> DataFrame:

@@ -1890,12 +1890,15 @@ def test_late_session_drain_uses_event_time_drop_rule(spark, sf_dir):
 
 
 def test_multibatch_interval_join_retains_cross_delivery_state(spark, sf_dir):
-    """The 3-delivery drain must equal the complete batch join AND the
-    pair set must include cross-delivery matches in both directions —
-    the rows that only exist if join state survives across batches."""
+    """The clicks-then-errors staging makes EVERY pair cross-batch (an
+    error arriving in batch 2 can only match a click held in join
+    state from batch 1), so equality with the complete batch join IS
+    the retention proof — non-vacuous because the fixture has pairs.
+    (r9 rework: the old 3-file staging without maxFilesPerTrigger ran
+    as ONE availableNow batch — probed — so its cross-batch reading
+    was an artifact.)"""
     from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
     from customer_revenue_analysis_sql_tableau_spark.streaming.drains import (
-        LATE_SPLIT_MOD,
         stream_interval_join_multibatch_drain,
     )
 
@@ -1923,11 +1926,9 @@ def test_multibatch_interval_join_retains_cross_delivery_state(spark, sf_dir):
         (r.error_id, r.click_id)
         for r in stream_interval_join_multibatch_drain(spark, sf_dir).collect()
     }
+    # every pair is state-dependent by construction (clicks land a
+    # full batch before any error), so completeness == retention
     assert got == batch and len(got) > 0
-    cross = [
-        (a, b) for a, b in got if a % LATE_SPLIT_MOD != b % LATE_SPLIT_MOD
-    ]
-    assert cross  # state-dependent pairs actually occur on this corpus
 
 
 def test_left_outer_interval_join_null_emission_timing(spark, tmp_path):
