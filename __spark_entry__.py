@@ -70,16 +70,20 @@ _REGISTRY_MODULES = [
 
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
-# at ENTRY level. Round-9 ordering (VERDICT.md r8, Next #2/#3/#4/#5/#7):
-# (1) the FIVE new r9 entries that have never been in a driver window —
+# at ENTRY level. Round-9 ordering (VERDICT.md r8, Next #2-#7):
+# (1) the TEN new r9 entries that have never been in a driver window —
 # the ANN-deletion triple (exact surviving-corpus baseline, rows-only
-# tombstoning IVF tier, its recall bound; r8 Next #5), the left-outer
-# stream-stream interval-join drain (r8 Next #4), and true BPE
-# merge-table training (r8 Next #7); (2) the TWO entries whose
+# tombstoning IVF tier, its recall bound; r8 Next #5), the
+# left-outer/full-outer/left-semi stream-stream interval-join drains
+# (r8 Next #4 + the completed join-type matrix), the EventTimeTimeout
+# sessionization drain (probed timer rules + the wm+1ms clamp), BPE
+# merge-table training + corpus application (r8 Next #7), and the
+# CBO-planned catalog join (r8 Next #6); (2) the THREE entries whose
 # registered plan or oracle changed this round and must re-prove on
 # current code — the edit-distance join (positional Ed-Join filter +
-# short-doc fallback, r8 Next #3 + ADVICE) and the variant extract
-# (null-safe n_tag_match on both sides, ADVICE); (3) the full
+# short-doc fallback, r8 Next #3 + ADVICE), the variant extract
+# (null-safe n_tag_match on both sides, ADVICE), and the reworked
+# genuinely-multi-batch interval-join drain; (3) the full
 # TWENTY-THREE-entry r4 proof-staleness cohort promoted per r8 Next #2
 # (seven streaming drains, five TPC-H shapes, funnel/retention,
 # tableau G5, semi/anti joins, two multimodal ops, grouped LSH, corpus
@@ -96,6 +100,7 @@ _PRIORITY = [
     "stream_interval_left_join_drain",  # probed outer-null emission rules
     "stream_interval_full_join_drain",  # + click-side nulls (strict bound)
     "stream_interval_semi_join_drain",  # once-only matched-flag emission
+    "stream_timeout_sessions_drain",  # EventTimeTimeout rules + wm+1 clamp
     "text_bpe_train",  # full-trajectory BPE merge training
     "text_bpe_tokenize",  # merge-table application over the corpus
     "cbo_stats_revenue_by_customer",  # CBO-planned unhinted join (ANALYZE stats)
@@ -142,8 +147,8 @@ _PRIORITY = [
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
     "proc_customer_balance",
-    "proc_rewards_report",
     # ---- ~50-entry budget cut falls here ----
+    "proc_rewards_report",
     "feat_minmax_normalize",
     "feat_vocab_coverage",
     "feat_word_bigram_counts",

@@ -37,6 +37,7 @@ from .windows import (
     run_late_session_stream,
     run_late_sliding_stream,
     run_latest_state_stream,
+    run_stateful_timeout_sessions,
     run_resumable_stream,
     run_session_stream,
     run_sliding_stream,
@@ -420,6 +421,59 @@ def stream_interval_full_join_drain(
     return _drain(spark, build)
 
 
+def stream_timeout_sessions_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``applyInPandasWithState`` EVENT-TIME TIMEOUT semantics under
+    the driver hash: three TIME-ORDERED tercile deliveries (ntile(3)
+    over (ts, event_id) — the watermark must strictly ADVANCE between
+    batches, or the probed watermark+1ms timer clamp suppresses every
+    firing: with the id-mod staging the global max lands in an early
+    delivery, w2 == w3, and both engines correctly emit NOTHING —
+    measured) drain through the inactivity-timeout sessionizer. The
+    sink must equal the relational replay of the probed rules (see
+    :func:`run_stateful_timeout_sessions`): per user, per batch,
+    admitted-row aggregates fold into one running session whose
+    summary emits exactly when a batch finds the user dataless with
+    its clamped timer strictly below that batch's one-lag eviction
+    watermark — up to two sessions per user across the drain, and
+    state whose timer the final watermark never passes stays silently
+    live. The oracle unrolls the three firing checks (batch 1, batch
+    2, trailing cleanup) as CASE logic over a per-user batch pivot."""
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+
+    def build(tmp: str) -> DataFrame:
+        import glob
+        import os
+        import time
+
+        from pyspark.sql import Window as W
+
+        src = f"{tmp}/src"
+        base = time.time() - 1000
+        seen: set[str] = set()
+        terciled = events.withColumn(
+            "b",
+            F.ntile(LATE_SPLIT_MOD).over(
+                W.orderBy("ts", "event_id")
+            )
+            - 1,
+        )
+        for k in range(LATE_SPLIT_MOD):
+            terciled.filter(F.col("b") == k).drop("b").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            for f in glob.glob(f"{src}/part-*.parquet"):
+                if f not in seen:
+                    seen.add(f)
+                    os.utime(f, (base + k * 10, base + k * 10))
+        return run_stateful_timeout_sessions(spark, src, f"{tmp}/ckpt")
+
+    return _drain(spark, build)
+
+
 def stream_interval_semi_join_drain(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -519,6 +573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_interval_left_join_drain": stream_interval_left_join_drain,
     "stream_interval_full_join_drain": stream_interval_full_join_drain,
     "stream_interval_semi_join_drain": stream_interval_semi_join_drain,
+    "stream_timeout_sessions_drain": stream_timeout_sessions_drain,
 }
 
 #: Exact money-sum text shared with the batch-twin oracles.
@@ -674,6 +729,100 @@ ORACLES: dict[str, str] = {
           ON e.user_id = c.user_id
          AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 10 MINUTE
         WHERE e.event_type = 'error' AND c.event_type = 'click'""",
+    # the probed EventTimeTimeout rules replayed relationally: per-user
+    # per-batch admitted aggregates, three firing checks (batch 1,
+    # batch 2, trailing cleanup batch) at the one-lag eviction
+    # watermarks with a STRICT boundary; data in the checking batch
+    # re-arms the timer (no fire); fired state resets
+    # the probed EventTimeTimeout rules replayed relationally: per-user
+    # per-batch admitted aggregates; the timer set in batch b is
+    # max(last_event + gap, evict_wm(b) + 1ms) (the engine rejects
+    # past timers, so the runner clamps); it fires at the first later
+    # batch k where the group has no data and timer < evict_wm(k)
+    # (strict); the trailing cleanup batch is the last check; data in
+    # the checking batch re-arms; fired state resets
+    "stream_timeout_sessions_drain": f"""
+        WITH ev AS (
+            -- tms: the engine's event-time stats truncate to
+            -- MILLISECONDS (probed via the driver hash), so trackers
+            -- and per-user last timestamps work at ms precision while
+            -- the late filter compares the raw microsecond ts
+            SELECT ntile({LATE_SPLIT_MOD})
+                       OVER (ORDER BY ts, event_id) - 1 AS b,
+                   user_id, ts,
+                   make_timestamp(epoch_ms(ts) * 1000) AS tms,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+            FROM events),
+        tr AS (
+            SELECT (SELECT max(tms) FROM ev WHERE b = 0)
+                       - INTERVAL 30 MINUTE AS w1,
+                   (SELECT max(tms) FROM ev WHERE b <= 1)
+                       - INTERVAL 30 MINUTE AS w2,
+                   (SELECT max(tms) FROM ev)
+                       - INTERVAL 30 MINUTE AS w3),
+        adm AS (
+            SELECT ev.* FROM ev, tr
+            WHERE b < {LATE_SPLIT_MOD - 1} OR ts > tr.w1),
+        agg AS (
+            SELECT user_id,
+                   sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS n0,
+                   sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS n2,
+                   CAST(coalesce(sum(CASE WHEN b = 0 THEN cents END), 0) AS BIGINT) AS c0,
+                   CAST(coalesce(sum(CASE WHEN b = 1 THEN cents END), 0) AS BIGINT) AS c1,
+                   CAST(coalesce(sum(CASE WHEN b = 2 THEN cents END), 0) AS BIGINT) AS c2,
+                   max(CASE WHEN b = 0 THEN tms END) AS l0,
+                   max(CASE WHEN b = 1 THEN tms END) AS l1,
+                   max(CASE WHEN b = 2 THEN tms END) AS l2
+            FROM adm GROUP BY user_id),
+        -- timer set at batch 0 runs at watermark 0: no clamp. Timers
+        -- set at batches 1/2 clamp to w1/w2 + 1ms respectively.
+        flags AS (
+            SELECT agg.*, tr.w1 AS w1, tr.w2 AS w2, tr.w3 AS w3,
+                   (n0 > 0 AND n1 = 0
+                    AND l0 + INTERVAL 10 MINUTE < tr.w1) AS f1
+            FROM agg, tr),
+        flags2 AS (
+            SELECT *,
+                   (NOT f1 AND n2 = 0 AND (n0 > 0 OR n1 > 0)
+                    AND CASE WHEN n1 > 0 THEN
+                            greatest(coalesce(l0, TIMESTAMP '1970-01-01'),
+                                     l1) + INTERVAL 10 MINUTE < w2
+                            AND w1 + INTERVAL 1 MILLISECOND < w2
+                        ELSE l0 + INTERVAL 10 MINUTE < w2 END) AS f2
+            FROM flags)
+        SELECT user_id, CAST(n0 AS BIGINT) AS n_events,
+               c0 AS total_cents, l0 AS last_ts
+        FROM flags2 WHERE f1
+        UNION ALL
+        SELECT user_id, CAST(n0 + n1 AS BIGINT), CAST(c0 + c1 AS BIGINT),
+               greatest(coalesce(l0, TIMESTAMP '1970-01-01'),
+                        coalesce(l1, TIMESTAMP '1970-01-01'))
+        FROM flags2 WHERE f2
+        UNION ALL
+        -- cleanup check, fired-at-b1 branch: only batch-2 data
+        -- remains; its timer was set at batch 2 (clamped to w2 + 1ms)
+        SELECT user_id, CAST(n2 AS BIGINT), c2, l2
+        FROM flags2
+        WHERE f1 AND n2 > 0 AND l2 + INTERVAL 10 MINUTE < w3
+          AND w2 + INTERVAL 1 MILLISECOND < w3
+        UNION ALL
+        -- cleanup check, never-fired branch: the whole history; the
+        -- timer's setting batch is the user's LAST data batch
+        SELECT user_id, CAST(n0 + n1 + n2 AS BIGINT), CAST(c0 + c1 + c2 AS BIGINT),
+               greatest(coalesce(l0, TIMESTAMP '1970-01-01'),
+                        coalesce(l1, TIMESTAMP '1970-01-01'),
+                        coalesce(l2, TIMESTAMP '1970-01-01'))
+        FROM flags2
+        WHERE NOT f1 AND NOT f2 AND (n0 > 0 OR n1 > 0 OR n2 > 0)
+          AND greatest(coalesce(l0, TIMESTAMP '1970-01-01'),
+                       coalesce(l1, TIMESTAMP '1970-01-01'),
+                       coalesce(l2, TIMESTAMP '1970-01-01'))
+              + INTERVAL 10 MINUTE < w3
+          AND CASE WHEN n2 > 0 THEN w2 + INTERVAL 1 MILLISECOND < w3
+                   WHEN n1 > 0 THEN w1 + INTERVAL 1 MILLISECOND < w3
+                   ELSE TRUE END""",
     # the semi twin: distinct admitted errors with >= 1 admitted match
     "stream_interval_semi_join_drain": f"""
         WITH e AS (

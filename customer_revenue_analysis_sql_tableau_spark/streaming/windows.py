@@ -891,6 +891,117 @@ def run_interval_full_join_stream(
     return spark.table("interval_full_join_sink")
 
 
+#: Inactivity gap for the timeout-sessionization operator (well under
+#: the 30-min watermark delay so sessions actually close in-drain).
+TIMEOUT_GAP_MS = 10 * 60 * 1000
+
+
+def run_stateful_timeout_sessions(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Inactivity-timeout sessionization via ``applyInPandasWithState``
+    + ``EventTimeTimeout`` — the arbitrary-stateful TIMEOUT surface
+    (session_window can't emit custom per-session state; this can).
+    Each user's events accumulate in GroupState (count + exact cents +
+    last event ms); the timeout timestamp re-arms to last_event +
+    ``TIMEOUT_GAP_MS`` on every arrival, and the session summary is
+    emitted ONLY when the timeout fires, after which the state is
+    removed (a later event opens a fresh session).
+
+    Engine rules probed on this engine (availableNow file drains,
+    ``maxFilesPerTrigger=1``) and encoded in the drain's oracle:
+
+    - input rows are dropped iff ``ts <= late_wm`` (the two-batch-
+      lagged watermark — same rule as every other stateful op probed);
+    - a timeout fires in batch k iff the group received NO data in
+      batch k (data is processed first and re-arms the timer) and
+      ``timeout_ts < evict_wm(k)`` — the ONE-batch-lagged eviction
+      watermark, STRICT boundary (a timer exactly at the watermark
+      stays armed); ``timeout_ts`` is ``last_event + gap`` clamped to
+      the setting batch's watermark + 1 ms (the engine rejects timers
+      at or below the current watermark, and late-filter admission
+      lags eviction by one batch, so the clamp genuinely engages);
+    - the trailing no-data cleanup batch fires whatever the final
+      eviction watermark has passed; state that never times out is
+      never emitted.
+
+    Money is carried as integer cents inside the state (python Decimal
+    per value — float cents drift would poison the hash)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        from decimal import Decimal
+
+        if state.hasTimedOut:
+            n, cents, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                    "last_ms": [last_ms],
+                }
+            )
+            return
+        n, cents, last_ms = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            cents += int(
+                sum(
+                    Decimal(str(v)).scaleb(2).to_integral_value()
+                    for v in pdf["value"]
+                )
+            )
+            last_ms = max(
+                last_ms, int(pdf["ts"].astype("int64").max() // 1_000_000)
+            )
+        state.update((n, cents, last_ms))
+        # clamp to watermark + 1: late-filter admission lags the
+        # eviction watermark by one batch (probed), so an admitted row
+        # can carry last_ms + gap BELOW the current watermark — the
+        # engine rejects past timers (INVALID_TIMEOUT_TIMESTAMP). The
+        # clamped timer fires at the first later batch whose eviction
+        # watermark has advanced past it (encoded in the drain oracle).
+        state.setTimeoutTimestamp(
+            max(last_ms + TIMEOUT_GAP_MS, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # unreachable: keeps the function a generator
+
+    stream = (
+        _read_events_stream(spark, source_dir, max_files_per_trigger=1)
+        .select("user_id", "ts", "value")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "user_id bigint, n_events bigint, total_cents bigint, last_ms bigint",
+            "n bigint, cents bigint, last_ms bigint",
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("timeout_sessions_sink")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("timeout_sessions_sink").select(
+        "user_id",
+        "n_events",
+        "total_cents",
+        F.timestamp_millis(F.col("last_ms")).alias("last_ts"),
+    )
+
+
 def run_interval_join_multibatch_stream(
     spark: SparkSession, source_dir: str, checkpoint_dir: str
 ) -> DataFrame:

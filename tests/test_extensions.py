@@ -2068,6 +2068,71 @@ def test_left_outer_interval_join_null_emission_timing(spark, tmp_path):
     assert fsink == sink | {(None, 2)}
 
 
+def test_event_time_timeout_rules(spark, tmp_path):
+    """Pins the probed ``applyInPandasWithState`` EventTimeTimeout
+    rules on a synthetic staging (documented on
+    ``run_stateful_timeout_sessions``):
+
+    - a group with data in the checking batch re-arms instead of
+      firing (u1 would have expired at batch 3 but its delivery-4
+      event arrives in that batch — it accumulates to n=2 and stays);
+    - firing is STRICT (u5's clamped timer lands exactly on the final
+      watermark and never fires);
+    - late rows are dropped before the stateful operator (u4 at 9:00
+      against late watermark 9:55 leaves no state, no emission);
+    - expired dataless groups fire in a data batch (u2/u3/u8 at batch
+      3) or the trailing cleanup batch (u7)."""
+    import glob
+    import os
+    import time
+
+    from customer_revenue_analysis_sql_tableau_spark.streaming.windows import (
+        run_stateful_timeout_sessions,
+    )
+
+    base = "2024-01-01 "
+
+    def ev(eid, uid, hm):
+        return (eid, uid, "click", f"{base}{hm}", 1.0)
+
+    deliveries = [
+        [ev(1, 1, "10:00:00"), ev(2, 2, "10:25:00")],
+        [ev(3, 8, "10:25:00")],
+        [
+            ev(4, 3, "10:26:00"),
+            ev(5, 4, "09:00:00"),  # late at batch 2 (lw 9:55): dropped
+            ev(6, 5, "11:20:00"),  # timer 11:30 == final wm: stays
+            ev(7, 7, "11:05:00"),  # timer 11:15: fires at cleanup
+        ],
+        [ev(8, 6, "12:00:00"), ev(9, 1, "12:00:00")],  # u1 re-arms
+    ]
+    src = f"{tmp_path}/src"
+    t0 = time.time() - 1000
+    seen: set[str] = set()
+    for k, rows in enumerate(deliveries):
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string,"
+            " ts_s string, value double",
+        ).select(
+            "user_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "value",
+            "event_id",
+            "event_type",
+        ).coalesce(1).write.mode("append").parquet(src)
+        for f in glob.glob(f"{src}/part-*.parquet"):
+            if f not in seen:
+                seen.add(f)
+                os.utime(f, (t0 + k * 10, t0 + k * 10))
+
+    rows = run_stateful_timeout_sessions(
+        spark, src, f"{tmp_path}/ckpt"
+    ).collect()
+    got = {(r.user_id, r.n_events, r.total_cents) for r in rows}
+    assert got == {(2, 1, 100), (3, 1, 100), (8, 1, 100), (7, 1, 100)}
+
+
 def test_semi_interval_join_emits_each_error_once(spark, tmp_path):
     """Left-semi stream-stream join: an error matching clicks in TWO
     different micro-batches must emit exactly once (the matched flag
