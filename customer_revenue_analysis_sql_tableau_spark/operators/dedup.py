@@ -80,6 +80,13 @@ def _doc_shingles(d: DataFrame) -> DataFrame:
     # inlining TOKENS_EXPR into the transform() lambda re-runs the
     # split per element access (O(tokens²) regex work per doc — was
     # the whole minhash pipeline's bottleneck).
+    #
+    # NOT repartitioned (unlike the edit-distance gram build): an
+    # interleaved A/B at sf0.1 measured only 0.84 → 0.80 s for the
+    # shingle+signature pass — the one-file scan is not the bottleneck
+    # here — and this helper also runs on streaming micro-batches
+    # (dedup_ingest), where a forced 32-way shuffle of raw text per
+    # batch is pure overhead.
     toks = d.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
     shingles = (
         f"CASE WHEN size(toks) < {SHINGLE_K} THEN array(array_join(toks, ' ')) "
