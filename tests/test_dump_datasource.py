@@ -64,6 +64,44 @@ def test_multi_statement_tables_read_in_parallel(registered):
     assert _read(spark, "rental").count() == 16044
 
 
+def test_stream_source_replays_statements_as_batches(registered, tmp_path):
+    """The streaming twin serves one INSERT statement per micro-batch
+    with reader-owned offsets: a two-statement table drains as two
+    batches whose union equals the batch read, and a RESTART from the
+    same checkpoint appends nothing (exactly-once offsets)."""
+    import time
+
+    spark = registered
+
+    def drain(ckpt):
+        # a processing-time trigger, drained with processAllAvailable:
+        # availableNow collapses a simple stream reader to a single
+        # prefetched batch, losing the statement-per-batch shape
+        batches = []
+        q = (
+            spark.readStream.format("sakila_dump_stream")
+            .option("path", DUMP)
+            .option("table", "rental")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: batches.append((bid, df.count()))
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        return batches
+
+    first = drain(f"{tmp_path}/ckpt")
+    counts = [n for _, n in first if n > 0]
+    assert len(counts) == 2 and sum(counts) == 16044, first
+    # restart on the exhausted checkpoint: no re-emission
+    again = drain(f"{tmp_path}/ckpt")
+    assert sum(n for _, n in again) == 0, again
+
+
 def test_unknown_table_fails_loudly(registered):
     from py4j.protocol import Py4JJavaError
     from pyspark.errors.exceptions.captured import AnalysisException
