@@ -256,30 +256,46 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "aux": aux,
-                "cpu_calibration_s": calibration,
-                "normalized_total": round(sum(normalized.values()), 3),
-                "queries_normalized": normalized,
-                "load_sentinel": {
-                    "first_s": round(first, 3),
-                    "final_s": round(final, 3),
-                    "drift_pct": drift_pct,
-                    "per_pass_s": [round(s, 3) for s in sentinels],
-                    "pass_factor": [round(f, 4) for f in pass_factor],
-                    "pass_clean": pass_clean,
-                    "clean": sentinel_clean,
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # r9 post-mortem (VERDICT r9, "wrong" #1): the driver captures only
+    # the LAST ~2000 stdout chars, and r9's single metric line (with
+    # queries_normalized inline) outgrew that window -> BENCH_r09.json
+    # recorded ``parsed: null``. The contract line printed LAST is now
+    # the compact one (metric/value/queries/sf + small scalars, ~1.6 KB
+    # at 36 queries); the full detail (normalized per-query dict, aux
+    # tiers, sentinel brackets) goes to an EARLIER stdout line and a
+    # sidecar file so nothing is lost and nothing truncates.
+    detail = {
+        "metric": "headline_queries_detail",
+        "aux": aux,
+        "queries_normalized": normalized,
+        "load_sentinel": {
+            "first_s": round(first, 3),
+            "final_s": round(final, 3),
+            "drift_pct": drift_pct,
+            "per_pass_s": [round(s, 3) for s in sentinels],
+            "pass_factor": [round(f, 4) for f in pass_factor],
+            "pass_clean": pass_clean,
+            "clean": sentinel_clean,
+        },
+    }
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "normalized_total": round(sum(normalized.values()), 3),
+        "cpu_calibration_s": calibration,
+        "sentinel_clean": sentinel_clean,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    try:
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        with open(sidecar, "w") as fh:
+            json.dump({**summary, **detail, "metric": summary["metric"]}, fh, indent=1)
+    except OSError:
+        pass  # sidecar is best-effort; the stdout lines are the record
+    print(json.dumps(detail))
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

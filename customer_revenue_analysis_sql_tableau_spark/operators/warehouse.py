@@ -259,6 +259,28 @@ def prepare_bucketed_facts(
         save_bucketed(df, name, key, buckets)
 
 
+def _sf_data_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of an sf_dir: sorted relative paths +
+    sizes + mtimes of every file under it. No data is read — at 100 TB
+    this is a metadata listing, the same signal a table format's
+    snapshot id provides. Folded into analyzed-catalog table names so
+    in-place fixture regeneration invalidates the cached stats copy."""
+    import os
+
+    parts: list[str] = []
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            parts.append(
+                f"{os.path.relpath(p, sf_dir)}:{st.st_size}:{st.st_mtime_ns}"
+            )
+    return "\n".join(sorted(parts))
+
+
 def prepare_analyzed_catalog(
     spark: SparkSession,
     sf_dir: str,
@@ -277,15 +299,21 @@ def prepare_analyzed_catalog(
     (``spark.sql.cbo.enabled``) pick join orders and build sides from
     measured row counts and NDVs instead of file-size heuristics
     (r8 Next #6; SCALE.md listed "no ANALYZE stats" as a known limit).
-    Returns {table: catalog_name}. Idempotent per (metastore, sf_dir):
-    existing analyzed tables are reused — ANALYZE re-runs only on
-    fresh builds, mirroring a production ingest that refreshes stats
-    when (and only when) the data changes."""
+    Returns {table: catalog_name}. Idempotent per (metastore,
+    sf_dir-CONTENTS): the catalog name folds in a fingerprint of the
+    source parquet files (relative path + size + mtime-ns), so
+    regenerating fixtures in place gets a fresh ingest + fresh ANALYZE
+    instead of silently reusing a stale saveAsTable copy (r9 ADVICE:
+    the path-only key contradicted the "refreshes when the data
+    changes" claim). Existing analyzed tables for the SAME contents
+    are reused — ANALYZE re-runs only when the data changed."""
     import hashlib
 
     from ..streaming.statefs import delete_dir
 
-    h = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    h = hashlib.md5(
+        (sf_dir.rstrip("/") + "\0" + _sf_data_fingerprint(sf_dir)).encode()
+    ).hexdigest()[:8]
     t = load_tables(spark, sf_dir, names=tables, register=False)
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     out: dict[str, str] = {}

@@ -10,15 +10,16 @@ API), which is the Spark-native shape for a custom text format:
 - ``spark.dataSource.register(SakilaDumpDataSource)`` once, then
   ``spark.read.format("sakila_dump").option("path", dump)
   .option("table", "rental").load()`` anywhere;
-- the PLANNER pass (driver) only locates the byte offsets of the
-  table's ``INSERT INTO ... VALUES`` statements — one
-  ``InputPartition`` per statement, so a multi-statement table
-  (``rental``/``payment`` ship as two INSERTs each) reads in
-  parallel and a 100 TB dump with thousands of statements would
-  scale out the same way;
-- the EXECUTOR pass parses only its own statement's VALUES list
-  (``_parse_values`` from the proven parser) and coerces through the
-  same declared-schema path (``_coerce``), so types — timestamps,
+- the PLANNER pass (driver) locates the (start, end) BYTE RANGE of
+  each of the table's ``INSERT INTO ... VALUES`` statements with a
+  chunked scan (O(chunk) driver memory) — one ``InputPartition`` per
+  statement, so a multi-statement table (``rental``/``payment`` ship
+  as two INSERTs each) reads in parallel and a 100 TB dump with
+  thousands of statements would scale out the same way;
+- the EXECUTOR pass seeks to its partition's byte range and parses
+  ONLY that slice (``_parse_values`` from the proven parser) — total
+  I/O is O(file), per-task memory O(statement) — then coerces through
+  the same declared-schema path (``_coerce``), so types — timestamps,
   decimals, the staff-picture BLOB — match the driver-side loader
   row for row (asserted in tests/test_dump_datasource.py).
 
@@ -42,11 +43,83 @@ from .mysql_dump import SAKILA_SCHEMAS, _coerce, _parse_values
 
 
 class _InsertStatementPartition(InputPartition):
-    """One INSERT statement: (byte offset of its VALUES list)."""
+    """One INSERT statement: the byte range of its VALUES payload —
+    ``start`` is the byte just past the ``VALUES`` keyword, ``end`` is
+    the byte offset of the next ``INSERT INTO`` statement (any table)
+    or EOF. Executors seek+read ONLY this slice."""
 
-    def __init__(self, index: int, offset: int) -> None:
+    def __init__(self, index: int, start: int, end: int) -> None:
         self.index = index
-        self.offset = offset
+        self.start = start
+        self.end = end
+
+
+#: Longest plausible ``INSERT INTO `name` VALUES`` header; the chunked
+#: scan carries this many bytes between chunks so a header split across
+#: a chunk boundary is still matched exactly once.
+_HEADER_CARRY = 128
+_ANY_INSERT = re.compile(rb"INSERT INTO `?\w+`? VALUES")
+
+
+def _scan_statement_ranges(path: str, table: str) -> list[tuple[int, int]]:
+    """Driver-side planning scan: byte ranges of every INSERT statement
+    of ``table``, found with a CHUNKED binary scan (8 MiB windows with a
+    small carry tail) so driver memory is O(chunk), never O(file) — the
+    r9 ADVICE fix for the slurp-everything planner. Statement end =
+    start of the next INSERT of ANY table (the payload parser stops at
+    the terminating ``;`` anyway, so the any-insert bound only caps the
+    slice; after the final insert the bound is EOF). Byte offsets are
+    safe to slice on: the bounds land on ASCII statement headers, so a
+    UTF-8 decode of the slice can never split a multi-byte char."""
+    tgt = re.compile(
+        rb"INSERT INTO `?" + re.escape(table.encode()) + rb"`? VALUES"
+    )
+    marks: list[tuple[int, int, bool]] = []  # (stmt_start, values_start, is_target)
+    chunk_size = 8 << 20
+    buf = b""
+    base = 0
+    size = 0
+    with open(path, "rb") as fh:
+        while True:
+            chunk = fh.read(chunk_size)
+            data = buf + chunk
+            final = not chunk
+            # matches that start in the carry-safe prefix are accepted
+            # now; later ones re-appear (whole) in the next window
+            cut = len(data) if final else max(0, len(data) - _HEADER_CARRY)
+            for m in _ANY_INSERT.finditer(data):
+                if m.start() >= cut:
+                    break
+                marks.append(
+                    (
+                        base + m.start(),
+                        base + m.end(),
+                        bool(tgt.match(data, m.start())),
+                    )
+                )
+            if final:
+                size = base + len(data)
+                break
+            buf = data[cut:]
+            base += cut
+    ranges: list[tuple[int, int]] = []
+    for i, (_stmt_start, values_start, is_target) in enumerate(marks):
+        if not is_target:
+            continue
+        end = marks[i + 1][0] if i + 1 < len(marks) else size
+        ranges.append((values_start, end))
+    return ranges
+
+
+def _parse_statement_slice(path: str, start: int, end: int, table: str):
+    """Executor-side read: seek to the statement's byte range, read and
+    decode ONLY that slice, parse + type-coerce. Per-task I/O and
+    memory are O(statement), independent of dump-file size."""
+    with open(path, "rb") as fh:
+        fh.seek(start)
+        text = fh.read(end - start).decode("utf-8")
+    rows, _ = _parse_values(text, 0)
+    return _coerce(rows, SAKILA_SCHEMAS[table])
 
 
 class SakilaDumpDataSource(DataSource):
@@ -77,27 +150,24 @@ class SakilaDumpReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         """Driver-side planning: one partition per INSERT statement of
-        the requested table (a regex scan for statement offsets — the
-        format's analogue of reading parquet footers; the VALUES
-        payloads are never parsed here)."""
-        with open(self.path, encoding="utf-8") as fh:
-            text = fh.read()
-        pat = re.compile(rf"INSERT INTO `?{re.escape(self.table)}`? VALUES")
-        offsets = [m.end() for m in pat.finditer(text)]
-        if not offsets:
-            return [_InsertStatementPartition(0, -1)]  # empty table
+        the requested table — a CHUNKED regex scan records each
+        statement's (start, end) byte range (the format's analogue of
+        reading parquet footers); the VALUES payloads are never parsed
+        or held in memory here."""
+        ranges = _scan_statement_ranges(self.path, self.table)
+        if not ranges:
+            return [_InsertStatementPartition(0, -1, -1)]  # empty table
         return [
-            _InsertStatementPartition(i, off)
-            for i, off in enumerate(offsets)
+            _InsertStatementPartition(i, s, e)
+            for i, (s, e) in enumerate(ranges)
         ]
 
     def read(self, partition: _InsertStatementPartition) -> Iterator[tuple]:
-        if partition.offset < 0:
+        if partition.start < 0:
             return
-        with open(self.path, encoding="utf-8") as fh:
-            text = fh.read()
-        rows, _ = _parse_values(text, partition.offset)
-        yield from _coerce(rows, SAKILA_SCHEMAS[self.table])
+        yield from _parse_statement_slice(
+            self.path, partition.start, partition.end, self.table
+        )
 
 
 class SakilaDumpStreamReader(SimpleDataSourceStreamReader):
@@ -113,30 +183,23 @@ class SakilaDumpStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.path = options["path"]
         self.table = options["table"]
-        self._offsets: list[int] | None = None
+        self._ranges: list[tuple[int, int]] | None = None
 
-    def _stmt_offsets(self) -> list[int]:
-        if self._offsets is None:
-            with open(self.path, encoding="utf-8") as fh:
-                text = fh.read()
-            pat = re.compile(
-                rf"INSERT INTO `?{re.escape(self.table)}`? VALUES"
-            )
-            self._offsets = [m.end() for m in pat.finditer(text)]
-        return self._offsets
+    def _stmt_ranges(self) -> list[tuple[int, int]]:
+        if self._ranges is None:
+            self._ranges = _scan_statement_ranges(self.path, self.table)
+        return self._ranges
 
     def initialOffset(self) -> dict:
         return {"stmt": 0}
 
     def _rows_of(self, stmt: int) -> Iterator[tuple]:
-        with open(self.path, encoding="utf-8") as fh:
-            text = fh.read()
-        rows, _ = _parse_values(text, self._stmt_offsets()[stmt])
-        yield from _coerce(rows, SAKILA_SCHEMAS[self.table])
+        start, end = self._stmt_ranges()[stmt]
+        yield from _parse_statement_slice(self.path, start, end, self.table)
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         i = start["stmt"]
-        if i >= len(self._stmt_offsets()):
+        if i >= len(self._stmt_ranges()):
             return iter(()), start  # exhausted: empty batch, same offset
         # a LIST iterator, not a generator: the engine's prefetch cache
         # copy.copy()s the returned iterator for replay, and generators

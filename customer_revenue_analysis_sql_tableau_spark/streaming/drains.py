@@ -425,12 +425,17 @@ def stream_timeout_sessions_drain(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """``applyInPandasWithState`` EVENT-TIME TIMEOUT semantics under
-    the driver hash: three TIME-ORDERED tercile deliveries (ntile(3)
-    over (ts, event_id) — the watermark must strictly ADVANCE between
-    batches, or the probed watermark+1ms timer clamp suppresses every
-    firing: with the id-mod staging the global max lands in an early
-    delivery, w2 == w3, and both engines correctly emit NOTHING —
-    measured) drain through the inactivity-timeout sessionizer. The
+    the driver hash: three TIME-ORDERED tercile deliveries — the
+    watermark must strictly ADVANCE between batches, or the probed
+    watermark+1ms timer clamp suppresses every firing: with the
+    id-mod staging the global max lands in an early delivery,
+    w2 == w3, and both engines correctly emit NOTHING (measured) —
+    drain through the inactivity-timeout sessionizer. The terciles
+    are VALUE splits at two exact ts order statistics (ranks
+    ceil(n/3) and ceil(2n/3), each a bounded TakeOrdered + max, no
+    global window over the full table — r9 ADVICE replaced the
+    eager unpartitioned ntile staging the plan scan couldn't see);
+    the oracle recomputes the identical cut points relationally. The
     sink must equal the relational replay of the probed rules (see
     :func:`run_stateful_timeout_sessions`): per user, per batch,
     admitted-row aggregates fold into one running session whose
@@ -449,17 +454,21 @@ def stream_timeout_sessions_drain(
         import os
         import time
 
-        from pyspark.sql import Window as W
-
         src = f"{tmp}/src"
         base = time.time() - 1000
         seen: set[str] = set()
+        n = events.count()
+        k1 = (n + 2) // 3  # rank ceil(n/3)
+        k2 = (2 * n + 2) // 3  # rank ceil(2n/3)
+        cut1, cut2 = (
+            events.select("ts").orderBy("ts").limit(k1).agg(F.max("ts")).collect()[0][0],
+            events.select("ts").orderBy("ts").limit(k2).agg(F.max("ts")).collect()[0][0],
+        )
         terciled = events.withColumn(
             "b",
-            F.ntile(LATE_SPLIT_MOD).over(
-                W.orderBy("ts", "event_id")
-            )
-            - 1,
+            F.when(F.col("ts") <= F.lit(cut1), 0)
+            .when(F.col("ts") <= F.lit(cut2), 1)
+            .otherwise(2),
         )
         for k in range(LATE_SPLIT_MOD):
             terciled.filter(F.col("b") == k).drop("b").coalesce(
@@ -742,18 +751,30 @@ ORACLES: dict[str, str] = {
     # (strict); the trailing cleanup batch is the last check; data in
     # the checking batch re-arms; fired state resets
     "stream_timeout_sessions_drain": f"""
-        WITH ev AS (
+        WITH cuts AS (
+            -- the staging's exact ts order statistics: ranks
+            -- ceil(n/3) and ceil(2n/3) (duplicate-safe: the k-th
+            -- smallest VALUE is well-defined whatever the tie order)
+            SELECT max(CASE WHEN r <= CAST(floor((n + 2) / 3.0) AS BIGINT)
+                            THEN ts END) AS cut1,
+                   max(CASE WHEN r <= CAST(floor((2 * n + 2) / 3.0) AS BIGINT)
+                            THEN ts END) AS cut2
+            FROM (SELECT ts, row_number() OVER (ORDER BY ts) AS r,
+                         count(*) OVER () AS n
+                  FROM events)),
+        ev AS (
             -- tms: the engine's event-time stats truncate to
             -- MILLISECONDS (probed via the driver hash), so trackers
             -- and per-user last timestamps work at ms precision while
             -- the late filter compares the raw microsecond ts
-            SELECT ntile({LATE_SPLIT_MOD})
-                       OVER (ORDER BY ts, event_id) - 1 AS b,
+            SELECT CASE WHEN ts <= cuts.cut1 THEN 0
+                        WHEN ts <= cuts.cut2 THEN 1
+                        ELSE 2 END AS b,
                    user_id, ts,
                    make_timestamp(epoch_ms(ts) * 1000) AS tms,
                    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
                        AS cents
-            FROM events),
+            FROM events, cuts),
         tr AS (
             SELECT (SELECT max(tms) FROM ev WHERE b = 0)
                        - INTERVAL 30 MINUTE AS w1,

@@ -103,8 +103,14 @@ def test_stream_source_replays_statements_as_batches(registered, tmp_path):
 
 
 def test_unknown_table_fails_loudly(registered):
+    # The rejection surfaces as Spark's wrapper around the ValueError
+    # raised in SakilaDumpDataSource.schema(); matching the message
+    # (not a bare Exception) keeps this test meaningful — an import
+    # typo or wrong option name would NOT carry this text (r9 ADVICE).
     from py4j.protocol import Py4JJavaError
     from pyspark.errors.exceptions.captured import AnalysisException
 
-    with pytest.raises((Py4JJavaError, AnalysisException, Exception)):
+    with pytest.raises(
+        (Py4JJavaError, AnalysisException), match="unknown table"
+    ):
         _read(registered, "no_such_table").schema
