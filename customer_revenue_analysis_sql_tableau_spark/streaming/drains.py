@@ -32,6 +32,7 @@ from .windows import (
     run_interval_join_multibatch_stream,
     run_interval_full_join_stream,
     run_interval_left_join_stream,
+    run_interval_right_join_stream,
     run_interval_semi_join_stream,
     run_late_data_stream,
     run_late_session_stream,
@@ -421,6 +422,29 @@ def stream_interval_full_join_drain(
     return _drain(spark, build)
 
 
+def stream_interval_right_join_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Right-outer stream-stream join under the driver hash — the
+    mirror of :func:`stream_interval_left_join_drain`, completing the
+    join-type matrix symmetrically (r9 VERDICT Next #6). Same
+    3-delivery staging and probed admission rules; the null-gated side
+    flips to the CLICKS: the sink is the matched pair set plus
+    null-error rows for admitted clicks with no admitted matching
+    error and ``click_ts + 10min < final_wm`` (strict — the same
+    interval-derived eviction bound the full join's click branch
+    obeys; a click exactly at the boundary stays silently in state)."""
+    events = load_tables(spark, sf_dir, names=("events",), register=False)[
+        "events"
+    ]
+
+    def build(tmp: str) -> DataFrame:
+        src = _stage_three_deliveries(events, tmp)
+        return run_interval_right_join_stream(spark, src, f"{tmp}/ckpt")
+
+    return _drain(spark, build)
+
+
 def stream_timeout_sessions_drain(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -581,6 +605,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_interval_join_multibatch_drain": stream_interval_join_multibatch_drain,
     "stream_interval_left_join_drain": stream_interval_left_join_drain,
     "stream_interval_full_join_drain": stream_interval_full_join_drain,
+    "stream_interval_right_join_drain": stream_interval_right_join_drain,
     "stream_interval_semi_join_drain": stream_interval_semi_join_drain,
     "stream_timeout_sessions_drain": stream_timeout_sessions_drain,
 }
@@ -903,6 +928,42 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
                ac.event_id, ac.ts
+        FROM ac, tr
+        WHERE ac.ts + INTERVAL 10 MINUTE < tr.final_wm AND NOT EXISTS (
+            SELECT 1 FROM matched m WHERE m.click_id = ac.event_id)""",
+    # the right-outer mirror: matched pairs under the same admission
+    # rules; null-ERROR rows for admitted clicks that never matched,
+    # gated on the interval-derived click bound (strict — probed via
+    # the full join's click branch)
+    "stream_interval_right_join_drain": f"""
+        WITH e AS (
+            SELECT event_id % {LATE_SPLIT_MOD} AS b, event_id, user_id, ts
+            FROM events WHERE event_type = 'error'),
+        c AS (
+            SELECT event_id % {LATE_SPLIT_MOD} AS b, event_id, user_id, ts
+            FROM events WHERE event_type = 'click'),
+        tr AS (
+            SELECT least((SELECT max(ts) FROM e WHERE b = 0),
+                         (SELECT max(ts) FROM c WHERE b = 0))
+                       - INTERVAL 30 MINUTE AS lw3,
+                   least((SELECT max(ts) FROM e),
+                         (SELECT max(ts) FROM c))
+                       - INTERVAL 30 MINUTE AS final_wm),
+        ae AS (SELECT e.* FROM e, tr
+               WHERE b < {LATE_SPLIT_MOD - 1} OR ts > tr.lw3),
+        ac AS (SELECT c.* FROM c, tr
+               WHERE b < {LATE_SPLIT_MOD - 1} OR ts > tr.lw3),
+        matched AS (
+            SELECT ae.event_id AS error_id, ae.ts AS error_ts,
+                   ac.event_id AS click_id, ac.user_id AS c_user_id,
+                   ac.ts AS click_ts
+            FROM ae JOIN ac ON ae.user_id = ac.user_id
+             AND ac.ts <= ae.ts AND ac.ts >= ae.ts - INTERVAL 10 MINUTE)
+        SELECT error_id, error_ts, click_id, c_user_id, click_ts
+        FROM matched
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+               ac.event_id, ac.user_id, ac.ts
         FROM ac, tr
         WHERE ac.ts + INTERVAL 10 MINUTE < tr.final_wm AND NOT EXISTS (
             SELECT 1 FROM matched m WHERE m.click_id = ac.event_id)""",
