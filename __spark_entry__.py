@@ -70,97 +70,98 @@ _REGISTRY_MODULES = [
 
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
-# at ENTRY level. Round-9 ordering (VERDICT.md r8, Next #2-#7):
-# (1) the TEN new r9 entries that have never been in a driver window —
-# the ANN-deletion triple (exact surviving-corpus baseline, rows-only
-# tombstoning IVF tier, its recall bound; r8 Next #5), the
-# left-outer/full-outer/left-semi stream-stream interval-join drains
-# (r8 Next #4 + the completed join-type matrix), the EventTimeTimeout
-# sessionization drain (probed timer rules + the wm+1ms clamp), BPE
-# merge-table training + corpus application (r8 Next #7), and the
-# CBO-planned catalog join (r8 Next #6); (2) the THREE entries whose
-# registered plan or oracle changed this round and must re-prove on
-# current code — the edit-distance join (positional Ed-Join filter +
-# short-doc fallback, r8 Next #3 + ADVICE), the variant extract
-# (null-safe n_tag_match on both sides, ADVICE), and the reworked
-# genuinely-multi-batch interval-join drain; (3) the full
-# TWENTY-THREE-entry r4 proof-staleness cohort promoted per r8 Next #2
-# (seven streaming drains, five TPC-H shapes, funnel/retention,
-# tableau G5, semi/anti joins, two multimodal ops, grouped LSH, corpus
-# report, DQ profile, pack-concat) — the freshest-proof floor becomes
-# r5+ for every entry; (4) slack slots go to the next-stalest
-# r5-proven cohort (dedup family, rollup, TPC-H q7/q8/q13/q14/q15,
-# procedures, features, splits, IVM). Guarded against rot by
-# tests/test_registry_hygiene.py::test_priority_names_exist.
+# at ENTRY level. Round-10 ordering (VERDICT.md r9, Next #2-#7):
+# (1) the SIX new r10 entries that have never been in a driver window —
+# the right-outer interval-join drain (completes the stream-stream
+# join-type matrix, r9 Next #6), the persisted-IVF lifecycle triple
+# (oracle-backed build summary, rows-only read path, its recall bound;
+# r9 Next #3), batched BPE training (greedy non-conflicting top-B
+# merges per round, full-trajectory oracle; r9 Next #4), and the
+# CBO-planned unhinted view fill over the ANALYZEd catalog (r9 Next
+# #7); (2) the FOUR entries whose staging, oracle, or code path
+# changed this round and must re-prove on current code — the
+# timeout-sessions drain (bounded order-statistic tercile staging
+# replacing the global ntile, r9 ADVICE), the CBO revenue entry
+# (catalog names now fingerprint the source data, r9 ADVICE), and the
+# two BPE entries (pair counting refactored into the shared helper);
+# (3) the full TWENTY-SEVEN-entry r5 proof-staleness cohort promoted
+# per r9 Next #2 (set-ops, grouping-sets/cube/rollup, feat_* x5,
+# proc_* x4, split_* x4, windows x2, IVM, resumable-restart drain,
+# repetition stats, top-50 cap, LIKE filter) — the freshest-proof
+# floor becomes r6+; (4) slack slots go to the next-stalest r6-proven
+# entries (roundtrip digests, rollup tiers, quality deciles). Guarded
+# against rot by tests/test_registry_hygiene.py::
+# test_priority_names_exist.
 _PRIORITY = [
-    # -- new this round (r9), first driver proof --
-    "sim_delete_brute_topk",  # exact top-k over survivors (oracle-backed)
-    "sim_delete_ivf_topk",  # tombstone anti-join + cell compaction (rows-only)
-    "sim_delete_recall_check",  # its driver-hash recall bound
-    "stream_interval_left_join_drain",  # probed outer-null emission rules
-    "stream_interval_full_join_drain",  # + click-side nulls (strict bound)
-    "stream_interval_semi_join_drain",  # once-only matched-flag emission
-    "stream_timeout_sessions_drain",  # EventTimeTimeout rules + wm+1 clamp
-    "text_bpe_train",  # full-trajectory BPE merge training
-    "text_bpe_tokenize",  # merge-table application over the corpus
-    "cbo_stats_revenue_by_customer",  # CBO-planned unhinted join (ANALYZE stats)
-    # -- plan/oracle changed this round: re-prove on current code --
-    "dedup_edit_distance",  # positional Ed-Join filter + short-doc fallback
-    "events_variant_extract",  # null-safe n_tag_match on both sides
-    "stream_interval_join_multibatch_drain",  # REAL multi-batch staging (r9 rework)
-    # -- r8 Next #2: the full r4 proof-staleness cohort (floor -> r5+) --
-    "stream_minute_rollup_drain",
-    "stream_user_upsert_drain",
-    "stream_cdc_latest_drain",
-    "stream_tumbling_window_drain",
-    "stream_interval_join_drain",
-    "stream_sliding_window_drain",
-    "stream_session_window_drain",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "analytics_funnel_stage_counts",
-    "analytics_retention_day_cohorts",
-    "tableau_g5_spend_by_type_year",
-    "top_nations_customers_semi",
-    "parts_never_ordered_anti",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "dedup_minhash_lsh_grouped",
-    "corpus_stats_report",
-    "dq_column_profile",
-    "split_pack_concat",
-    # -- slack: next-stalest r5-proven refreshes --
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "dedup_components_distributed",
-    "rollup_minute",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q13_order_count_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "proc_customer_balance",
-    # ---- ~50-entry budget cut falls here ----
-    "proc_rewards_report",
+    # -- new this round (r10), first driver proof --
+    "stream_interval_right_join_drain",  # null-gated side flips to clicks
+    "sim_ivf_index_build",  # persisted-index build summary (oracle-backed)
+    "sim_persisted_ivf_topk",  # pure read path over persisted artifacts (rows-only)
+    "sim_persisted_recall_check",  # its driver-hash recall bound
+    "text_bpe_train_batched",  # greedy non-conflicting top-B merges per round
+    "view_customer_value_summary_analyzed",  # CBO-planned unhinted view fill
+    # -- staging/oracle/code-path changed this round: re-prove --
+    "stream_timeout_sessions_drain",  # bounded order-statistic terciles (ADVICE)
+    "cbo_stats_revenue_by_customer",  # data-fingerprinted catalog names (ADVICE)
+    "text_bpe_train",  # pair counting refactored into shared helper
+    "text_bpe_tokenize",  # same refactor (shared _bpe_fit path)
+    # -- r9 Next #2: the full r5 proof-staleness cohort (floor -> r6+) --
+    "party_names_union",
+    "repeat_customers_intersect",
+    "active_high_value_except_recent",
+    "distinct_segments",
+    "lineitem_flag_status_cube",
+    "revenue_rollup_region_nation",
+    "grouping_sets_flag_status",
+    "customer_order_windows",
+    "customer_value_distribution_windows",
     "feat_minmax_normalize",
+    "feat_value_quartile_bins",
     "feat_vocab_coverage",
     "feat_word_bigram_counts",
+    "feat_zscore_outliers",
+    "proc_part_held_by_customers",
+    "proc_parts_in_stock",
+    "proc_parts_not_in_stock",
+    "proc_rewards_report",
+    "split_chunk_documents",
+    "split_pii_redact",
+    "split_sample_per_source",
     "split_train_test",
     "inc_view_maintenance",
     "stream_resumable_restart_drain",
-    "split_pii_redact",
-    "proc_parts_in_stock",
-    "split_chunk_documents",
-    "feat_value_quartile_bins",
-    "feat_zscore_outliers",
-    # (r6-r8-proven entries keep their fresh proofs; code unchanged)
+    "text_repetition_stats",
+    "app_top50_cap",
+    "promo_parts_like",
+    # -- slack: next-stalest r6-proven refreshes --
+    "csv_roundtrip_digest",
+    "jsonl_roundtrip_digest",
+    "orc_roundtrip_digest",
+    "rollup_daily_from_hours",
+    "rollup_hourly_from_minutes",
+    "quality_decile_cutoffs",
+    "quality_decile_curriculum",
+    "dedup_containment_prefix",
+    "dedup_embedding_signlsh",
+    "dedup_survivors_best_quality",
+    "emb_label_profile",
+    "emb_norm_stats",
+    "feat_stratified_sample",
+    # ---- ~50-entry budget cut falls here ----
+    "multimodal_decode_features",
+    "split_temperature_mixture",
+    "stream_dedup_first",
+    "stream_ingest_verdicts_drain",
+    "stream_late_data_drain",
+    "temporal_latest_per_user",
+    "temporal_pivot_user_values",
+    "temporal_range_join",
+    "temporal_rolling_value_10min",
+    "temporal_unpivot_user_values",
+    "temporal_value_percentiles",
+    "text_quality_score",
+    "training_data_pipeline",
+    # (r7-r9-proven entries keep their fresh proofs; code unchanged)
     "flagship_revenue_by_region",
     "view_customer_value_summary",
     "view_customer_value_summary_bucketed",

@@ -31,6 +31,7 @@ from .warehouse import (
     VIEW_ORACLE_SQL,
     cbo_stats_revenue_by_customer,
     customer_value_summary,
+    customer_value_summary_analyzed as _view_analyzed,
     customer_value_summary_bucketed as _view_bucketed,
     most_frequent_part_type,
     sum_revenue,
@@ -394,6 +395,7 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "view_customer_value_summary": materialized_view,
     "view_customer_value_summary_bucketed": _view_bucketed,
+    "view_customer_value_summary_analyzed": _view_analyzed,
     "cbo_stats_revenue_by_customer": cbo_stats_revenue_by_customer,
     "q1_top_revenue_customers": q1_top_revenue_customers,
     "q1_full": q1_full,
@@ -427,6 +429,8 @@ ORACLES: dict[str, str] = {
         orders="orders", lineitem="lineitem", part="part"),
     # same 13 columns from the bucketed fact layout — same oracle
     "view_customer_value_summary_bucketed": VIEW_ORACLE_SQL,
+    # same 13 columns, CBO-planned over the ANALYZEd catalog — same oracle
+    "view_customer_value_summary_analyzed": VIEW_ORACLE_SQL,
     "q1_top_revenue_customers": f"""{_VIEW_CTE}
         SELECT Customer_Name, Total_Revenue FROM cvs
         ORDER BY Total_Revenue DESC, Customer_Name ASC LIMIT 10""",

@@ -856,11 +856,194 @@ def sim_delete_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Persisted-index lifecycle (r9 VERDICT Next #3): build-once / query-many.
+# Every other sim_* entry trains + assigns inside the query call — right for
+# proofs, but the production shape persists the index artifacts and serves
+# queries from a pure READ path. The artifacts mirror what FAISS/Milvus-style
+# stores persist: the trained centroids (the coarse quantizer), the inverted
+# lists (postings, PARTITIONED BY CELL so an nprobe probe prunes to the
+# probed cells' files at any corpus size), and a 1-row meta frame (geometry +
+# build fingerprint). The index directory name folds in a fingerprint of the
+# source embeddings file, so regenerated fixtures trigger a rebuild instead
+# of serving a stale index (same rule as warehouse.prepare_analyzed_catalog).
+# ---------------------------------------------------------------------------
+
+
+def _embeddings_fingerprint(sf_dir: str) -> str:
+    """size+mtime fingerprint of the embeddings source (file or dir)."""
+    import hashlib
+    import os
+
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    parts: list[str] = []
+    if os.path.isfile(root):
+        st = os.stat(root)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    else:
+        for r, _dirs, files in os.walk(root):
+            for f in files:
+                try:
+                    st = os.stat(os.path.join(r, f))
+                except OSError:
+                    continue
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5(
+        (sf_dir.rstrip("/") + "\0" + "\n".join(sorted(parts))).encode()
+    ).hexdigest()[:8]
+
+
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{warehouse}/ivf_index_{_embeddings_fingerprint(sf_dir)}"
+
+
+def sim_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD phase of the persisted-IVF lifecycle: train the coarse
+    quantizer on the bounded sample (identical recipe and seeds to
+    :func:`sim_ivf_topk`, so the persisted index answers queries
+    identically), assign every vector to its cell with the Arrow
+    ``pandas_udf``, and persist three artifacts under the warehouse:
+
+    - ``centroids``  — (cell, cv): the trained quantizer;
+    - ``postings``   — (vec_id, v) PARTITIONED BY cell: the inverted
+      lists; partition pruning makes an nprobe probe read only the
+      probed cells' files, which is the 100 TB read-path story;
+    - ``meta``       — 1 row (nlist, nprobe, n_vectors), written LAST
+      so its presence certifies a complete build.
+
+    Idempotent per embeddings-content fingerprint. Returns an
+    oracle-backed summary read BACK FROM THE PERSISTED POSTINGS (not
+    the in-memory frame), so the driver hash certifies the on-disk
+    artifact: exact corpus count plus three completeness invariants
+    (every vector assigned, exactly one cell each, cell ids within the
+    trained geometry)."""
+    from pyspark.errors import AnalysisException
+
+    d = _ivf_index_dir(spark, sf_dir)
+    try:
+        meta = spark.read.parquet(f"{d}/meta").collect()[0]
+        nlist = meta["nlist"]
+    except AnalysisException:
+        e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+        ed = e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        sample_rows = (
+            ed.orderBy(
+                F.xxhash64(F.col("vec_id").cast("string"), F.lit(LSH_SEED))
+            )
+            .limit(IVF_TRAIN_SAMPLE)
+            .collect()
+        )
+        nlist, nprobe = _ivf_geometry(len(sample_rows))
+        cents = _train_centroids(
+            np.array([r["v"] for r in sample_rows]), nlist
+        )
+        cmat, cnorm = cents, (cents**2).sum(axis=1)
+
+        @pandas_udf("int")
+        def cell_of(vs: pd.Series) -> pd.Series:
+            m = np.stack(vs.to_numpy())
+            d2 = (
+                (m**2).sum(axis=1)[:, None]
+                - 2.0 * (m @ cmat.T)
+                + cnorm[None, :]
+            )
+            return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell int, cv array<double>",
+        ).write.mode("overwrite").parquet(f"{d}/centroids")
+        ed.withColumn("cell", cell_of(F.col("v"))).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(f"{d}/postings")
+        n_vectors = spark.read.parquet(f"{d}/postings").count()
+        spark.createDataFrame(
+            [(int(nlist), int(nprobe), int(n_vectors))],
+            "nlist int, nprobe int, n_vectors bigint",
+        ).write.mode("overwrite").parquet(f"{d}/meta")
+
+    postings = spark.read.parquet(f"{d}/postings")
+    return postings.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        (F.countDistinct("vec_id") == F.count(F.lit(1))).alias(
+            "one_cell_per_vector"
+        ),
+        (
+            (F.countDistinct("cell") <= F.lit(int(nlist)))
+            & (F.min("cell") >= F.lit(0))
+        ).alias("cells_within_geometry"),
+    )
+
+
+def sim_persisted_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY phase of the persisted-IVF lifecycle: a pure READ path —
+    no k-means, no training sample, no Python UDF; every stage is a
+    JVM-side scan/join over the persisted artifacts (the pytest in
+    ``tests/test_persisted_ivf.py`` monkeypatches the trainer to raise
+    and asserts the plan carries no Arrow/Python eval node). The probe
+    ranks the broadcast persisted centroids per query (HOF ℓ², bounded
+    fan-out), then candidates come from an equi-join against the
+    cell-partitioned postings — with the probed-cells side broadcast,
+    dynamic partition pruning skips unprobed cells' files entirely.
+    Results are bit-identical to :func:`sim_ivf_topk` (same quantizer
+    seeds, same tie order); recall vs brute force is pinned by
+    ``sim_persisted_recall_check``. Builds the index on first use per
+    embeddings fingerprint (self-contained registry entry)."""
+    from pyspark.errors import AnalysisException
+
+    d = _ivf_index_dir(spark, sf_dir)
+    try:
+        meta = spark.read.parquet(f"{d}/meta").collect()[0]
+    except AnalysisException:
+        sim_ivf_index_build(spark, sf_dir)
+        meta = spark.read.parquet(f"{d}/meta").collect()[0]
+    nprobe = int(meta["nprobe"])
+    cent_df = spark.read.parquet(f"{d}/centroids")
+    postings = spark.read.parquet(f"{d}/postings")
+
+    l2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probed = (
+        postings.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("d2", l2)
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = probed.join(
+        postings,
+        (probed.cell == postings.cell)
+        & (F.col("query_id") != postings.vec_id),
+    ).select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id", "neighbor_id", _cos("qv", "v").alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_delivery_brute_topk": sim_delivery_brute_topk,
     "sim_delete_brute_topk": sim_delete_brute_topk,
     "sim_delete_ivf_topk": sim_delete_ivf_topk,  # rows-only (probabilistic)
+    "sim_ivf_index_build": sim_ivf_index_build,  # oracle-backed build summary
+    "sim_persisted_ivf_topk": sim_persisted_ivf_topk,  # rows-only (probabilistic)
     "sim_incremental_ivf": sim_incremental_ivf,  # rows-only (probabilistic)
     "sim_lsh_topk": sim_lsh_topk,  # rows-only (probabilistic recall)
     "sim_ivf_topk": sim_ivf_topk,  # rows-only (probabilistic recall)
@@ -869,6 +1052,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    # the build summary's invariants are exact: the persisted postings
+    # must hold the whole corpus, once each, within the trained geometry
+    "sim_ivf_index_build": """
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               TRUE AS one_cell_per_vector,
+               TRUE AS cells_within_geometry
+        FROM embeddings""",
     "sim_delivery_brute_topk": f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

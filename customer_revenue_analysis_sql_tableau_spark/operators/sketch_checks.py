@@ -42,6 +42,7 @@ from .similarity import (
     sim_ivf_topk,
     sim_ivfpq_topk,
     sim_lsh_topk,
+    sim_persisted_ivf_topk,
     sim_pq_topk,
 )
 from .temporal import APPROX_ACCURACY, _events
@@ -225,6 +226,17 @@ def sim_delete_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_persisted_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index READ-PATH recall >= 0.8 vs brute force — same
+    floor as the in-process IVF tier, because the persisted index is
+    built with the identical quantizer recipe and the read path ranks
+    the same candidates (bit-identical results to ``sim_ivf_topk``,
+    additionally asserted by tests/test_persisted_ivf.py)."""
+    return _recall_check(
+        spark, sf_dir, sim_persisted_ivf_topk, IVF_RECALL_FLOOR
+    )
+
+
 def sim_incremental_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-IVF delivery recall >= 0.6 vs the exact
     delivery-vs-base baseline (measured 0.706-0.776 — out-of-corpus
@@ -294,6 +306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivfpq_recall_check": sim_ivfpq_recall_check,
     "sim_incremental_recall_check": sim_incremental_recall_check,
     "sim_delete_recall_check": sim_delete_recall_check,
+    "sim_persisted_recall_check": sim_persisted_recall_check,
     "vocab_topk_containment_check": vocab_topk_containment_check,
 }
 
@@ -325,6 +338,10 @@ ORACLES: dict[str, str] = {
           AND vec_id % {DEL_MOD} != {DEL_COMPACTED}
           AND vec_id % {DEL_MOD} != {DEL_PENDING}""",
     "sim_ivf_recall_check": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST({TOP_K} AS BIGINT) AS k, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < {N_QUERIES}""",
+    "sim_persisted_recall_check": f"""
         SELECT CAST(count(*) AS BIGINT) AS n_queries,
                CAST({TOP_K} AS BIGINT) AS k, TRUE AS recall_ok
         FROM embeddings WHERE vec_id < {N_QUERIES}""",

@@ -114,7 +114,9 @@ def most_frequent_part_type(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def partial_aggregate(o: DataFrame, l: DataFrame, p: DataFrame) -> DataFrame:
+def partial_aggregate(
+    o: DataFrame, l: DataFrame, p: DataFrame, hints: bool = True
+) -> DataFrame:
     """Level 1 of the view: per (customer, part-type) partials over the
     fact join ``orders ⟕ lineitem ⟕ part``.
 
@@ -137,7 +139,13 @@ def partial_aggregate(o: DataFrame, l: DataFrame, p: DataFrame) -> DataFrame:
     """
     fact = (
         o.join(l, o.o_orderkey == l.l_orderkey, "left")  # J4+J7 twin
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey, "left")  # J8 (left)
+        # hints=False leaves strategy choice to the optimizer (the
+        # CBO-planned variant feeds ANALYZEd tables instead of hints)
+        .join(
+            F.broadcast(p) if hints else p,
+            l.l_partkey == p.p_partkey,
+            "left",
+        )  # J8 (left)
     )
     late_days = F.datediff(
         F.to_date(l.l_shipdate), F.to_date(o.o_orderdate)
@@ -373,6 +381,40 @@ def cbo_stats_revenue_by_customer(
             spark.conf.set(k, v)
 
 
+def customer_value_summary_analyzed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`customer_value_summary` planned BY THE COST-BASED
+    OPTIMIZER (r9 VERDICT Next #7): the same 13-column fill, but the
+    inputs are the ``ANALYZE``d catalog tables from
+    :func:`prepare_analyzed_catalog` and the plan carries NO hints —
+    no broadcast() on part/nation/region, no shuffle_hash on the geo
+    join; with ``spark.sql.cbo.enabled`` + joinReorder on, strategy
+    and build sides come from measured row counts/NDVs. Bench times
+    this next to the hinted plan (they should coincide — CBO stats
+    exist precisely to make hand-hints redundant); the catalog build +
+    ANALYZE is ingest cost and runs untimed (bench.py preps it like
+    the bucketed layout). Same output, same oracle as the view; the
+    frame is materialized while the CBO confs are on, then the session
+    confs are restored so no other entry's plan is affected."""
+    names = prepare_analyzed_catalog(spark, sf_dir)
+    confs = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    old = {k: spark.conf.get(k) for k in confs}
+    for k in confs:
+        spark.conf.set(k, "true")
+    try:
+        t = {name: spark.table(cat) for name, cat in names.items()}
+        partial = partial_aggregate(
+            t["orders"], t["lineitem"], t["part"], hints=False
+        )
+        return finalize_summary(
+            partial, t["customer"], t["nation"], t["region"], hints=False
+        ).localCheckpoint()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def customer_value_summary_bucketed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -396,7 +438,11 @@ def customer_value_summary_bucketed(
 
 
 def finalize_summary(
-    partial: DataFrame, c: DataFrame, n: DataFrame, r: DataFrame
+    partial: DataFrame,
+    c: DataFrame,
+    n: DataFrame,
+    r: DataFrame,
+    hints: bool = True,
 ) -> DataFrame:
     """Level 2 of the view: fold (customer, part-type) partials into the
     13-column summary and attach geo dims. Shared by the one-shot build
@@ -438,10 +484,11 @@ def finalize_summary(
     # side per partition (bounded by partition sizing, SCALE.md) and
     # skips sort-merge's two sort passes over per-customer rows.
     geo = (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .hint("shuffle_hash")
+        c.join(F.broadcast(n) if hints else n, c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r) if hints else r, n.n_regionkey == r.r_regionkey)
     )
+    if hints:
+        geo = geo.hint("shuffle_hash")
 
     out = (
         grouped.withColumn("Most_Frequent_Part_Type", F.col("_mfc.p_type"))

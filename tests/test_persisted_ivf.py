@@ -1,0 +1,71 @@
+"""Persisted-IVF lifecycle (r9 VERDICT Next #3): build-once artifacts,
+training-free read path, equality with the in-process IVF tier."""
+
+from __future__ import annotations
+
+import pytest
+
+from customer_revenue_analysis_sql_tableau_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, sf_dir):
+    summary = sim.sim_ivf_index_build(spark, sf_dir).collect()[0]
+    return summary
+
+
+def test_build_summary_invariants(built_index, spark, sf_dir):
+    e = sim.load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    assert built_index["n_vectors"] == e.count()
+    assert built_index["one_cell_per_vector"] is True
+    assert built_index["cells_within_geometry"] is True
+
+
+def test_artifacts_on_disk(built_index, spark, sf_dir):
+    d = sim._ivf_index_dir(spark, sf_dir)
+    cents = spark.read.parquet(f"{d}/centroids")
+    meta = spark.read.parquet(f"{d}/meta").collect()[0]
+    assert cents.count() == meta["nlist"]
+    assert 0 < meta["nprobe"] <= meta["nlist"]
+    # postings are partitioned by cell: the partition column must come
+    # back as a real column from the directory layout
+    postings = spark.read.parquet(f"{d}/postings")
+    assert "cell" in postings.columns
+    assert postings.count() == meta["n_vectors"]
+
+
+def test_read_path_never_trains(built_index, spark, sf_dir, monkeypatch):
+    """The query entry must be a pure read path: with the index built,
+    it must succeed even when the trainer and the sampler are
+    unreachable, and its plan must contain no Python/Arrow eval stage
+    (cell assignment happened at build time; the probe is a JVM HOF
+    over the persisted centroids)."""
+
+    def boom(*a, **k):  # pragma: no cover - must never run
+        raise AssertionError("read path invoked k-means training")
+
+    monkeypatch.setattr(sim, "_train_centroids", boom)
+    df = sim.sim_persisted_ivf_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the scans must come from the persisted index directory
+    assert "ivf_index_" in plan
+    assert df.count() > 0
+
+
+def test_persisted_equals_inprocess_ivf(built_index, spark, sf_dir):
+    """Same quantizer recipe + seeds + tie order ⇒ the persisted read
+    path must return exactly the in-process IVF tier's top-k."""
+    a = sorted(
+        map(tuple, sim.sim_persisted_ivf_topk(spark, sf_dir).collect())
+    )
+    b = sorted(map(tuple, sim.sim_ivf_topk(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_rebuild_on_fingerprint_change(spark, sf_dir, tmp_path):
+    """A different source fingerprint maps to a different index dir —
+    regenerated fixtures can never be served a stale index."""
+    d1 = sim._ivf_index_dir(spark, sf_dir)
+    d2 = sim._ivf_index_dir(spark, "/root/testdata/sf0.01")
+    assert d1 != d2
