@@ -100,6 +100,9 @@ _PRIORITY = [
     "sim_persisted_recall_check",  # its driver-hash recall bound
     "text_bpe_train_batched",  # greedy non-conflicting top-B merges per round
     "view_customer_value_summary_analyzed",  # CBO-planned unhinted view fill
+    "sim_persisted_index_compact",  # delete compaction on the persisted index
+    "sim_persisted_delete_ivf_topk",  # read path over base ∪ delta segments (rows-only)
+    "sim_persisted_delete_recall_check",  # its driver-hash recall bound
     # -- staging/oracle/code-path changed this round: re-prove --
     "stream_timeout_sessions_drain",  # bounded order-statistic terciles (ADVICE)
     "cbo_stats_revenue_by_customer",  # data-fingerprinted catalog names (ADVICE)
@@ -144,10 +147,10 @@ _PRIORITY = [
     "dedup_containment_prefix",
     "dedup_embedding_signlsh",
     "dedup_survivors_best_quality",
+    # ---- ~50-entry budget cut falls here ----
     "emb_label_profile",
     "emb_norm_stats",
     "feat_stratified_sample",
-    # ---- ~50-entry budget cut falls here ----
     "multimodal_decode_features",
     "split_temperature_mixture",
     "stream_dedup_first",

@@ -1037,6 +1037,152 @@ def sim_persisted_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_persisted_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE COMPACTION on the PERSISTED index (the production step
+    after :func:`sim_ivf_index_build`): wave-A tombstones are folded
+    into the on-disk index the way segment-based vector stores do it —
+    the base postings stay immutable, and a DELTA directory holds
+    rebuilt copies of ONLY the affected cells (those containing a
+    wave-A vector) plus a manifest of compacted cell ids. A reader
+    takes untouched cells from the base (partition pruning via the
+    broadcast manifest anti-join) and compacted cells from the delta;
+    nothing else is rewritten — compaction I/O ∝ rows of affected
+    cells, never the index. Idempotent per index fingerprint (the
+    manifest is written LAST and certifies a complete compaction).
+
+    Returns an oracle-backed summary read FROM THE PERSISTED
+    ARTIFACTS: the exact wave-A delete count plus three completeness
+    invariants (compaction removed exactly the wave-A rows; the delta
+    holds none of them; no wave-A row hides in an un-compacted cell —
+    i.e. the manifest is complete)."""
+    from pyspark.errors import AnalysisException
+
+    sim_ivf_index_build(spark, sf_dir)  # ensure the base index
+    d = _ivf_index_dir(spark, sf_dir)
+    delta = f"{d}/delete_delta"
+    wave_a_pred = F.col("vec_id") % DEL_MOD == DEL_COMPACTED
+    try:
+        spark.read.parquet(f"{delta}/manifest")
+    except AnalysisException:
+        postings = spark.read.parquet(f"{d}/postings")
+        affected = [
+            r["cell"]
+            for r in postings.filter(wave_a_pred)
+            .select("cell")
+            .distinct()
+            .collect()
+        ]  # bounded by nlist — a driver-side literal, like centroids
+        postings.filter(F.col("cell").isin(affected)).filter(
+            ~wave_a_pred
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{delta}/postings"
+        )
+        spark.createDataFrame(
+            [(int(c),) for c in affected], "cell int"
+        ).write.mode("overwrite").parquet(f"{delta}/manifest")
+
+    base = spark.read.parquet(f"{d}/postings")
+    delta_p = spark.read.parquet(f"{delta}/postings")
+    manifest = spark.read.parquet(f"{delta}/manifest")
+    untouched = base.join(F.broadcast(manifest), "cell", "left_anti")
+    n_base = base.count()
+    n_after = untouched.count() + delta_p.count()
+    n_delta_wave_a = delta_p.filter(wave_a_pred).count()
+    n_untouched_wave_a = untouched.filter(wave_a_pred).count()
+    n_wave_a = base.filter(wave_a_pred).count()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_wave_a),
+                bool(n_base - n_after == n_wave_a),
+                bool(n_delta_wave_a == 0),
+                bool(n_untouched_wave_a == 0),
+            )
+        ],
+        "n_wave_a_deleted bigint, removed_exactly_wave_a boolean,"
+        " delta_clean boolean, manifest_complete boolean",
+    )
+
+
+def _persisted_survivor_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compacted index view a reader sees: untouched base cells ∪
+    delta cells (wave-A already folded out). Pure reads + a broadcast
+    manifest anti-join; no training, no Python eval."""
+    d = _ivf_index_dir(spark, sf_dir)
+    delta = f"{d}/delete_delta"
+    base = spark.read.parquet(f"{d}/postings")
+    manifest = spark.read.parquet(f"{delta}/manifest")
+    return base.join(F.broadcast(manifest), "cell", "left_anti").unionByName(
+        spark.read.parquet(f"{delta}/postings").select(*base.columns)
+    )
+
+
+def sim_persisted_delete_ivf_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The delete-aware QUERY path over the persisted compacted index:
+    untouched-∪-delta postings (see
+    :func:`sim_persisted_index_compact`), wave-B pending tombstones
+    masked by a broadcast anti-join on the candidates, probe over the
+    persisted centroids — a pure read path (no k-means, no Python
+    eval; pytest asserts the plan). Because build + compaction use the
+    identical quantizer recipe and wave split as the in-process
+    :func:`sim_delete_ivf_topk`, results are bit-identical to it
+    (pytest) and ``sim_persisted_delete_recall_check`` pins recall vs
+    the exact surviving-corpus baseline under the driver hash."""
+    from pyspark.errors import AnalysisException
+
+    d = _ivf_index_dir(spark, sf_dir)
+    try:
+        spark.read.parquet(f"{d}/delete_delta/manifest")
+    except AnalysisException:
+        sim_persisted_index_compact(spark, sf_dir)
+    meta = spark.read.parquet(f"{d}/meta").collect()[0]
+    nprobe = int(meta["nprobe"])
+    cent_df = spark.read.parquet(f"{d}/centroids")
+    compacted = _persisted_survivor_postings(spark, sf_dir)
+    pending = compacted.filter(
+        F.col("vec_id") % DEL_MOD == DEL_PENDING
+    ).select("vec_id")
+    live = compacted.filter(~_is_deleted())
+
+    l2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probed = (
+        live.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("d2", l2)
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = (
+        probed.join(
+            compacted,
+            (probed.cell == compacted.cell)
+            & (F.col("query_id") != compacted.vec_id),
+        )
+        .join(F.broadcast(pending), "vec_id", "left_anti")
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id", "neighbor_id", _cos("qv", "v").alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_delivery_brute_topk": sim_delivery_brute_topk,
@@ -1044,6 +1190,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_delete_ivf_topk": sim_delete_ivf_topk,  # rows-only (probabilistic)
     "sim_ivf_index_build": sim_ivf_index_build,  # oracle-backed build summary
     "sim_persisted_ivf_topk": sim_persisted_ivf_topk,  # rows-only (probabilistic)
+    "sim_persisted_index_compact": sim_persisted_index_compact,  # oracle-backed
+    "sim_persisted_delete_ivf_topk": sim_persisted_delete_ivf_topk,  # rows-only
     "sim_incremental_ivf": sim_incremental_ivf,  # rows-only (probabilistic)
     "sim_lsh_topk": sim_lsh_topk,  # rows-only (probabilistic recall)
     "sim_ivf_topk": sim_ivf_topk,  # rows-only (probabilistic recall)
@@ -1059,6 +1207,14 @@ ORACLES: dict[str, str] = {
                TRUE AS one_cell_per_vector,
                TRUE AS cells_within_geometry
         FROM embeddings""",
+    # compaction must remove exactly the wave-A rows, keep them out of
+    # the delta, and leave none hiding in an un-compacted base cell
+    "sim_persisted_index_compact": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_wave_a_deleted,
+               TRUE AS removed_exactly_wave_a,
+               TRUE AS delta_clean,
+               TRUE AS manifest_complete
+        FROM embeddings WHERE vec_id % {DEL_MOD} = {DEL_COMPACTED}""",
     "sim_delivery_brute_topk": f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

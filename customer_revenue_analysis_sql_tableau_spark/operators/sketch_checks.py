@@ -42,6 +42,7 @@ from .similarity import (
     sim_ivf_topk,
     sim_ivfpq_topk,
     sim_lsh_topk,
+    sim_persisted_delete_ivf_topk,
     sim_persisted_ivf_topk,
     sim_pq_topk,
 )
@@ -237,6 +238,23 @@ def sim_persisted_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_persisted_delete_recall_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted-compacted-index read-path recall >= 0.75 vs the exact
+    surviving-corpus baseline — same floor as the in-process delete
+    tier, because compaction folds the identical wave split into the
+    identically-trained index (bit-identical results, additionally
+    asserted by tests/test_persisted_ivf.py)."""
+    return _recall_check(
+        spark,
+        sf_dir,
+        sim_persisted_delete_ivf_topk,
+        DELETE_RECALL_FLOOR,
+        baseline_fn=sim_delete_brute_topk,
+    )
+
+
 def sim_incremental_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-IVF delivery recall >= 0.6 vs the exact
     delivery-vs-base baseline (measured 0.706-0.776 — out-of-corpus
@@ -307,6 +325,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_incremental_recall_check": sim_incremental_recall_check,
     "sim_delete_recall_check": sim_delete_recall_check,
     "sim_persisted_recall_check": sim_persisted_recall_check,
+    "sim_persisted_delete_recall_check": sim_persisted_delete_recall_check,
     "vocab_topk_containment_check": vocab_topk_containment_check,
 }
 
@@ -345,6 +364,12 @@ ORACLES: dict[str, str] = {
         SELECT CAST(count(*) AS BIGINT) AS n_queries,
                CAST({TOP_K} AS BIGINT) AS k, TRUE AS recall_ok
         FROM embeddings WHERE vec_id < {N_QUERIES}""",
+    "sim_persisted_delete_recall_check": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST({TOP_K} AS BIGINT) AS k, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+          AND vec_id % {DEL_MOD} != {DEL_COMPACTED}
+          AND vec_id % {DEL_MOD} != {DEL_PENDING}""",
     "sim_pq_recall_check": f"""
         SELECT CAST(count(*) AS BIGINT) AS n_queries,
                CAST({TOP_K} AS BIGINT) AS k, TRUE AS recall_ok

@@ -63,6 +63,45 @@ def test_persisted_equals_inprocess_ivf(built_index, spark, sf_dir):
     assert a == b
 
 
+def test_compaction_summary_invariants(built_index, spark, sf_dir):
+    row = sim.sim_persisted_index_compact(spark, sf_dir).collect()[0]
+    assert row["n_wave_a_deleted"] > 0
+    assert row["removed_exactly_wave_a"] is True
+    assert row["delta_clean"] is True
+    assert row["manifest_complete"] is True
+
+
+def test_persisted_delete_read_path_never_trains(
+    built_index, spark, sf_dir, monkeypatch
+):
+    sim.sim_persisted_index_compact(spark, sf_dir)  # ensure the delta
+
+    def boom(*a, **k):  # pragma: no cover - must never run
+        raise AssertionError("delete read path invoked k-means training")
+
+    monkeypatch.setattr(sim, "_train_centroids", boom)
+    df = sim.sim_persisted_delete_ivf_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "delete_delta" in plan  # reads the compacted segments
+    assert df.count() > 0
+
+
+def test_persisted_delete_equals_inprocess(built_index, spark, sf_dir):
+    """Same quantizer recipe + wave split ⇒ the compacted persisted
+    read path must return exactly the in-process delete tier's top-k,
+    and (by composition with the in-process tier's pytest) never a
+    deleted vector."""
+    a = sorted(
+        map(
+            tuple,
+            sim.sim_persisted_delete_ivf_topk(spark, sf_dir).collect(),
+        )
+    )
+    b = sorted(map(tuple, sim.sim_delete_ivf_topk(spark, sf_dir).collect()))
+    assert a == b
+
+
 def test_rebuild_on_fingerprint_change(spark, sf_dir, tmp_path):
     """A different source fingerprint maps to a different index dir —
     regenerated fixtures can never be served a stale index."""
