@@ -58,6 +58,28 @@ def test_rocksdb_provider_matches_default(spark, sf_dir, name):
     assert rocksdb_rows == default_rows
 
 
+def test_rocksdb_changelog_checkpointing_matches(spark, sf_dir):
+    """Changelog checkpointing is RocksDB's at-scale commit path
+    (per-batch deltas to the checkpoint instead of full SST uploads);
+    it must be invisible to results. Runs the biggest-state drain with
+    the changelog conf on and asserts the same result set."""
+    changelog_key = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
+    fn = _DRAINS["crossbatch_dedup"]
+    base = _rows(spark, fn, sf_dir, None)
+    old = spark.conf.get(changelog_key, None)
+    spark.conf.set(changelog_key, "true")
+    try:
+        rocks = _rows(spark, fn, sf_dir, _ROCKSDB)
+    finally:
+        if old is None:
+            spark.conf.unset(changelog_key)
+        else:
+            spark.conf.set(changelog_key, old)
+    assert rocks == base and len(base) > 0
+
+
 def test_rocksdb_provider_actually_engaged(spark, sf_dir, tmp_path):
     """Guard against silently falling back to the default provider: a
     query run under the RocksDB conf must leave RocksDB's on-disk
