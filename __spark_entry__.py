@@ -99,6 +99,7 @@ _PRIORITY = [
     "sim_persisted_ivf_topk",  # pure read path over persisted artifacts (rows-only)
     "sim_persisted_recall_check",  # its driver-hash recall bound
     "text_bpe_train_batched",  # greedy non-conflicting top-B merges per round
+    "text_bpe_tokenize_batched",  # 70-merge vocabulary applied corpus-wide
     "view_customer_value_summary_analyzed",  # CBO-planned unhinted view fill
     "sim_persisted_index_compact",  # delete compaction on the persisted index
     "sim_persisted_delete_ivf_topk",  # read path over base ∪ delta segments (rows-only)
@@ -146,8 +147,8 @@ _PRIORITY = [
     "quality_decile_curriculum",
     "dedup_containment_prefix",
     "dedup_embedding_signlsh",
-    "dedup_survivors_best_quality",
     # ---- ~50-entry budget cut falls here ----
+    "dedup_survivors_best_quality",
     "emb_label_profile",
     "emb_norm_stats",
     "feat_stratified_sample",

@@ -737,6 +737,19 @@ def text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, conflict rule, and application, not just the final table.
     Returns (rank, round, left, right, pair_count): rank global
     1-based in merge order, pair_count measured at its round's start."""
+    merges, _ = _bpe_fit_batched(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "rank long, round long, left string, right string, pair_count long",
+    )
+
+
+def _bpe_fit_batched(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, int, str, str, int]], DataFrame]:
+    """Run the batched training loop; return (merge table, final
+    word-type frame). Shared by the train entry and the batched
+    tokenizer (:func:`text_bpe_tokenize_batched`)."""
     wf = _bpe_word_freqs(spark, sf_dir).localCheckpoint()
     merges: list[tuple[int, int, str, str, int]] = []  # (rank, round, l, r, c)
     cur = wf
@@ -770,10 +783,7 @@ def text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"{BPE_S1}{l}{r}{BPE_S2}"),
             )
         cur = cur.withColumn("tokstr", col)
-    return spark.createDataFrame(
-        merges,
-        "rank long, round long, left string, right string, pair_count long",
-    )
+    return merges, cur
 
 
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -790,6 +800,25 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float division crosses the hash). Docs with no [a-z] words
     report zero counts (left join + coalesce)."""
     _, fitted = _bpe_fit(spark, sf_dir)
+    return _apply_bpe_vocab(spark, sf_dir, fitted)
+
+
+def text_bpe_tokenize_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`text_bpe_tokenize` with the BATCHED 70-merge vocabulary
+    (:func:`text_bpe_train_batched`) instead of the 6-merge exactness
+    pin — the realistic application shape (a deeper merge table means
+    materially better chars-per-token compression). Same vocabulary-
+    join plan; the oracle reuses the batched training CTE chain
+    through its final word table and the same exact-integer tail."""
+    _, fitted = _bpe_fit_batched(spark, sf_dir)
+    return _apply_bpe_vocab(spark, sf_dir, fitted)
+
+
+def _apply_bpe_vocab(
+    spark: SparkSession, sf_dir: str, fitted: DataFrame
+) -> DataFrame:
+    """Corpus-wide application of a fully-merged word-type table: the
+    vocabulary join + per-doc aggregation shared by both tokenizers."""
     tok_re = f"{BPE_S1}([^{BPE_S1}{BPE_S2}]*){BPE_S2}"
     vocab = fitted.select(
         "word",
@@ -1000,10 +1029,22 @@ def _bpe_tokenize_oracle() -> str:
     w{N} (the fully-merged word table), then join documents' words to
     the vocabulary and aggregate per doc — same counts, same exact
     integer division (`//` == Spark `div` for non-negative)."""
+    prefix = _bpe_oracle().split("\nSELECT CAST(rank")[0]
+    return _bpe_tokenize_oracle_tail(prefix, BPE_MERGES)
+
+
+def _bpe_tokenize_batched_oracle() -> str:
+    """Batched-vocabulary application twin: the batched training CTE
+    chain through its final word table + the same exact-integer tail."""
+    prefix = _bpe_oracle_batched().split(
+        "\n        SELECT CAST(row_number"
+    )[0]
+    return _bpe_tokenize_oracle_tail(prefix, BPE_BATCH_ROUNDS)
+
+
+def _bpe_tokenize_oracle_tail(prefix: str, n: int) -> str:
     s1, s2 = "chr(30)", "chr(31)"
     tok_re = f"{s1} || '([^' || {s1} || {s2} || ']*)' || {s2}"
-    prefix = _bpe_oracle().split("\nSELECT CAST(rank")[0]
-    n = BPE_MERGES
     return f"""{prefix},
         vocab AS (
             SELECT word,
@@ -1034,6 +1075,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_train": text_bpe_train,
     "text_bpe_train_batched": text_bpe_train_batched,
     "text_bpe_tokenize": text_bpe_tokenize,
+    "text_bpe_tokenize_batched": text_bpe_tokenize_batched,
     "text_token_stats": text_token_stats,
     "text_gopher_filters": text_gopher_filters,
     "text_token_stats_bpe": text_token_stats_bpe,
@@ -1146,6 +1188,7 @@ ORACLES: dict[str, str] = {
     "text_bpe_train": _bpe_oracle(),
     "text_bpe_train_batched": _bpe_oracle_batched(),
     "text_bpe_tokenize": _bpe_tokenize_oracle(),
+    "text_bpe_tokenize_batched": _bpe_tokenize_batched_oracle(),
     "text_gopher_filters": f"""
         WITH m AS ({_GOPHER_MEASURES_SQL})
         SELECT *,
