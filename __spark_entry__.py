@@ -71,12 +71,14 @@ _REGISTRY_MODULES = [
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
 # at ENTRY level. Round-10 ordering (VERDICT.md r9, Next #2-#7):
-# (1) the SIX new r10 entries that have never been in a driver window —
-# the right-outer interval-join drain (completes the stream-stream
-# join-type matrix, r9 Next #6), the persisted-IVF lifecycle triple
-# (oracle-backed build summary, rows-only read path, its recall bound;
-# r9 Next #3), batched BPE training (greedy non-conflicting top-B
-# merges per round, full-trajectory oracle; r9 Next #4), and the
+# (1) the THIRTEEN new r10 entries that have never been in a driver
+# window — the right-outer interval-join drain (completes the
+# stream-stream join-type matrix, r9 Next #6), the persisted-IVF
+# SEGMENT LIFECYCLE (build summary + read path + recall bound, delete
+# compaction + its read path + bound, insert-delta ingest + its read
+# path + bound; r9 Next #3 made literal end-to-end), batched BPE
+# training + its corpus-wide tokenizer (greedy non-conflicting top-B
+# merges per round, full-trajectory oracles; r9 Next #4), and the
 # CBO-planned unhinted view fill over the ANALYZEd catalog (r9 Next
 # #7); (2) the FOUR entries whose staging, oracle, or code path
 # changed this round and must re-prove on current code — the
@@ -104,6 +106,9 @@ _PRIORITY = [
     "sim_persisted_index_compact",  # delete compaction on the persisted index
     "sim_persisted_delete_ivf_topk",  # read path over base ∪ delta segments (rows-only)
     "sim_persisted_delete_recall_check",  # its driver-hash recall bound
+    "sim_persisted_ingest_delta",  # insert-delta segment on the persisted index
+    "sim_persisted_delivery_topk",  # delivery read path over base segments (rows-only)
+    "sim_persisted_delivery_recall_check",  # its driver-hash recall bound
     # -- staging/oracle/code-path changed this round: re-prove --
     "stream_timeout_sessions_drain",  # bounded order-statistic terciles (ADVICE)
     "cbo_stats_revenue_by_customer",  # data-fingerprinted catalog names (ADVICE)
@@ -145,9 +150,9 @@ _PRIORITY = [
     "rollup_hourly_from_minutes",
     "quality_decile_cutoffs",
     "quality_decile_curriculum",
+    # ---- ~50-entry budget cut falls here ----
     "dedup_containment_prefix",
     "dedup_embedding_signlsh",
-    # ---- ~50-entry budget cut falls here ----
     "dedup_survivors_best_quality",
     "emb_label_profile",
     "emb_norm_stats",

@@ -978,6 +978,56 @@ def sim_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _probe_and_rank(
+    cent_df: DataFrame,
+    nprobe: int,
+    queries: DataFrame,
+    postings: DataFrame,
+    pending: DataFrame | None = None,
+    self_exclude: bool = True,
+) -> DataFrame:
+    """The shared persisted-read-path tail: rank the broadcast
+    centroids per query (JVM HOF ℓ², bounded fan-out), take candidates
+    from the probed cells of ``postings`` (equi-join on cell — with the
+    small probed side broadcast, dynamic partition pruning skips
+    unprobed cells' files), optionally mask ``pending`` tombstones with
+    a broadcast anti-join, exact-cosine re-rank to top-k. Entirely
+    JVM-side: no training, no Python eval."""
+    l2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probed = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .withColumn("d2", l2)
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    cond = probed.cell == postings.cell
+    if self_exclude:
+        cond = cond & (F.col("query_id") != postings.vec_id)
+    cand = probed.join(postings, cond)
+    if pending is not None:
+        cand = cand.join(F.broadcast(pending), "vec_id", "left_anti")
+    cand = cand.select(
+        "query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id", "neighbor_id", _cos("qv", "v").alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def sim_persisted_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUERY phase of the persisted-IVF lifecycle: a pure READ path —
     no k-means, no training sample, no Python UDF; every stage is a
@@ -1003,38 +1053,10 @@ def sim_persisted_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe = int(meta["nprobe"])
     cent_df = spark.read.parquet(f"{d}/centroids")
     postings = spark.read.parquet(f"{d}/postings")
-
-    l2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    queries = postings.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
-    probed = (
-        postings.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-        .crossJoin(F.broadcast(cent_df))
-        .withColumn("d2", l2)
-        .withColumn("prn", F.row_number().over(wq))
-        .filter(F.col("prn") <= nprobe)
-        .select("query_id", "qv", "cell")
-    )
-    cand = probed.join(
-        postings,
-        (probed.cell == postings.cell)
-        & (F.col("query_id") != postings.vec_id),
-    ).select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        cand.select(
-            "query_id", "neighbor_id", _cos("qv", "v").alias("cosine")
-        )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _probe_and_rank(cent_df, nprobe, queries, postings)
 
 
 def sim_persisted_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1145,41 +1167,147 @@ def sim_persisted_delete_ivf_topk(
         F.col("vec_id") % DEL_MOD == DEL_PENDING
     ).select("vec_id")
     live = compacted.filter(~_is_deleted())
+    queries = live.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return _probe_and_rank(cent_df, nprobe, queries, compacted, pending=pending)
 
-    l2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
-    probed = (
-        live.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-        .crossJoin(F.broadcast(cent_df))
-        .withColumn("d2", l2)
-        .withColumn("prn", F.row_number().over(wq))
-        .filter(F.col("prn") <= nprobe)
-        .select("query_id", "qv", "cell")
-    )
-    cand = (
-        probed.join(
-            compacted,
-            (probed.cell == compacted.cell)
-            & (F.col("query_id") != compacted.vec_id),
+
+def sim_persisted_ingest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT-DELTA ingest on the persisted index — the third segment
+    operation next to build and delete compaction, making
+    ``sim_incremental_ivf``'s "persisted inverted lists (stand-in)"
+    literal: a BASE index instance is built over the pre-delivery
+    corpus (its own dir — the delivery must not shift the cells it is
+    matched into), then the delivery is assigned to the PERSISTED
+    centroids (read back from parquet; assignment is the one Arrow
+    stage — ingest-side, like the build) and written as an
+    ``insert_delta`` segment, cell-partitioned like the base. Nothing
+    in the base is rewritten: ingest I/O ∝ |delivery|. Idempotent per
+    index fingerprint (the delta's meta row is written LAST).
+
+    Returns an oracle-backed summary read from the persisted delta:
+    the exact delivery count plus disjointness/uniqueness/geometry
+    invariants."""
+    from pyspark.errors import AnalysisException
+
+    d = f"{_ivf_index_dir(spark, sf_dir)}_base"
+    is_new = F.col("vec_id") % DELIVERY_MOD == DELIVERY_MOD - 1
+    try:
+        meta = spark.read.parquet(f"{d}/insert_delta/meta").collect()[0]
+        nlist = int(meta["nlist"])
+    except AnalysisException:
+        e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+        ed = e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
-        .join(F.broadcast(pending), "vec_id", "left_anti")
-        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        cand.select(
-            "query_id", "neighbor_id", _cos("qv", "v").alias("cosine")
+        base = ed.filter(~is_new)
+        sample_rows = (
+            base.orderBy(
+                F.xxhash64(F.col("vec_id").cast("string"), F.lit(LSH_SEED))
+            )
+            .limit(IVF_TRAIN_SAMPLE)
+            .collect()
         )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        nlist, nprobe = _ivf_geometry(len(sample_rows))
+        cents = _train_centroids(
+            np.array([r["v"] for r in sample_rows]), nlist
+        )
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell int, cv array<double>",
+        ).write.mode("overwrite").parquet(f"{d}/centroids")
+
+        cmat, cnorm = cents, (cents**2).sum(axis=1)
+
+        @pandas_udf("int")
+        def cell_of(vs: pd.Series) -> pd.Series:
+            m = np.stack(vs.to_numpy())
+            d2 = (
+                (m**2).sum(axis=1)[:, None]
+                - 2.0 * (m @ cmat.T)
+                + cnorm[None, :]
+            )
+            return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+        base.withColumn("cell", cell_of(F.col("v"))).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(f"{d}/postings")
+        # the INGEST step: assign the delivery to the PERSISTED
+        # centroids (read back — the build's in-memory copy is gone in
+        # a real ingest job) and write the delta segment
+        pc = spark.read.parquet(f"{d}/centroids").orderBy("cell").collect()
+        pmat = np.array([r["cv"] for r in pc])
+        pnorm = (pmat**2).sum(axis=1)
+
+        @pandas_udf("int")
+        def cell_of_persisted(vs: pd.Series) -> pd.Series:
+            m = np.stack(vs.to_numpy())
+            d2 = (
+                (m**2).sum(axis=1)[:, None]
+                - 2.0 * (m @ pmat.T)
+                + pnorm[None, :]
+            )
+            return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+        ed.filter(is_new).withColumn(
+            "cell", cell_of_persisted(F.col("v"))
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{d}/insert_delta/postings"
+        )
+        spark.createDataFrame(
+            [(int(nlist), int(nprobe))], "nlist int, nprobe int"
+        ).write.mode("overwrite").parquet(f"{d}/insert_delta/meta")
+
+    base_p = spark.read.parquet(f"{d}/postings")
+    delta_p = spark.read.parquet(f"{d}/insert_delta/postings")
+    n_delta = delta_p.count()
+    n_overlap = delta_p.select("vec_id").join(
+        base_p.select("vec_id"), "vec_id", "left_semi"
+    ).count()
+    n_distinct = delta_p.select("vec_id").distinct().count()
+    cells_ok = delta_p.agg(
+        ((F.countDistinct("cell") <= F.lit(nlist)) & (F.min("cell") >= 0))
+    ).collect()[0][0]
+    return spark.createDataFrame(
+        [
+            (
+                int(n_delta),
+                bool(n_overlap == 0),
+                bool(n_distinct == n_delta),
+                bool(cells_ok),
+            )
+        ],
+        "n_delivery bigint, delta_disjoint_from_base boolean,"
+        " one_row_per_vector boolean, cells_within_geometry boolean",
+    )
+
+
+def sim_persisted_delivery_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental-ingest QUERY path over persisted segments: the
+    delivery's vectors (read from the ``insert_delta`` segment) search
+    the BASE postings through the nprobe probe — a pure read path (no
+    training, no Python eval; pytest asserts the plan and bit-equality
+    with the in-process :func:`sim_incremental_ivf`).
+    ``sim_persisted_delivery_recall_check`` pins recall vs the exact
+    delivery-vs-base baseline under the driver hash."""
+    from pyspark.errors import AnalysisException
+
+    d = f"{_ivf_index_dir(spark, sf_dir)}_base"
+    try:
+        meta = spark.read.parquet(f"{d}/insert_delta/meta").collect()[0]
+    except AnalysisException:
+        sim_persisted_ingest_delta(spark, sf_dir)
+        meta = spark.read.parquet(f"{d}/insert_delta/meta").collect()[0]
+    cent_df = spark.read.parquet(f"{d}/centroids")
+    base_p = spark.read.parquet(f"{d}/postings")
+    queries = spark.read.parquet(f"{d}/insert_delta/postings").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return _probe_and_rank(
+        cent_df, int(meta["nprobe"]), queries, base_p, self_exclude=False
     )
 
 
@@ -1192,6 +1320,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_persisted_ivf_topk": sim_persisted_ivf_topk,  # rows-only (probabilistic)
     "sim_persisted_index_compact": sim_persisted_index_compact,  # oracle-backed
     "sim_persisted_delete_ivf_topk": sim_persisted_delete_ivf_topk,  # rows-only
+    "sim_persisted_ingest_delta": sim_persisted_ingest_delta,  # oracle-backed
+    "sim_persisted_delivery_topk": sim_persisted_delivery_topk,  # rows-only
     "sim_incremental_ivf": sim_incremental_ivf,  # rows-only (probabilistic)
     "sim_lsh_topk": sim_lsh_topk,  # rows-only (probabilistic recall)
     "sim_ivf_topk": sim_ivf_topk,  # rows-only (probabilistic recall)
@@ -1215,6 +1345,15 @@ ORACLES: dict[str, str] = {
                TRUE AS delta_clean,
                TRUE AS manifest_complete
         FROM embeddings WHERE vec_id % {DEL_MOD} = {DEL_COMPACTED}""",
+    # ingest must write exactly the delivery, disjoint from the base,
+    # one row each, within the trained geometry
+    "sim_persisted_ingest_delta": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_delivery,
+               TRUE AS delta_disjoint_from_base,
+               TRUE AS one_row_per_vector,
+               TRUE AS cells_within_geometry
+        FROM embeddings
+        WHERE vec_id % {DELIVERY_MOD} = {DELIVERY_MOD - 1}""",
     "sim_delivery_brute_topk": f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

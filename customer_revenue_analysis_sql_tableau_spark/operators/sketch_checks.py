@@ -43,6 +43,7 @@ from .similarity import (
     sim_ivfpq_topk,
     sim_lsh_topk,
     sim_persisted_delete_ivf_topk,
+    sim_persisted_delivery_topk,
     sim_persisted_ivf_topk,
     sim_pq_topk,
 )
@@ -255,6 +256,22 @@ def sim_persisted_delete_recall_check(
     )
 
 
+def sim_persisted_delivery_recall_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted insert-delta read-path recall >= 0.6 vs the exact
+    delivery-vs-base baseline — same floor as the in-process
+    incremental tier (bit-identical results, additionally asserted by
+    tests/test_persisted_ivf.py)."""
+    return _recall_check(
+        spark,
+        sf_dir,
+        sim_persisted_delivery_topk,
+        INCREMENTAL_RECALL_FLOOR,
+        baseline_fn=sim_delivery_brute_topk,
+    )
+
+
 def sim_incremental_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-IVF delivery recall >= 0.6 vs the exact
     delivery-vs-base baseline (measured 0.706-0.776 — out-of-corpus
@@ -326,6 +343,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_delete_recall_check": sim_delete_recall_check,
     "sim_persisted_recall_check": sim_persisted_recall_check,
     "sim_persisted_delete_recall_check": sim_persisted_delete_recall_check,
+    "sim_persisted_delivery_recall_check": sim_persisted_delivery_recall_check,
     "vocab_topk_containment_check": vocab_topk_containment_check,
 }
 
@@ -370,6 +388,11 @@ ORACLES: dict[str, str] = {
         FROM embeddings WHERE vec_id < {N_QUERIES}
           AND vec_id % {DEL_MOD} != {DEL_COMPACTED}
           AND vec_id % {DEL_MOD} != {DEL_PENDING}""",
+    "sim_persisted_delivery_recall_check": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST({TOP_K} AS BIGINT) AS k, TRUE AS recall_ok
+        FROM embeddings
+        WHERE vec_id % {DELIVERY_MOD} = {DELIVERY_MOD - 1}""",
     "sim_pq_recall_check": f"""
         SELECT CAST(count(*) AS BIGINT) AS n_queries,
                CAST({TOP_K} AS BIGINT) AS k, TRUE AS recall_ok

@@ -102,6 +102,41 @@ def test_persisted_delete_equals_inprocess(built_index, spark, sf_dir):
     assert a == b
 
 
+def test_ingest_delta_summary_invariants(spark, sf_dir):
+    row = sim.sim_persisted_ingest_delta(spark, sf_dir).collect()[0]
+    assert row["n_delivery"] > 0
+    assert row["delta_disjoint_from_base"] is True
+    assert row["one_row_per_vector"] is True
+    assert row["cells_within_geometry"] is True
+
+
+def test_persisted_delivery_read_path_never_trains(
+    spark, sf_dir, monkeypatch
+):
+    sim.sim_persisted_ingest_delta(spark, sf_dir)  # ensure the segments
+
+    def boom(*a, **k):  # pragma: no cover - must never run
+        raise AssertionError("delivery read path invoked k-means training")
+
+    monkeypatch.setattr(sim, "_train_centroids", boom)
+    df = sim.sim_persisted_delivery_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "insert_delta" in plan  # queries come from the delta segment
+    assert df.count() > 0
+
+
+def test_persisted_delivery_equals_inprocess(spark, sf_dir):
+    """Same base-trained quantizer + delivery split ⇒ the persisted
+    segments' read path must return exactly the in-process incremental
+    tier's top-k."""
+    a = sorted(
+        map(tuple, sim.sim_persisted_delivery_topk(spark, sf_dir).collect())
+    )
+    b = sorted(map(tuple, sim.sim_incremental_ivf(spark, sf_dir).collect()))
+    assert a == b
+
+
 def test_rebuild_on_fingerprint_change(spark, sf_dir, tmp_path):
     """A different source fingerprint maps to a different index dir —
     regenerated fixtures can never be served a stale index."""

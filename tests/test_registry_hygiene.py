@@ -24,6 +24,7 @@ ROWS_ONLY_ALLOWED: dict[str, str] = {
     "sim_delete_ivf_topk": "probabilistic recall — recall-floor pytest vs surviving-corpus brute force",
     "sim_persisted_ivf_topk": "probabilistic recall — recall-floor driver twin + equality pytest vs sim_ivf_topk",
     "sim_persisted_delete_ivf_topk": "probabilistic recall — recall-floor driver twin + equality pytest vs sim_delete_ivf_topk",
+    "sim_persisted_delivery_topk": "probabilistic recall — recall-floor driver twin + equality pytest vs sim_incremental_ivf",
     # multimodal_resize / multimodal_frame_sample were here ("binary
     # payload output") until round 3: on the ASCII corpus DuckDB can
     # rebuild the byte slices exactly, so both are now hash-checked.

@@ -71,6 +71,8 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "sim_persisted_recall_check",  # embeds sim_persisted_ivf_topk + brute baseline
         "sim_persisted_delete_ivf_topk",  # same bounded probe over the compacted index
         "sim_persisted_delete_recall_check",  # composes the two persisted-delete entries
+        "sim_persisted_delivery_topk",  # delivery x <=64 PERSISTED broadcast centroids
+        "sim_persisted_delivery_recall_check",  # composes the two persisted-delivery entries
         "sim_incremental_ivf",  # delivery x <=64 broadcast centroids: constant fan-out probe
         "sim_incremental_recall_check",  # composes the two entries above
         "sim_pq_topk",  # broadcast query LUTs x code scan, queries bounded
@@ -101,6 +103,7 @@ PERKEY_WINDOW_ALLOWLIST: frozenset[str] = frozenset(
         "sim_delete_recall_check",  # embeds sim_delete_brute_topk
         "sim_persisted_recall_check",  # embeds sim_bruteforce_topk
         "sim_persisted_delete_recall_check",  # embeds sim_delete_brute_topk
+        "sim_persisted_delivery_recall_check",  # embeds sim_delivery_brute_topk
     }
 )
 
