@@ -721,13 +721,14 @@ def text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate window), a driver-side greedy non-conflicting selection
     of ≤ ``BPE_BATCH_B`` pairs, and one projection chaining their
     sentinel-delimited ``replace``s, so ≥64 merges cost 6 driver
-    round-trips instead of 64+ (70 merges at sf0.1, min-of-3 1.28 s —
-    at the sequential trainer's per-6-merge price). The replace chain
-    is deliberately NOT checkpointed per round: recomputing ≤96
-    stacked JVM ``replace``s inside each round's pair-count scan
-    measured ~0.8 s CHEAPER over the run than materializing the word
-    table every round (the localCheckpoint-of-a-wide-intermediate trap
-    measured before on the codec scans).
+    round-trips instead of 64+ (70 merges at sf0.1, ~the sequential
+    trainer's per-6-merge price). Checkpoint cadence is MEASURED, not
+    assumed: materializing the word table every round costs ~0.8 s
+    more than never doing it (the localCheckpoint-of-a-wide-
+    intermediate trap), but never checkpointing leaves later rounds
+    recomputing up to 96 stacked ``replace``s per pair-count scan —
+    a checkpoint after rounds 2 and 4 splits the difference and wins
+    both A/Bs (1.66/2.05 → 1.45 s same-session min-of-3).
 
     The oracle replays the FULL batched trajectory in DuckDB: per
     round, the same pair counts and candidate window, the greedy chain
@@ -783,6 +784,8 @@ def _bpe_fit_batched(
                 F.lit(f"{BPE_S1}{l}{r}{BPE_S2}"),
             )
         cur = cur.withColumn("tokstr", col)
+        if rnd in (2, 4):  # measured cadence — see docstring
+            cur = cur.localCheckpoint()
     return merges, cur
 
 
