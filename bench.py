@@ -140,10 +140,37 @@ def _cpu_calibration() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _cpu_calibration_mt(n_threads: int) -> float:
+    """Multi-core twin of :func:`_cpu_calibration` (r10): bursty
+    co-tenant load saturates SOME cores while leaving one free, so the
+    single-core gauge can read clean (0.150) during a load-7 burst that
+    inflates every parallel Spark stage ~15% (measured this round).
+    ``hashlib`` releases the GIL on large buffers, so N threads hashing
+    N buffers measure aggregate multi-core throughput — the capacity
+    the queries actually ride. Reported as wall seconds for the fixed
+    N-way workload; compare rounds at equal (st, mt) calibration."""
+    import hashlib
+    import threading
+
+    buf = bytes(range(256)) * (24 * 1024 * 1024 // 256)
+    threads = [
+        threading.Thread(target=lambda: hashlib.sha256(buf).hexdigest())
+        for _ in range(n_threads)
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     calibration = min(_cpu_calibration() for _ in range(3))
+    calibration_mt = min(_cpu_calibration_mt(cpus) for _ in range(3))
     spark = get_spark("bench")
     queries = entrymod.queries()
 
@@ -262,6 +289,11 @@ def main() -> None:
     n = queries["view_customer_value_summary"](spark, sf_dir).count()
     assert n >= 0
     aux["view_customer_value_summary__warm"] = round(time.perf_counter() - t0, 3)
+    # post-run multi-core gauge: a burst that began or ended mid-run
+    # shows up as pre/post divergence (detail line, not the summary)
+    aux["cpu_calibration_mt_final_s"] = min(
+        _cpu_calibration_mt(cpus) for _ in range(3)
+    )
 
     first, final = sentinels[0], sentinels[-1]
     drift_pct = round((final - first) / first * 100, 1)
@@ -305,6 +337,7 @@ def main() -> None:
         "queries": timings,
         "normalized_total": round(sum(normalized.values()), 3),
         "cpu_calibration_s": calibration,
+        "cpu_calibration_mt_s": calibration_mt,
         "sentinel_clean": sentinel_clean,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
