@@ -883,11 +883,17 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     else:
         for r, _dirs, files in os.walk(root):
             for f in files:
+                p = os.path.join(r, f)
                 try:
-                    st = os.stat(os.path.join(r, f))
+                    st = os.stat(p)
                 except OSError:
                     continue
-                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+                # key by relative path, not bare filename — identically
+                # named part files in different subdirectories of a
+                # partitioned dataset must not alias (matches
+                # warehouse._sf_data_fingerprint)
+                rel = os.path.relpath(p, root)
+                parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
     return hashlib.md5(
         (sf_dir.rstrip("/") + "\0" + "\n".join(sorted(parts))).encode()
     ).hexdigest()[:8]
@@ -972,8 +978,8 @@ def sim_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "one_cell_per_vector"
         ),
         (
-            (F.countDistinct("cell") <= F.lit(int(nlist)))
-            & (F.min("cell") >= F.lit(0))
+            (F.min("cell") >= F.lit(0))
+            & (F.max("cell") < F.lit(int(nlist)))
         ).alias("cells_within_geometry"),
     )
 
@@ -1267,7 +1273,7 @@ def sim_persisted_ingest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).count()
     n_distinct = delta_p.select("vec_id").distinct().count()
     cells_ok = delta_p.agg(
-        ((F.countDistinct("cell") <= F.lit(nlist)) & (F.min("cell") >= 0))
+        ((F.min("cell") >= 0) & (F.max("cell") < F.lit(int(nlist))))
     ).collect()[0][0]
     return spark.createDataFrame(
         [

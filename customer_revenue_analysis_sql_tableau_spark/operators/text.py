@@ -703,11 +703,15 @@ def _bpe_fit(
 #: vocabulary from 32k sequential driver round-trips to vocab/B rounds.
 #: Selection is a GREEDY CHAIN over the top-``BPE_BATCH_CAND``
 #: candidates in (count desc, left, right) order: a candidate is taken
-#: iff none of its symbols was used by an already-taken candidate this
-#: round, stopping at B. Non-conflicting merges touch disjoint symbol
-#: sets, so applying them in one pass equals applying them sequentially
-#: in any order — batching changes the SCHEDULE, not the semantics of
-#: each merge.
+#: iff none of {left, right, left+right} collides with any symbol an
+#: already-taken candidate used OR PRODUCED this round, stopping at B.
+#: Including the merged output in the conflict set is what makes the
+#: batch truly order-independent: no replace's output token can feed
+#: another replace's input pattern (e.g. (a,bc) then (abc,d) is
+#: rejected, as is (a,b) after an earlier round produced symbol "ab"
+#: via a different derivation), so applying the batch in one pass
+#: equals applying it sequentially in any order — batching changes the
+#: SCHEDULE, not the semantics of each merge.
 BPE_BATCH_ROUNDS = 6
 BPE_BATCH_B = 16
 BPE_BATCH_CAND = 64
@@ -770,9 +774,9 @@ def _bpe_fit_batched(
             if len(selected) >= BPE_BATCH_B:
                 break
             l, r = row["l"], row["r"]
-            if l in used or r in used:
+            if l in used or r in used or f"{l}{r}" in used:
                 continue
-            used.update((l, r))
+            used.update((l, r, f"{l}{r}"))
             selected.append((l, r, int(row["c"])))
         col = F.col("tokstr")
         for l, r, c in selected:
@@ -916,15 +920,41 @@ def _bpe_oracle() -> str:
     return ",\n".join(parts) + "\n" + union
 
 
+def _bpe_used_any(acc: str, x: str) -> str:
+    """DuckDB predicate: does any of the candidate's symbols
+    {left, right, left+right} collide with a symbol an already-taken
+    entry used or produced? Entries in ``acc`` are encoded
+    ``chr(2) l chr(1) r chr(1) lr chr(3)``, so a used symbol ``s``
+    appears as exactly one of the three delimited forms below; symbols
+    never contain the delimiter chars, so variable-length symbols
+    can't false-positive across field or entry boundaries."""
+    xl = f"string_split({x}, chr(1))[1]"
+    xr = f"string_split({x}, chr(1))[2]"
+    syms = (xl, xr, f"({xl} || {xr})")
+    checks = [
+        f"contains({acc}, {pre} || {s} || {post})"
+        for s in syms
+        for pre, post in (
+            ("chr(2)", "chr(1)"),  # s was a previous left
+            ("chr(1)", "chr(1)"),  # s was a previous right
+            ("chr(1)", "chr(3)"),  # s was a previous merged output
+        )
+    ]
+    return "(" + "\n                          OR ".join(checks) + ")"
+
+
 def _bpe_oracle_batched() -> str:
     """Unrolled DuckDB replay of the BATCHED training loop. Per round:
     the same pair counts, the same top-``BPE_BATCH_CAND`` candidate
     window, the greedy non-conflicting selection as a ``list_reduce``
     fold, and the batch application as a second fold of ``replace``s.
-    Selected pairs are encoded ``chr(2) l chr(1) r chr(3)`` (chr(1-3)
-    can never occur in token content: tokens are [a-z] plus the 30/31
-    sentinels), so membership and in-round order come from
-    ``list_position``. The fold's accumulator is a FLAT
+    Selected pairs are encoded ``chr(2) l chr(1) r chr(1) lr chr(3)``
+    — the merged output symbol rides along so the conflict test can
+    reject any candidate whose {l, r, l+r} collides with a symbol a
+    taken entry used OR produced, mirroring the Spark-side rule that
+    makes the batch order-independent (chr(1-3) can never occur in
+    token content: tokens are [a-z] plus the 30/31 sentinels), so
+    membership and in-round order come from ``list_position``. The fold's accumulator is a FLAT
     delimiter-encoded VARCHAR rather than a struct of lists — DuckDB's
     ``list_reduce`` drops list-typed struct fields across iterations
     (measured: the counter accumulated, the lists kept only the last
@@ -979,25 +1009,23 @@ def _bpe_oracle_batched() -> str:
                         WHEN (length(acc)
                               - length(replace(acc, chr(3), '')))
                              >= {BPE_BATCH_B}
-                          OR contains(acc, chr(2)
-                              || string_split(x, chr(1))[1] || chr(1))
-                          OR contains(acc, chr(1)
-                              || string_split(x, chr(1))[1] || chr(3))
-                          OR contains(acc, chr(2)
-                              || string_split(x, chr(1))[2] || chr(1))
-                          OR contains(acc, chr(1)
-                              || string_split(x, chr(1))[2] || chr(3))
+                          OR {_bpe_used_any("acc", "x")}
                         THEN acc
-                        ELSE acc || chr(2) || x || chr(3) END),
+                        ELSE acc || chr(2) || x || chr(1)
+                             || string_split(x, chr(1))[1]
+                             || string_split(x, chr(1))[2]
+                             || chr(3) END),
                     chr(3)), s -> s != ''),
                 s -> s[2:]) AS ents
             FROM c{i}),
         b{i} AS (
             SELECT {i + 1} AS rnd,
-                   list_position(s.ents, c.l || chr(1) || c.r) AS j,
+                   list_position(s.ents,
+                       c.l || chr(1) || c.r || chr(1) || c.l || c.r) AS j,
                    c.l AS l, c.r AS r, c.c AS c
             FROM c{i} c, sel{i} s
-            WHERE list_position(s.ents, c.l || chr(1) || c.r) > 0),
+            WHERE list_position(s.ents,
+                c.l || chr(1) || c.r || chr(1) || c.l || c.r) > 0),
         w{i + 1} AS (
             SELECT word, cnt,
                    list_reduce(

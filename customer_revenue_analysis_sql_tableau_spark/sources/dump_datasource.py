@@ -39,7 +39,7 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
-from .mysql_dump import SAKILA_SCHEMAS, _coerce, _parse_values
+from .mysql_dump import SAKILA_SCHEMAS, _coerce, _parse_values_impl
 
 
 class _InsertStatementPartition(InputPartition):
@@ -118,7 +118,20 @@ def _parse_statement_slice(path: str, start: int, end: int, table: str):
     with open(path, "rb") as fh:
         fh.seek(start)
         text = fh.read(end - start).decode("utf-8")
-    rows, _ = _parse_values(text, 0)
+    rows, _, terminated = _parse_values_impl(text, 0)
+    if not terminated:
+        # The planner's boundary scan is a regex over raw bytes; a
+        # quoted value that itself contains "INSERT INTO ... VALUES"
+        # would truncate this statement's slice mid-payload. The old
+        # full-text path parsed quote-aware to the real ';'; rather
+        # than silently returning partial rows, fail loudly.
+        raise ValueError(
+            f"INSERT payload for table {table!r} at bytes"
+            f" [{start}, {end}) did not terminate with ';' — the"
+            " statement-boundary scan likely split a quoted value"
+            " containing INSERT-statement text; this dump needs the"
+            " quote-aware full-text loader (parse_dump)"
+        )
     return _coerce(rows, SAKILA_SCHEMAS[table])
 
 

@@ -44,13 +44,27 @@ _VERSION_COMMENT = re.compile(r"/\*!\d+ .*?\*/", re.DOTALL)
 def _parse_values(text: str, start: int) -> tuple[list[tuple], int]:
     """Parse ``(...),(...),...;`` starting at ``start``; return rows and
     the index just past the terminating ``;``."""
+    rows, idx, _terminated = _parse_values_impl(text, start)
+    return rows, idx
+
+
+def _parse_values_impl(
+    text: str, start: int
+) -> tuple[list[tuple], int, bool]:
+    """As :func:`_parse_values`, plus a ``terminated`` flag: True iff
+    the parse ended by consuming the statement's ``;`` (as opposed to
+    running off the end of ``text``). Byte-range readers use the flag
+    to detect a slice that was truncated mid-payload — e.g. by a
+    statement-boundary scan fooled by ``INSERT INTO ... VALUES`` text
+    inside a quoted value — instead of silently returning partial
+    rows."""
     rows: list[tuple] = []
     i, n = start, len(text)
     while i < n:
         while i < n and text[i] in " \n\r\t,":
             i += 1
         if i < n and text[i] == ";":
-            return rows, i + 1
+            return rows, i + 1, True
         assert text[i] == "(", f"expected '(' at {i}: {text[i:i+40]!r}"
         i += 1
         row: list[Any] = []
@@ -101,7 +115,7 @@ def _parse_values(text: str, start: int) -> tuple[list[tuple], int]:
                 token_start = i
             i += 1
         rows.append(tuple(row))
-    return rows, i
+    return rows, i, False
 
 
 def _num(tok: str) -> Any:

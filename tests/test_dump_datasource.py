@@ -114,3 +114,42 @@ def test_unknown_table_fails_loudly(registered):
         (Py4JJavaError, AnalysisException), match="unknown table"
     ):
         _read(registered, "no_such_table").schema
+
+
+def test_quoted_insert_text_fails_loudly_not_silently(registered, tmp_path):
+    """A quoted value containing ``INSERT INTO ... VALUES`` text fools
+    the planner's byte-range scan into truncating the statement's
+    slice mid-payload. The executor-side parse must detect the missing
+    terminating ``;`` and raise (naming the cause), never silently
+    return the partial row set (r10 ADVICE). The quote-aware full-text
+    loader path stays available for such dumps."""
+    from customer_revenue_analysis_sql_tableau_spark.sources.mysql_dump import (
+        _parse_values_impl,
+    )
+
+    ts = "2006-02-15 04:46:27"
+    evil = "INSERT INTO `category` VALUES"
+    dump = tmp_path / "evil.sql"
+    dump.write_text(
+        f"INSERT INTO `category` VALUES (1,'Action','{ts}'),"
+        f"(2,'x {evil} y','{ts}'),(3,'Comedy','{ts}');\n"
+    )
+    # the parser itself reports proper vs truncated termination
+    ok_rows, _, ok_term = _parse_values_impl(
+        f"(1,'Action','{ts}');", 0
+    )
+    assert ok_term and len(ok_rows) == 1
+    _, _, bad_term = _parse_values_impl(f"(1,'Act", 0)
+    assert not bad_term
+
+    df = (
+        registered.read.format("sakila_dump")
+        .option("path", str(dump))
+        .option("table", "category")
+        .load()
+    )
+    # whichever task fails first surfaces: the truncated slice raises
+    # "did not terminate"; the bogus in-string slice trips the
+    # payload parser's "expected '('" assert — both are loud
+    with pytest.raises(Exception, match=r"did not terminate|expected '\('"):
+        df.collect()

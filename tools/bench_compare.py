@@ -43,6 +43,7 @@ def main() -> None:
         raise SystemExit(1)
     so, sn = sum(qo[k] for k in common), sum(qn[k] for k in common)
     print(f"raw totals:        old={old.get('value')}  new={new.get('value')}")
+    so = max(so, 0.001)  # same clamp for a degenerate all-zero old tail
     print(
         f"common-{len(common)} subset:  old={so:.2f}s  new={sn:.2f}s  "
         f"ratio={sn / so:.3f}x"
@@ -59,11 +60,14 @@ def main() -> None:
             f"multi-core gauge:  old={mo}  new={mn}  "
             f"deflated ratio={(sn / mn) / (so / mo):.3f}x"
         )
-    movers = sorted(common, key=lambda k: qn[k] / qo[k], reverse=True)
+    # clamp old timings that round(…,3) collapsed to 0.0 — a
+    # sub-millisecond query must not ZeroDivisionError the whole diff
+    ratio = lambda k: qn[k] / max(qo[k], 0.001)  # noqa: E731
+    movers = sorted(common, key=ratio, reverse=True)
     print("worst movers (new/old):")
     for k in movers[:8]:
-        print(f"  {qn[k] / qo[k]:6.2f}x  {k}: {qo[k]} -> {qn[k]}")
-    spread = [qn[k] / qo[k] for k in common]
+        print(f"  {ratio(k):6.2f}x  {k}: {qo[k]} -> {qn[k]}")
+    spread = [ratio(k) for k in common]
     med = sorted(spread)[len(spread) // 2]
     print(
         f"median per-query ratio {med:.3f}x — a uniform shift near the "
