@@ -421,9 +421,19 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series([packed[i].tobytes() for i in range(len(vs))])
 
     coded = ed.select("vec_id", encode(F.col("v")).alias("codes"))
+    luts = _pq_query_luts(spark, ed, books, sub)
+    return _pq_adc_topk(ed, coded, luts)
 
-    # per-query ADC lookup tables, computed driver-side from the same
-    # codebooks (Q·M·K doubles — broadcast-sized at any corpus scale)
+
+def _pq_query_luts(
+    spark: SparkSession, ed: DataFrame, books: np.ndarray, sub: int
+) -> DataFrame:
+    """Per-query ADC lookup tables, computed driver-side from the
+    codebooks (Q·M·K doubles — broadcast-sized at any corpus scale).
+    Shared by the in-process tier and the persisted read path (which
+    feeds codebooks READ BACK from parquet — float64 round-trips
+    exactly, so the LUTs, and therefore the results, are
+    bit-identical)."""
     qrows = ed.filter(F.col("vec_id") < N_QUERIES).collect()
     lut_rows = []
     for r in qrows:
@@ -435,11 +445,21 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 axis=1
             )
         lut_rows.append((r["vec_id"], [float(x) for x in lut]))
-    luts = spark.createDataFrame(lut_rows, "query_id long, lut array<double>")
+    return spark.createDataFrame(lut_rows, "query_id long, lut array<double>")
 
-    # JVM ADC: adc = sum over subspaces of lut[m*K + code_m]; the
-    # bitstream is unpacked to two longs once per CORPUS row (below the
-    # query join — Q× cheaper than unpacking per scored pair)
+
+def _pq_adc_topk(
+    ed: DataFrame, coded: DataFrame, luts: DataFrame
+) -> DataFrame:
+    """The shared flat-PQ query tail (in-process and persisted paths):
+    JVM ADC — adc = sum over subspaces of lut[m*K + code_m]; the
+    bitstream is unpacked to two longs once per CORPUS row (below the
+    query join — Q× cheaper than unpacking per scored pair) — then the
+    two-stage bounded shortlist and the exact re-rank. The two-stage
+    selection is partitioning-independent (the global top shortlist_n
+    is provably contained in the union of per-partition tops), so the
+    persisted path returns identical rows even though its code scan
+    has different partitioning than the in-process Arrow stage."""
     unpacked = coded.select("vec_id", *_pq_unpack("codes"))
     adc = _pq_adc("lut")
     shortlist_n = PQ_SHORTLIST_MULT * TOP_K
@@ -464,6 +484,12 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("srn") <= shortlist_n)
         .select("query_id", "neighbor_id")
     )
+    return _exact_rerank(ed, shortlist)
+
+
+def _exact_rerank(ed: DataFrame, shortlist: DataFrame) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, neighbor_id) shortlist —
+    only these rows ever touch raw vectors."""
     q = ed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -554,9 +580,25 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", assign_encode(F.col("v")).alias("ce")
     ).select("vec_id", F.col("ce.cell").alias("cell"), F.col("ce.codes").alias("codes"))
 
-    # driver-side probe + per-(query, cell) residual LUTs: the query's
-    # residual differs per probed cell, so each (query, cell) pair gets
-    # its own M·K table — Q·nprobe·M·K doubles, broadcast-sized always.
+    luts = _ivfpq_query_luts(spark, ed, cents, cnorm, books, sub, nprobe)
+    return _ivfpq_adc_topk(ed, coded, luts)
+
+
+def _ivfpq_query_luts(
+    spark: SparkSession,
+    ed: DataFrame,
+    cents: np.ndarray,
+    cnorm: np.ndarray,
+    books: np.ndarray,
+    sub: int,
+    nprobe: int,
+) -> DataFrame:
+    """Driver-side probe + per-(query, cell) residual LUTs: the query's
+    residual differs per probed cell, so each (query, cell) pair gets
+    its own M·K table — Q·nprobe·M·K doubles, broadcast-sized always.
+    Shared by the in-process tier and the persisted read path (both
+    centroids and codebooks round-trip parquet float64 exactly, so the
+    probe set and LUTs are bit-identical)."""
     qrows = ed.filter(F.col("vec_id") < N_QUERIES).collect()
     lut_rows = []
     for r in qrows:
@@ -571,10 +613,18 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (books[mi] - qs) ** 2
                 ).sum(axis=1)
             lut_rows.append((r["vec_id"], int(cell), [float(x) for x in lut]))
-    luts = spark.createDataFrame(
+    return spark.createDataFrame(
         lut_rows, "query_id long, cell int, lut array<double>"
     )
 
+
+def _ivfpq_adc_topk(
+    ed: DataFrame, coded: DataFrame, luts: DataFrame
+) -> DataFrame:
+    """The shared IVF-PQ query tail: probed cells join the codes ON
+    CELL (a key-bounded BroadcastHashJoin — with cell-partitioned
+    persisted codes, partition pruning skips unprobed cells' files),
+    pure-JVM ADC, bounded shortlist, exact re-rank."""
     unpacked = coded.select("vec_id", "cell", *_pq_unpack("codes"))
     adc = _pq_adc("lut")
     shortlist_n = PQ_SHORTLIST_MULT * TOP_K
@@ -589,18 +639,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("srn") <= shortlist_n)
         .select("query_id", "neighbor_id")
     )
-    q = ed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        shortlist.join(F.broadcast(q), "query_id")
-        .join(ed.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
-        .select("query_id", "neighbor_id", _cos("qv", "v").alias("cosine"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _exact_rerank(ed, shortlist)
 
 
 #: Incremental-ingest split: vectors with ``vec_id % DELIVERY_MOD ==
@@ -1317,6 +1356,426 @@ def sim_persisted_delivery_topk(
     )
 
 
+#: Background-compaction policy (r10 VERDICT Next #5): fold the delta
+#: stack into a new base version once it holds this many segments. The
+#: policy is deterministic so the merge entry is driver-hashable; a
+#: production scheduler would evaluate the same predicate on a timer.
+MERGE_TRIGGER_SEGMENTS = 2
+
+
+def _ensure_multi_deltas(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a MULTI-SEGMENT delta stack on the ``_base`` index: two
+    successive delivery waves (the delivery split deterministically by
+    ``vec_id % (2·DELIVERY_MOD)``), each assigned against the
+    PERSISTED centroids and written as its own cell-partitioned
+    ``insert_delta_w{1,2}`` segment with meta LAST — what repeated
+    :func:`sim_persisted_ingest_delta` runs produce over time, and the
+    precondition for the background merge. Idempotent. Returns the
+    index dir."""
+    from pyspark.errors import AnalysisException
+
+    sim_persisted_ingest_delta(spark, sf_dir)  # ensures the _base index
+    d = f"{_ivf_index_dir(spark, sf_dir)}_base"
+    mod2 = 2 * DELIVERY_MOD
+    waves = {
+        "insert_delta_w1": DELIVERY_MOD - 1,  # e.g. % 20 == 9
+        "insert_delta_w2": mod2 - 1,  # e.g. % 20 == 19
+    }
+    try:
+        for seg in waves:
+            spark.read.parquet(f"{d}/{seg}/meta").collect()
+        return d
+    except AnalysisException:
+        pass
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    ed = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pc = spark.read.parquet(f"{d}/centroids").orderBy("cell").collect()
+    pmat = np.array([r["cv"] for r in pc])
+    pnorm = (pmat**2).sum(axis=1)
+
+    @pandas_udf("int")
+    def cell_of_persisted(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy())
+        d2 = (
+            (m**2).sum(axis=1)[:, None] - 2.0 * (m @ pmat.T) + pnorm[None, :]
+        )
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    for seg, rem in waves.items():
+        ed.filter(F.col("vec_id") % mod2 == rem).withColumn(
+            "cell", cell_of_persisted(F.col("v"))
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{d}/{seg}/postings"
+        )
+        spark.createDataFrame(
+            [(seg, int(rem))], "segment string, delivery_rem int"
+        ).write.mode("overwrite").parquet(f"{d}/{seg}/meta")
+    return d
+
+
+def sim_persisted_merge_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BACKGROUND COMPACTION of the insert-delta stack (r10 VERDICT
+    Next #5): once the stack reaches ``MERGE_TRIGGER_SEGMENTS``
+    segments, fold base + all deltas into a VERSIONED merged base —
+    segment-store style. Only cells TOUCHED BY A DELTA are rewritten
+    (base rows of those cells ∪ all delta rows, cell-partitioned under
+    ``merged_v2/postings``); untouched base cells are never read or
+    written — merge I/O ∝ rows of touched cells, not index size. The
+    versioned manifest (touched cell ids + version row) is written
+    LAST and certifies a complete merge; a reader takes untouched
+    cells from the v1 base and touched cells from v2 (pytest asserts
+    this merged view answers queries bit-identically to reading the
+    full base + delta stack).
+
+    Returns an oracle-backed summary from the persisted artifacts:
+    exact delta-stack row count, the folded segment count, and three
+    invariants — the live vector set is preserved exactly, merge I/O
+    stayed bounded to touched cells, and no delta row's cell escaped
+    the manifest."""
+    from pyspark.errors import AnalysisException
+
+    d = _ensure_multi_deltas(spark, sf_dir)
+    merged = f"{d}/merged_v2"
+    segs = ["insert_delta_w1", "insert_delta_w2"]
+    deltas = [
+        spark.read.parquet(f"{d}/{s}/postings").select("vec_id", "v", "cell")
+        for s in segs
+    ]
+    delta_all = deltas[0].unionByName(deltas[1])
+    base = spark.read.parquet(f"{d}/postings").select("vec_id", "v", "cell")
+    try:
+        spark.read.parquet(f"{merged}/manifest")
+    except AnalysisException:
+        assert len(segs) >= MERGE_TRIGGER_SEGMENTS  # the scheduling policy
+        touched = [
+            int(r["cell"])
+            for r in delta_all.select("cell").distinct().collect()
+        ]  # bounded by nlist — driver-side literal, like centroids
+        base.filter(F.col("cell").isin(touched)).unionByName(
+            delta_all
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{merged}/postings"
+        )
+        spark.createDataFrame(
+            [(int(c), 2) for c in touched], "cell int, version int"
+        ).write.mode("overwrite").parquet(f"{merged}/manifest")
+
+    manifest = spark.read.parquet(f"{merged}/manifest")
+    merged_p = spark.read.parquet(f"{merged}/postings")
+    untouched = base.join(F.broadcast(manifest), "cell", "left_anti")
+    reader_view = untouched.select("vec_id").unionByName(
+        merged_p.select("vec_id")
+    )
+    stack_view = base.select("vec_id").unionByName(delta_all.select("vec_id"))
+    lost = stack_view.join(reader_view, "vec_id", "left_anti").count()
+    invented = reader_view.join(stack_view, "vec_id", "left_anti").count()
+    n_delta = delta_all.count()
+    n_base_touched = base.join(F.broadcast(manifest), "cell", "left_semi").count()
+    io_bounded = merged_p.count() == n_base_touched + n_delta
+    escaped = delta_all.join(F.broadcast(manifest), "cell", "left_anti").count()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_delta),
+                int(len(segs)),
+                bool(lost == 0 and invented == 0),
+                bool(io_bounded),
+                bool(escaped == 0),
+            )
+        ],
+        "n_delta_rows bigint, segments_folded bigint,"
+        " live_set_preserved boolean, merge_io_bounded boolean,"
+        " manifest_complete boolean",
+    )
+
+
+def _merged_reader_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-merge reader view: untouched v1 base cells ∪ merged v2
+    cells. Pure reads + a broadcast manifest anti-join (pytest twin:
+    bit-identical answers to the base + delta-stack reader)."""
+    d = f"{_ivf_index_dir(spark, sf_dir)}_base"
+    base = spark.read.parquet(f"{d}/postings").select("vec_id", "v", "cell")
+    manifest = spark.read.parquet(f"{d}/merged_v2/manifest")
+    merged = spark.read.parquet(f"{d}/merged_v2/postings").select(
+        "vec_id", "v", "cell"
+    )
+    return base.join(F.broadcast(manifest), "cell", "left_anti").unionByName(
+        merged
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ / IVF-PQ lifecycle (r10 VERDICT Next #4): the two compressed
+# tiers get the same build-once / query-many split the flat IVF tier got in
+# r10. Build persists the trained codebooks (+ coarse centroids for IVF-PQ)
+# and the PACKED 10-byte code stream; the read path trains nothing — it
+# loads the quantizers from parquet (float64 round-trips exactly, so LUTs
+# and results are bit-identical to the in-process tiers, asserted in
+# tests/test_persisted_pq.py) and runs the shared pure-JVM ADC tail. At
+# 100 TB this is the layout that matters: the scan reads 10 B/vector codes
+# (cell-partitioned for IVF-PQ, so the probe prunes files) and raw vectors
+# surface only for the bounded shortlist re-rank.
+# ---------------------------------------------------------------------------
+
+
+def _pq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{warehouse}/pq_index_{_embeddings_fingerprint(sf_dir)}"
+
+
+def _ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{warehouse}/ivfpq_index_{_embeddings_fingerprint(sf_dir)}"
+
+
+def _write_codebooks(spark: SparkSession, books: np.ndarray, path: str) -> None:
+    """Persist (M, K, sub) codebooks as (m, k, c array<double>) rows."""
+    rows = [
+        (int(m), int(k), [float(x) for x in books[m, k]])
+        for m in range(books.shape[0])
+        for k in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "m int, k int, c array<double>"
+    ).write.mode("overwrite").parquet(path)
+
+
+def _read_codebooks(spark: SparkSession, path: str) -> np.ndarray:
+    """Load codebooks back to the (M, K, sub) ndarray — bounded
+    (M·K = 512 rows), the same driver-side-scalar class as reading
+    meta or centroids."""
+    rows = spark.read.parquet(path).orderBy("m", "k").collect()
+    m = max(r["m"] for r in rows) + 1
+    k = max(r["k"] for r in rows) + 1
+    return np.array([r["c"] for r in rows]).reshape(m, k, -1)
+
+
+def _pq_build_summary(
+    spark: SparkSession, codes: DataFrame, codebooks: DataFrame, extra=None
+) -> DataFrame:
+    """Oracle-backed build summary computed FROM THE PERSISTED
+    ARTIFACTS: exact corpus count, one code row per vector, every
+    packed stream exactly ``PQ_BYTES`` wide, and a complete M×K
+    codebook grid."""
+    n_books = codebooks.count()
+    agg_cols = [
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        (F.countDistinct("vec_id") == F.count(F.lit(1))).alias(
+            "one_code_per_vector"
+        ),
+        (
+            (F.min(F.length("codes")) == PQ_BYTES)
+            & (F.max(F.length("codes")) == PQ_BYTES)
+        ).alias("codes_width_ok"),
+        F.lit(n_books == PQ_M * PQ_K).alias("codebook_complete"),
+    ]
+    if extra is not None:
+        agg_cols.append(extra)
+    return codes.agg(*agg_cols)
+
+
+def sim_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD phase of the persisted flat-PQ lifecycle: train the
+    16×32 codebooks on the bounded sample (identical recipe and seeds
+    to :func:`sim_pq_topk`), encode every vector into the packed
+    10-byte stream with the one Arrow stage (build-side only), and
+    persist ``codebooks`` + ``codes`` + ``meta`` (written LAST —
+    presence certifies a complete build) under a content-fingerprinted
+    warehouse dir. Idempotent per embeddings fingerprint."""
+    from pyspark.errors import AnalysisException
+
+    d = _pq_index_dir(spark, sf_dir)
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    try:
+        spark.read.parquet(f"{d}/meta").collect()
+    except AnalysisException:
+        sample_rows = (
+            ed.orderBy(
+                F.xxhash64(F.col("vec_id").cast("string"), F.lit(LSH_SEED))
+            )
+            .limit(IVF_TRAIN_SAMPLE)
+            .collect()
+        )
+        books = _train_pq_codebooks(np.array([r["v"] for r in sample_rows]))
+        sub = books.shape[2]
+
+        @pandas_udf("binary")
+        def encode(vs: pd.Series) -> pd.Series:
+            m = np.stack(vs.to_numpy())
+            codes = np.empty((len(vs), PQ_M), dtype=np.int64)
+            for mi in range(PQ_M):
+                sl = m[:, mi * sub : (mi + 1) * sub]
+                d2 = (
+                    (sl**2).sum(axis=1)[:, None]
+                    - 2.0 * (sl @ books[mi].T)
+                    + (books[mi] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, mi] = d2.argmin(axis=1)
+            packed = _pack_codes_np(codes)
+            return pd.Series([packed[i].tobytes() for i in range(len(vs))])
+
+        _write_codebooks(spark, books, f"{d}/codebooks")
+        ed.select("vec_id", encode(F.col("v")).alias("codes")).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/codes")
+        n = spark.read.parquet(f"{d}/codes").count()
+        spark.createDataFrame(
+            [(PQ_M, PQ_K, PQ_BITS, int(sub), int(n))],
+            "m int, k int, bits int, sub int, n_vectors bigint",
+        ).write.mode("overwrite").parquet(f"{d}/meta")
+    return _pq_build_summary(
+        spark,
+        spark.read.parquet(f"{d}/codes"),
+        spark.read.parquet(f"{d}/codebooks"),
+    )
+
+
+def sim_persisted_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY phase of the persisted flat-PQ lifecycle: a pure READ
+    path — no codebook training, no Arrow encode; the quantizer loads
+    from parquet (bounded M·K rows, the centroid-read class), the
+    driver computes the per-query LUTs from it exactly as the
+    in-process tier does, and the scan is the shared pure-JVM ADC tail
+    over the PERSISTED 10-byte codes. Bit-identical to
+    :func:`sim_pq_topk` (pytest); recall pinned by
+    ``sim_persisted_pq_recall_check``."""
+    from pyspark.errors import AnalysisException
+
+    d = _pq_index_dir(spark, sf_dir)
+    try:
+        meta = spark.read.parquet(f"{d}/meta").collect()[0]
+    except AnalysisException:
+        sim_pq_index_build(spark, sf_dir)
+        meta = spark.read.parquet(f"{d}/meta").collect()[0]
+    books = _read_codebooks(spark, f"{d}/codebooks")
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    coded = spark.read.parquet(f"{d}/codes")
+    luts = _pq_query_luts(spark, ed, books, int(meta["sub"]))
+    return _pq_adc_topk(ed, coded, luts)
+
+
+def sim_ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD phase of the persisted IVF-PQ lifecycle: coarse quantizer
+    + residual codebooks trained on the bounded sample (identical
+    recipe/seeds to :func:`sim_ivfpq_topk`), every vector stored as
+    cell id + packed 10-byte residual codes, CELL-PARTITIONED so the
+    probe's partition pruning reads only probed cells' files. Persists
+    ``centroids`` + ``codebooks`` + ``codes`` + ``meta`` (LAST).
+    Idempotent per embeddings fingerprint."""
+    from pyspark.errors import AnalysisException
+
+    d = _ivfpq_index_dir(spark, sf_dir)
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    try:
+        meta = spark.read.parquet(f"{d}/meta").collect()[0]
+    except AnalysisException:
+        sample_rows = (
+            ed.orderBy(
+                F.xxhash64(F.col("vec_id").cast("string"), F.lit(LSH_SEED))
+            )
+            .limit(IVF_TRAIN_SAMPLE)
+            .collect()
+        )
+        sample = np.array([r["v"] for r in sample_rows])
+        nlist, nprobe = _ivf_geometry(len(sample_rows))
+        cents = _train_centroids(sample, nlist)
+        cnorm = (cents**2).sum(axis=1)
+        d2s = (
+            (sample**2).sum(axis=1)[:, None] - 2.0 * (sample @ cents.T) + cnorm
+        )
+        resid_sample = sample - cents[d2s.argmin(axis=1)]
+        books = _train_pq_codebooks(resid_sample)
+        sub = books.shape[2]
+
+        @pandas_udf("struct<cell:int, codes:binary>")
+        def assign_encode(vs: pd.Series) -> pd.DataFrame:
+            m = np.stack(vs.to_numpy())
+            d2 = (
+                (m**2).sum(axis=1)[:, None]
+                - 2.0 * (m @ cents.T)
+                + cnorm[None, :]
+            )
+            cell = d2.argmin(axis=1)
+            resid = m - cents[cell]
+            codes = np.empty((len(vs), PQ_M), dtype=np.int64)
+            for mi in range(PQ_M):
+                sl = resid[:, mi * sub : (mi + 1) * sub]
+                dd = (
+                    (sl**2).sum(axis=1)[:, None]
+                    - 2.0 * (sl @ books[mi].T)
+                    + (books[mi] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, mi] = dd.argmin(axis=1)
+            packed = _pack_codes_np(codes)
+            return pd.DataFrame(
+                {
+                    "cell": cell.astype(np.int32),
+                    "codes": [packed[i].tobytes() for i in range(len(vs))],
+                }
+            )
+
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell int, cv array<double>",
+        ).write.mode("overwrite").parquet(f"{d}/centroids")
+        _write_codebooks(spark, books, f"{d}/codebooks")
+        ed.select("vec_id", assign_encode(F.col("v")).alias("ce")).select(
+            "vec_id",
+            F.col("ce.cell").alias("cell"),
+            F.col("ce.codes").alias("codes"),
+        ).write.mode("overwrite").partitionBy("cell").parquet(f"{d}/codes")
+        n = spark.read.parquet(f"{d}/codes").count()
+        spark.createDataFrame(
+            [(int(nlist), int(nprobe), int(sub), int(n))],
+            "nlist int, nprobe int, sub int, n_vectors bigint",
+        ).write.mode("overwrite").parquet(f"{d}/meta")
+        meta = spark.read.parquet(f"{d}/meta").collect()[0]
+    codes = spark.read.parquet(f"{d}/codes")
+    return _pq_build_summary(
+        spark,
+        codes,
+        spark.read.parquet(f"{d}/codebooks"),
+        extra=(
+            (F.min("cell") >= F.lit(0))
+            & (F.max("cell") < F.lit(int(meta["nlist"])))
+        ).alias("cells_within_geometry"),
+    )
+
+
+def sim_persisted_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY phase of the persisted IVF-PQ lifecycle: pure READ path —
+    centroids and residual codebooks load from parquet, the driver
+    builds the per-(query, probed-cell) LUTs exactly as the in-process
+    tier, and the scan equi-joins probed cells against the
+    CELL-PARTITIONED persisted codes (partition pruning) before the
+    shared pure-JVM ADC tail. Bit-identical to :func:`sim_ivfpq_topk`
+    (pytest); recall pinned by ``sim_persisted_ivfpq_recall_check``."""
+    from pyspark.errors import AnalysisException
+
+    d = _ivfpq_index_dir(spark, sf_dir)
+    try:
+        meta = spark.read.parquet(f"{d}/meta").collect()[0]
+    except AnalysisException:
+        sim_ivfpq_index_build(spark, sf_dir)
+        meta = spark.read.parquet(f"{d}/meta").collect()[0]
+    crows = spark.read.parquet(f"{d}/centroids").orderBy("cell").collect()
+    cents = np.array([r["cv"] for r in crows])
+    cnorm = (cents**2).sum(axis=1)
+    books = _read_codebooks(spark, f"{d}/codebooks")
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    coded = spark.read.parquet(f"{d}/codes")
+    luts = _ivfpq_query_luts(
+        spark, ed, cents, cnorm, books, int(meta["sub"]), int(meta["nprobe"])
+    )
+    return _ivfpq_adc_topk(ed, coded, luts)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_delivery_brute_topk": sim_delivery_brute_topk,
@@ -1327,12 +1786,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_persisted_index_compact": sim_persisted_index_compact,  # oracle-backed
     "sim_persisted_delete_ivf_topk": sim_persisted_delete_ivf_topk,  # rows-only
     "sim_persisted_ingest_delta": sim_persisted_ingest_delta,  # oracle-backed
+    "sim_persisted_merge_deltas": sim_persisted_merge_deltas,  # oracle-backed
     "sim_persisted_delivery_topk": sim_persisted_delivery_topk,  # rows-only
     "sim_incremental_ivf": sim_incremental_ivf,  # rows-only (probabilistic)
     "sim_lsh_topk": sim_lsh_topk,  # rows-only (probabilistic recall)
     "sim_ivf_topk": sim_ivf_topk,  # rows-only (probabilistic recall)
     "sim_pq_topk": sim_pq_topk,  # rows-only (probabilistic recall)
     "sim_ivfpq_topk": sim_ivfpq_topk,  # rows-only (probabilistic recall)
+    "sim_pq_index_build": sim_pq_index_build,  # oracle-backed build summary
+    "sim_persisted_pq_topk": sim_persisted_pq_topk,  # rows-only
+    "sim_ivfpq_index_build": sim_ivfpq_index_build,  # oracle-backed
+    "sim_persisted_ivfpq_topk": sim_persisted_ivfpq_topk,  # rows-only
 }
 
 ORACLES: dict[str, str] = {
@@ -1341,6 +1805,32 @@ ORACLES: dict[str, str] = {
     "sim_ivf_index_build": """
         SELECT CAST(count(*) AS BIGINT) AS n_vectors,
                TRUE AS one_cell_per_vector,
+               TRUE AS cells_within_geometry
+        FROM embeddings""",
+    # the background merge folds the 2-segment delta stack (= the
+    # delivery) into a versioned base, preserving the live set exactly
+    "sim_persisted_merge_deltas": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_delta_rows,
+               CAST(2 AS BIGINT) AS segments_folded,
+               TRUE AS live_set_preserved,
+               TRUE AS merge_io_bounded,
+               TRUE AS manifest_complete
+        FROM embeddings
+        WHERE vec_id % {DELIVERY_MOD} = {DELIVERY_MOD - 1}""",
+    # the PQ build summaries' invariants are exact: all corpus vectors
+    # coded once each, every packed stream exactly PQ_BYTES wide, a
+    # complete MxK codebook grid (and cell geometry for IVF-PQ)
+    "sim_pq_index_build": """
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               TRUE AS one_code_per_vector,
+               TRUE AS codes_width_ok,
+               TRUE AS codebook_complete
+        FROM embeddings""",
+    "sim_ivfpq_index_build": """
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               TRUE AS one_code_per_vector,
+               TRUE AS codes_width_ok,
+               TRUE AS codebook_complete,
                TRUE AS cells_within_geometry
         FROM embeddings""",
     # compaction must remove exactly the wave-A rows, keep them out of

@@ -45,6 +45,8 @@ from .similarity import (
     sim_persisted_delete_ivf_topk,
     sim_persisted_delivery_topk,
     sim_persisted_ivf_topk,
+    sim_persisted_ivfpq_topk,
+    sim_persisted_pq_topk,
     sim_pq_topk,
 )
 from .temporal import APPROX_ACCURACY, _events
@@ -239,6 +241,26 @@ def sim_persisted_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_persisted_pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted flat-PQ READ-PATH recall >= 0.7 vs brute force — same
+    floor as the in-process PQ tier, because the persisted path loads
+    the identical codebooks and runs the identical ADC tail
+    (bit-identical results, asserted by tests/test_persisted_pq.py)."""
+    return _recall_check(spark, sf_dir, sim_persisted_pq_topk, PQ_RECALL_FLOOR)
+
+
+def sim_persisted_ivfpq_recall_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted IVF-PQ READ-PATH recall >= 0.7 vs brute force — same
+    floor as the in-process IVF-PQ tier (identical coarse quantizer +
+    residual codebooks loaded from parquet; bit-identical results,
+    asserted by tests/test_persisted_pq.py)."""
+    return _recall_check(
+        spark, sf_dir, sim_persisted_ivfpq_topk, IVFPQ_RECALL_FLOOR
+    )
+
+
 def sim_persisted_delete_recall_check(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -342,6 +364,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_incremental_recall_check": sim_incremental_recall_check,
     "sim_delete_recall_check": sim_delete_recall_check,
     "sim_persisted_recall_check": sim_persisted_recall_check,
+    "sim_persisted_pq_recall_check": sim_persisted_pq_recall_check,
+    "sim_persisted_ivfpq_recall_check": sim_persisted_ivfpq_recall_check,
     "sim_persisted_delete_recall_check": sim_persisted_delete_recall_check,
     "sim_persisted_delivery_recall_check": sim_persisted_delivery_recall_check,
     "vocab_topk_containment_check": vocab_topk_containment_check,
@@ -394,6 +418,14 @@ ORACLES: dict[str, str] = {
         FROM embeddings
         WHERE vec_id % {DELIVERY_MOD} = {DELIVERY_MOD - 1}""",
     "sim_pq_recall_check": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST({TOP_K} AS BIGINT) AS k, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < {N_QUERIES}""",
+    "sim_persisted_pq_recall_check": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST({TOP_K} AS BIGINT) AS k, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < {N_QUERIES}""",
+    "sim_persisted_ivfpq_recall_check": f"""
         SELECT CAST(count(*) AS BIGINT) AS n_queries,
                CAST({TOP_K} AS BIGINT) AS k, TRUE AS recall_ok
         FROM embeddings WHERE vec_id < {N_QUERIES}""",

@@ -750,28 +750,44 @@ def text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_fit_batched(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    rounds: int = BPE_BATCH_ROUNDS,
+    b: int = BPE_BATCH_B,
+    cand_window: int = BPE_BATCH_CAND,
+    target: int | None = None,
 ) -> tuple[list[tuple[int, int, str, str, int]], DataFrame]:
     """Run the batched training loop; return (merge table, final
-    word-type frame). Shared by the train entry and the batched
-    tokenizer (:func:`text_bpe_tokenize_batched`)."""
+    word-type frame). Shared by the train entry, the batched tokenizer
+    (:func:`text_bpe_tokenize_batched`), and the persisted-vocabulary
+    builders. Defaults reproduce the oracle-replayed 6-round tier
+    exactly. With ``target`` set (the DEEP tier), the loop stops once
+    ``target`` merges are learned or the corpus genuinely runs out of
+    pairs (a fully merged word-type table), instead of raising; the
+    checkpoint cadence generalizes the measured (2, 4) rule to every
+    other round so recomputation depth stays bounded at any depth."""
     wf = _bpe_word_freqs(spark, sf_dir).localCheckpoint()
     merges: list[tuple[int, int, str, str, int]] = []  # (rank, round, l, r, c)
     cur = wf
     rank = 0
-    for rnd in range(1, BPE_BATCH_ROUNDS + 1):
+    for rnd in range(1, rounds + 1):
         cand = (
             _bpe_pair_counts(cur)
             .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
-            .limit(BPE_BATCH_CAND)
+            .limit(cand_window)
             .collect()
         )
-        if not cand:  # degenerate corpus — out of the operator's domain
+        if not cand:
+            if target is not None:  # deep tier: corpus fully merged
+                break
+            # degenerate corpus — out of the operator's domain
             raise ValueError(f"corpus exhausted after round {rnd - 1}")
         used: set[str] = set()
         selected: list[tuple[str, str, int]] = []
+        room = b if target is None else min(b, target - rank)
         for row in cand:
-            if len(selected) >= BPE_BATCH_B:
+            if len(selected) >= room:
                 break
             l, r = row["l"], row["r"]
             if l in used or r in used or f"{l}{r}" in used:
@@ -788,8 +804,12 @@ def _bpe_fit_batched(
                 F.lit(f"{BPE_S1}{l}{r}{BPE_S2}"),
             )
         cur = cur.withColumn("tokstr", col)
-        if rnd in (2, 4):  # measured cadence — see docstring
+        # measured cadence (see docstring): (2, 4) for the 6-round
+        # tier, its every-other-round generalization beyond that
+        if rnd % 2 == 0 and rnd < rounds:
             cur = cur.localCheckpoint()
+        if target is not None and rank >= target:
+            break
     return merges, cur
 
 
@@ -866,6 +886,242 @@ def _apply_bpe_vocab(
             .cast("long")
             .alias("chars_per_token_x100"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Persisted BPE vocabulary (r10 VERDICT Next #1/#7): train once, persist
+# the merge table + fitted word-type table under a content-fingerprinted
+# warehouse dir, and make the tokenizer a PURE READ PATH — the same
+# lifecycle split the ANN family got in r10 (similarity.py:901/1031).
+# Two tiers: the 6-round tier (identical trajectory to
+# text_bpe_train_batched, so both artifacts are oracle-replayed in full)
+# and the DEEP tier (target ≥512 merges — the realistic vocabulary depth;
+# its build summary pins structural invariants and the bound twin pins
+# strict compression improvement over the shallow tier).
+# --------------------------------------------------------------------------
+
+#: Deep tier: target merge count and its training-loop geometry. The
+#: 128-wide candidate window halves conflict starvation at depth (late
+#: rounds have flatter counts ⇒ more same-symbol collisions in a narrow
+#: window); 48 rounds of ≤16 gives 768 slots of headroom for the 512
+#: target, and the loop stops at the target.
+BPE_DEEP_TARGET = 512
+BPE_DEEP_CAND = 128
+BPE_DEEP_MAX_ROUNDS = 48
+
+
+def _documents_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint (size + mtime per file, keyed by relative
+    path) of the documents table — names the persisted vocab dir so a
+    changed corpus can never serve a stale vocabulary (mirrors
+    similarity._embeddings_fingerprint)."""
+    import hashlib
+    import os
+
+    root = os.path.join(sf_dir, "documents.parquet")
+    parts: list[str] = []
+    if os.path.isfile(root):
+        st = os.stat(root)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    else:
+        for r, _dirs, files in os.walk(root):
+            for f in files:
+                p = os.path.join(r, f)
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue
+                rel = os.path.relpath(p, root)
+                parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5(
+        (sf_dir.rstrip("/") + "\0" + "\n".join(sorted(parts))).encode()
+    ).hexdigest()[:8]
+
+
+def _bpe_vocab_dir(spark: SparkSession, sf_dir: str, tier: str) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{warehouse}/bpe_vocab_{tier}_{_documents_fingerprint(sf_dir)}"
+
+
+def _ensure_bpe_vocab(spark: SparkSession, sf_dir: str, tier: str) -> str:
+    """Idempotent build-if-missing for a persisted vocabulary tier.
+    Artifacts under the content-fingerprinted dir:
+
+    - ``merges`` — (rank, round, left, right, pair_count): the merge
+      table in trajectory order;
+    - ``vocab``  — (word, cnt, tokstr): the FITTED word-type table
+      (every corpus word type, fully merged) — what the tokenizer
+      joins; persisting it is what removes training from the query
+      path entirely;
+    - ``meta``   — 1 row (tier geometry + artifact counts), written
+      LAST so its presence certifies a complete build.
+
+    Returns the artifact dir."""
+    from pyspark.errors import AnalysisException
+
+    d = _bpe_vocab_dir(spark, sf_dir, tier)
+    try:
+        spark.read.parquet(f"{d}/meta").collect()
+        return d
+    except AnalysisException:
+        pass
+    if tier == "b6":
+        merges, fitted = _bpe_fit_batched(spark, sf_dir)
+        target = BPE_BATCH_ROUNDS * BPE_BATCH_B
+    elif tier == "deep":
+        merges, fitted = _bpe_fit_batched(
+            spark,
+            sf_dir,
+            rounds=BPE_DEEP_MAX_ROUNDS,
+            cand_window=BPE_DEEP_CAND,
+            target=BPE_DEEP_TARGET,
+        )
+        target = BPE_DEEP_TARGET
+    else:  # pragma: no cover - internal misuse
+        raise ValueError(f"unknown BPE vocab tier {tier!r}")
+    spark.createDataFrame(
+        merges,
+        "rank long, round long, left string, right string, pair_count long",
+    ).write.mode("overwrite").parquet(f"{d}/merges")
+    fitted.write.mode("overwrite").parquet(f"{d}/vocab")
+    n_merges = spark.read.parquet(f"{d}/merges").count()
+    n_types = spark.read.parquet(f"{d}/vocab").count()
+    spark.createDataFrame(
+        [(tier, int(target), int(n_merges), int(n_types))],
+        "tier string, target_merges int, n_merges bigint, n_word_types bigint",
+    ).write.mode("overwrite").parquet(f"{d}/meta")
+    return d
+
+
+def _bpe_vocab_build_summary(
+    spark: SparkSession, sf_dir: str, tier: str
+) -> DataFrame:
+    """Oracle-backed build summary computed FROM THE PERSISTED
+    ARTIFACTS (not the in-memory frames), so the driver hash certifies
+    what is on disk: corpus word-type count (DuckDB recomputes it
+    independently from ``documents``), full corpus coverage (no word
+    type missing from the vocab), merge count within the tier target,
+    and token-string integrity (every fitted ``tokstr``'s tokens
+    concatenate back to exactly its word — a corrupted or truncated
+    artifact cannot pass)."""
+    d = _ensure_bpe_vocab(spark, sf_dir, tier)
+    meta = spark.read.parquet(f"{d}/meta").collect()[0]
+    vocab = spark.read.parquet(f"{d}/vocab")
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    corpus_types = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+", -1)).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    missing = corpus_types.join(
+        vocab.select("word"), "word", "left_anti"
+    ).count()
+    tok_re = f"{BPE_S1}([^{BPE_S1}{BPE_S2}]*){BPE_S2}"
+    malformed = vocab.filter(
+        F.expr(
+            "array_join("
+            f"regexp_extract_all(tokstr, '{tok_re}', 1), '') != word"
+        )
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                int(meta["n_word_types"]),
+                bool(missing == 0),
+                bool(0 < meta["n_merges"] <= meta["target_merges"]),
+                bool(malformed == 0),
+            )
+        ],
+        "n_word_types bigint, vocab_covers_corpus boolean,"
+        " merges_within_target boolean, tokstr_wellformed boolean",
+    )
+
+
+def text_bpe_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD phase of the persisted-BPE lifecycle, 6-round tier: run
+    the batched trainer ONCE, persist merges + fitted vocab + meta,
+    and return the merge table READ BACK FROM THE PERSISTED ARTIFACT —
+    the oracle replays the full batched trajectory in DuckDB
+    (:func:`_bpe_oracle_batched`), so the driver hash certifies the
+    on-disk merge table byte-for-byte, not just an in-memory run."""
+    d = _ensure_bpe_vocab(spark, sf_dir, "b6")
+    return spark.read.parquet(f"{d}/merges").orderBy("rank")
+
+
+def text_bpe_tokenize_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer as a PURE READ PATH: join the corpus against the
+    PERSISTED fitted word-type table — no training in the query path
+    (pytest monkeypatches the trainer to raise and asserts this plan
+    still runs, Python-eval-free). Must return exactly
+    :func:`text_bpe_tokenize_batched`'s answer (same vocabulary, same
+    join) — the oracle IS that entry's oracle, so this read path is
+    hash-proven, not merely rows-counted."""
+    d = _ensure_bpe_vocab(spark, sf_dir, "b6")
+    fitted = spark.read.parquet(f"{d}/vocab")
+    return _apply_bpe_vocab(spark, sf_dir, fitted)
+
+
+def text_bpe_vocab_build_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD phase, DEEP tier: a ≥``BPE_DEEP_TARGET``-merge vocabulary
+    (the realistic depth — 6 or 70 merges prove trajectories; hundreds
+    are what move chars-per-token) built by the same batched loop with
+    a wider candidate window, persisted once, summarized by
+    :func:`_bpe_vocab_build_summary`'s structural invariants. The full
+    512-step trajectory has no tractable SQL replay; correctness rests
+    on (a) these hash-pinned invariants, (b) the hash-green bound twin
+    :func:`text_bpe_deep_compression_bound`, and (c) pytest equality
+    of the deep table's prefix with the oracle-replayed 6-round tier
+    (the first rounds of both tiers coincide while the candidate
+    window agrees — asserted structurally in tests)."""
+    return _bpe_vocab_build_summary(spark, sf_dir, "deep")
+
+
+def text_bpe_tokenize_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`text_bpe_tokenize_persisted` over the DEEP vocabulary —
+    rows-only at the driver (no SQL replay at depth 512); its value
+    proof is the hash-green compression bound twin plus pytest."""
+    d = _ensure_bpe_vocab(spark, sf_dir, "deep")
+    fitted = spark.read.parquet(f"{d}/vocab")
+    return _apply_bpe_vocab(spark, sf_dir, fitted)
+
+
+def text_bpe_deep_compression_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-green bound twin for the deep tier: joining the two
+    persisted vocabularies per word type, (a) NO word tokenizes worse
+    under the deep vocabulary, and (b) the corpus-weighted total token
+    count strictly improves. Both hold by construction — the deep run
+    extends the shallow run's merge sequence, and replaces only ever
+    fuse tokens — so the oracle pins TRUE; a Spark-side regression
+    (diverged trajectory, corrupted artifact, lost merges) flips a
+    boolean and fails the driver hash. ``n_word_types_compared`` is
+    recomputed independently by DuckDB from the raw corpus."""
+    tok_re = f"{BPE_S1}([^{BPE_S1}{BPE_S2}]*){BPE_S2}"
+    n_tok = F.expr(
+        f"size(regexp_extract_all(tokstr, '{tok_re}', 1))"
+    ).cast("long")
+    d6 = _ensure_bpe_vocab(spark, sf_dir, "b6")
+    dd = _ensure_bpe_vocab(spark, sf_dir, "deep")
+    shallow = (
+        spark.read.parquet(f"{d6}/vocab")
+        .select("word", "cnt", n_tok.alias("n_shallow"))
+    )
+    deep = spark.read.parquet(f"{dd}/vocab").select(
+        "word", n_tok.alias("n_deep")
+    )
+    both = shallow.join(deep, "word")
+    return both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_word_types_compared"),
+        (F.sum((F.col("n_deep") > F.col("n_shallow")).cast("int")) == 0)
+        .alias("no_word_tokenizes_worse"),
+        (
+            F.sum(F.col("cnt") * F.col("n_deep"))
+            < F.sum(F.col("cnt") * F.col("n_shallow"))
+        ).alias("total_tokens_strictly_fewer"),
     )
 
 
@@ -1107,6 +1363,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_train_batched": text_bpe_train_batched,
     "text_bpe_tokenize": text_bpe_tokenize,
     "text_bpe_tokenize_batched": text_bpe_tokenize_batched,
+    "text_bpe_vocab_build": text_bpe_vocab_build,
+    "text_bpe_tokenize_persisted": text_bpe_tokenize_persisted,
+    "text_bpe_vocab_build_deep": text_bpe_vocab_build_deep,
+    "text_bpe_tokenize_deep": text_bpe_tokenize_deep,
+    "text_bpe_deep_compression_bound": text_bpe_deep_compression_bound,
     "text_token_stats": text_token_stats,
     "text_gopher_filters": text_gopher_filters,
     "text_token_stats_bpe": text_token_stats_bpe,
@@ -1220,6 +1481,31 @@ ORACLES: dict[str, str] = {
     "text_bpe_train_batched": _bpe_oracle_batched(),
     "text_bpe_tokenize": _bpe_tokenize_oracle(),
     "text_bpe_tokenize_batched": _bpe_tokenize_batched_oracle(),
+    # persisted lifecycle: the build returns the ON-DISK merge table,
+    # so the trajectory replay doubles as the artifact's oracle; the
+    # persisted tokenizer must equal the in-process batched tokenizer
+    "text_bpe_vocab_build": _bpe_oracle_batched(),
+    "text_bpe_tokenize_persisted": _bpe_tokenize_batched_oracle(),
+    # deep tier: structural invariants (word-type count recomputed
+    # independently; coverage/integrity/target booleans pinned TRUE)
+    "text_bpe_vocab_build_deep": (
+        "SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_word_types,"
+        "       TRUE AS vocab_covers_corpus,"
+        "       TRUE AS merges_within_target,"
+        "       TRUE AS tokstr_wellformed"
+        " FROM (SELECT unnest(string_split_regex(lower(text),"
+        "                     '[^a-z]+')) AS word FROM documents)"
+        " WHERE word != ''"
+    ),
+    "text_bpe_deep_compression_bound": (
+        "SELECT CAST(count(DISTINCT word) AS BIGINT)"
+        "         AS n_word_types_compared,"
+        "       TRUE AS no_word_tokenizes_worse,"
+        "       TRUE AS total_tokens_strictly_fewer"
+        " FROM (SELECT unnest(string_split_regex(lower(text),"
+        "                     '[^a-z]+')) AS word FROM documents)"
+        " WHERE word != ''"
+    ),
     "text_gopher_filters": f"""
         WITH m AS ({_GOPHER_MEASURES_SQL})
         SELECT *,

@@ -1,0 +1,146 @@
+"""Persisted-BPE vocabulary lifecycle (r10 VERDICT Next #1/#7):
+build-once artifacts, a training-free tokenizer read path, equality
+with the in-process batched tokenizer, and strict deep-tier
+compression improvement."""
+
+from __future__ import annotations
+
+import pytest
+
+from customer_revenue_analysis_sql_tableau_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def built_vocabs(spark, sf_dir):
+    b6 = T._ensure_bpe_vocab(spark, sf_dir, "b6")
+    deep = T._ensure_bpe_vocab(spark, sf_dir, "deep")
+    return b6, deep
+
+
+def test_artifacts_on_disk(built_vocabs, spark):
+    for d in built_vocabs:
+        meta = spark.read.parquet(f"{d}/meta").collect()[0]
+        merges = spark.read.parquet(f"{d}/merges")
+        vocab = spark.read.parquet(f"{d}/vocab")
+        assert merges.count() == meta["n_merges"] > 0
+        assert vocab.count() == meta["n_word_types"] > 0
+        assert 0 < meta["n_merges"] <= meta["target_merges"]
+        # the merge table is the trajectory: ranks are 1..n dense
+        ranks = sorted(r["rank"] for r in merges.collect())
+        assert ranks == list(range(1, meta["n_merges"] + 1))
+
+
+def test_build_summary_invariants(built_vocabs, spark, sf_dir):
+    for tier in ("b6", "deep"):
+        row = T._bpe_vocab_build_summary(spark, sf_dir, tier).collect()[0]
+        assert row["vocab_covers_corpus"] is True, tier
+        assert row["merges_within_target"] is True, tier
+        assert row["tokstr_wellformed"] is True, tier
+        assert row["n_word_types"] > 0
+
+
+def test_persisted_build_table_matches_in_process(built_vocabs, spark, sf_dir):
+    """The b6 tier persists the exact batched-trainer trajectory: the
+    read-back merge table must equal text_bpe_train_batched row for
+    row (which is itself oracle-replayed in DuckDB)."""
+    got = sorted(
+        map(tuple, T.text_bpe_vocab_build(spark, sf_dir).collect())
+    )
+    want = sorted(
+        map(tuple, T.text_bpe_train_batched(spark, sf_dir).collect())
+    )
+    assert got == want
+
+
+def test_tokenize_read_path_never_trains(built_vocabs, spark, sf_dir, monkeypatch):
+    """With the vocabulary persisted, the tokenizer must be a pure
+    read path: it must run even when the trainer is unreachable, its
+    plan must contain no Python/Arrow eval stage, and its scans must
+    come from the persisted vocab directory (mirrors
+    test_persisted_ivf.py::test_read_path_never_trains)."""
+
+    def boom(*a, **k):  # pragma: no cover - must never run
+        raise AssertionError("tokenizer read path invoked BPE training")
+
+    monkeypatch.setattr(T, "_bpe_fit_batched", boom)
+    for fn in (T.text_bpe_tokenize_persisted, T.text_bpe_tokenize_deep):
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "bpe_vocab_" in plan
+        assert df.count() > 0
+
+
+def test_persisted_tokenizer_equals_in_process(built_vocabs, spark, sf_dir):
+    a = sorted(
+        map(tuple, T.text_bpe_tokenize_persisted(spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(tuple, T.text_bpe_tokenize_batched(spark, sf_dir).collect())
+    )
+    assert a == b
+
+
+def test_deep_tier_merges_deeper_and_compresses_strictly(
+    built_vocabs, spark, sf_dir
+):
+    """The deep tier must extend the shallow trajectory (strictly more
+    merges up to its target/corpus ceiling) and strictly improve
+    corpus-weighted compression; per word type it can never be worse
+    (replaces only fuse tokens)."""
+    b6, deep = built_vocabs
+    m6 = spark.read.parquet(f"{b6}/meta").collect()[0]
+    md = spark.read.parquet(f"{deep}/meta").collect()[0]
+    assert md["n_merges"] > m6["n_merges"]
+    row = T.text_bpe_deep_compression_bound(spark, sf_dir).collect()[0]
+    assert row["no_word_tokenizes_worse"] is True
+    assert row["total_tokens_strictly_fewer"] is True
+    assert row["n_word_types_compared"] == m6["n_word_types"]
+
+
+def test_deep_exhaustion_means_fully_merged(built_vocabs, spark):
+    """If the deep build stopped below its merge target, the only
+    legitimate cause is corpus exhaustion — every word type collapsed
+    to a single token (the compression ceiling; this synthetic corpus
+    has ~31 word types and exhausts near 90 merges). A starved-but-
+    unfinished vocabulary would be a training-loop bug."""
+    _, deep = built_vocabs
+    meta = spark.read.parquet(f"{deep}/meta").collect()[0]
+    if meta["n_merges"] >= meta["target_merges"]:
+        pytest.skip("corpus supports the full target depth")
+    vocab = spark.read.parquet(f"{deep}/vocab")
+    tok_re = f"{T.BPE_S1}([^{T.BPE_S1}{T.BPE_S2}]*){T.BPE_S2}"
+    multi = vocab.filter(
+        f"size(regexp_extract_all(tokstr, '{tok_re}', 1)) > 1"
+    ).count()
+    assert multi == 0
+
+
+def test_changed_corpus_changes_vocab_dir(spark, sf_dir, tmp_path):
+    """The artifact dir is content-fingerprinted: a different corpus
+    (different documents file) must map to a different directory, so a
+    stale vocabulary can never serve a changed corpus."""
+    import shutil
+    from pathlib import Path
+
+    src = Path(sf_dir) / "documents.parquet"
+    alt = tmp_path / "sf_alt"
+    alt.mkdir()
+    if src.is_dir():
+        shutil.copytree(src, alt / "documents.parquet")
+    else:
+        shutil.copy2(src, alt / "documents.parquet")
+    # same bytes, different mtime/path → different fingerprint input;
+    # bump mtime to make the difference explicit
+    import os
+    import time
+
+    tgt = alt / "documents.parquet"
+    walk = [tgt] if tgt.is_file() else list(tgt.rglob("*"))
+    now = time.time() + 5
+    for p in walk:
+        os.utime(p, (now, now))
+    assert T._bpe_vocab_dir(spark, str(alt), "b6") != T._bpe_vocab_dir(
+        spark, sf_dir, "b6"
+    )

@@ -143,3 +143,63 @@ def test_rebuild_on_fingerprint_change(spark, sf_dir, tmp_path):
     d1 = sim._ivf_index_dir(spark, sf_dir)
     d2 = sim._ivf_index_dir(spark, "/root/testdata/sf0.01")
     assert d1 != d2
+
+
+def test_multi_delta_merge_invariants(spark, sf_dir):
+    """Background compaction (r10 VERDICT Next #5): folding the
+    2-segment delta stack must preserve the live vector set exactly,
+    bound its I/O to touched cells, and complete its manifest."""
+    row = sim.sim_persisted_merge_deltas(spark, sf_dir).collect()[0]
+    e = sim.load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    from pyspark.sql import functions as F
+
+    n_delivery = e.filter(
+        F.col("vec_id") % sim.DELIVERY_MOD == sim.DELIVERY_MOD - 1
+    ).count()
+    assert row["n_delta_rows"] == n_delivery
+    assert row["segments_folded"] == 2
+    assert row["live_set_preserved"] is True
+    assert row["merge_io_bounded"] is True
+    assert row["manifest_complete"] is True
+
+
+def test_merged_reader_bit_identical_to_segment_stack(spark, sf_dir):
+    """A reader over the merged v2 base (untouched v1 cells ∪ merged
+    cells) must answer queries bit-identically to a reader over the
+    full base + delta-stack view — merging changes the LAYOUT, never
+    the answers."""
+    from pyspark.sql import functions as F
+
+    sim.sim_persisted_merge_deltas(spark, sf_dir)
+    d = f"{sim._ivf_index_dir(spark, sf_dir)}_base"
+    meta = spark.read.parquet(f"{d}/insert_delta/meta").collect()[0]
+    cent_df = spark.read.parquet(f"{d}/centroids")
+    base = spark.read.parquet(f"{d}/postings").select("vec_id", "v", "cell")
+    stack = base
+    for seg in ("insert_delta_w1", "insert_delta_w2"):
+        stack = stack.unionByName(
+            spark.read.parquet(f"{d}/{seg}/postings").select(
+                "vec_id", "v", "cell"
+            )
+        )
+    merged_view = sim._merged_reader_postings(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    a = sorted(
+        map(
+            tuple,
+            sim._probe_and_rank(
+                cent_df, int(meta["nprobe"]), queries, merged_view
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            sim._probe_and_rank(
+                cent_df, int(meta["nprobe"]), queries, stack
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0

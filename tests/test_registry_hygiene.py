@@ -25,6 +25,9 @@ ROWS_ONLY_ALLOWED: dict[str, str] = {
     "sim_persisted_ivf_topk": "probabilistic recall — recall-floor driver twin + equality pytest vs sim_ivf_topk",
     "sim_persisted_delete_ivf_topk": "probabilistic recall — recall-floor driver twin + equality pytest vs sim_delete_ivf_topk",
     "sim_persisted_delivery_topk": "probabilistic recall — recall-floor driver twin + equality pytest vs sim_incremental_ivf",
+    "sim_persisted_pq_topk": "probabilistic recall — recall-floor driver twin + equality pytest vs sim_pq_topk",
+    "sim_persisted_ivfpq_topk": "probabilistic recall — recall-floor driver twin + equality pytest vs sim_ivfpq_topk",
+    "text_bpe_tokenize_deep": "512-merge vocabulary has no tractable SQL replay — hash-green bound twin text_bpe_deep_compression_bound + persisted-read-path pytest",
     # multimodal_resize / multimodal_frame_sample were here ("binary
     # payload output") until round 3: on the ASCII corpus DuckDB can
     # rebuild the byte slices exactly, so both are now hash-checked.
