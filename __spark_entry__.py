@@ -70,110 +70,94 @@ _REGISTRY_MODULES = [
 
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
-# at ENTRY level. Round-10 ordering (VERDICT.md r9, Next #2-#7):
-# (1) the THIRTEEN new r10 entries that have never been in a driver
-# window — the right-outer interval-join drain (completes the
-# stream-stream join-type matrix, r9 Next #6), the persisted-IVF
-# SEGMENT LIFECYCLE (build summary + read path + recall bound, delete
-# compaction + its read path + bound, insert-delta ingest + its read
-# path + bound; r9 Next #3 made literal end-to-end), batched BPE
-# training + its corpus-wide tokenizer (greedy non-conflicting top-B
-# merges per round, full-trajectory oracles; r9 Next #4), and the
-# CBO-planned unhinted view fill over the ANALYZEd catalog (r9 Next
-# #7); (2) the FOUR entries whose staging, oracle, or code path
-# changed this round and must re-prove on current code — the
-# timeout-sessions drain (bounded order-statistic tercile staging
-# replacing the global ntile, r9 ADVICE), the CBO revenue entry
-# (catalog names now fingerprint the source data, r9 ADVICE), and the
-# two BPE entries (pair counting refactored into the shared helper);
-# (3) the full TWENTY-SEVEN-entry r5 proof-staleness cohort promoted
-# per r9 Next #2 (set-ops, grouping-sets/cube/rollup, feat_* x5,
-# proc_* x4, split_* x4, windows x2, IVM, resumable-restart drain,
-# repetition stats, top-50 cap, LIKE filter) — the freshest-proof
-# floor becomes r6+; (4) slack slots go to the next-stalest r6-proven
-# entries (roundtrip digests, rollup tiers, quality deciles). Guarded
-# against rot by tests/test_registry_hygiene.py::
+# at ENTRY level. Round-11 ordering (VERDICT.md r10, Next #1-#6):
+# (1) the THIRTEEN new r11 entries that have never been in a driver
+# window — the persisted-BPE lifecycle (6-round vocab build whose
+# oracle replays the full trajectory against the ON-DISK merge table,
+# the pure-read-path tokenizer, the deep ≥512-target tier with its
+# structural-invariant summary + strict compression bound; r10 Next
+# #1/#7), the persisted PQ and IVF-PQ lifecycles (build summaries +
+# training-free ADC read paths + recall bounds; r10 Next #4), the
+# multi-delta background merge (r10 Next #5), and the RocksDB-provider
+# cross-batch-dedup drain (r10 Next #6); (2) the FOUR entries whose
+# results or code changed this round and must re-prove — the two
+# batched-BPE entries (the in-round conflict set now includes the
+# merged output symbol on both engines, r10 ADVICE — the merge table
+# itself changed), and the two persisted-index summaries whose
+# cells_within_geometry invariant tightened to bound max(cell) (r10
+# ADVICE); (3) the full THIRTY-NINE-entry r6 proof-staleness cohort
+# (r10 Next #3: the TPC-H tail, temporal_* ×8, the three window
+# drains, four dedup entries, emb_* ×2, and the rest named in r10
+# VERDICT "What's missing" #4) — the ~50-entry budget cuts inside this
+# cohort, so its tail (code unchanged, pytest-covered) spills to r12.
+# Guarded against rot by tests/test_registry_hygiene.py::
 # test_priority_names_exist.
 _PRIORITY = [
-    # -- new this round (r10), first driver proof --
-    "stream_interval_right_join_drain",  # null-gated side flips to clicks
-    "sim_ivf_index_build",  # persisted-index build summary (oracle-backed)
-    "sim_persisted_ivf_topk",  # pure read path over persisted artifacts (rows-only)
-    "sim_persisted_recall_check",  # its driver-hash recall bound
-    "text_bpe_train_batched",  # greedy non-conflicting top-B merges per round
-    "text_bpe_tokenize_batched",  # 70-merge vocabulary applied corpus-wide
-    "view_customer_value_summary_analyzed",  # CBO-planned unhinted view fill
-    "sim_persisted_index_compact",  # delete compaction on the persisted index
-    "sim_persisted_delete_ivf_topk",  # read path over base ∪ delta segments (rows-only)
-    "sim_persisted_delete_recall_check",  # its driver-hash recall bound
-    "sim_persisted_ingest_delta",  # insert-delta segment on the persisted index
-    "sim_persisted_delivery_topk",  # delivery read path over base segments (rows-only)
-    "sim_persisted_delivery_recall_check",  # its driver-hash recall bound
-    # -- staging/oracle/code-path changed this round: re-prove --
-    "stream_timeout_sessions_drain",  # bounded order-statistic terciles (ADVICE)
-    "cbo_stats_revenue_by_customer",  # data-fingerprinted catalog names (ADVICE)
-    "text_bpe_train",  # pair counting refactored into shared helper
-    "text_bpe_tokenize",  # same refactor (shared _bpe_fit path)
-    # -- r9 Next #2: the full r5 proof-staleness cohort (floor -> r6+) --
-    "party_names_union",
-    "repeat_customers_intersect",
-    "active_high_value_except_recent",
-    "distinct_segments",
-    "lineitem_flag_status_cube",
-    "revenue_rollup_region_nation",
-    "grouping_sets_flag_status",
-    "customer_order_windows",
-    "customer_value_distribution_windows",
-    "feat_minmax_normalize",
-    "feat_value_quartile_bins",
-    "feat_vocab_coverage",
-    "feat_word_bigram_counts",
-    "feat_zscore_outliers",
-    "proc_part_held_by_customers",
-    "proc_parts_in_stock",
-    "proc_parts_not_in_stock",
-    "proc_rewards_report",
-    "split_chunk_documents",
-    "split_pii_redact",
-    "split_sample_per_source",
-    "split_train_test",
-    "inc_view_maintenance",
-    "stream_resumable_restart_drain",
-    "text_repetition_stats",
-    "app_top50_cap",
-    "promo_parts_like",
-    # -- slack: next-stalest r6-proven refreshes --
-    "csv_roundtrip_digest",
-    "jsonl_roundtrip_digest",
-    "orc_roundtrip_digest",
-    "rollup_daily_from_hours",
-    "rollup_hourly_from_minutes",
-    "quality_decile_cutoffs",
-    "quality_decile_curriculum",
-    # ---- ~50-entry budget cut falls here ----
-    "dedup_containment_prefix",
-    "dedup_embedding_signlsh",
-    "dedup_survivors_best_quality",
-    "emb_label_profile",
-    "emb_norm_stats",
-    "feat_stratified_sample",
-    "multimodal_decode_features",
-    "split_temperature_mixture",
-    "stream_dedup_first",
-    "stream_ingest_verdicts_drain",
-    "stream_late_data_drain",
+    # -- new this round (r11), first driver proof --
+    "text_bpe_vocab_build",  # persisted merge table, full-trajectory oracle
+    "text_bpe_tokenize_persisted",  # pure read path, hash = batched tokenizer
+    "text_bpe_vocab_build_deep",  # ≥512-target tier, structural invariants
+    "text_bpe_tokenize_deep",  # deep read path (rows-only)
+    "text_bpe_deep_compression_bound",  # strict compression improvement
+    "sim_pq_index_build",  # persisted codebooks + packed codes summary
+    "sim_persisted_pq_topk",  # training-free ADC read path (rows-only)
+    "sim_persisted_pq_recall_check",  # its driver-hash recall bound
+    "sim_ivfpq_index_build",  # cell-partitioned residual-code summary
+    "sim_persisted_ivfpq_topk",  # pruned ADC read path (rows-only)
+    "sim_persisted_ivfpq_recall_check",  # its driver-hash recall bound
+    "sim_persisted_merge_deltas",  # background multi-delta compaction
+    "stream_crossbatch_dedup_rocksdb_drain",  # at-scale state-store posture
+    # -- results/code changed this round: re-prove --
+    "text_bpe_train_batched",  # conflict set now includes merged symbol
+    "text_bpe_tokenize_batched",  # same rule via the shared fit
+    "sim_ivf_index_build",  # max(cell) < nlist invariant (ADVICE)
+    "sim_persisted_ingest_delta",  # same invariant tightening (ADVICE)
+    # -- r10 Next #3: the full r6 proof-staleness cohort (floor -> r7+),
+    # -- names recomputed from CORRECTNESS_r01..r10 (exactly 39) --
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_lines_by_flag",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_dominant_promo_suppliers",
+    "tpch_q21_sole_late_supplier",
+    "tpch_q22_dormant_high_balance",
+    "temporal_asof_join",
     "temporal_latest_per_user",
     "temporal_pivot_user_values",
     "temporal_range_join",
     "temporal_rolling_value_10min",
     "temporal_unpivot_user_values",
     "temporal_value_percentiles",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "dedup_containment",
+    "dedup_containment_prefix",
+    "dedup_embedding_signlsh",
+    "dedup_survivors_best_quality",
+    "emb_label_profile",
+    "emb_norm_stats",
+    "decontaminate_ngram_overlap",
+    "multimodal_decode_features",
+    "quality_decile_curriculum",
+    "sim_bruteforce_topk",
+    "stream_dedup_first",
+    # ---- ~50-entry budget cut falls around here; the tail below is
+    # ---- code-unchanged + pytest-covered and spills to r12 if cut
+    "split_temperature_mixture",
+    "stream_ingest_verdicts_drain",
+    "stream_late_data_drain",
+    "feat_stratified_sample",
     "text_quality_score",
     "training_data_pipeline",
-    # (r7-r9-proven entries keep their fresh proofs; code unchanged)
+    # (r7-r10-proven entries keep their fresh proofs; code unchanged)
     "flagship_revenue_by_region",
     "view_customer_value_summary",
-    "view_customer_value_summary_bucketed",
     "q1_top_revenue_customers",
     "q5_churn_risk",
     "mfc_window_top1",

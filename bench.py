@@ -121,6 +121,13 @@ HEADLINE = [
     # the r9 Next #4 target was >=64 merges at <= the sequential
     # 6-merge entry's time
     "text_bpe_train_batched",
+    # added r11 (extend; don't displace): the two persisted READ paths
+    # — what a production query actually pays once artifacts exist.
+    # Vocab/index builds are untimed ingest cost (prepped below, like
+    # the bucketed layout); the tokenizer is the corpus-wide vocabulary
+    # join, the PQ path the pure-JVM ADC scan over persisted codes.
+    "text_bpe_tokenize_persisted",
+    "sim_persisted_pq_topk",
 ]
 
 
@@ -193,6 +200,24 @@ def main() -> None:
 
         prepare_analyzed_catalog(spark, "/root/testdata/sf0.001")
         prepare_analyzed_catalog(spark, sf_dir)
+
+    # untimed artifact builds for the persisted read-path entries:
+    # vocabulary training / quantizer training + encoding are ingest
+    # cost, not query cost (same rule as the bucketed layout)
+    if "text_bpe_tokenize_persisted" in queries:
+        from customer_revenue_analysis_sql_tableau_spark.operators.text import (
+            _ensure_bpe_vocab,
+        )
+
+        _ensure_bpe_vocab(spark, "/root/testdata/sf0.001", "b6")
+        _ensure_bpe_vocab(spark, sf_dir, "b6")
+    if "sim_persisted_pq_topk" in queries:
+        from customer_revenue_analysis_sql_tableau_spark.operators.similarity import (
+            sim_pq_index_build,
+        )
+
+        sim_pq_index_build(spark, "/root/testdata/sf0.001").collect()
+        sim_pq_index_build(spark, sf_dir).collect()
 
     # JVM warmup: run EVERY headline query once at the tiniest SF so
     # whole-stage codegen compiles each plan's generated classes before

@@ -77,6 +77,9 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "sim_incremental_recall_check",  # composes the two entries above
         "sim_pq_topk",  # broadcast query LUTs x code scan, queries bounded
         "sim_pq_recall_check",  # inherits sim_pq_topk's bounded query set
+        "sim_persisted_pq_topk",  # broadcast PERSISTED-codebook LUTs x code scan
+        "sim_persisted_pq_recall_check",  # composes persisted PQ + brute baseline
+        "sim_persisted_ivfpq_recall_check",  # embeds sim_bruteforce_topk (exact side)
         "sim_ivfpq_recall_check",  # embeds sim_bruteforce_topk (exact side)
         "vocab_topk_containment_check",  # broadcast k-th-count scalar (1 row)
         "quality_decile_cutoffs_approx_check",  # broadcast sketch cutoffs (1 row)
@@ -104,6 +107,8 @@ PERKEY_WINDOW_ALLOWLIST: frozenset[str] = frozenset(
         "sim_persisted_recall_check",  # embeds sim_bruteforce_topk
         "sim_persisted_delete_recall_check",  # embeds sim_delete_brute_topk
         "sim_persisted_delivery_recall_check",  # embeds sim_delivery_brute_topk
+        "sim_persisted_pq_recall_check",  # embeds sim_bruteforce_topk
+        "sim_persisted_ivfpq_recall_check",  # embeds sim_bruteforce_topk
     }
 )
 
