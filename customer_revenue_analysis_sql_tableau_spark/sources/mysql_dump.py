@@ -134,11 +134,20 @@ def parse_dump(path: str, tables: tuple[str, ...] = SAKILA_TABLES) -> dict[str, 
         text = fh.read()
     text = _VERSION_COMMENT.sub("", text)
     out: dict[str, list[tuple]] = {t: [] for t in tables}
+    consumed = 0  # end of the last parsed statement (past its ';')
     for m in re.finditer(r"INSERT INTO `?(\w+)`? VALUES", text):
+        # a match starting inside an already-parsed statement is
+        # INSERT-looking text within a quoted value, not a statement —
+        # the quote-aware parser consumed it as string content
+        if m.start() < consumed:
+            continue
         table = m.group(1)
         if table not in out:
+            # still advance past this foreign statement so in-string
+            # INSERT text inside ITS payload can't spawn a bogus parse
+            _, consumed = _parse_values(text, m.end())
             continue
-        rows, _ = _parse_values(text, m.end())
+        rows, consumed = _parse_values(text, m.end())
         out[table].extend(rows)
     return out
 

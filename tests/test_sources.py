@@ -399,3 +399,33 @@ def test_parquet_schema_evolution_widen_with_nulls(spark, sf_dir):
         assert back.filter(~even & F.col("lang").isNull()).count() == wide_nulls
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_parse_dump_skips_insert_text_inside_quoted_values():
+    """The full-text loader must not treat ``INSERT INTO ... VALUES``
+    text INSIDE a quoted value as a statement boundary: the quote-aware
+    parser consumes it as string content, and the match-skip rule
+    (parse_dump's ``consumed`` cursor) drops the bogus regex hit — so a
+    valid dump with adversarial string content parses exactly."""
+    import tempfile
+    from pathlib import Path
+
+    from customer_revenue_analysis_sql_tableau_spark.sources.mysql_dump import (
+        parse_dump,
+    )
+
+    ts = "2006-02-15 04:46:27"
+    evil = "INSERT INTO `category` VALUES (9,'fake','x')"
+    evil_escaped = evil.replace("'", "''")  # the dump dialect's escaping
+    text = (
+        f"INSERT INTO `category` VALUES (1,'Action','{ts}'),"
+        f"(2,'say {evil_escaped}; done','{ts}'),(3,'Comedy','{ts}');\n"
+        f"INSERT INTO `language` VALUES (1,'English','{ts}');\n"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        p = Path(tmp) / "dump.sql"
+        p.write_text(text)
+        out = parse_dump(str(p), tables=("category", "language"))
+    assert [r[0] for r in out["category"]] == [1, 2, 3]
+    assert out["category"][1][1] == f"say {evil}; done"
+    assert out["language"] == [(1, "English", ts)]
