@@ -1491,6 +1491,99 @@ def sim_persisted_merge_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_persisted_concurrent_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-WRITER index updates (the last SCALE.md lifecycle gap):
+    two writers ingest delta segments concurrently under an optimistic
+    versioned-manifest commit protocol — the public Delta/Iceberg
+    recipe. Each writer stages its segment dir independently (data +
+    meta, meta LAST — staging needs no coordination); COMMIT appends
+    the segment to a versioned segments manifest via an atomic
+    create-exclusive of ``manifest_v{N+1}`` (the filesystem's
+    compare-and-swap). The entry deterministically replays the
+    conflict schedule that loses updates without the protocol: writer
+    A commits v2; writer B, holding a STALE read of v1, attempts v2 —
+    the exclusive create REJECTS it (that rejection is captured, not
+    assumed) — then rebases on v2 and commits v3 carrying BOTH
+    segments. Readers resolve the highest complete manifest version,
+    so they see v1/v2/v3 atomically, never a half-commit.
+
+    Returns an oracle-backed summary: total live vectors under the
+    final manifest (DuckDB recomputes it as the full corpus: base ∪
+    both deliveries), the version-chain length, the captured
+    stale-commit rejection, chain monotonicity (every version's
+    segment set contains its predecessor's — no lost update), and
+    final completeness."""
+    import json as _json
+    import os
+
+    d = _ensure_multi_deltas(spark, sf_dir)  # both writers' staged segments
+    mdir = f"{d}/segments_manifest"
+    flag = f"{mdir}/stale_commit_rejected"
+    if not os.path.isdir(mdir):
+        os.makedirs(mdir, exist_ok=True)
+
+        def commit(version: int, segments: list[str]) -> None:
+            # atomic create-exclusive IS the CAS: two writers racing
+            # to the same version — exactly one create succeeds
+            with open(f"{mdir}/manifest_v{version}", "x") as fh:
+                _json.dump({"version": version, "segments": segments}, fh)
+
+        commit(1, ["postings"])  # the build's base segment
+        # writer A: read v1, commit v2 = v1 + its segment
+        commit(2, ["postings", "insert_delta_w1"])
+        # writer B: STALE read of v1 → attempts v2 and must be rejected
+        rejected = False
+        try:
+            commit(2, ["postings", "insert_delta_w2"])
+        except FileExistsError:
+            rejected = True
+        if rejected:
+            with open(flag, "w") as fh:
+                fh.write("1")
+        # writer B rebases: re-reads the head (v2), commits v3 with
+        # A's segment preserved + its own
+        commit(3, ["postings", "insert_delta_w1", "insert_delta_w2"])
+
+    versions = sorted(
+        int(f.rsplit("_v", 1)[1])
+        for f in os.listdir(mdir)
+        if f.startswith("manifest_v")
+    )
+    chains = []
+    for v in versions:
+        with open(f"{mdir}/manifest_v{v}") as fh:
+            chains.append(_json.load(fh)["segments"])
+    monotone = all(
+        set(chains[i]) < set(chains[i + 1]) for i in range(len(chains) - 1)
+    )
+    final = chains[-1]
+    live = None
+    for seg in final:
+        path = f"{d}/postings" if seg == "postings" else f"{d}/{seg}/postings"
+        p = spark.read.parquet(path).select("vec_id")
+        live = p if live is None else live.unionByName(p)
+    n_live = live.distinct().count()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_live),
+                int(len(versions)),
+                bool(os.path.exists(flag)),
+                bool(monotone),
+                bool(
+                    set(final)
+                    == {"postings", "insert_delta_w1", "insert_delta_w2"}
+                ),
+            )
+        ],
+        "n_live bigint, manifest_versions bigint,"
+        " stale_commit_rejected boolean, chain_monotone boolean,"
+        " final_manifest_complete boolean",
+    )
+
+
 def _merged_reader_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The post-merge reader view: untouched v1 base cells ∪ merged v2
     cells. Pure reads + a broadcast manifest anti-join (pytest twin:
@@ -1787,6 +1880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_persisted_delete_ivf_topk": sim_persisted_delete_ivf_topk,  # rows-only
     "sim_persisted_ingest_delta": sim_persisted_ingest_delta,  # oracle-backed
     "sim_persisted_merge_deltas": sim_persisted_merge_deltas,  # oracle-backed
+    "sim_persisted_concurrent_ingest": sim_persisted_concurrent_ingest,  # oracle-backed
     "sim_persisted_delivery_topk": sim_persisted_delivery_topk,  # rows-only
     "sim_incremental_ivf": sim_incremental_ivf,  # rows-only (probabilistic)
     "sim_lsh_topk": sim_lsh_topk,  # rows-only (probabilistic recall)
@@ -1817,6 +1911,16 @@ ORACLES: dict[str, str] = {
                TRUE AS manifest_complete
         FROM embeddings
         WHERE vec_id % {DELIVERY_MOD} = {DELIVERY_MOD - 1}""",
+    # multi-writer commit: the final manifest must cover the FULL
+    # corpus (base ∪ both writers' deliveries), through a 3-version
+    # monotone chain with the stale commit demonstrably rejected
+    "sim_persisted_concurrent_ingest": """
+        SELECT CAST(count(*) AS BIGINT) AS n_live,
+               CAST(3 AS BIGINT) AS manifest_versions,
+               TRUE AS stale_commit_rejected,
+               TRUE AS chain_monotone,
+               TRUE AS final_manifest_complete
+        FROM embeddings""",
     # the PQ build summaries' invariants are exact: all corpus vectors
     # coded once each, every packed stream exactly PQ_BYTES wide, a
     # complete MxK codebook grid (and cell geometry for IVF-PQ)

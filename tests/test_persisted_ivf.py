@@ -203,3 +203,20 @@ def test_merged_reader_bit_identical_to_segment_stack(spark, sf_dir):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_concurrent_ingest_commit_protocol(spark, sf_dir):
+    """Multi-writer updates (SCALE.md's last lifecycle gap): the
+    versioned-manifest commit must capture the stale writer's
+    rejection, keep the version chain strictly growing (no lost
+    update), and leave the final manifest covering the full corpus."""
+    row = sim.sim_persisted_concurrent_ingest(spark, sf_dir).collect()[0]
+    e = sim.load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    assert row["n_live"] == e.count()
+    assert row["manifest_versions"] == 3
+    assert row["stale_commit_rejected"] is True
+    assert row["chain_monotone"] is True
+    assert row["final_manifest_complete"] is True
+    # idempotent: a second call re-reads the committed chain
+    again = sim.sim_persisted_concurrent_ingest(spark, sf_dir).collect()[0]
+    assert tuple(again) == tuple(row)
