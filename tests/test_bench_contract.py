@@ -67,3 +67,28 @@ def test_headline_names_are_registered():
     q = entrymod.queries()
     missing = [n for n in bench.HEADLINE if n not in q]
     assert not missing, f"bench.HEADLINE names not in the registry: {missing}"
+
+
+def test_bench_compare_tolerates_zero_timings(tmp_path, capsys):
+    """A sub-millisecond query whose old timing rounded to 0.0 must not
+    ZeroDivisionError the round-over-round diff (r10 ADVICE)."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import bench_compare
+
+    old = {"value": 1.0, "queries": {"a": 0.0, "b": 0.5}}
+    new = {"value": 1.2, "queries": {"a": 0.001, "b": 0.6}}
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    argv = sys.argv
+    sys.argv = ["bench_compare.py", str(po), str(pn)]
+    try:
+        bench_compare.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "worst movers" in out and "median per-query ratio" in out
