@@ -108,6 +108,7 @@ _PRIORITY = [
     "sim_persisted_merge_deltas",  # background multi-delta compaction
     "sim_persisted_concurrent_ingest",  # multi-writer versioned-manifest commit
     "sim_kmeans_distributed",  # cluster-side Lloyd, full-trajectory oracle
+    "text_bpe_encode_ids",  # per-doc token-id sequences, order-sensitive digest
     "stream_crossbatch_dedup_rocksdb_drain",  # at-scale state-store posture
     # -- results/code changed this round: re-prove --
     "text_bpe_train_batched",  # conflict set now includes merged symbol

@@ -1088,6 +1088,140 @@ def text_bpe_tokenize_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _apply_bpe_vocab(spark, sf_dir, fitted)
 
 
+def text_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emit the actual TRAINING TOKEN-ID SEQUENCE per document — the
+    artifact a trainer consumes, not just counts. Pure read path over
+    the persisted 6-round vocabulary:
+
+    - each word type's token list comes from its fitted ``tokstr``;
+    - token ids are a deterministic dense rank over the distinct
+      token strings (ascending — engine-agnostic; merge-order ids are
+      an equally valid convention, the pinned one just needs no extra
+      state);
+    - documents explode to (word, position) keeping empties' positions
+      (so both engines number words identically), join the word→ids
+      table, and re-assemble ORDER-PRESERVING via
+      ``sort_array(collect_list(struct(pos, ids)))`` + ``flatten`` —
+      the id sequence is the in-order concatenation of per-word ids;
+    - the hashed columns are (n_tokens, ids_md5) where ids_md5 is
+      md5 of the comma-joined id string — an exact, order-sensitive
+      digest both engines compute identically (the driver
+      canonicalizer hashes scalars, not arrays).
+
+    Scale: one shuffle-hash join on word (Zipf-bounded vocabulary) +
+    one groupBy(doc_id); per-doc arrays never leave the executor —
+    only the digest does."""
+    tok_re = f"{BPE_S1}([^{BPE_S1}{BPE_S2}]*){BPE_S2}"
+    d = _ensure_bpe_vocab(spark, sf_dir, "b6")
+    fitted = spark.read.parquet(f"{d}/vocab")
+    vocab_tokens = fitted.select(
+        "word",
+        F.expr(f"regexp_extract_all(tokstr, '{tok_re}', 1)").alias("toks"),
+    )
+    # the token set is BOUNDED BY CONSTRUCTION (≤ alphabet + one
+    # symbol per merge), so it is a driver-side scalar like centroids:
+    # collect it, and word→ids becomes a pure literal-map projection —
+    # no explode, no join, no window
+    toks = sorted(
+        r["tok"]
+        for r in vocab_tokens.select(F.explode("toks").alias("tok"))
+        .distinct()
+        .collect()
+    )
+    pairs: list = []
+    for i, t in enumerate(toks):
+        pairs.extend((F.lit(t), F.lit(i + 1).cast("long")))
+    id_map = F.create_map(*pairs)
+    word_ids = vocab_tokens.select(
+        "word",
+        F.transform("toks", lambda t: F.element_at(id_map, t)).alias("ids"),
+    )
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    doc_words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), "[^a-z]+", -1)).alias(
+            "wpos", "word"
+        ),
+    ).filter(F.col("word") != "")
+    per_doc = (
+        doc_words.hint("shuffle_hash")
+        .join(word_ids, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "flatten(transform(array_sort(collect_list("
+                "struct(wpos, ids))), x -> x.ids))"
+            ).alias("ids")
+        )
+        .select(
+            "doc_id",
+            F.size("ids").cast("long").alias("n_tokens"),
+            F.md5(
+                F.expr("array_join(transform(ids, x -> cast(x as string)),"
+                       " ',')")
+            ).alias("ids_md5"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("ids_md5", F.md5(F.lit(""))).alias("ids_md5"),
+        )
+    )
+
+
+def _bpe_encode_ids_oracle() -> str:
+    """DuckDB twin of :func:`text_bpe_encode_ids`: the batched
+    training CTE chain through the fitted word table, the same
+    alphabetical dense-rank token ids, lockstep-unnest word positions
+    (empties numbered, then filtered — identical to posexplode-then-
+    filter), order-preserving flatten, and the same comma-join md5."""
+    # the tokenize twin's text up to (not including) its vocab CTE is
+    # exactly the training chain through the fitted word table w{N}
+    prefix = _bpe_tokenize_batched_oracle().split("vocab AS")[0]
+    n = BPE_BATCH_ROUNDS
+    s1, s2 = "chr(30)", "chr(31)"
+    tok_re = f"{s1} || '([^' || {s1} || {s2} || ']*)' || {s2}"
+    return f"""{prefix}
+        vt AS (
+            SELECT word, regexp_extract_all(tokstr, {tok_re}, 1) AS toks
+            FROM w{n}),
+        idm AS (
+            SELECT tok,
+                   CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT)
+                       AS tok_id
+            FROM (SELECT DISTINCT unnest(toks) AS tok FROM vt)),
+        wids AS (
+            SELECT word, list(tok_id ORDER BY tpos) AS ids
+            FROM (
+                SELECT word,
+                       unnest(generate_series(1, len(toks))) AS tpos,
+                       unnest(toks) AS tok
+                FROM vt) t JOIN idm USING (tok)
+            GROUP BY word),
+        dw AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(ws))) AS wpos,
+                   unnest(ws) AS word
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(text), '[^a-z]+') AS ws
+                  FROM documents)),
+        agg AS (
+            SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS ids
+            FROM (SELECT d.doc_id, d.wpos, w.ids
+                  FROM (SELECT * FROM dw WHERE word != '') d
+                  JOIN wids w USING (word))
+            GROUP BY doc_id)
+        SELECT doc.doc_id,
+               CAST(coalesce(len(a.ids), 0) AS BIGINT) AS n_tokens,
+               coalesce(md5(array_to_string(a.ids, ',')), md5(''))
+                   AS ids_md5
+        FROM documents doc LEFT JOIN agg a USING (doc_id)"""
+
+
 def text_bpe_deep_compression_bound(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1368,6 +1502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_vocab_build_deep": text_bpe_vocab_build_deep,
     "text_bpe_tokenize_deep": text_bpe_tokenize_deep,
     "text_bpe_deep_compression_bound": text_bpe_deep_compression_bound,
+    "text_bpe_encode_ids": text_bpe_encode_ids,
     "text_token_stats": text_token_stats,
     "text_gopher_filters": text_gopher_filters,
     "text_token_stats_bpe": text_token_stats_bpe,
@@ -1486,6 +1621,9 @@ ORACLES: dict[str, str] = {
     # persisted tokenizer must equal the in-process batched tokenizer
     "text_bpe_vocab_build": _bpe_oracle_batched(),
     "text_bpe_tokenize_persisted": _bpe_tokenize_batched_oracle(),
+    # the trainer-facing id sequences: order-sensitive digest of the
+    # exact per-doc token ids under the persisted vocabulary
+    "text_bpe_encode_ids": _bpe_encode_ids_oracle(),
     # deep tier: structural invariants (word-type count recomputed
     # independently; coverage/integrity/target booleans pinned TRUE)
     "text_bpe_vocab_build_deep": (
