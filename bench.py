@@ -128,10 +128,8 @@ HEADLINE = [
     # join, the PQ path the pure-JVM ADC scan over persisted codes.
     "text_bpe_tokenize_persisted",
     "sim_persisted_pq_topk",
-    # added r11: the iterative-integer-ML representative (3 Lloyd
-    # rounds, one K·dim-keyed shuffle each) and the trainer-artifact
-    # emission (order-preserving id-sequence assembly + digest)
-    "sim_kmeans_distributed",
+    # added r11: the trainer-artifact emission representative
+    # (order-preserving id-sequence assembly + digest)
     "text_bpe_encode_ids",
 ]
 

@@ -1356,222 +1356,6 @@ def sim_persisted_delivery_topk(
     )
 
 
-#: Distributed k-means geometry (r11): the CLUSTER-SIDE quantizer
-#: training path. The sample-trained builds are right when a bounded
-#: sample suffices; at 100 TB with a big K you train ON the cluster —
-#: this entry is that path, with every step exact-integer so the full
-#: trajectory carries a DuckDB oracle (unlike the float/seeded numpy
-#: tiers, which are rows-only + recall-bounded).
-KMEANS_K = 8
-KMEANS_ITERS = 3
-KMEANS_MICRO = 1_000_000
-
-
-def sim_kmeans_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means as PURE DataFrame ops — no numpy, no Python
-    UDF, no driver-side training sample:
-
-    - vectors quantize ONCE to micro-unit longs (the ``emb_*`` exact-
-      mean discipline), so every later step is integer-exact and
-      partition-order independent — that is what makes a full-
-      trajectory DuckDB oracle possible for an iterative algorithm;
-    - init: the ``KMEANS_K`` vectors with the smallest
-      ``md5(vec_id)`` (engine-agnostic determinism — Spark and DuckDB
-      agree on md5 hex, unlike xxhash64);
-    - ASSIGN is a JOIN-FREE whole-stage-codegen projection: the K
-      centroids are inlined as literal arrays, per-row ℓ² via
-      ``zip_with``+``aggregate`` longs, argmin via ``array_min`` over
-      (d2, cell) structs (ties → lower cell);
-    - RECOMPUTE is the one shuffle per iteration: ``posexplode`` the
-      quantized vector, groupBy (cell, dim), exact long sums, floor
-      division to micro-unit means (pmod form — identical on negative
-      sums in both engines), reassembled with ``array_sort``; a cell
-      that loses all members keeps its previous centroid;
-    - per-iteration centroids COLLECT to the driver (K·dim longs —
-      the bounded-scalar class) to become the next literals.
-
-    Per iteration at any scale: one projection + one (cell, dim)-keyed
-    shuffle whose cardinality is K·dim, never corpus-sized. Returns
-    per-cell (n_members, centroid_sum_micros, wss) of the final state
-    — the k-means objective itself under the driver hash; the oracle
-    replays all ``KMEANS_ITERS`` assign/recompute rounds unrolled."""
-    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    q = e.select(
-        "vec_id",
-        F.expr(
-            f"transform(embedding, x -> cast(round(cast(x as double)"
-            f" * {KMEANS_MICRO}) as long))"
-        ).alias("q"),
-    ).localCheckpoint()  # read every iteration
-    init_rows = (
-        q.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(KMEANS_K)
-        .collect()
-    )
-    cents: list[list[int]] = [list(r["q"]) for r in init_rows]
-
-    def assign(cent_rows: list[list[int]]) -> DataFrame:
-        lit = F.array(
-            *[
-                F.array(*[F.lit(int(v)) for v in c]).cast("array<long>")
-                for c in cent_rows
-            ]
-        )
-        scored = q.select(
-            "vec_id",
-            "q",
-            F.array_min(
-                F.transform(
-                    lit,
-                    lambda c, i: F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                F.col("q"), c, lambda a, b: (a - b) * (a - b)
-                            ),
-                            F.lit(0).cast("long"),
-                            lambda acc, x: acc + x,
-                        ).alias("d2"),
-                        i.cast("int").alias("cell"),
-                    ),
-                )
-            ).alias("best"),
-        )
-        return scored.select(
-            "vec_id", "q", F.col("best.cell").alias("cell"),
-            F.col("best.d2").alias("d2"),
-        )
-
-    assigned = None
-    for _ in range(KMEANS_ITERS):
-        assigned = assign(cents)
-        dims = (
-            assigned.select("cell", F.posexplode("q").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .select(
-                "cell",
-                "pos",
-                # floor division via pmod — exact and sign-correct in
-                # both engines (plain integer '/' truncates in DuckDB)
-                ((F.col("s") - F.pmod("s", "n")) / F.col("n"))
-                .cast("long")
-                .alias("m"),
-            )
-        )
-        new_rows = (
-            dims.groupBy("cell")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, m))),"
-                    " x -> x.m)"
-                ).alias("c")
-            )
-            .collect()
-        )
-        by_cell = {int(r["cell"]): list(r["c"]) for r in new_rows}
-        cents = [by_cell.get(k, cents[k]) for k in range(KMEANS_K)]
-
-    # final state: re-assign against the FINAL centroids and report the
-    # per-cell objective — n_members, centroid signature, exact WSS
-    final = assign(cents)
-    cent_df = spark.createDataFrame(
-        [(k, sum(c)) for k, c in enumerate(cents)],
-        "cell int, centroid_sum_micros bigint",
-    )
-    stats = final.groupBy("cell").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.sum("d2").cast("long").alias("wss"),
-    )
-    return (
-        cent_df.join(stats, "cell", "left")
-        .select(
-            F.col("cell").cast("long").alias("cell"),
-            F.coalesce("n_members", F.lit(0)).cast("long").alias("n_members"),
-            "centroid_sum_micros",
-            F.coalesce("wss", F.lit(0)).cast("long").alias("wss"),
-        )
-        .orderBy("cell")
-    )
-
-
-def _kmeans_oracle() -> str:
-    """Unrolled DuckDB replay of the full distributed-k-means
-    trajectory: quantization, md5 init, per-iteration lockstep-unnest
-    recompute with the identical pmod floor division, carried empty
-    cells, and the final per-cell objective."""
-    k, iters, micro = KMEANS_K, KMEANS_ITERS, KMEANS_MICRO
-    parts = [
-        f"""WITH qv AS (
-            SELECT vec_id,
-                   list_transform(embedding,
-                       x -> CAST(round(CAST(x AS DOUBLE) * {micro})
-                                 AS BIGINT)) AS q
-            FROM embeddings),
-        c0 AS (
-            SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id
-                       AS VARCHAR)), vec_id) - 1 AS INT) AS cell, q
-            FROM qv
-            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})"""
-    ]
-    for i in range(iters):
-        nxt = i + 1
-        parts.append(f"""a{i} AS (
-            SELECT vec_id, q,
-                   CAST(best['cell'] AS INT) AS cell, best['d2'] AS d2
-            FROM (
-                SELECT v.vec_id, v.q,
-                       min(struct_pack(
-                           d2 := CAST(list_sum(list_transform(
-                               generate_series(1, len(v.q)),
-                               j -> (v.q[j] - c.q[j])
-                                    * (v.q[j] - c.q[j]))) AS BIGINT),
-                           cell := CAST(c.cell AS BIGINT))) AS best
-                FROM qv v, c{i} c
-                GROUP BY v.vec_id, v.q)),
-        d{i} AS (
-            SELECT cell, pos,
-                   CAST(sum(val) AS BIGINT) AS s,
-                   CAST(count(*) AS BIGINT) AS n
-            FROM (
-                SELECT cell,
-                       unnest(generate_series(1, len(q))) AS pos,
-                       unnest(q) AS val
-                FROM a{i})
-            GROUP BY cell, pos),
-        c{nxt} AS (
-            SELECT cell, q FROM (
-                SELECT cell,
-                       list(CAST((s - ((s % n + n) % n)) / n AS BIGINT)
-                            ORDER BY pos) AS q
-                FROM d{i} GROUP BY cell)
-            UNION ALL
-            SELECT p.cell, p.q FROM c{i} p
-            WHERE p.cell NOT IN (SELECT DISTINCT cell FROM d{i}))""")
-    return (
-        ",\n".join(parts)
-        + f""",
-        fin AS (
-            SELECT v.vec_id,
-                   min(struct_pack(
-                       d2 := CAST(list_sum(list_transform(
-                           generate_series(1, len(v.q)),
-                           j -> (v.q[j] - c.q[j])
-                                * (v.q[j] - c.q[j]))) AS BIGINT),
-                       cell := CAST(c.cell AS BIGINT))) AS best
-            FROM qv v, c{iters} c
-            GROUP BY v.vec_id)
-        SELECT CAST(c.cell AS BIGINT) AS cell,
-               CAST(coalesce(s.n_members, 0) AS BIGINT) AS n_members,
-               CAST(list_sum(c.q) AS BIGINT) AS centroid_sum_micros,
-               CAST(coalesce(s.wss, 0) AS BIGINT) AS wss
-        FROM c{iters} c LEFT JOIN (
-            SELECT best['cell'] AS cell,
-                   count(*) AS n_members, sum(best['d2']) AS wss
-            FROM fin GROUP BY 1) s ON s.cell = c.cell
-        ORDER BY cell"""
-    )
-
-
 #: Background-compaction policy (r10 VERDICT Next #5): fold the delta
 #: stack into a new base version once it holds this many segments. The
 #: policy is deterministic so the merge entry is driver-hashable; a
@@ -2097,7 +1881,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_persisted_ingest_delta": sim_persisted_ingest_delta,  # oracle-backed
     "sim_persisted_merge_deltas": sim_persisted_merge_deltas,  # oracle-backed
     "sim_persisted_concurrent_ingest": sim_persisted_concurrent_ingest,  # oracle-backed
-    "sim_kmeans_distributed": sim_kmeans_distributed,  # full-trajectory oracle
     "sim_persisted_delivery_topk": sim_persisted_delivery_topk,  # rows-only
     "sim_incremental_ivf": sim_incremental_ivf,  # rows-only (probabilistic)
     "sim_lsh_topk": sim_lsh_topk,  # rows-only (probabilistic recall)
@@ -2128,9 +1911,6 @@ ORACLES: dict[str, str] = {
                TRUE AS manifest_complete
         FROM embeddings
         WHERE vec_id % {DELIVERY_MOD} = {DELIVERY_MOD - 1}""",
-    # distributed Lloyd: the oracle replays every assign/recompute
-    # round exactly (integer micro-units end to end)
-    "sim_kmeans_distributed": _kmeans_oracle(),
     # multi-writer commit: the final manifest must cover the FULL
     # corpus (base ∪ both writers' deliveries), through a 3-version
     # monotone chain with the stale commit demonstrably rejected

@@ -112,20 +112,3 @@ def test_persisted_recall_checks_green(built_pq, built_ivfpq, spark, sf_dir):
         row = fn(spark, sf_dir).collect()[0]
         assert row["recall_ok"] is True
         assert row["n_queries"] == sim.N_QUERIES
-
-
-def test_kmeans_distributed_structure(spark, sf_dir):
-    """Distributed Lloyd (r11): the assignment must PARTITION the
-    corpus (every vector in exactly one of K cells), and the whole
-    plan must be JVM-side — no numpy, no Python/Arrow eval anywhere
-    (the assign step is a literal-centroid projection; the recompute
-    is a (cell, dim)-keyed exact-integer shuffle)."""
-    df = sim.sim_kmeans_distributed(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    rows = df.collect()
-    e = sim.load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    assert len(rows) == sim.KMEANS_K
-    assert sum(r["n_members"] for r in rows) == e.count()
-    assert all(r["wss"] >= 0 for r in rows)
-    assert [r["cell"] for r in rows] == list(range(sim.KMEANS_K))
