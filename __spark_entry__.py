@@ -71,7 +71,7 @@ _REGISTRY_MODULES = [
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
 # at ENTRY level. Round-11 ordering (VERDICT.md r10, Next #1-#6):
-# (1) the FIFTEEN new r11 entries that have never been in a driver
+# (1) the EIGHTEEN new r11 entries that have never been in a driver
 # window — the persisted-BPE lifecycle (6-round vocab build whose
 # oracle replays the full trajectory against the ON-DISK merge table,
 # the pure-read-path tokenizer, the deep ≥512-target tier with its
@@ -79,9 +79,9 @@ _REGISTRY_MODULES = [
 # #1/#7), the persisted PQ and IVF-PQ lifecycles (build summaries +
 # training-free ADC read paths + recall bounds; r10 Next #4), the
 # multi-delta background merge (r10 Next #5) plus the multi-writer
-# versioned-manifest commit, the per-doc token-id emission, and the
-# RocksDB-provider cross-batch-dedup drain (r10 Next #6); (2) the FOUR
-# entries whose
+# versioned-manifest commit, the per-doc token-id emission, the
+# exact-Gramian/PCA tier, and the RocksDB-provider cross-batch-dedup
+# drain (r10 Next #6); (2) the FOUR entries whose
 # results or code changed this round and must re-prove — the two
 # batched-BPE entries (the in-round conflict set now includes the
 # merged output symbol on both engines, r10 ADVICE — the merge table
@@ -110,6 +110,9 @@ _PRIORITY = [
     "sim_persisted_merge_deltas",  # background multi-delta compaction
     "sim_persisted_concurrent_ingest",  # multi-writer versioned-manifest commit
     "text_bpe_encode_ids",  # per-doc token-id sequences, order-sensitive digest
+    "emb_gramian_exact",  # distributed exact second-moment matrix
+    "emb_pca_project",  # top-K eigenbasis projection (rows-only)
+    "emb_pca_variance_check",  # trace + decomposition invariants
     "stream_crossbatch_dedup_rocksdb_drain",  # at-scale state-store posture
     # -- results/code changed this round: re-prove --
     "text_bpe_train_batched",  # conflict set now includes merged symbol

@@ -252,16 +252,222 @@ def _kmeans_oracle() -> str:
     return sql
 
 
+# ---------------------------------------------------------------------------
+# PCA over the embedding corpus (r11): the dimensionality-reduction pass
+# an embedding pipeline runs for whitening / PQ subspace rotation /
+# cheap visualization. Spark-first split of the algorithm:
+#
+# - the GRAMIAN (second-moment matrix) is the distributed part — one
+#   scan, per-row upper-triangle outer products in integer micro-units
+#   (exact, partition-order independent), one dim²-keyed groupBy whose
+#   cardinality is dim(dim+1)/2 = 2,080 cells, NEVER corpus-sized; at
+#   100 TB this is a map-side-combined aggregation, the same shape
+#   MLlib's computeGramianMatrix uses;
+# - the EIGENDECOMPOSITION is a driver-side numpy `eigh` on the exact
+#   64×64 matrix (a bounded scalar, the codebook-training class);
+# - the PROJECTION is again distributed: top-K eigenvectors enter the
+#   plan as literals, each component one zip_with/aggregate fold.
+#
+# Oracle split mirrors the math: the Gramian is hash-proven cell by
+# cell (DuckDB replays the exact integer aggregation); the projection
+# is rows-only (eigenvectors are sign/rotation ambiguous), bounded by
+# `emb_pca_variance_check` — trace recomputed exactly by DuckDB plus
+# three invariants (Σλ == trace(C), top-K mass ≥ K/dim of total — a
+# theorem for sorted eigenvalues, not an empirical floor — and PSD).
+# ---------------------------------------------------------------------------
+
+PCA_K = 8
+
+
+def emb_gramian_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle second-moment matrix Σ_v q_i·q_j in exact integer
+    micro²-units: (i, j, gram_sum) for 1 ≤ i ≤ j ≤ dim, hash-proven.
+    One scan + one groupBy over dim(dim+1)/2 keys."""
+    d = _qvecs(spark, sf_dir)
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(q)), i ->"
+                " transform(sequence(i, size(q)), j ->"
+                " struct(i AS i, j AS j,"
+                " element_at(q, i) * element_at(q, j) AS p))))"
+            )
+        ).alias("e")
+    )
+    return (
+        pairs.groupBy(
+            F.col("e.i").cast("long").alias("i"),
+            F.col("e.j").cast("long").alias("j"),
+        )
+        .agg(F.sum("e.p").cast("long").alias("gram_sum"))
+        .orderBy("i", "j")
+    )
+
+
+def _pca_eigh(spark: SparkSession, sf_dir: str):
+    """Driver-side tail of the PCA split: assemble the exact Gramian
+    and micro-unit means, form the centered covariance (in micro²
+    float — exact ints until the final division), and eigendecompose.
+    Returns (eigenvalues desc, eigenvectors as rows, n)."""
+    import numpy as np
+
+    d = _qvecs(spark, sf_dir)
+    rows = emb_gramian_exact(spark, sf_dir).collect()
+    sums = d.select(
+        F.posexplode("q").alias("pos", "val")
+    ).groupBy("pos").agg(F.sum("val").alias("s")).collect()
+    n = d.count()
+    dim = max(r["pos"] for r in sums) + 1
+    mu = np.zeros(dim)
+    for r in sums:
+        mu[r["pos"]] = r["s"] / n
+    g = np.zeros((dim, dim))
+    for r in rows:
+        g[r["i"] - 1, r["j"] - 1] = r["gram_sum"]
+        g[r["j"] - 1, r["i"] - 1] = r["gram_sum"]
+    cov = g / n - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1]
+    return w[order], v[:, order], n
+
+
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every vector onto the top-``PCA_K`` principal
+    components of the centered covariance (eigenbasis from the exact
+    Gramian). Rows-only at the driver — eigenvectors are sign- and
+    rotation-ambiguous across LAPACK builds — with the hash-green
+    bound twin :func:`emb_pca_variance_check`; pytest pins
+    orthonormality and the component-variance ordering. The projection
+    itself is JVM-side: each component is one zip_with/aggregate fold
+    against literal (mean-centered) eigenvector arrays."""
+    import numpy as np
+
+    w, v, _n = _pca_eigh(spark, sf_dir)
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    d = e.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # centering folds into the fold's initial value: (x−μ)·w = x·w − μ·w
+    mu = None
+    qd = _qvecs(spark, sf_dir)
+    sums = qd.select(F.posexplode("q").alias("pos", "val")).groupBy(
+        "pos"
+    ).agg(F.sum("val").alias("s")).collect()
+    n = qd.count()
+    dim = max(r["pos"] for r in sums) + 1
+    mu = np.zeros(dim)
+    for r in sums:
+        mu[r["pos"]] = r["s"] / n / KMEANS_Q  # back to raw units
+    cols = []
+    for k in range(PCA_K):
+        wk = v[:, k]
+        arr = F.array(*[F.lit(float(x)) for x in wk])
+        shift = float(mu @ wk) * KMEANS_Q  # micro-unit shift
+        cols.append(
+            (
+                F.aggregate(
+                    F.zip_with("v", arr, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * KMEANS_Q
+                - F.lit(shift)
+            ).alias(f"pc{k + 1}_micro")
+        )
+    return d.select("vec_id", *cols).orderBy("vec_id")
+
+
+def emb_pca_variance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-green bound twin for the PCA tier: the exact Gramian trace
+    (DuckDB recomputes it independently in the same integer
+    micro²-units) plus three invariants of the eigendecomposition —
+    Σλ matches trace(C) to relative 1e-9 (the decomposition conserved
+    variance), the top-``PCA_K`` eigenvalue mass is ≥ K/dim of the
+    total (a THEOREM for sorted eigenvalues — the mean of the largest
+    K is ≥ the overall mean — so the boolean can only flip on a broken
+    decomposition, never on data), and PSD up to −1e-9·trace numerical
+    tolerance."""
+    import numpy as np
+
+    w, _v, n = _pca_eigh(spark, sf_dir)
+    d = _qvecs(spark, sf_dir)
+    trace_g = (
+        d.select(
+            F.aggregate(
+                F.zip_with("q", "q", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("s"))
+        .collect()[0]["s"]
+    )
+    trace_c = float(np.sum(w))
+    # trace(C) from the exact pieces: trace(G)/n − |μ|²
+    sums = d.select(F.posexplode("q").alias("pos", "val")).groupBy(
+        "pos"
+    ).agg(F.sum("val").alias("s")).collect()
+    mu2 = sum((r["s"] / n) ** 2 for r in sums)
+    expect = trace_g / n - mu2
+    dim = len(w)
+    return spark.createDataFrame(
+        [
+            (
+                int(trace_g),
+                bool(abs(trace_c - expect) <= 1e-9 * max(abs(expect), 1.0)),
+                bool(
+                    float(np.sum(w[:PCA_K])) >= PCA_K / dim * trace_c - 1e-9
+                ),
+                bool(float(np.min(w)) >= -1e-9 * max(trace_c, 1.0)),
+            )
+        ],
+        "gram_trace bigint, eig_mass_matches_trace boolean,"
+        " topk_mass_ge_uniform boolean, psd_ok boolean",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_norm_stats": emb_norm_stats,
     "emb_label_profile": emb_label_profile,
     "emb_kmeans_assign": emb_kmeans_assign,
+    "emb_gramian_exact": emb_gramian_exact,
+    "emb_pca_project": emb_pca_project,
+    "emb_pca_variance_check": emb_pca_variance_check,
 }
 
 _NORM_SQL = "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
 
+_QX_SQL = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+    f" * {KMEANS_Q}) AS BIGINT))"
+)
+
 ORACLES: dict[str, str] = {
     "emb_kmeans_assign": _kmeans_oracle(),
+    # the exact integer Gramian, replayed cell by cell
+    "emb_gramian_exact": f"""
+        WITH q AS (
+            SELECT {_QX_SQL} AS q FROM embeddings
+            WHERE embedding IS NOT NULL),
+        pairs AS (
+            SELECT unnest(flatten(list_transform(
+                       generate_series(1, len(q)), i ->
+                       list_transform(generate_series(i, len(q)), j ->
+                           struct_pack(i := i, j := j,
+                                       p := q[i] * q[j]))))) AS e
+            FROM q)
+        SELECT CAST(e['i'] AS BIGINT) AS i, CAST(e['j'] AS BIGINT) AS j,
+               CAST(sum(e['p']) AS BIGINT) AS gram_sum
+        FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""",
+    # trace recomputed independently; decomposition invariants pinned
+    "emb_pca_variance_check": f"""
+        SELECT CAST(sum(list_sum(list_transform(q, x -> x * x)))
+                    AS BIGINT) AS gram_trace,
+               TRUE AS eig_mass_matches_trace,
+               TRUE AS topk_mass_ge_uniform,
+               TRUE AS psd_ok
+        FROM (SELECT {_QX_SQL} AS q FROM embeddings
+              WHERE embedding IS NOT NULL)""",
     "emb_norm_stats": f"""
         SELECT vec_id, label,
                CAST(len(embedding) AS BIGINT) AS dim,

@@ -41,3 +41,38 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
             approx[nation],
             n,
         )
+
+
+def test_pca_eigenbasis_properties(spark, sf_dir):
+    """PCA tier (r11): the eigenbasis from the exact Gramian must be
+    orthonormal, eigenvalues sorted descending, and the distributed
+    Gramian must equal numpy's computed from the same quantized
+    vectors; projected component variances must follow the eigenvalue
+    order."""
+    import numpy as np
+
+    from customer_revenue_analysis_sql_tableau_spark.operators import (
+        embeddings as emb,
+    )
+
+    w, v, n = emb._pca_eigh(spark, sf_dir)
+    assert np.all(np.diff(w) <= 1e-9)  # descending
+    assert np.allclose(v.T @ v, np.eye(v.shape[1]), atol=1e-9)
+    # distributed exact Gramian == numpy twin on the quantized matrix
+    q = np.array(
+        [r["q"] for r in emb._qvecs(spark, sf_dir).orderBy("vec_id").collect()],
+        dtype=np.int64,
+    )
+    g_np = q.T @ q
+    rows = emb.emb_gramian_exact(spark, sf_dir).collect()
+    for r in rows[:200]:
+        assert g_np[r["i"] - 1, r["j"] - 1] == r["gram_sum"]
+    # component variances follow the eigenvalue order (top-PCA_K)
+    proj = emb.emb_pca_project(spark, sf_dir).toPandas()
+    variances = [
+        proj[f"pc{k + 1}_micro"].to_numpy().var() for k in range(emb.PCA_K)
+    ]
+    assert all(
+        variances[k] + 1e-6 >= variances[k + 1]
+        for k in range(emb.PCA_K - 1)
+    )
