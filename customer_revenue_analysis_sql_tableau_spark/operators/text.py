@@ -1073,9 +1073,10 @@ def text_bpe_vocab_build_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     512-step trajectory has no tractable SQL replay; correctness rests
     on (a) these hash-pinned invariants, (b) the hash-green bound twin
     :func:`text_bpe_deep_compression_bound`, and (c) pytest equality
-    of the deep table's prefix with the oracle-replayed 6-round tier
-    (the first rounds of both tiers coincide while the candidate
-    window agrees — asserted structurally in tests)."""
+    of the deep table's ROUND-1 batch with the oracle-replayed 6-round
+    tier's (the candidate orderings coincide at the head while
+    conflicts don't exhaust the narrow window —
+    ``test_deep_first_round_coincides_with_shallow``)."""
     return _bpe_vocab_build_summary(spark, sf_dir, "deep")
 
 

@@ -144,3 +144,20 @@ def test_changed_corpus_changes_vocab_dir(spark, sf_dir, tmp_path):
     assert T._bpe_vocab_dir(spark, str(alt), "b6") != T._bpe_vocab_dir(
         spark, sf_dir, "b6"
     )
+
+
+def test_deep_first_round_coincides_with_shallow(built_vocabs, spark):
+    """The deep tier runs the SAME greedy loop with a wider candidate
+    window; while the top of the candidate ordering is identical and
+    conflicts don't exhaust the narrow window (true in round 1 on any
+    non-degenerate corpus), the two tiers must select the same round-1
+    batch — the structural tie between the oracle-replayed 6-round
+    trajectory and the deep table's head."""
+    b6, deep = built_vocabs
+    first = lambda d: sorted(  # noqa: E731
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in spark.read.parquet(f"{d}/merges")
+        .filter("round = 1")
+        .collect()
+    )
+    assert first(b6) == first(deep)
