@@ -161,3 +161,46 @@ def test_deep_first_round_coincides_with_shallow(built_vocabs, spark):
         .collect()
     )
     assert first(b6) == first(deep)
+
+
+def test_deep_target_path_on_rich_corpus(spark, tmp_path):
+    """This fixture corpus exhausts before the deep target, so the
+    TARGET-REACHED stop never executes against testdata — exercise it
+    on a synthetic corpus with enough word types: the loop must stop
+    at exactly the requested merge count, within the round budget,
+    and every round's selected batch must have pairwise-disjoint
+    {left, right, merged} symbol sets — the invariant that makes batch
+    application order-independent (r10 ADVICE)."""
+    import itertools
+
+    # ~17k distinct 6-char word types (deterministic), Zipf-ish counts
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    words = [
+        "".join(t)
+        for t in itertools.islice(itertools.product(alphabet, repeat=3), 600)
+    ]
+    rows = [
+        (i, " ".join(w + w[::-1] for w in words[i % 97 : i % 97 + 12]))
+        for i in range(300)
+    ]
+    sf = tmp_path / "sf_rich"
+    sf.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(sf / "documents.parquet")
+    )
+    target = 64
+    merges, _fitted = T._bpe_fit_batched(
+        spark, str(sf), rounds=16, cand_window=128, target=target
+    )
+    assert len(merges) == target
+    by_round: dict[int, list] = {}
+    for _rank, rnd, left, right, _c in merges:
+        by_round.setdefault(rnd, []).append((left, right))
+    assert max(by_round) <= 16
+    for rnd, sel in by_round.items():
+        assert len(sel) <= T.BPE_BATCH_B
+        used: set[str] = set()
+        for left, right in sel:
+            trio = {left, right, f"{left}{right}"}
+            assert not (trio & used), (rnd, sel)
+            used |= trio
