@@ -71,7 +71,7 @@ _REGISTRY_MODULES = [
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
 # at ENTRY level. Round-11 ordering (VERDICT.md r10, Next #1-#6):
-# (1) the EIGHTEEN new r11 entries that have never been in a driver
+# (1) the NINETEEN new r11 entries that have never been in a driver
 # window — the persisted-BPE lifecycle (6-round vocab build whose
 # oracle replays the full trajectory against the ON-DISK merge table,
 # the pure-read-path tokenizer, the deep ≥512-target tier with its
@@ -80,7 +80,8 @@ _REGISTRY_MODULES = [
 # training-free ADC read paths + recall bounds; r10 Next #4), the
 # multi-delta background merge (r10 Next #5) plus the multi-writer
 # versioned-manifest commit, the per-doc token-id emission, the
-# exact-Gramian/PCA tier, and the RocksDB-provider cross-batch-dedup
+# exact-Gramian/PCA tier, the recursive-CTE reachability (the
+# oracle is the identical standard-SQL text), and the RocksDB-provider cross-batch-dedup
 # drain (r10 Next #6); (2) the FOUR entries whose
 # results or code changed this round and must re-prove — the two
 # batched-BPE entries (the in-round conflict set now includes the
@@ -110,6 +111,7 @@ _PRIORITY = [
     "sim_persisted_merge_deltas",  # background multi-delta compaction
     "sim_persisted_concurrent_ingest",  # multi-writer versioned-manifest commit
     "text_bpe_encode_ids",  # per-doc token-id sequences, order-sensitive digest
+    "graph_reachability_recursive",  # standard WITH RECURSIVE BFS, shared SQL
     "emb_gramian_exact",  # distributed exact second-moment matrix
     "emb_pca_project",  # top-K eigenbasis projection (rows-only)
     "emb_pca_variance_check",  # trace + decomposition invariants

@@ -402,10 +402,75 @@ def _pagerank_directed_oracle() -> str:
     return sql
 
 
+#: Recursive-CTE reachability (r11): BFS depth bound and the seed
+#: customer ids (custkey 1..8 → even node ids 2..16 in the parity
+#: node space). Depth 3 spans the graph's full alternation
+#: (customer → part → returning customer → part) while the sparse
+#: return edges keep the path bag bounded.
+REACH_MAX_DEPTH = 3
+
+#: The SHARED SQL text — Spark 4.1 and DuckDB both implement standard
+#: ``WITH RECURSIVE``, so the oracle IS the query: one dialect-portable
+#: string, no translation layer to drift.
+_REACHABILITY_SQL = f"""
+WITH RECURSIVE base AS (
+    SELECT l.l_partkey AS partkey, o.o_custkey AS custkey,
+           l.l_returnflag AS rf, l.l_quantity AS qty
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+edges AS (
+    SELECT DISTINCT custkey * 2 AS src, partkey * 2 + 1 AS dst FROM base
+    UNION
+    SELECT DISTINCT partkey * 2 + 1 AS src, custkey * 2 AS dst
+    FROM base WHERE rf = 'R' AND qty >= {RETURN_QTY_MIN}),
+seeds AS (
+    SELECT DISTINCT src AS node FROM edges
+    WHERE src IN (2, 4, 6, 8, 10, 12, 14, 16)),
+reach AS (
+    SELECT node, 0 AS depth FROM seeds
+    UNION ALL
+    SELECT e.dst AS node, r.depth + 1 AS depth
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.depth < {REACH_MAX_DEPTH})
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(min(depth) AS BIGINT) AS min_depth,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY node"""
+
+
+def graph_reachability_recursive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Depth-bounded BFS over the directed supply/return graph as a
+    STANDARD ``WITH RECURSIVE`` CTE (Spark 4.1's recursive-CTE
+    support) — the SQL-surface way to express iterative graph
+    traversal, next to the DataFrame-loop PageRank entries. Seeds are
+    the first eight customers; each recursion step is one
+    edges ⋈ frontier join, bounded by ``REACH_MAX_DEPTH``; the output
+    pins per node both ``min_depth`` (the BFS answer) and ``n_paths``
+    (the full path-bag cardinality — a trajectory-strength check: a
+    wrong frontier at ANY depth changes it).
+
+    The oracle is the IDENTICAL SQL string run by DuckDB — both
+    engines implement the standard, so there is no translation to
+    drift (probed: bag semantics of the recursive UNION ALL, the
+    UNION-dedup in the edge CTE, and integer division-free parity
+    node ids agree bit-for-bit).
+
+    Scale: the recursion materializes only the frontier bag per step;
+    edges build once from the fact join (one shuffle). A production
+    unbounded-reachability would switch to the big-star/small-star
+    pattern ``dedup_components`` already implements; the recursive
+    CTE is the right tool for the DEPTH-BOUNDED traversals (fraud
+    rings, n-hop features) a pipeline actually runs."""
+    load_tables(spark, sf_dir, names=("lineitem", "orders"))
+    return spark.sql(_REACHABILITY_SQL)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank_copurchase": graph_pagerank_copurchase,
     "graph_pagerank_directed": graph_pagerank_directed,
     "graph_triangle_stats": graph_triangle_stats,
+    "graph_reachability_recursive": graph_reachability_recursive,
 }
 
 #: Shared edge CTEs for the oracle twins.
@@ -422,6 +487,8 @@ _EDGE_CTES = """
 
 ORACLES: dict[str, str] = {
     "graph_pagerank_copurchase": _pagerank_oracle(),
+    # the oracle IS the query: one standard-SQL recursive CTE text
+    "graph_reachability_recursive": _REACHABILITY_SQL,
     "graph_pagerank_directed": _pagerank_directed_oracle(),
     # identical degree orientation and wedge closure, replayed in SQL
     "graph_triangle_stats": f"""

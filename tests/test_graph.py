@@ -268,3 +268,23 @@ def test_leakage_safe_split_fixes_a_doc_keyed_straddle():
         % 100
     )
     assert 0 <= comp_bucket < 100
+
+
+def test_recursive_reachability_structure(spark, sf_dir):
+    """WITH RECURSIVE BFS (r11): the parity node space forces
+    min_depth parity == node parity (seeds are even customer nodes;
+    every hop flips kind), seeds sit at depth 0 with exactly one path,
+    and depths stay within the recursion bound."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.graph import (
+        REACH_MAX_DEPTH,
+        graph_reachability_recursive,
+    )
+
+    rows = graph_reachability_recursive(spark, sf_dir).collect()
+    assert rows
+    seeds = [r for r in rows if r["min_depth"] == 0]
+    assert seeds and all(r["node"] % 2 == 0 for r in seeds)
+    assert all(r["n_paths"] >= 1 for r in rows)
+    for r in rows:
+        assert 0 <= r["min_depth"] <= REACH_MAX_DEPTH
+        assert r["min_depth"] % 2 == r["node"] % 2
