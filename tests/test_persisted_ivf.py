@@ -220,3 +220,37 @@ def test_concurrent_ingest_commit_protocol(spark, sf_dir):
     # idempotent: a second call re-reads the committed chain
     again = sim.sim_persisted_concurrent_ingest(spark, sf_dir).collect()[0]
     assert tuple(again) == tuple(row)
+
+
+def test_manifest_cas_real_multiprocess_race(tmp_path):
+    """The commit protocol's primitive — atomic create-exclusive of
+    manifest_v{N+1} — under a REAL race: many processes attempt the
+    same version simultaneously; exactly one must win and every loser
+    must observe FileExistsError (no torn manifests, no double win).
+    (The registry entry replays the conflict schedule deterministically
+    for the driver hash; this pins the primitive it relies on.)"""
+    import json
+    import multiprocessing as mp
+
+    target = tmp_path / "manifest_v2"
+
+    def attempt(idx, q):
+        try:
+            with open(target, "x") as fh:
+                json.dump({"winner": idx}, fh)
+            q.put(("won", idx))
+        except FileExistsError:
+            q.put(("lost", idx))
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=attempt, args=(i, q)) for i in range(8)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(30)
+    results = [q.get(timeout=10) for _ in procs]
+    winners = [i for s, i in results if s == "won"]
+    assert len(winners) == 1, results
+    assert len([1 for s, _ in results if s == "lost"]) == 7
+    assert json.load(open(target))["winner"] == winners[0]
