@@ -204,3 +204,23 @@ def test_deep_target_path_on_rich_corpus(spark, tmp_path):
             trio = {left, right, f"{left}{right}"}
             assert not (trio & used), (rnd, sel)
             used |= trio
+
+
+def test_torn_build_rebuilds_identically(spark, sf_dir, built_vocabs):
+    """Meta is written LAST so its absence marks an incomplete build:
+    rip meta off a finished artifact dir (what a crash mid-build
+    leaves) and the next read-path call must rebuild and answer
+    exactly as before — never serve the torn artifact silently."""
+    import shutil
+
+    before = sorted(
+        map(tuple, T.text_bpe_tokenize_persisted(spark, sf_dir).collect())
+    )
+    d = T._bpe_vocab_dir(spark, sf_dir, "b6")
+    shutil.rmtree(f"{d}/meta".removeprefix("file:"))
+    after = sorted(
+        map(tuple, T.text_bpe_tokenize_persisted(spark, sf_dir).collect())
+    )
+    assert after == before
+    # and the rebuild completed: meta is back
+    assert spark.read.parquet(f"{d}/meta").count() == 1

@@ -112,3 +112,21 @@ def test_persisted_recall_checks_green(built_pq, built_ivfpq, spark, sf_dir):
         row = fn(spark, sf_dir).collect()[0]
         assert row["recall_ok"] is True
         assert row["n_queries"] == sim.N_QUERIES
+
+
+def test_torn_pq_build_rebuilds_identically(spark, sf_dir, built_pq):
+    """Same crash-consistency rule as the vocab artifacts: a PQ index
+    dir without meta is an incomplete build; the read path must
+    rebuild (idempotent trainer, same seeds) and answer identically."""
+    import shutil
+
+    before = sorted(
+        map(tuple, sim.sim_persisted_pq_topk(spark, sf_dir).collect())
+    )
+    d = sim._pq_index_dir(spark, sf_dir)
+    shutil.rmtree(f"{d}/meta".removeprefix("file:"))
+    after = sorted(
+        map(tuple, sim.sim_persisted_pq_topk(spark, sf_dir).collect())
+    )
+    assert after == before
+    assert spark.read.parquet(f"{d}/meta").count() == 1
