@@ -1519,27 +1519,39 @@ def sim_persisted_concurrent_ingest(
     import os
 
     d = _ensure_multi_deltas(spark, sf_dir)  # both writers' staged segments
-    mdir = f"{d}/segments_manifest"
+    # Spark reads take the warehouse URI as-is; the manifest files are
+    # written with plain os I/O, which needs the local PATH — passing
+    # the "file:"-schemed URI to open()/makedirs() would silently
+    # create a literal "./file:/..." tree (found by the torn-protocol
+    # pytest; the registered results were consistent but the artifacts
+    # landed outside the warehouse)
+    mdir = f"{d}/segments_manifest".removeprefix("file:")
     flag = f"{mdir}/stale_commit_rejected"
-    if not os.path.isdir(mdir):
+    # v3 is the protocol's COMPLETION MARKER (the meta-written-last
+    # discipline): a crash mid-protocol leaves it absent, and re-entry
+    # replays the deterministic commits idempotently
+    if not os.path.exists(f"{mdir}/manifest_v3"):
         os.makedirs(mdir, exist_ok=True)
 
-        def commit(version: int, segments: list[str]) -> None:
+        def commit(version: int, segments: list[str]) -> bool:
             # atomic create-exclusive IS the CAS: two writers racing
             # to the same version — exactly one create succeeds
-            with open(f"{mdir}/manifest_v{version}", "x") as fh:
-                _json.dump({"version": version, "segments": segments}, fh)
+            try:
+                with open(f"{mdir}/manifest_v{version}", "x") as fh:
+                    _json.dump(
+                        {"version": version, "segments": segments}, fh
+                    )
+                return True
+            except FileExistsError:
+                return False
 
         commit(1, ["postings"])  # the build's base segment
         # writer A: read v1, commit v2 = v1 + its segment
         commit(2, ["postings", "insert_delta_w1"])
-        # writer B: STALE read of v1 → attempts v2 and must be rejected
-        rejected = False
-        try:
-            commit(2, ["postings", "insert_delta_w2"])
-        except FileExistsError:
-            rejected = True
-        if rejected:
+        # writer B: STALE read of v1 → attempts v2 and must be
+        # rejected (A's v2 is already on disk — on first run and on
+        # any crash replay alike)
+        if not commit(2, ["postings", "insert_delta_w2"]):
             with open(flag, "w") as fh:
                 fh.write("1")
         # writer B rebases: re-reads the head (v2), commits v3 with

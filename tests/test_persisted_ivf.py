@@ -254,3 +254,26 @@ def test_manifest_cas_real_multiprocess_race(tmp_path):
     assert len(winners) == 1, results
     assert len([1 for s, _ in results if s == "lost"]) == 7
     assert json.load(open(target))["winner"] == winners[0]
+
+
+def test_concurrent_ingest_torn_protocol_replays(spark, sf_dir):
+    """v3 is the protocol's completion marker: rip it (and the
+    rejection flag) off a completed run — a crash between B's rejected
+    attempt and its rebase commit — and the next call must REPLAY the
+    deterministic commits idempotently and converge to the identical
+    summary."""
+    import os
+
+    before = tuple(
+        sim.sim_persisted_concurrent_ingest(spark, sf_dir).collect()[0]
+    )
+    d = f"{sim._ivf_index_dir(spark, sf_dir)}_base".removeprefix("file:")
+    mdir = f"{d}/segments_manifest"
+    os.remove(f"{mdir}/manifest_v3")
+    os.remove(f"{mdir}/stale_commit_rejected")
+    after = tuple(
+        sim.sim_persisted_concurrent_ingest(spark, sf_dir).collect()[0]
+    )
+    assert after == before
+    assert os.path.exists(f"{mdir}/manifest_v3")
+    assert os.path.exists(f"{mdir}/stale_commit_rejected")
