@@ -116,6 +116,9 @@ _PRIORITY = [
     "emb_pca_project",  # top-K eigenbasis projection (rows-only)
     "emb_pca_variance_check",  # trace + decomposition invariants
     "stream_crossbatch_dedup_rocksdb_drain",  # at-scale state-store posture
+    "stream_index_maintenance_drain",  # streaming ingest + scheduled compaction
+    "stream_maintained_index_topk",  # maintained-index read path (rows-only)
+    "stream_maintained_recall_check",  # its driver-hash recall bound
     # -- results/code changed this round: re-prove --
     "text_bpe_train_batched",  # conflict set now includes merged symbol
     "text_bpe_tokenize_batched",  # same rule via the shared fit

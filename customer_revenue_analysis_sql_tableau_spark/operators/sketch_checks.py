@@ -67,6 +67,11 @@ IVFPQ_RECALL_FLOOR = 0.7
 #: excludes them), so their recall runs lower than the in-corpus IVF
 #: tier: measured 0.706-0.776 across SFs.
 INCREMENTAL_RECALL_FLOOR = 0.6
+#: The stream-maintained index serves in-corpus queries, but its
+#: centroids were trained on the BASE sample only (the delivery is
+#: assigned post-hoc, streaming-ingest style), so it runs below the
+#: full-corpus-trained IVF tier: measured 0.725-0.85 across SFs.
+MAINTAINED_RECALL_FLOOR = 0.65
 #: The delete tier searches in-corpus queries against a compacted +
 #: tombstone-masked index — measured 0.80-0.93 across SFs (sf0.1 sits
 #: at 0.80 exactly, so the floor leaves a margin below the measured
@@ -307,6 +312,23 @@ def sim_incremental_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_maintained_recall_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-maintained-index READ-PATH recall >= 0.65 vs brute force
+    over the full corpus (measured 0.725-0.85 across SFs) — the
+    maintained view holds base ∪ delivery (the whole table), but its
+    centroids were trained on the base sample only, so it runs below
+    the full-corpus-trained IVF tier (bit-identity with a flat reader
+    over base ∪ all delta segments is separately asserted by
+    tests/test_streamed_index.py)."""
+    from ..streaming.index_maintenance import stream_maintained_index_topk
+
+    return _recall_check(
+        spark, sf_dir, stream_maintained_index_topk, MAINTAINED_RECALL_FLOOR
+    )
+
+
 def vocab_topk_containment_check(
     spark: SparkSession, sf_dir: str, k: int = VOCAB_CHECK_K
 ) -> DataFrame:
@@ -368,6 +390,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_persisted_ivfpq_recall_check": sim_persisted_ivfpq_recall_check,
     "sim_persisted_delete_recall_check": sim_persisted_delete_recall_check,
     "sim_persisted_delivery_recall_check": sim_persisted_delivery_recall_check,
+    "stream_maintained_recall_check": stream_maintained_recall_check,
     "vocab_topk_containment_check": vocab_topk_containment_check,
 }
 
@@ -403,6 +426,10 @@ ORACLES: dict[str, str] = {
                CAST({TOP_K} AS BIGINT) AS k, TRUE AS recall_ok
         FROM embeddings WHERE vec_id < {N_QUERIES}""",
     "sim_persisted_recall_check": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST({TOP_K} AS BIGINT) AS k, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < {N_QUERIES}""",
+    "stream_maintained_recall_check": f"""
         SELECT CAST(count(*) AS BIGINT) AS n_queries,
                CAST({TOP_K} AS BIGINT) AS k, TRUE AS recall_ok
         FROM embeddings WHERE vec_id < {N_QUERIES}""",

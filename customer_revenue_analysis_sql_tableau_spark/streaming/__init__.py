@@ -25,6 +25,12 @@ from .drains import (
     stream_tumbling_window_drain,
     stream_user_upsert_drain,
 )
+from .index_maintenance import (
+    QUERIES as _INDEX_MAINT_QUERIES,
+    ORACLES as _INDEX_MAINT_ORACLES,
+    stream_index_maintenance_drain,
+    stream_maintained_index_topk,
+)
 from .rollup_maintenance import (
     QUERIES as _ROLLUP_QUERIES,
     ORACLES as _ROLLUP_ORACLES,
@@ -43,8 +49,18 @@ from .windows import (
     run_tumbling_stream,
 )
 
-QUERIES = {**_WINDOW_QUERIES, **_ROLLUP_QUERIES, **_DRAIN_QUERIES}
-ORACLES = {**_WINDOW_ORACLES, **_ROLLUP_ORACLES, **_DRAIN_ORACLES}
+QUERIES = {
+    **_WINDOW_QUERIES,
+    **_ROLLUP_QUERIES,
+    **_DRAIN_QUERIES,
+    **_INDEX_MAINT_QUERIES,
+}
+ORACLES = {
+    **_WINDOW_ORACLES,
+    **_ROLLUP_ORACLES,
+    **_DRAIN_ORACLES,
+    **_INDEX_MAINT_ORACLES,
+}
 
 __all__ = [
     "QUERIES",

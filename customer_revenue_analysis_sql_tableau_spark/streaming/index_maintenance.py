@@ -1,0 +1,421 @@
+"""STREAMING maintenance of the persisted IVF index — the families'
+junction point: a Structured Streaming job continuously ingests
+embedding deliveries into the persisted index as insert-delta
+segments, and the BACKGROUND-COMPACTION SCHEDULING POLICY
+(``MERGE_TRIGGER_SEGMENTS``, the piece SCALE.md names as the last
+lifecycle gap) is evaluated per micro-batch against the ON-DISK
+manifest state — exactly how a production index-maintenance service
+runs (a foreachBatch ingest loop + a fold triggered by segment-count
+pressure, the public Delta/Iceberg "optimize when small-file count
+exceeds N" recipe).
+
+Shape of the run (deterministic, so the drain is driver-hashable):
+the delivery (``vec_id % DELIVERY_MOD == DELIVERY_MOD-1``, the same
+split every incremental tier uses) is staged as three mtime-ordered
+files and drained one file per micro-batch (``maxFilesPerTrigger=1``,
+availableNow). Each batch is assigned to the PERSISTED base centroids
+(the one Arrow stage — ingest-side, like the build) and committed as
+a cell-partitioned ``delta_b{n}`` segment with its meta row written
+LAST; the policy then counts PENDING (un-folded) segments on disk and
+folds once the count reaches ``MERGE_TRIGGER_SEGMENTS`` — so with
+three batches and a trigger of two, the fold fires exactly once,
+inside batch 1, folding b0+b1 into ``merged_v2`` and leaving b2
+pending at end-of-stream. Only delta-TOUCHED cells are rewritten
+(merge I/O ∝ touched-cell rows, never index size); the versioned
+manifest is written last and certifies the fold.
+
+The maintained index is the 100 TB story told end-to-end: base
+segments immutable, stream deltas bounded by delivery size, folds
+bounded by touched cells, and the READ PATH (
+:func:`stream_maintained_index_topk`) entirely JVM-side — broadcast
+centroids, HOF ℓ² probe ranking, equi-join on cell with the untouched
+base taken from v1 and touched cells from v2, pending deltas unioned
+in. pytest asserts the read plan is Python-eval-free and its answers
+are bit-identical to a flat reader over base ∪ all deltas.
+
+Reference parity note: the reference (customer-revenue-analysis-sql-
+tableau) is batch MySQL/Tableau with no streaming or ANN surface;
+this module belongs to the driver's LLM-data-pipeline mandate, not
+the reference port.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import load_tables
+from ..operators.similarity import (
+    DELIVERY_MOD,
+    MERGE_TRIGGER_SEGMENTS,
+    N_QUERIES,
+    _ivf_index_dir,
+    _probe_and_rank,
+    sim_persisted_ingest_delta,
+)
+
+#: The delivery is staged as this many mtime-ordered files, drained
+#: one per micro-batch. With MERGE_TRIGGER_SEGMENTS = 2 the fold
+#: fires exactly once (inside batch 1) and batch 2 stays pending.
+N_STREAM_BATCHES = 3
+
+
+def _streamed_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The maintained index instance's directory (content-fingerprinted
+    like every persisted-index dir, so regenerated fixtures rebuild)."""
+    return f"{_ivf_index_dir(spark, sf_dir)}_streamed"
+
+
+def _base_dir(spark: SparkSession, sf_dir: str) -> str:
+    return f"{_ivf_index_dir(spark, sf_dir)}_base"
+
+
+def _ensure_streamed_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Idempotently run the maintenance stream; return (streamed_dir,
+    base_dir). The ``final_manifest`` is written LAST (the completion
+    marker — same crash-consistency discipline as every segment: a
+    torn run has no manifest and re-enters the whole stream, whose
+    per-segment ``overwrite`` writes make replay idempotent)."""
+    import shutil
+    import tempfile
+
+    from pyspark.errors import AnalysisException
+
+    d = _base_dir(spark, sf_dir)
+    sdir = _streamed_dir(spark, sf_dir)
+    try:
+        spark.read.parquet(f"{sdir}/final_manifest").collect()
+        return sdir, d
+    except AnalysisException:
+        pass
+
+    # ensure the shared immutable base index (centroids + postings +
+    # geometry meta) exists; its artifacts are never rewritten here
+    sim_persisted_ingest_delta(spark, sf_dir).collect()
+    pc = spark.read.parquet(f"{d}/centroids").orderBy("cell").collect()
+    pmat = np.array([r["cv"] for r in pc])
+    pnorm = (pmat**2).sum(axis=1)
+    nlist = int(
+        spark.read.parquet(f"{d}/insert_delta/meta").collect()[0]["nlist"]
+    )
+
+    @pandas_udf("int")
+    def cell_of_persisted(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy())
+        d2 = (
+            (m**2).sum(axis=1)[:, None] - 2.0 * (m @ pmat.T) + pnorm[None, :]
+        )
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    base_postings = spark.read.parquet(f"{d}/postings").select(
+        "vec_id", "v", "cell"
+    )
+
+    def pending_segments() -> list[str]:
+        """The scheduling policy's input, read from DISK state: delta
+        segments with a committed meta row, minus those folded per the
+        existing merge manifests — what a production scheduler (a
+        separate process) would see."""
+        import glob
+        import os
+
+        root = sdir.removeprefix("file:")
+        committed = sorted(
+            os.path.basename(os.path.dirname(p))
+            for p in glob.glob(f"{root}/delta_b*/meta")
+        )
+        folded: set[str] = set()
+        for fm in glob.glob(f"{root}/merged_v*/folded"):
+            for r in spark.read.parquet(fm).collect():
+                folded.add(r["segment"])
+        return [s for s in committed if s not in folded]
+
+    def merged_versions() -> list[int]:
+        import glob
+        import os
+
+        root = sdir.removeprefix("file:")
+        return sorted(
+            int(os.path.basename(os.path.dirname(p)).removeprefix("merged_v"))
+            for p in glob.glob(f"{root}/merged_v*/manifest")
+        )
+
+    def current_view() -> DataFrame:
+        """Reader view of the maintained index WITHOUT pending deltas:
+        base cells untouched by any fold, plus each fold's postings —
+        folds touch disjoint cell sets only if deltas do, so apply
+        manifests in version order (later versions win their cells)."""
+        view = base_postings
+        for v in merged_versions():
+            man = spark.read.parquet(f"{sdir}/merged_v{v}/manifest")
+            view = view.join(
+                F.broadcast(man.select("cell")), "cell", "left_anti"
+            ).unionByName(
+                spark.read.parquet(f"{sdir}/merged_v{v}/postings").select(
+                    "cell", "vec_id", "v"
+                )
+            )
+        return view
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # availableNow can add a trailing no-op
+            return
+        seg = f"delta_b{batch_id}"
+        batch_df.withColumn(
+            "cell", cell_of_persisted(F.col("v"))
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{sdir}/{seg}/postings"
+        )
+        # meta LAST: commits the segment
+        spark.createDataFrame(
+            [(seg,)], "segment string"
+        ).write.mode("overwrite").parquet(f"{sdir}/{seg}/meta")
+
+        pending = pending_segments()
+        if len(pending) < MERGE_TRIGGER_SEGMENTS:
+            return
+        # compaction: fold the pending stack into the next version,
+        # rewriting only delta-touched cells of the current view
+        ver = (merged_versions() or [1])[-1] + 1
+        deltas = [
+            spark.read.parquet(f"{sdir}/{s}/postings").select(
+                "cell", "vec_id", "v"
+            )
+            for s in pending
+        ]
+        delta_all = deltas[0]
+        for extra in deltas[1:]:
+            delta_all = delta_all.unionByName(extra)
+        touched = [
+            int(r["cell"])
+            for r in delta_all.select("cell").distinct().collect()
+        ]  # bounded by nlist — a driver-side literal, like centroids
+        current_view().filter(F.col("cell").isin(touched)).unionByName(
+            delta_all
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{sdir}/merged_v{ver}/postings"
+        )
+        spark.createDataFrame(
+            [(s,) for s in pending], "segment string"
+        ).write.mode("overwrite").parquet(f"{sdir}/merged_v{ver}/folded")
+        # manifest LAST: commits the fold
+        spark.createDataFrame(
+            [(int(c), int(ver)) for c in touched], "cell int, version int"
+        ).write.mode("overwrite").parquet(f"{sdir}/merged_v{ver}/manifest")
+
+    tmp = tempfile.mkdtemp(prefix="stream_index_maint_")
+    try:
+        import glob
+        import os
+        import time
+
+        e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+        delivery = e.filter(
+            F.col("vec_id") % DELIVERY_MOD == DELIVERY_MOD - 1
+        ).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        src = f"{tmp}/src"
+        base_ts = time.time() - 1000
+        seen: set[str] = set()
+        for k in range(N_STREAM_BATCHES):
+            delivery.filter(
+                F.col("vec_id") % N_STREAM_BATCHES == k
+            ).coalesce(1).write.mode("append").parquet(src)
+            for f in glob.glob(f"{src}/part-*.parquet"):
+                if f not in seen:
+                    seen.add(f)
+                    os.utime(f, (base_ts + k * 10, base_ts + k * 10))
+        (
+            spark.readStream.schema("vec_id bigint, v array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # final manifest LAST: names every segment's end-of-stream status
+    rows = [(s, "pending") for s in pending_segments()]
+    for v in merged_versions():
+        for r in spark.read.parquet(f"{sdir}/merged_v{v}/folded").collect():
+            rows.append((r["segment"], f"merged_v{v}"))
+    spark.createDataFrame(
+        sorted(rows), "segment string, status string"
+    ).write.mode("overwrite").parquet(f"{sdir}/final_manifest")
+    return sdir, d
+
+
+def _maintained_reader_postings(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, str, str]:
+    """The maintained index's full reader view (folds applied in
+    version order + pending deltas unioned in) — pure reads, no
+    training, no Python eval. Returns (view, streamed_dir, base_dir)."""
+    sdir, d = _ensure_streamed_index(spark, sf_dir)
+    final = spark.read.parquet(f"{sdir}/final_manifest").collect()
+    view = spark.read.parquet(f"{d}/postings").select("cell", "vec_id", "v")
+    versions = sorted(
+        {
+            int(r["status"].removeprefix("merged_v"))
+            for r in final
+            if r["status"].startswith("merged_v")
+        }
+    )
+    for v in versions:
+        man = spark.read.parquet(f"{sdir}/merged_v{v}/manifest")
+        view = view.join(
+            F.broadcast(man.select("cell")), "cell", "left_anti"
+        ).unionByName(
+            spark.read.parquet(f"{sdir}/merged_v{v}/postings").select(
+                "cell", "vec_id", "v"
+            )
+        )
+    for r in final:
+        if r["status"] == "pending":
+            view = view.unionByName(
+                spark.read.parquet(f"{sdir}/{r['segment']}/postings").select(
+                    "cell", "vec_id", "v"
+                )
+            )
+    return view, sdir, d
+
+
+def stream_index_maintenance_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drain the delivery through the streaming ingest + scheduled-
+    compaction loop (module docstring); return an oracle-backed
+    summary recomputed from the PERSISTED artifacts: the exact
+    delivery row count, batch/fold/pending tallies, and three
+    invariants — the maintained reader view's live vector set equals
+    base ∪ delivery exactly, fold I/O stayed bounded to touched
+    cells, and no streamed row's cell escaped the trained geometry."""
+    sdir, d = _ensure_streamed_index(spark, sf_dir)
+    final = spark.read.parquet(f"{sdir}/final_manifest").collect()
+    segs = sorted(r["segment"] for r in final)
+    pending = [r["segment"] for r in final if r["status"] == "pending"]
+    versions = sorted(
+        {
+            int(r["status"].removeprefix("merged_v"))
+            for r in final
+            if r["status"].startswith("merged_v")
+        }
+    )
+    delta_all = None
+    for s in segs:
+        p = spark.read.parquet(f"{sdir}/{s}/postings").select(
+            "cell", "vec_id", "v"
+        )
+        delta_all = p if delta_all is None else delta_all.unionByName(p)
+    nlist = int(
+        spark.read.parquet(f"{d}/insert_delta/meta").collect()[0]["nlist"]
+    )
+    n_delivery = delta_all.count()
+    cells_ok = delta_all.agg(
+        ((F.min("cell") >= 0) & (F.max("cell") < F.lit(nlist)))
+    ).collect()[0][0]
+
+    base = spark.read.parquet(f"{d}/postings").select("cell", "vec_id", "v")
+    view, _sdir, _d = _maintained_reader_postings(spark, sf_dir)
+    expected = base.select("vec_id").unionByName(delta_all.select("vec_id"))
+    lost = expected.join(view.select("vec_id"), "vec_id", "left_anti").count()
+    invented = (
+        view.select("vec_id").join(expected, "vec_id", "left_anti").count()
+    )
+
+    io_bounded = True
+    for v in versions:
+        man = spark.read.parquet(f"{sdir}/merged_v{v}/manifest")
+        folded = {
+            r["segment"]
+            for r in spark.read.parquet(
+                f"{sdir}/merged_v{v}/folded"
+            ).collect()
+        }
+        folded_rows = None  # recompute the fold's exact inputs
+        for s in sorted(folded):
+            p = spark.read.parquet(f"{sdir}/{s}/postings")
+            folded_rows = (
+                p if folded_rows is None else folded_rows.unionByName(p)
+            )
+        n_base_touched = base.join(
+            F.broadcast(man.select("cell")), "cell", "left_semi"
+        ).count()
+        n_merged = spark.read.parquet(f"{sdir}/merged_v{v}/postings").count()
+        if n_merged != n_base_touched + folded_rows.count():
+            io_bounded = False
+
+    return spark.createDataFrame(
+        [
+            (
+                int(n_delivery),
+                int(len(segs)),
+                int(len(versions)),
+                int(len(pending)),
+                bool(lost == 0 and invented == 0),
+                bool(io_bounded),
+                bool(cells_ok),
+            )
+        ],
+        "n_delivery bigint, n_batches bigint, compactions_triggered bigint,"
+        " pending_after bigint, live_set_preserved boolean,"
+        " merge_io_bounded boolean, cells_within_geometry boolean",
+    )
+
+
+def stream_maintained_index_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-k over the STREAM-MAINTAINED index — the read path a query
+    service runs while the ingest loop keeps committing segments:
+    untouched cells from the v1 base, folded cells from the latest
+    merge, pending deltas unioned in, then the shared pure-JVM probe
+    tail (broadcast centroids, HOF ℓ², equi-join on cell, exact-cosine
+    re-rank). No training, no Python eval (pytest asserts the plan);
+    rows-only under the driver with ``stream_maintained_recall_check``
+    as its hash-green bound twin."""
+    view, sdir, d = _maintained_reader_postings(spark, sf_dir)
+    cent_df = spark.read.parquet(f"{d}/centroids")
+    nprobe = int(
+        spark.read.parquet(f"{d}/insert_delta/meta").collect()[0]["nprobe"]
+    )
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    return _probe_and_rank(cent_df, nprobe, queries, view, self_exclude=True)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stream_index_maintenance_drain": stream_index_maintenance_drain,
+    "stream_maintained_index_topk": stream_maintained_index_topk,
+}
+
+ORACLES: dict[str, str] = {
+    # the drain's exact count is the delivery; the tallies are pinned
+    # by the deterministic schedule (3 batches, trigger 2 -> 1 fold,
+    # 1 pending); the invariants are recomputed from the artifacts
+    "stream_index_maintenance_drain": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_delivery,
+               CAST({N_STREAM_BATCHES} AS BIGINT) AS n_batches,
+               CAST(1 AS BIGINT) AS compactions_triggered,
+               CAST(1 AS BIGINT) AS pending_after,
+               TRUE AS live_set_preserved,
+               TRUE AS merge_io_bounded,
+               TRUE AS cells_within_geometry
+        FROM embeddings
+        WHERE vec_id % {DELIVERY_MOD} = {DELIVERY_MOD - 1}""",
+    # stream_maintained_index_topk: rows-only (approximate tier);
+    # bounded by stream_maintained_recall_check in sketch_checks.py
+}

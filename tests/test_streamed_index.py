@@ -1,0 +1,119 @@
+"""Streaming index maintenance (r11): the foreachBatch ingest loop,
+the on-disk compaction scheduling policy, and the maintained reader's
+bit-identity with a flat segment-stack reader."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_revenue_analysis_sql_tableau_spark.operators import sketch_checks as sk
+from customer_revenue_analysis_sql_tableau_spark.operators import similarity as sim
+from customer_revenue_analysis_sql_tableau_spark.streaming import index_maintenance as im
+
+
+@pytest.fixture(scope="module")
+def drained(spark, sf_dir):
+    return im.stream_index_maintenance_drain(spark, sf_dir).collect()[0]
+
+
+def test_drain_summary_invariants(drained, spark, sf_dir):
+    e = sim.load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    n_delivery = e.filter(
+        F.col("vec_id") % sim.DELIVERY_MOD == sim.DELIVERY_MOD - 1
+    ).count()
+    assert drained["n_delivery"] == n_delivery
+    assert drained["n_batches"] == im.N_STREAM_BATCHES
+    # trigger=2 over 3 batches: the fold fires once, inside batch 1,
+    # and batch 2's segment stays pending at end-of-stream
+    assert drained["compactions_triggered"] == 1
+    assert drained["pending_after"] == 1
+    assert drained["live_set_preserved"] is True
+    assert drained["merge_io_bounded"] is True
+    assert drained["cells_within_geometry"] is True
+
+
+def test_final_manifest_names_every_segment(drained, spark, sf_dir):
+    sdir = im._streamed_dir(spark, sf_dir)
+    rows = spark.read.parquet(f"{sdir}/final_manifest").collect()
+    statuses = {r["segment"]: r["status"] for r in rows}
+    assert set(statuses) == {
+        f"delta_b{k}" for k in range(im.N_STREAM_BATCHES)
+    }
+    assert sorted(statuses.values()) == ["merged_v2", "merged_v2", "pending"]
+
+
+def test_maintained_reader_bit_identical_to_segment_stack(
+    drained, spark, sf_dir
+):
+    """Untouched-v1 ∪ merged-v2 ∪ pending must answer queries exactly
+    like a flat reader over base ∪ every delta segment — compaction
+    must never change an answer."""
+    view, sdir, d = im._maintained_reader_postings(spark, sf_dir)
+    base = spark.read.parquet(f"{d}/postings").select("cell", "vec_id", "v")
+    flat = base
+    for k in range(im.N_STREAM_BATCHES):
+        flat = flat.unionByName(
+            spark.read.parquet(f"{sdir}/delta_b{k}/postings").select(
+                "cell", "vec_id", "v"
+            )
+        )
+    cent_df = spark.read.parquet(f"{d}/centroids")
+    nprobe = int(
+        spark.read.parquet(f"{d}/insert_delta/meta").collect()[0]["nprobe"]
+    )
+    e = sim.load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    a = sorted(
+        map(
+            tuple,
+            sim._probe_and_rank(cent_df, nprobe, queries, view).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            sim._probe_and_rank(cent_df, nprobe, queries, flat).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_read_path_never_trains(drained, spark, sf_dir, monkeypatch):
+    """With the maintained index on disk, the query entry must run
+    with the trainer unreachable and a Python-eval-free plan (cell
+    assignment happened at ingest time, in foreachBatch)."""
+
+    def boom(*a, **k):  # pragma: no cover - must never run
+        raise AssertionError("maintained read path invoked training")
+
+    monkeypatch.setattr(sim, "_train_centroids", boom)
+    df = im.stream_maintained_index_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "ivf_index_" in plan
+    assert df.count() > 0
+
+
+def test_drain_idempotent_no_restream(drained, spark, sf_dir, monkeypatch):
+    """A second drain call must serve the summary from the persisted
+    artifacts without re-running the stream (the final_manifest is the
+    completion marker)."""
+
+    def boom(*a, **k):  # pragma: no cover - must never run
+        raise AssertionError("completed drain re-entered the stream")
+
+    monkeypatch.setattr(sim, "sim_persisted_ingest_delta", boom)
+    monkeypatch.setattr(im, "sim_persisted_ingest_delta", boom)
+    row = im.stream_index_maintenance_drain(spark, sf_dir).collect()[0]
+    assert row["n_delivery"] == drained["n_delivery"]
+    assert row["live_set_preserved"] is True
+
+
+def test_recall_floor(drained, spark, sf_dir):
+    row = sk.stream_maintained_recall_check(spark, sf_dir).collect()[0]
+    assert row["recall_ok"] is True
+    assert row["n_queries"] == sim.N_QUERIES

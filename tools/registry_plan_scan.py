@@ -84,6 +84,8 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "vocab_topk_containment_check",  # broadcast k-th-count scalar (1 row)
         "quality_decile_cutoffs_approx_check",  # broadcast sketch cutoffs (1 row)
         "graph_triangle_stats",  # cross of three 1-row count frames
+        "stream_maintained_index_topk",  # queries x <=64 PERSISTED broadcast centroids
+        "stream_maintained_recall_check",  # composes the maintained topk + brute baseline
     }
 )
 
@@ -109,6 +111,7 @@ PERKEY_WINDOW_ALLOWLIST: frozenset[str] = frozenset(
         "sim_persisted_delivery_recall_check",  # embeds sim_delivery_brute_topk
         "sim_persisted_pq_recall_check",  # embeds sim_bruteforce_topk
         "sim_persisted_ivfpq_recall_check",  # embeds sim_bruteforce_topk
+        "stream_maintained_recall_check",  # embeds sim_bruteforce_topk
     }
 )
 
