@@ -129,9 +129,15 @@ def _ensure_streamed_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             os.path.basename(os.path.dirname(p))
             for p in glob.glob(f"{root}/delta_b*/meta")
         )
+        # a fold's commit point is its MANIFEST (written last): a
+        # folded-list left by a torn fold must not hide its segments
+        # from the policy (tests/test_streamed_index.py rips the
+        # manifest off and asserts the replay re-folds)
         folded: set[str] = set()
-        for fm in glob.glob(f"{root}/merged_v*/folded"):
-            for r in spark.read.parquet(fm).collect():
+        for v in merged_versions():
+            for r in spark.read.parquet(
+                f"{sdir}/merged_v{v}/folded"
+            ).collect():
                 folded.add(r["segment"])
         return [s for s in committed if s not in folded]
 

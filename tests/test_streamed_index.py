@@ -117,3 +117,29 @@ def test_recall_floor(drained, spark, sf_dir):
     row = sk.stream_maintained_recall_check(spark, sf_dir).collect()[0]
     assert row["recall_ok"] is True
     assert row["n_queries"] == sim.N_QUERIES
+
+
+def test_torn_run_replays_idempotently(drained, spark, sf_dir):
+    """Crash consistency of the written-last discipline: rip off the
+    completion marker, one segment's meta (a torn segment commit) AND
+    the fold's manifest (a torn fold commit) — re-entry must replay
+    the stream idempotently (every artifact write is a deterministic
+    overwrite) and the maintained index must answer bit-identically.
+    Keep this test LAST in the file: it rebuilds the shared artifacts."""
+    import shutil
+
+    sdir = im._streamed_dir(spark, sf_dir).removeprefix("file:")
+    pre = sorted(
+        map(tuple, im.stream_maintained_index_topk(spark, sf_dir).collect())
+    )
+    shutil.rmtree(f"{sdir}/final_manifest")
+    shutil.rmtree(f"{sdir}/delta_b2/meta")
+    shutil.rmtree(f"{sdir}/merged_v2/manifest")
+    row = im.stream_index_maintenance_drain(spark, sf_dir).collect()[0]
+    assert row["n_batches"] == im.N_STREAM_BATCHES
+    assert row["compactions_triggered"] == 1
+    assert row["live_set_preserved"] is True
+    post = sorted(
+        map(tuple, im.stream_maintained_index_topk(spark, sf_dir).collect())
+    )
+    assert post == pre
