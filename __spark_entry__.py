@@ -37,6 +37,7 @@ from customer_revenue_analysis_sql_tableau_spark.operators import text as _text
 from customer_revenue_analysis_sql_tableau_spark import app_layer as _app_layer
 from customer_revenue_analysis_sql_tableau_spark import streaming as _streaming
 from customer_revenue_analysis_sql_tableau_spark.functions import gallery as _gallery
+from customer_revenue_analysis_sql_tableau_spark.sources import compaction as _compaction
 from customer_revenue_analysis_sql_tableau_spark.sources import roundtrips as _roundtrips
 
 _REGISTRY_MODULES = [
@@ -66,6 +67,7 @@ _REGISTRY_MODULES = [
     _relational,
     _tpch_extended,
     _roundtrips,
+    _compaction,
 ]
 
 # The driver's correctness run is budgeted (~50 entries per round) and
@@ -119,6 +121,7 @@ _PRIORITY = [
     "stream_index_maintenance_drain",  # streaming ingest + scheduled compaction
     "stream_maintained_index_topk",  # maintained-index read path (rows-only)
     "stream_maintained_recall_check",  # its driver-hash recall bound
+    "parquet_compact_small_files",  # shuffle-free bin-pack OPTIMIZE pass
     # -- results/code changed this round: re-prove --
     "text_bpe_train_batched",  # conflict set now includes merged symbol
     "text_bpe_tokenize_batched",  # same rule via the shared fit

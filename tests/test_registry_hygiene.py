@@ -27,6 +27,7 @@ ROWS_ONLY_ALLOWED: dict[str, str] = {
     "sim_persisted_delivery_topk": "probabilistic recall — recall-floor driver twin + equality pytest vs sim_incremental_ivf",
     "sim_persisted_pq_topk": "probabilistic recall — recall-floor driver twin + equality pytest vs sim_pq_topk",
     "sim_persisted_ivfpq_topk": "probabilistic recall — recall-floor driver twin + equality pytest vs sim_ivfpq_topk",
+    "stream_maintained_index_topk": "probabilistic recall — recall-floor driver twin stream_maintained_recall_check + segment-stack bit-identity pytest",
     "text_bpe_tokenize_deep": "512-merge vocabulary has no tractable SQL replay — hash-green bound twin text_bpe_deep_compression_bound + persisted-read-path pytest",
     "emb_pca_project": "eigenvectors are sign/rotation-ambiguous across LAPACK builds — hash-green Gramian + emb_pca_variance_check twins + orthonormality/variance-order pytest",
     # multimodal_resize / multimodal_frame_sample were here ("binary
