@@ -297,8 +297,90 @@ def quality_decile_cutoffs_approx_check(
     )
 
 
+#: Sequence packing: training-sequence length in tokens, and the shard
+#: fan-out of the two-level prefix sum (production: one shard per
+#: output writer; the base-offset table stays O(shards)).
+PACK_SEQ_LEN = 512
+PACK_SHARDS = 8
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk SEQUENCE PACKING — the step that turns a
+    tokenized corpus into fixed-length training sequences (GPT-style:
+    documents concatenated in a deterministic order, the token stream
+    cut every ``PACK_SEQ_LEN`` tokens, documents allowed to straddle a
+    cut). Returns one row per training sequence: how many documents
+    contribute, how many tokens it holds (= PACK_SEQ_LEN except the
+    final partial sequence), and the contributing doc-id range.
+
+    Scale shape (the reason this isn't one global cumsum window): the
+    corpus is sharded (``doc_id % PACK_SHARDS``; production: one shard
+    per output writer), intra-shard token offsets come from a window
+    PARTITIONED by shard, and the shard BASE offsets are an exclusive
+    prefix sum over the O(shards)-row totals — a driver-side literal,
+    like the IVF centroid frames. Every heavy stage is partitioned;
+    the only global object is the shards-row offset table. A document
+    spanning several sequences explodes into exactly its overlap
+    count via ``sequence()`` — fan-out ∝ ceil(doc_tokens/seq_len)."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.expr(f"size({TOKENS_EXPR})").cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "local_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    totals = {
+        int(r["shard"]): int(r["tot"])
+        for r in d.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .collect()
+    }
+    base_rows, acc = [], 0
+    for s in range(PACK_SHARDS):
+        base_rows.append((s, acc))
+        acc += totals.get(s, 0)
+    base = spark.createDataFrame(base_rows, "shard bigint, base bigint")
+    g = (
+        d.join(F.broadcast(base), "shard")
+        .withColumn("s", F.col("base") + F.col("local_off"))
+        .withColumn("e", F.col("s") + F.col("n_tokens"))
+    )
+    L = F.lit(PACK_SEQ_LEN)
+    per = g.select(
+        "doc_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / L), F.floor((F.col("e") - 1) / L)
+            )
+        ).alias("chunk_id"),
+    )
+    return (
+        per.groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.least(F.col("e"), (F.col("chunk_id") + 1) * L)
+                - F.greatest(F.col("s"), F.col("chunk_id") * L)
+            ).alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats_report": corpus_stats_report,
+    "corpus_pack_sequences": corpus_pack_sequences,
     "quality_decile_curriculum": quality_decile_curriculum,
     "quality_decile_cutoffs": quality_decile_cutoffs,
     "quality_decile_cutoffs_approx_check": quality_decile_cutoffs_approx_check,
@@ -317,6 +399,45 @@ _CUT_CASE = (
 )
 
 ORACLES: dict[str, str] = {
+    # same shard-major document order, token counts, and chunk overlap
+    # arithmetic — the prefix sums done with SQL windows (DuckDB may
+    # run them globally; the Spark side must not)
+    "corpus_pack_sequences": f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+                   CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tokens
+            FROM documents),
+        nz AS (SELECT * FROM d WHERE n_tokens > 0),
+        loc AS (
+            SELECT doc_id, shard, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS local_off
+            FROM nz),
+        tot AS (SELECT shard, SUM(n_tokens) AS tot FROM nz GROUP BY shard),
+        b AS (
+            SELECT shard,
+                   COALESCE(SUM(tot) OVER (ORDER BY shard
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS base
+            FROM tot),
+        g AS (
+            SELECT l.doc_id, b.base + l.local_off AS s,
+                   b.base + l.local_off + l.n_tokens AS e
+            FROM loc l JOIN b USING (shard)),
+        per AS (
+            SELECT g.doc_id, g.s, g.e, CAST(u.c AS BIGINT) AS chunk_id
+            FROM g, UNNEST(range(CAST(g.s // {PACK_SEQ_LEN} AS BIGINT),
+                                 CAST((g.e - 1) // {PACK_SEQ_LEN} + 1
+                                      AS BIGINT))) AS u(c))
+        SELECT chunk_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEAST(e, (chunk_id + 1) * {PACK_SEQ_LEN})
+                        - GREATEST(s, chunk_id * {PACK_SEQ_LEN}))
+                    AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM per GROUP BY chunk_id ORDER BY chunk_id""",
     "corpus_stats_report": f"""
         WITH per_doc AS (
             SELECT doc_id, source, lang,

@@ -194,3 +194,52 @@ def test_cutoff_deciles_match_ntile_away_from_edges(spark, sf_dir):
     away = [d for d in exact if exact[d][0] not in edge_scores]
     assert len(away) >= 0.9 * n  # the edge set must stay a sliver
     assert all(exact[d][1] == approx[d] for d in away)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing must conserve every token exactly once, fill every
+    sequence but the last to exactly PACK_SEQ_LEN, and number the
+    sequences contiguously from 0."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.corpus import (
+        PACK_SEQ_LEN,
+        corpus_pack_sequences,
+    )
+    from customer_revenue_analysis_sql_tableau_spark.operators.text import TOKENS_EXPR
+
+    rows = corpus_pack_sequences(spark, sf_dir).collect()
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    total = docs.select(
+        F.sum(F.expr(f"size({TOKENS_EXPR})").cast("long")).alias("t")
+    ).collect()[0]["t"]
+    assert sum(r["n_tokens"] for r in rows) == total
+    ids = [r["chunk_id"] for r in rows]
+    assert sorted(ids) == list(range(len(rows)))
+    by_id = sorted(rows, key=lambda r: r["chunk_id"])
+    for r in by_id[:-1]:
+        assert r["n_tokens"] == PACK_SEQ_LEN
+    assert 0 < by_id[-1]["n_tokens"] <= PACK_SEQ_LEN
+    assert all(r["n_docs"] >= 1 for r in rows)
+    assert all(r["min_doc"] <= r["max_doc"] for r in rows)
+
+
+def test_pack_sequences_plan_has_no_global_window(spark, sf_dir):
+    """The heavy cumsum window must be PARTITIONED by shard; the only
+    global object is the O(shards)-row literal base-offset frame."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.corpus import (
+        corpus_pack_sequences,
+    )
+
+    plan = (
+        corpus_pack_sequences(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln:
+            # partition column present: first windowspec arg is a bare
+            # column reference, not the frame / an ordered column
+            _, _, rest = ln.partition("windowspecdefinition(")
+            first = rest.split(",", 1)[0]
+            assert "specifiedwindowframe" not in first
