@@ -131,6 +131,13 @@ HEADLINE = [
     # added r11: the trainer-artifact emission representative
     # (order-preserving id-sequence assembly + digest)
     "text_bpe_encode_ids",
+    # added r11 (extend; don't displace): sequence packing — the
+    # partitioned two-level prefix sum + overlap explode + chunk agg
+    "corpus_pack_sequences",
+    # added r11: lake maintenance — the shuffle-free bin-pack rewrite
+    # plus both trees' bit_xor content digests (staging is untimed
+    # ingest prep, like the bucketed layout)
+    "parquet_compact_small_files",
 ]
 
 
@@ -221,6 +228,16 @@ def main() -> None:
 
         sim_pq_index_build(spark, "/root/testdata/sf0.001").collect()
         sim_pq_index_build(spark, sf_dir).collect()
+    # untimed fragmented-copy staging for the compaction entry: the
+    # 64-file table is the INPUT a streaming sink left behind; the
+    # timed work is the bin-pack rewrite + content-digest verification
+    if "parquet_compact_small_files" in queries:
+        from customer_revenue_analysis_sql_tableau_spark.sources.compaction import (
+            parquet_compact_small_files,
+        )
+
+        parquet_compact_small_files(spark, "/root/testdata/sf0.001").collect()
+        parquet_compact_small_files(spark, sf_dir).collect()
 
     # JVM warmup: run EVERY headline query once at the tiniest SF so
     # whole-stage codegen compiles each plan's generated classes before
