@@ -313,6 +313,14 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribute, how many tokens it holds (= PACK_SEQ_LEN except the
     final partial sequence), and the contributing doc-id range.
 
+    Complements ``splits.pack_sequences`` (the DOC-GRANULAR tier: each
+    document lands whole in the per-source character-budget bin its
+    prefix reaches — no straddling, window partitioned by source);
+    this entry is the TOKEN-EXACT tier trainers feed directly: every
+    sequence but the last holds exactly ``PACK_SEQ_LEN`` tokens, so
+    documents must straddle cuts and the offsets must be corpus-global
+    — hence the two-level prefix sum below.
+
     Scale shape (the reason this isn't one global cumsum window): the
     corpus is sharded (``doc_id % PACK_SHARDS``; production: one shard
     per output writer), intra-shard token offsets come from a window
