@@ -126,6 +126,7 @@ _PRIORITY = [
     "stream_maintained_recall_check",  # its driver-hash recall bound
     "parquet_compact_small_files",  # shuffle-free bin-pack OPTIMIZE pass
     "corpus_pack_sequences",  # concat-and-chunk sequence packing
+    "bloom_runtime_filter_join",  # runtime bloom-pruned fact-fact join
     # -- results/code changed this round: re-prove --
     "text_bpe_train_batched",  # conflict set now includes merged symbol
     "text_bpe_tokenize_batched",  # same rule via the shared fit

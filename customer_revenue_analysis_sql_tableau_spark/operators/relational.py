@@ -412,6 +412,67 @@ def approx_distinct_customers_by_nation(
     )
 
 
+#: Confs that surface Spark's RUNTIME BLOOM-FILTER join pruning at
+#: test scale: stock thresholds require a >=10 GiB probe-side scan
+#: (exactly the 100 TB regime) and a shuffle join (tiny build sides
+#: get broadcast locally, where the filter would be pointless).
+#: Forcing both makes the local plan the AT-SCALE plan.
+BLOOM_FILTER_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join under RUNTIME BLOOM-FILTER pruning — the Spark
+    optimizer feature that makes selective fact-fact joins viable at
+    100 TB: a ``bloom_filter_agg`` subquery is injected over the
+    SELECTIVE side's join keys (here: urgent orders) and a
+    ``might_contain`` predicate lands UNDER the probe-side scan, so
+    non-qualifying lineitem rows are dropped before the shuffle write
+    instead of after it (shuffle volume ∝ matching rows, not fact
+    size). The filter is a pre-filter, never semantics: this entry's
+    driver hash proves the pruned plan returns exactly the plain
+    join's answer (the oracle runs the plain join), and
+    tests/test_bloom_filter.py asserts both plan markers are present
+    under these confs and absent without them, with bit-identical
+    results either way. Exact integer quantities (cents) — no float in
+    the aggregate. Confs restored after materialization."""
+    old = {k: spark.conf.get(k, None) for k in BLOOM_FILTER_CONFS}
+    try:
+        # load FIRST: load_tables re-applies the session's runtime
+        # confs (incl. the 64 MB broadcast threshold), which would
+        # silently undo the shuffle-join forcing set below — the
+        # injection requires a shuffle join (caught by the plan test)
+        t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+        for k, v in BLOOM_FILTER_CONFS.items():
+            spark.conf.set(k, v)
+        sel = (
+            t["orders"]
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        res = (
+            t["lineitem"]
+            .join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(cents(F.col("l_quantity"))).alias("qty_c"),
+            )
+            .orderBy("l_returnflag")
+        )
+        # materialize while the confs are live (the lazy plan would
+        # otherwise compile after the finally restores them)
+        return res.localCheckpoint()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 # --------------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------------
@@ -438,6 +499,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets_flag_status": grouping_sets_flag_status,
     # rows-only: sketch values are implementation-defined
     "approx_distinct_customers_by_nation": approx_distinct_customers_by_nation,
+    "bloom_runtime_filter_join": bloom_runtime_filter_join,
 }
 
 _AVG_QTY = round2_div_sql("sum(CAST(l_quantity AS DECIMAL(18,2)))", "count(*)", scale=2)
@@ -446,6 +508,16 @@ _AVG_PRICE = round2_div_sql(
 )
 
 ORACLES: dict[str, str] = {
+    # the bloom filter is a pre-filter, never semantics: the oracle is
+    # the PLAIN join — the hash proves the pruned plan changes nothing
+    "bloom_runtime_filter_join": """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT))
+                    AS BIGINT) AS qty_c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag ORDER BY l_returnflag""",
     "tpch_q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty,
