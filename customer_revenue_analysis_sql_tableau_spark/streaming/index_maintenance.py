@@ -339,7 +339,15 @@ def stream_index_maintenance_drain(
         view.select("vec_id").join(expected, "vec_id", "left_anti").count()
     )
 
+    # I/O-bound invariant, walked along the version chain: fold v's
+    # input is the READER VIEW AT v-1 (v1 base for the first fold,
+    # earlier merges applied for later ones — a chained fold's touched
+    # cells may overlap a previous fold's), so each merged segment
+    # must hold exactly that view's touched-cell rows + its folded
+    # delta rows (the multi-fold pytest caught the naive base-only
+    # check rejecting correct chained folds)
     io_bounded = True
+    prev_view = base
     for v in versions:
         man = spark.read.parquet(f"{sdir}/merged_v{v}/manifest")
         folded = {
@@ -350,16 +358,21 @@ def stream_index_maintenance_drain(
         }
         folded_rows = None  # recompute the fold's exact inputs
         for s in sorted(folded):
-            p = spark.read.parquet(f"{sdir}/{s}/postings")
+            p = spark.read.parquet(f"{sdir}/{s}/postings").select(
+                "cell", "vec_id", "v"
+            )
             folded_rows = (
                 p if folded_rows is None else folded_rows.unionByName(p)
             )
-        n_base_touched = base.join(
+        n_prev_touched = prev_view.join(
             F.broadcast(man.select("cell")), "cell", "left_semi"
         ).count()
-        n_merged = spark.read.parquet(f"{sdir}/merged_v{v}/postings").count()
-        if n_merged != n_base_touched + folded_rows.count():
+        merged_p = spark.read.parquet(f"{sdir}/merged_v{v}/postings")
+        if merged_p.count() != n_prev_touched + folded_rows.count():
             io_bounded = False
+        prev_view = prev_view.join(
+            F.broadcast(man.select("cell")), "cell", "left_anti"
+        ).unionByName(merged_p.select("cell", "vec_id", "v"))
 
     return spark.createDataFrame(
         [
