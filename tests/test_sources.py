@@ -49,6 +49,55 @@ def test_month_partitioned_write_and_pruned_read(spark, sf_dir):
         assert pruned.count() == expected
 
 
+def test_dynamic_partition_pruning_on_fact_dim_join(spark, sf_dir):
+    """DPP — the runtime sibling of static pruning: joining the
+    month-partitioned fact to a FILTERED frame on the partition column
+    must plant a ``dynamicpruningexpression`` in the scan's
+    PartitionFilters (the dim filter's months prune fact DIRECTORIES
+    at runtime — at 100 TB the difference between reading a month and
+    reading the table), and the pruned join must count exactly like
+    the same join with DPP disabled."""
+    t = load_tables(
+        spark, sf_dir, names=("orders", "lineitem"), register=False
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/orders_by_month"
+        write_month_partitioned(t["orders"], "o_orderdate", path)
+        po = spark.read.parquet(path)
+        dim = (
+            t["lineitem"]
+            .filter(F.col("l_returnflag") == "R")
+            .select(
+                F.date_format("l_shipdate", "yyyy-MM").alias(MONTH_COL)
+            )
+            .distinct()
+            .filter(F.col(MONTH_COL) < "1995-07")  # testdata starts 1995-01
+        )
+        j = po.join(dim, MONTH_COL).groupBy(MONTH_COL).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruningexpression" in plan
+        pruned = sorted(map(tuple, j.collect()))
+        old = spark.conf.get(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+        )
+        try:
+            spark.conf.set(
+                "spark.sql.optimizer.dynamicPartitionPruning.enabled",
+                "false",
+            )
+            unpruned = sorted(
+                map(
+                    tuple,
+                    po.join(dim, MONTH_COL).groupBy(MONTH_COL).count().collect(),
+                )
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.optimizer.dynamicPartitionPruning.enabled", old
+            )
+        assert pruned == unpruned and len(pruned) > 0
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     """Fact-fact join over same-bucketed tables: SortMergeJoin with no
     Exchange and no per-query Sort — the write-once shuffle posture."""
