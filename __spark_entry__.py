@@ -127,6 +127,7 @@ _PRIORITY = [
     "parquet_compact_small_files",  # shuffle-free bin-pack OPTIMIZE pass
     "corpus_pack_sequences",  # concat-and-chunk sequence packing
     "bloom_runtime_filter_join",  # runtime bloom-pruned fact-fact join
+    "stream_static_enrich_drain",  # in-plan stream-static broadcast enrich
     # -- results/code changed this round: re-prove --
     "text_bpe_train_batched",  # conflict set now includes merged symbol
     "text_bpe_tokenize_batched",  # same rule via the shared fit

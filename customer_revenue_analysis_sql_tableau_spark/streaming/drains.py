@@ -39,6 +39,7 @@ from .windows import (
     run_late_sliding_stream,
     run_latest_state_stream,
     run_stateful_timeout_sessions,
+    run_static_enrich_stream,
     run_resumable_stream,
     run_session_stream,
     run_sliding_stream,
@@ -360,6 +361,42 @@ def stream_late_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, build)
 
 
+def stream_static_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain a 3-file events delivery through the IN-PLAN stream-static
+    broadcast join against the customer dimension (the remaining join
+    shape next to the stream-stream matrix), then aggregate the
+    exactly-once parquet sink per (segment, event_type); the result
+    must hash-match the plain batch join computed straight from the
+    raw tables."""
+    from ..functions.money import money
+
+    t = load_tables(
+        spark, sf_dir, names=("events", "customer"), register=False
+    )
+    dim = t["customer"].select("c_custkey", "c_mktsegment")
+
+    def build(tmp: str) -> DataFrame:
+        for k in (0, 1, 2):
+            t["events"].filter(
+                F.col("event_id") % 3 == k
+            ).coalesce(1).write.mode("append").parquet(f"{tmp}/src")
+        sink = run_static_enrich_stream(
+            spark, f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/sink", dim
+        )
+        return (
+            sink.groupBy("c_mktsegment", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(money("value")), 2)
+                .cast("double")
+                .alias("total_value"),
+            )
+            .orderBy("c_mktsegment", "event_type")
+        )
+
+    return _drain(spark, build)
+
+
 def stream_interval_join_multibatch_drain(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -651,12 +688,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_interval_right_join_drain": stream_interval_right_join_drain,
     "stream_interval_semi_join_drain": stream_interval_semi_join_drain,
     "stream_timeout_sessions_drain": stream_timeout_sessions_drain,
+    "stream_static_enrich_drain": stream_static_enrich_drain,
 }
 
 #: Exact money-sum text shared with the batch-twin oracles.
 _VAL_SUM = "CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)"
 
 ORACLES: dict[str, str] = {
+    # the stream-static enrich is stateless: the drained sink must
+    # aggregate exactly like the plain batch join over the raw tables
+    "stream_static_enrich_drain": f"""
+        SELECT c.c_mktsegment, e.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {_VAL_SUM.replace('value', 'e.value')} AS total_value
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment, e.event_type
+        ORDER BY c_mktsegment, event_type""",
     # same aggregate as the batch twin entry — reuse its oracle text
     "stream_tumbling_window_drain": _WINDOW_ORACLES["stream_tumbling_counts"],
     "stream_sliding_window_drain": _WINDOW_ORACLES["stream_sliding_counts"],

@@ -1162,6 +1162,41 @@ def run_interval_semi_join_stream(
     return spark.table("interval_semi_join_sink")
 
 
+def run_static_enrich_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    sink_dir: str,
+    dim: DataFrame,
+) -> DataFrame:
+    """STREAM-STATIC broadcast enrichment — the join shape next to the
+    stream-stream matrix that every ingest pipeline runs: the
+    streaming events join a STATIC dimension INSIDE the streaming plan
+    (no state, no watermark — the static side is re-planned per
+    micro-batch, so between-batch dim updates are visible; at scale
+    this is the map-side dim enrich, a BroadcastHashJoin under the
+    streaming scan — tests/test_streamed_enrich.py asserts the plan).
+    ``maxFilesPerTrigger=1`` makes the broadcast serve several REAL
+    micro-batches; the parquet file sink's ``_spark_metadata`` log
+    keeps the output exactly-once (same contract as
+    :func:`run_resumable_stream`)."""
+    src = _read_events_stream(spark, source_dir, max_files_per_trigger=1)
+    enriched = src.join(
+        F.broadcast(dim), src["user_id"] == dim["c_custkey"], "left"
+    ).select(
+        "event_id", "user_id", "event_type", "ts", "value", "c_mktsegment"
+    )
+    query = (
+        enriched.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(sink_dir)
+
+
 def run_resumable_stream(
     spark: SparkSession, source_dir: str, checkpoint_dir: str, sink_dir: str
 ) -> DataFrame:
