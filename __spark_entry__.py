@@ -128,6 +128,7 @@ _PRIORITY = [
     "corpus_pack_sequences",  # concat-and-chunk sequence packing
     "bloom_runtime_filter_join",  # runtime bloom-pruned fact-fact join
     "stream_static_enrich_drain",  # in-plan stream-static broadcast enrich
+    "xml_roundtrip_digest",  # Spark 4 native XML source/sink fidelity
     # -- results/code changed this round: re-prove --
     "text_bpe_train_batched",  # conflict set now includes merged symbol
     "text_bpe_tokenize_batched",  # same rule via the shared fit

@@ -43,6 +43,7 @@ from ..catalog import load_tables
 from .csv import CSV_READ_OPTS, write_csv
 from .jsonl import read_jsonl, write_jsonl
 from .orc import read_orc, write_orc
+from .xml import read_xml, write_xml
 
 #: Explicit read schemas (inference over TBs is a full extra pass —
 #: and for CSV it would also coerce types the hash is sensitive to).
@@ -110,6 +111,22 @@ def jsonl_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _docs_digest(
             read_jsonl(spark, f"{tmp}/jsonl", schema=DOCS_SCHEMA)
         )
+
+    return _staged(build)
+
+
+def xml_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → sharded XML (Spark 4 native format, one <row> per
+    record) → schema-explicit whitespace-preserving read → digest; must
+    hash-match the raw table (entity escaping + surrounding-space
+    preservation under the hash — see sources/xml.py's dialect pins)."""
+    docs = load_tables(spark, sf_dir, names=("documents",), register=False)[
+        "documents"
+    ].select("doc_id", "text", "lang", "source", "n_chars")
+
+    def build(tmp: str) -> DataFrame:
+        write_xml(docs, f"{tmp}/xml", shards=4)
+        return _docs_digest(read_xml(spark, f"{tmp}/xml", DOCS_SCHEMA))
 
     return _staged(build)
 
@@ -273,6 +290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_roundtrip_digest": csv_roundtrip_digest,
     "parquet_schema_evolution": parquet_schema_evolution,
     "jsonl_roundtrip_digest": jsonl_roundtrip_digest,
+    "xml_roundtrip_digest": xml_roundtrip_digest,
     "orc_roundtrip_digest": orc_roundtrip_digest,
     "jsonl_corrupt_tolerance": jsonl_corrupt_tolerance,
 }
@@ -309,6 +327,7 @@ ORACLES: dict[str, str] = {
                CAST(bit_xor(h) AS BIGINT) AS union_digest
         FROM h""",
     "jsonl_roundtrip_digest": _DOCS_DIGEST_SQL,
+    "xml_roundtrip_digest": _DOCS_DIGEST_SQL,
     "orc_roundtrip_digest": """
         SELECT event_id, ts, user_id, event_type, value FROM events""",
     # digest recomputed from the raw table; corrupt count pinned to the

@@ -248,6 +248,22 @@ def test_roundtrip_entries_survive_hostile_strings(spark, tmp_path):
     back_jsonl = read_jsonl(spark, str(tmp_path / "jsonl"), schema=DOCS_SCHEMA)
     assert {r.doc_id: r.text for r in back_jsonl.collect()} == want
 
+    from customer_revenue_analysis_sql_tableau_spark.sources.xml import (
+        read_xml,
+        write_xml,
+    )
+
+    hostile_xml = hostile + [
+        (7, "entities & <tags> and \"quotes\" 'apos'", "en", "web", 0),
+        (8, "", "en", "web", 0),  # empty element must not become NULL
+    ]
+    dfx = spark.createDataFrame(hostile_xml, DOCS_SCHEMA)
+    write_xml(dfx, str(tmp_path / "xml"), shards=2)
+    back_xml = read_xml(spark, str(tmp_path / "xml"), DOCS_SCHEMA)
+    assert {r.doc_id: r.text for r in back_xml.collect()} == {
+        r[0]: r[1] for r in hostile_xml
+    }
+
 
 def test_jsonl_preserves_microsecond_timestamps(spark, sf_dir, tmp_path):
     """Spark's default JSON timestamp format is millisecond-precision —
