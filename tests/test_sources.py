@@ -265,6 +265,49 @@ def test_roundtrip_entries_survive_hostile_strings(spark, tmp_path):
     }
 
 
+def test_xml_permissive_quarantine(spark, tmp_path):
+    """Malformed-XML policy (the jsonl_corrupt_tolerance twin for the
+    fourth format): a WELL-FORMED file carrying a type-corrupt row
+    quarantines that row alone; structurally TORN XML quarantines at
+    the parse unit (the torn region, not per-row — XML's nesting makes
+    row recovery impossible past the tear, probed engine behavior).
+    Every good row from intact files survives byte-exact."""
+    from customer_revenue_analysis_sql_tableau_spark.sources.xml import (
+        XML_READ_OPTS,
+        write_xml,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "good one"), (2, "good two")], "doc_id bigint, text string"
+    )
+    write_xml(df, str(tmp_path / "x"), shards=1)
+    # file A: well-formed, one type-corrupt row between two good ones
+    (tmp_path / "x" / "part-badtype.xml").write_text(
+        "<rows><row><doc_id>7</doc_id><text>ok seven</text></row>"
+        "<row><doc_id>not_a_number</doc_id><text>bad</text></row>"
+        "<row><doc_id>8</doc_id><text>ok eight</text></row></rows>"
+    )
+    # file B: structurally torn (unclosed row element)
+    (tmp_path / "x" / "part-torn.xml").write_text(
+        "<rows><row><doc_id>99</doc_id><text>unclosed</row></rows>"
+    )
+    back = (
+        spark.read.format("xml")
+        .options(**XML_READ_OPTS)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema("doc_id bigint, text string, _corrupt_record string")
+        .load(str(tmp_path / "x"))
+        .collect()
+    )
+    good = {r.doc_id: r.text for r in back if r._corrupt_record is None}
+    corrupt = [r for r in back if r._corrupt_record is not None]
+    assert good == {1: "good one", 2: "good two", 7: "ok seven", 8: "ok eight"}
+    assert len(corrupt) == 2  # the bad-typed row + the torn region
+    assert any("not_a_number" in r._corrupt_record for r in corrupt)
+    assert any("unclosed" in r._corrupt_record for r in corrupt)
+
+
 def test_jsonl_preserves_microsecond_timestamps(spark, sf_dir, tmp_path):
     """Spark's default JSON timestamp format is millisecond-precision —
     the pinned JSONL_TS_FORMAT must carry events.ts through a write/read
