@@ -224,3 +224,29 @@ def test_torn_build_rebuilds_identically(spark, sf_dir, built_vocabs):
     assert after == before
     # and the rebuild completed: meta is back
     assert spark.read.parquet(f"{d}/meta").count() == 1
+
+
+def test_decode_losslessness(built_vocabs, spark):
+    """The trainer-artifact chain is invertible: the id assignment is
+    a bijection over the bounded token set (decode is exact), and
+    every fitted word's token segmentation concatenates back to the
+    word itself — so ids -> tokens -> words -> text loses nothing."""
+    from pyspark.sql import functions as F
+
+    b6, _deep = built_vocabs
+    tok_re = f"{T.BPE_S1}([^{T.BPE_S1}{T.BPE_S2}]*){T.BPE_S2}"
+    vocab = spark.read.parquet(f"{b6}/vocab").select(
+        "word",
+        F.expr(f"regexp_extract_all(tokstr, '{tok_re}', 1)").alias("toks"),
+    )
+    rows = vocab.collect()
+    assert rows
+    # (a) per-word segmentation losslessness
+    for r in rows:
+        assert "".join(r["toks"]) == r["word"]
+    # (b) dense-rank id assignment is bijective over the token set
+    toks = sorted({t for r in rows for t in r["toks"]})
+    ids = {t: i + 1 for i, t in enumerate(toks)}
+    inverse = {v: k for k, v in ids.items()}
+    assert len(inverse) == len(ids)
+    assert all(inverse[ids[t]] == t for t in toks)
