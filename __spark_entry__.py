@@ -129,6 +129,7 @@ _PRIORITY = [
     "bloom_runtime_filter_join",  # runtime bloom-pruned fact-fact join
     "stream_static_enrich_drain",  # in-plan stream-static broadcast enrich
     "xml_roundtrip_digest",  # Spark 4 native XML source/sink fidelity
+    "stream_index_delete_drain",  # streaming tombstones + scheduled delete-fold
     # -- results/code changed this round: re-prove --
     "text_bpe_train_batched",  # conflict set now includes merged symbol
     "text_bpe_tokenize_batched",  # same rule via the shared fit

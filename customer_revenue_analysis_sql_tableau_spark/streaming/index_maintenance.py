@@ -416,9 +416,298 @@ def stream_maintained_index_topk(
     return _probe_and_rank(cent_df, nprobe, queries, view, self_exclude=True)
 
 
+#: Streaming-delete waves: base vectors (the delivery split stays the
+#: insert stream's) whose ``vec_id % DELETE_WAVE_MOD`` hits one of the
+#: three wave remainders, one wave per micro-batch. Distinct from the
+#: batch delete tiers' DEL_COMPACTED=4 / DEL_PENDING=7 picks so the
+#: two lifecycles never alias.
+DELETE_WAVE_MOD = 9
+DELETE_WAVE_REMS = (2, 5, 8)
+
+
+def _delete_dir(spark: SparkSession, sf_dir: str) -> str:
+    return f"{_ivf_index_dir(spark, sf_dir)}_streamed_del"
+
+
+def _ensure_delete_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Idempotently run the DELETE-maintenance stream (the GDPR-shape
+    twin of the insert loop): each micro-batch commits a tombstone
+    segment (an id list — bytes ∝ requests, the index untouched), and
+    the same manifest-committed scheduling policy folds the pending
+    tombstones once their count reaches ``MERGE_TRIGGER_SEGMENTS`` —
+    rewriting ONLY the cells that actually hold a tombstoned vector
+    (fold I/O ∝ touched-cell rows) into a versioned merged base with
+    the deleted rows dropped. Completion marker written LAST."""
+    import shutil
+    import tempfile
+
+    from pyspark.errors import AnalysisException
+
+    d = _base_dir(spark, sf_dir)
+    ddir = _delete_dir(spark, sf_dir)
+    try:
+        spark.read.parquet(f"{ddir}/final_manifest").collect()
+        return ddir, d
+    except AnalysisException:
+        pass
+
+    sim_persisted_ingest_delta(spark, sf_dir).collect()  # ensure base
+    base_postings = spark.read.parquet(f"{d}/postings").select(
+        "cell", "vec_id", "v"
+    )
+
+    def merged_versions() -> list[int]:
+        import glob
+        import os
+
+        root = ddir.removeprefix("file:")
+        return sorted(
+            int(os.path.basename(os.path.dirname(p)).removeprefix("merged_v"))
+            for p in glob.glob(f"{root}/merged_v*/manifest")
+        )
+
+    def pending_segments() -> list[str]:
+        import glob
+        import os
+
+        root = ddir.removeprefix("file:")
+        committed = sorted(
+            os.path.basename(os.path.dirname(p))
+            for p in glob.glob(f"{root}/tomb_b*/meta")
+        )
+        folded: set[str] = set()
+        for v in merged_versions():  # manifest-committed folds only
+            for r in spark.read.parquet(f"{ddir}/merged_v{v}/folded").collect():
+                folded.add(r["segment"])
+        return [s for s in committed if s not in folded]
+
+    def current_view() -> DataFrame:
+        view = base_postings
+        for v in merged_versions():
+            man = spark.read.parquet(f"{ddir}/merged_v{v}/manifest")
+            view = view.join(
+                F.broadcast(man.select("cell")), "cell", "left_anti"
+            ).unionByName(
+                spark.read.parquet(f"{ddir}/merged_v{v}/postings").select(
+                    "cell", "vec_id", "v"
+                )
+            )
+        return view
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seg = f"tomb_b{batch_id}"
+        batch_df.select("vec_id").write.mode("overwrite").parquet(
+            f"{ddir}/{seg}/ids"
+        )
+        spark.createDataFrame([(seg,)], "segment string").write.mode(
+            "overwrite"
+        ).parquet(f"{ddir}/{seg}/meta")  # meta LAST commits the segment
+
+        pending = pending_segments()
+        if len(pending) < MERGE_TRIGGER_SEGMENTS:
+            return
+        ver = (merged_versions() or [1])[-1] + 1
+        tomb_all = None
+        for s in pending:
+            ids = spark.read.parquet(f"{ddir}/{s}/ids")
+            tomb_all = ids if tomb_all is None else tomb_all.unionByName(ids)
+        view = current_view()
+        touched = [
+            int(r["cell"])
+            for r in view.join(F.broadcast(tomb_all), "vec_id", "left_semi")
+            .select("cell")
+            .distinct()
+            .collect()
+        ]  # bounded by nlist — a driver-side literal
+        view.filter(F.col("cell").isin(touched)).join(
+            F.broadcast(tomb_all), "vec_id", "left_anti"
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{ddir}/merged_v{ver}/postings"
+        )
+        spark.createDataFrame(
+            [(s,) for s in pending], "segment string"
+        ).write.mode("overwrite").parquet(f"{ddir}/merged_v{ver}/folded")
+        spark.createDataFrame(
+            [(int(c), int(ver)) for c in touched], "cell int, version int"
+        ).write.mode("overwrite").parquet(f"{ddir}/merged_v{ver}/manifest")
+
+    tmp = tempfile.mkdtemp(prefix="stream_index_del_")
+    try:
+        import glob
+        import os
+        import time
+
+        src = f"{tmp}/src"
+        base_ts = time.time() - 1000
+        seen: set[str] = set()
+        for k, rem in enumerate(DELETE_WAVE_REMS):
+            base_postings.filter(
+                F.col("vec_id") % DELETE_WAVE_MOD == rem
+            ).select("vec_id").coalesce(1).write.mode("append").parquet(src)
+            for f in glob.glob(f"{src}/part-*.parquet"):
+                if f not in seen:
+                    seen.add(f)
+                    os.utime(f, (base_ts + k * 10, base_ts + k * 10))
+        (
+            spark.readStream.schema("vec_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    rows = [(s, "pending") for s in pending_segments()]
+    for v in merged_versions():
+        for r in spark.read.parquet(f"{ddir}/merged_v{v}/folded").collect():
+            rows.append((r["segment"], f"merged_v{v}"))
+    spark.createDataFrame(
+        sorted(rows), "segment string, status string"
+    ).write.mode("overwrite").parquet(f"{ddir}/final_manifest")
+    return ddir, d
+
+
+def _delete_reader_postings(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, str, str]:
+    """The delete-maintained reader: folds applied in version order,
+    PENDING tombstones masked by a broadcast anti-join at query time —
+    pure reads, no Python eval."""
+    ddir, d = _ensure_delete_stream(spark, sf_dir)
+    final = spark.read.parquet(f"{ddir}/final_manifest").collect()
+    view = spark.read.parquet(f"{d}/postings").select("cell", "vec_id", "v")
+    versions = sorted(
+        {
+            int(r["status"].removeprefix("merged_v"))
+            for r in final
+            if r["status"].startswith("merged_v")
+        }
+    )
+    for v in versions:
+        man = spark.read.parquet(f"{ddir}/merged_v{v}/manifest")
+        view = view.join(
+            F.broadcast(man.select("cell")), "cell", "left_anti"
+        ).unionByName(
+            spark.read.parquet(f"{ddir}/merged_v{v}/postings").select(
+                "cell", "vec_id", "v"
+            )
+        )
+    for r in final:
+        if r["status"] == "pending":
+            view = view.join(
+                F.broadcast(
+                    spark.read.parquet(f"{ddir}/{r['segment']}/ids")
+                ),
+                "vec_id",
+                "left_anti",
+            )
+    return view, ddir, d
+
+
+def stream_index_delete_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain three tombstone waves through the streaming-delete loop
+    (one fold at the trigger, one wave pending) and return an
+    oracle-backed summary recomputed from the artifacts: the exact
+    delete-request count, batch/fold/pending tallies, and three
+    invariants — the reader's live set is exactly base − all
+    tombstones, each fold rewrote only touched-cell rows minus its
+    deletions, and the folded postings stayed within the trained
+    geometry."""
+    ddir, d = _ensure_delete_stream(spark, sf_dir)
+    final = spark.read.parquet(f"{ddir}/final_manifest").collect()
+    segs = sorted(r["segment"] for r in final)
+    pending = [r["segment"] for r in final if r["status"] == "pending"]
+    versions = sorted(
+        {
+            int(r["status"].removeprefix("merged_v"))
+            for r in final
+            if r["status"].startswith("merged_v")
+        }
+    )
+    tomb_all = None
+    for s in segs:
+        ids = spark.read.parquet(f"{ddir}/{s}/ids")
+        tomb_all = ids if tomb_all is None else tomb_all.unionByName(ids)
+    n_requests = tomb_all.count()
+
+    base = spark.read.parquet(f"{d}/postings").select("cell", "vec_id", "v")
+    nlist = int(
+        spark.read.parquet(f"{d}/insert_delta/meta").collect()[0]["nlist"]
+    )
+    reader, _dd, _d = _delete_reader_postings(spark, sf_dir)
+    expected = base.join(F.broadcast(tomb_all), "vec_id", "left_anti")
+    lost = expected.select("vec_id").join(
+        reader.select("vec_id"), "vec_id", "left_anti"
+    ).count()
+    invented = (
+        reader.select("vec_id")
+        .join(expected.select("vec_id"), "vec_id", "left_anti")
+        .count()
+    )
+
+    io_bounded = True
+    cells_ok = True
+    prev_view = base
+    for v in versions:
+        man = spark.read.parquet(f"{ddir}/merged_v{v}/manifest")
+        folded = {
+            r["segment"]
+            for r in spark.read.parquet(f"{ddir}/merged_v{v}/folded").collect()
+        }
+        fold_ids = None
+        for s in sorted(folded):
+            ids = spark.read.parquet(f"{ddir}/{s}/ids")
+            fold_ids = ids if fold_ids is None else fold_ids.unionByName(ids)
+        touched_prev = prev_view.join(
+            F.broadcast(man.select("cell")), "cell", "left_semi"
+        )
+        n_deleted_in_touched = touched_prev.join(
+            F.broadcast(fold_ids), "vec_id", "left_semi"
+        ).count()
+        merged_p = spark.read.parquet(f"{ddir}/merged_v{v}/postings")
+        if (
+            merged_p.count()
+            != touched_prev.count() - n_deleted_in_touched
+        ):
+            io_bounded = False
+        agg = merged_p.agg(
+            ((F.min("cell") >= 0) & (F.max("cell") < F.lit(nlist)))
+        ).collect()[0][0]
+        if not agg:
+            cells_ok = False
+        prev_view = prev_view.join(
+            F.broadcast(man.select("cell")), "cell", "left_anti"
+        ).unionByName(merged_p.select("cell", "vec_id", "v"))
+
+    return spark.createDataFrame(
+        [
+            (
+                int(n_requests),
+                int(len(segs)),
+                int(len(versions)),
+                int(len(pending)),
+                bool(lost == 0 and invented == 0),
+                bool(io_bounded),
+                bool(cells_ok),
+            )
+        ],
+        "n_delete_requests bigint, n_batches bigint,"
+        " compactions_triggered bigint, pending_after bigint,"
+        " live_set_correct boolean, fold_io_bounded boolean,"
+        " cells_within_geometry boolean",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_index_maintenance_drain": stream_index_maintenance_drain,
     "stream_maintained_index_topk": stream_maintained_index_topk,
+    "stream_index_delete_drain": stream_index_delete_drain,
 }
 
 ORACLES: dict[str, str] = {
@@ -435,6 +724,20 @@ ORACLES: dict[str, str] = {
                TRUE AS cells_within_geometry
         FROM embeddings
         WHERE vec_id % {DELIVERY_MOD} = {DELIVERY_MOD - 1}""",
+    # the delete drain's exact count is the three waves over the BASE
+    # corpus (the insert delivery is excluded from the base by
+    # construction); the tallies are pinned by the schedule
+    "stream_index_delete_drain": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_delete_requests,
+               CAST({len(DELETE_WAVE_REMS)} AS BIGINT) AS n_batches,
+               CAST(1 AS BIGINT) AS compactions_triggered,
+               CAST(1 AS BIGINT) AS pending_after,
+               TRUE AS live_set_correct,
+               TRUE AS fold_io_bounded,
+               TRUE AS cells_within_geometry
+        FROM embeddings
+        WHERE vec_id % {DELIVERY_MOD} != {DELIVERY_MOD - 1}
+          AND vec_id % {DELETE_WAVE_MOD} IN {DELETE_WAVE_REMS}""",
     # stream_maintained_index_topk: rows-only (approximate tier);
     # bounded by stream_maintained_recall_check in sketch_checks.py
 }

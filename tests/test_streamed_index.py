@@ -182,6 +182,63 @@ def test_multi_fold_version_chain(spark, sf_dir, tmp_path, monkeypatch):
     assert a == b and len(a) > 0
 
 
+def test_delete_drain_summary_invariants(spark, sf_dir):
+    row = im.stream_index_delete_drain(spark, sf_dir).collect()[0]
+    d = im._base_dir(spark, sf_dir)
+    base = spark.read.parquet(f"{d}/postings")
+    n_requests = base.filter(
+        (F.col("vec_id") % im.DELETE_WAVE_MOD).isin(
+            list(im.DELETE_WAVE_REMS)
+        )
+    ).count()
+    assert row["n_delete_requests"] == n_requests > 0
+    assert row["n_batches"] == len(im.DELETE_WAVE_REMS)
+    assert row["compactions_triggered"] == 1
+    assert row["pending_after"] == 1
+    assert row["live_set_correct"] is True
+    assert row["fold_io_bounded"] is True
+    assert row["cells_within_geometry"] is True
+
+
+def test_delete_reader_equals_direct_antijoin(spark, sf_dir):
+    """The versioned delete reader (folded cells from v2, pending
+    tombstones masked at query time) must produce exactly the same
+    posting set as the naive base-minus-all-tombstones anti-join."""
+    reader, ddir, d = im._delete_reader_postings(spark, sf_dir)
+    base = spark.read.parquet(f"{d}/postings").select("cell", "vec_id", "v")
+    tomb = None
+    for k in range(len(im.DELETE_WAVE_REMS)):
+        ids = spark.read.parquet(f"{ddir}/tomb_b{k}/ids")
+        tomb = ids if tomb is None else tomb.unionByName(ids)
+    naive = base.join(F.broadcast(tomb), "vec_id", "left_anti")
+    a = sorted(r["vec_id"] for r in reader.select("vec_id").collect())
+    b = sorted(r["vec_id"] for r in naive.select("vec_id").collect())
+    assert a == b and len(a) > 0
+    plan = reader._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_delete_torn_run_replays_idempotently(spark, sf_dir):
+    """Rip the completion marker, one tombstone meta, and the fold
+    manifest off a completed delete stream: re-entry must replay
+    deterministically and the reader's live set must be unchanged."""
+    import shutil
+
+    im.stream_index_delete_drain(spark, sf_dir).collect()
+    ddir = im._delete_dir(spark, sf_dir).removeprefix("file:")
+    reader, _dd, _d = im._delete_reader_postings(spark, sf_dir)
+    pre = sorted(r["vec_id"] for r in reader.select("vec_id").collect())
+    shutil.rmtree(f"{ddir}/final_manifest")
+    shutil.rmtree(f"{ddir}/tomb_b2/meta")
+    shutil.rmtree(f"{ddir}/merged_v2/manifest")
+    row = im.stream_index_delete_drain(spark, sf_dir).collect()[0]
+    assert row["compactions_triggered"] == 1
+    assert row["live_set_correct"] is True
+    reader2, _dd2, _d2 = im._delete_reader_postings(spark, sf_dir)
+    post = sorted(r["vec_id"] for r in reader2.select("vec_id").collect())
+    assert post == pre
+
+
 def test_torn_run_replays_idempotently(drained, spark, sf_dir):
     """Crash consistency of the written-last discipline: rip off the
     completion marker, one segment's meta (a torn segment commit) AND
