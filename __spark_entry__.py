@@ -73,11 +73,13 @@ _REGISTRY_MODULES = [
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
 # at ENTRY level. Round-11 ordering (VERDICT.md r10, Next #1-#6):
-# (1) the TWENTY-FIVE new r11 entries that have never been in a driver
-# window — including the second-session six: the streaming
-# index-maintenance lifecycle (drain + maintained read path + recall
-# bound), the shuffle-free small-file compaction pass, and
-# concat-and-chunk sequence packing — the persisted-BPE lifecycle (6-round vocab build whose
+# (1) the TWENTY-NINE new r11 entries that have never been in a driver
+# window — including the second-session ten: the streaming
+# index-maintenance lifecycle (insert drain + maintained read path +
+# recall bound + the streaming-delete drain), the shuffle-free
+# small-file compaction pass, concat-and-chunk sequence packing, the
+# runtime-bloom-pruned join, the in-plan stream-static enrich drain,
+# and the native-XML roundtrip — the persisted-BPE lifecycle (6-round vocab build whose
 # oracle replays the full trajectory against the ON-DISK merge table,
 # the pure-read-path tokenizer, the deep ≥512-target tier with its
 # structural-invariant summary + strict compression bound; r10 Next
