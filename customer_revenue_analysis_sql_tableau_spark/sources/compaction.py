@@ -76,12 +76,17 @@ def compact_dataset(
     target_bytes: int = TARGET_FILE_BYTES,
 ) -> int:
     """Bin-pack ``src`` into ``ceil(bytes/target)`` files at ``dst``
-    via a shuffle-free ``coalesce``; returns the target file count.
-    (``coalesce`` caps at the current partition count, so a dataset
-    already coarser than the target is rewritten 1:1, never split —
-    splitting without clustering intent would be wasted I/O.)"""
+    via a shuffle-free ``coalesce``; returns the ACHIEVED file count.
+    (``coalesce`` caps at the scan's packed partition count — which
+    depends on file sizes and ``maxPartitionBytes``/openCost, not the
+    input FILE count — so the byte-derived target is clamped to what
+    coalesce can actually produce; a dataset already coarser than the
+    target is rewritten 1:1, never split — splitting without
+    clustering intent would be wasted I/O.)"""
+    df = spark.read.parquet(src)
     n = max(1, math.ceil(_dir_bytes(src) / target_bytes))
-    spark.read.parquet(src).coalesce(n).write.mode("overwrite").parquet(dst)
+    n = min(n, df.rdd.getNumPartitions())
+    df.coalesce(n).write.mode("overwrite").parquet(dst)
     return n
 
 
@@ -103,14 +108,16 @@ def parquet_compact_small_files(
     count, row/content preservation (order-insensitive ``bit_xor`` of
     per-row ``xxhash64`` — any lost, duplicated, or altered row flips
     it), file-count reduction, and target adherence."""
-    from pyspark.errors import AnalysisException
-
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     staged = f"{warehouse}/compact_stage_{_stage_fingerprint(sf_dir)}"
     compacted = f"{staged}_packed"
-    try:
-        spark.read.parquet(staged).limit(1).collect()
-    except AnalysisException:
+    # reuse gate is the _SUCCESS COMPLETION marker (committer-written
+    # last), not mere readability — a torn staging write that committed
+    # some part files must be re-staged, not trusted forever (the same
+    # meta-written-last discipline the streaming index dirs use)
+    if not os.path.exists(
+        os.path.join(staged.removeprefix("file:"), "_SUCCESS")
+    ):
         docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
         docs.repartition(STAGE_FILES).write.mode("overwrite").parquet(staged)
 

@@ -65,6 +65,14 @@ from ..operators.similarity import (
 N_STREAM_BATCHES = 3
 
 
+def _seg_order(name: str):
+    """Order segment names by their NUMERIC batch id — lexicographic
+    order misfiles ``delta_b10`` before ``delta_b2`` once a stream
+    passes ten micro-batches (same for ``tomb_b*``)."""
+    prefix, _, bid = name.rpartition("_b")
+    return (prefix, int(bid))
+
+
 def _streamed_dir(spark: SparkSession, sf_dir: str) -> str:
     """The maintained index instance's directory (content-fingerprinted
     like every persisted-index dir, so regenerated fixtures rebuild)."""
@@ -126,8 +134,11 @@ def _ensure_streamed_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
         root = sdir.removeprefix("file:")
         committed = sorted(
-            os.path.basename(os.path.dirname(p))
-            for p in glob.glob(f"{root}/delta_b*/meta")
+            (
+                os.path.basename(os.path.dirname(p))
+                for p in glob.glob(f"{root}/delta_b*/meta")
+            ),
+            key=_seg_order,
         )
         # a fold's commit point is its MANIFEST (written last): a
         # folded-list left by a torn fold must not hide its segments
@@ -256,7 +267,8 @@ def _ensure_streamed_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         for r in spark.read.parquet(f"{sdir}/merged_v{v}/folded").collect():
             rows.append((r["segment"], f"merged_v{v}"))
     spark.createDataFrame(
-        sorted(rows), "segment string, status string"
+        sorted(rows, key=lambda r: _seg_order(r[0])),
+        "segment string, status string",
     ).write.mode("overwrite").parquet(f"{sdir}/final_manifest")
     return sdir, d
 
@@ -472,8 +484,11 @@ def _ensure_delete_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
         root = ddir.removeprefix("file:")
         committed = sorted(
-            os.path.basename(os.path.dirname(p))
-            for p in glob.glob(f"{root}/tomb_b*/meta")
+            (
+                os.path.basename(os.path.dirname(p))
+                for p in glob.glob(f"{root}/tomb_b*/meta")
+            ),
+            key=_seg_order,
         )
         folded: set[str] = set()
         for v in merged_versions():  # manifest-committed folds only
@@ -568,7 +583,8 @@ def _ensure_delete_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         for r in spark.read.parquet(f"{ddir}/merged_v{v}/folded").collect():
             rows.append((r["segment"], f"merged_v{v}"))
     spark.createDataFrame(
-        sorted(rows), "segment string, status string"
+        sorted(rows, key=lambda r: _seg_order(r[0])),
+        "segment string, status string",
     ).write.mode("overwrite").parquet(f"{ddir}/final_manifest")
     return ddir, d
 

@@ -242,4 +242,8 @@ def test_pack_sequences_plan_has_no_global_window(spark, sf_dir):
             # column reference, not the frame / an ordered column
             _, _, rest = ln.partition("windowspecdefinition(")
             first = rest.split(",", 1)[0]
+            # the first arg must be a BARE partition column: an
+            # unpartitioned ORDER BY window would put the ordered
+            # column ("doc_id#8L ASC NULLS FIRST") or the frame here
             assert "specifiedwindowframe" not in first
+            assert " ASC" not in first and " DESC" not in first
