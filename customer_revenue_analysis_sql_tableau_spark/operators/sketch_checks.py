@@ -329,6 +329,189 @@ def stream_maintained_recall_check(
     )
 
 
+# ---------------------------------------------------------------------------
+# Bit-equivalence checks (r11 VERDICT Next #2): the rows-only read paths'
+# STRONGEST evidence — bit-identity to their in-process / flat-reader
+# reference tier — lived only in pytest (test_persisted_pq.py,
+# test_persisted_ivf.py, test_streamed_index.py). Each check below computes
+# BOTH tiers inside one registered entry and returns the comparison as a
+# driver-hashable row: row counts plus an order-insensitive ``bit_xor`` of
+# per-row ``xxhash64`` digests (floats hash by their exact bits, so any
+# value divergence — not just row churn — flips ``bit_identical``). The
+# oracle is the all-TRUE frame: the exact engine agrees the queries exist
+# and asserts the equivalence must hold. Scale posture: the reference tier
+# riding alongside is the cost of the PROOF — production runs the read
+# path alone.
+# ---------------------------------------------------------------------------
+
+#: Order-insensitive digest over the shared top-k schema; bit_xor is
+#: collision-safe here because (query_id, neighbor_id) pairs are unique
+#: within one result (duplicate rows could cancel; these cannot exist).
+_TOPK_DIGEST = "bit_xor(xxhash64(query_id, neighbor_id, cosine, rank))"
+
+
+def _bit_equiv_summary(
+    spark: SparkSession,
+    read_df: DataFrame,
+    ref_df: DataFrame,
+    key_col: str,
+    digest_expr: str,
+    key_alias: str,
+) -> DataFrame:
+    """One (n_<keys>, rows_equal, bit_identical) row comparing a read
+    path against its reference tier. Each side collapses to one bounded
+    summary row before comparison — the full results never co-reside."""
+
+    def summarize(df: DataFrame):
+        return df.agg(
+            F.countDistinct(key_col).alias("nk"),
+            F.count(F.lit(1)).alias("n"),
+            F.expr(digest_expr).alias("dig"),
+        ).collect()[0]
+
+    a, b = summarize(read_df), summarize(ref_df)
+    return spark.createDataFrame(
+        [
+            (
+                int(a["nk"]),
+                bool(a["n"] == b["n"]),
+                bool(a["n"] == b["n"] and a["dig"] == b["dig"]),
+            )
+        ],
+        f"{key_alias} bigint, rows_equal boolean, bit_identical boolean",
+    )
+
+
+def sim_persisted_ivf_equiv_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted-IVF read path ≡ in-process ``sim_ivf_topk``, as a
+    driver hash row (the tests/test_persisted_ivf.py twin, made
+    driver-visible)."""
+    return _bit_equiv_summary(
+        spark,
+        sim_persisted_ivf_topk(spark, sf_dir),
+        sim_ivf_topk(spark, sf_dir),
+        "query_id",
+        _TOPK_DIGEST,
+        "n_queries",
+    )
+
+
+def sim_persisted_pq_equiv_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted flat-PQ read path ≡ in-process ``sim_pq_topk`` —
+    parquet-round-tripped codebooks (float64 exact) must reproduce the
+    training path's ADC scores bit-for-bit."""
+    return _bit_equiv_summary(
+        spark,
+        sim_persisted_pq_topk(spark, sf_dir),
+        sim_pq_topk(spark, sf_dir),
+        "query_id",
+        _TOPK_DIGEST,
+        "n_queries",
+    )
+
+
+def sim_persisted_ivfpq_equiv_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted IVF-PQ read path ≡ in-process ``sim_ivfpq_topk`` —
+    coarse centroids + residual codebooks from parquet, cell-pruned
+    scan and all."""
+    return _bit_equiv_summary(
+        spark,
+        sim_persisted_ivfpq_topk(spark, sf_dir),
+        sim_ivfpq_topk(spark, sf_dir),
+        "query_id",
+        _TOPK_DIGEST,
+        "n_queries",
+    )
+
+
+def stream_maintained_equiv_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-maintained index (folds applied + pending deltas) ≡ the
+    flat segment-stack reader — compaction must never change an
+    answer; the strongest streaming-index invariant, now a hash row."""
+    from ..streaming.index_maintenance import (
+        stream_flat_stack_index_topk,
+        stream_maintained_index_topk,
+    )
+
+    return _bit_equiv_summary(
+        spark,
+        stream_maintained_index_topk(spark, sf_dir),
+        stream_flat_stack_index_topk(spark, sf_dir),
+        "query_id",
+        _TOPK_DIGEST,
+        "n_queries",
+    )
+
+
+def text_bpe_deep_apply_equiv_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deep-tier tokenizer read path ≡ a DIRECT application of the same
+    persisted vocabulary that MATERIALIZES every token (explode the
+    fitted ``tokstr`` per word occurrence and re-aggregate) instead of
+    joining pre-counted per-type totals. A physically different plan
+    over the same artifact: equality pins both the vocab join and the
+    per-type token/char counts the read path trusts."""
+    from .text import BPE_S1, BPE_S2, _ensure_bpe_vocab, text_bpe_tokenize_deep
+
+    d = _ensure_bpe_vocab(spark, sf_dir, "deep")
+    tok_re = f"{BPE_S1}([^{BPE_S1}{BPE_S2}]*){BPE_S2}"
+    vocab = spark.read.parquet(f"{d}/vocab").select(
+        "word",
+        F.expr(f"regexp_extract_all(tokstr, '{tok_re}', 1)").alias("toks"),
+    )
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    doc_words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+", -1)).alias("word"),
+    ).filter(F.col("word") != "")
+    words_per_doc = doc_words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words")
+    )
+    toks_per_doc = (
+        doc_words.hint("shuffle_hash")
+        .join(vocab, "word")
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bpe_tokens"),
+            F.sum(F.length("tok")).alias("n_word_chars"),
+        )
+    )
+    direct = (
+        docs.select("doc_id")
+        .join(words_per_doc, "doc_id", "left")
+        .join(toks_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+            F.coalesce(
+                F.expr("(n_word_chars * 100) div n_bpe_tokens"), F.lit(0)
+            )
+            .cast("long")
+            .alias("chars_per_token_x100"),
+        )
+    )
+    return _bit_equiv_summary(
+        spark,
+        text_bpe_tokenize_deep(spark, sf_dir),
+        direct,
+        "doc_id",
+        "bit_xor(xxhash64(doc_id, n_words, n_bpe_tokens,"
+        " chars_per_token_x100))",
+        "n_docs",
+    )
+
+
 def vocab_topk_containment_check(
     spark: SparkSession, sf_dir: str, k: int = VOCAB_CHECK_K
 ) -> DataFrame:
@@ -391,6 +574,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_persisted_delete_recall_check": sim_persisted_delete_recall_check,
     "sim_persisted_delivery_recall_check": sim_persisted_delivery_recall_check,
     "stream_maintained_recall_check": stream_maintained_recall_check,
+    "sim_persisted_ivf_equiv_check": sim_persisted_ivf_equiv_check,
+    "sim_persisted_pq_equiv_check": sim_persisted_pq_equiv_check,
+    "sim_persisted_ivfpq_equiv_check": sim_persisted_ivfpq_equiv_check,
+    "stream_maintained_equiv_check": stream_maintained_equiv_check,
+    "text_bpe_deep_apply_equiv_check": text_bpe_deep_apply_equiv_check,
     "vocab_topk_containment_check": vocab_topk_containment_check,
 }
 
@@ -463,4 +651,26 @@ ORACLES: dict[str, str] = {
     "vocab_topk_containment_check": f"""
         SELECT TRUE AS counts_exact_ok, TRUE AS boundary_ok,
                CAST({VOCAB_CHECK_K} AS BIGINT) AS n_items""",
+    # bit-equivalence checks: the exact engine agrees the query set /
+    # corpus exists and asserts the equivalence booleans must hold
+    "sim_persisted_ivf_equiv_check": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               TRUE AS rows_equal, TRUE AS bit_identical
+        FROM embeddings WHERE vec_id < {N_QUERIES}""",
+    "sim_persisted_pq_equiv_check": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               TRUE AS rows_equal, TRUE AS bit_identical
+        FROM embeddings WHERE vec_id < {N_QUERIES}""",
+    "sim_persisted_ivfpq_equiv_check": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               TRUE AS rows_equal, TRUE AS bit_identical
+        FROM embeddings WHERE vec_id < {N_QUERIES}""",
+    "stream_maintained_equiv_check": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               TRUE AS rows_equal, TRUE AS bit_identical
+        FROM embeddings WHERE vec_id < {N_QUERIES}""",
+    "text_bpe_deep_apply_equiv_check": """
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               TRUE AS rows_equal, TRUE AS bit_identical
+        FROM documents""",
 }

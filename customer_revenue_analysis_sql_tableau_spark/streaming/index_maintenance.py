@@ -428,6 +428,37 @@ def stream_maintained_index_topk(
     return _probe_and_rank(cent_df, nprobe, queries, view, self_exclude=True)
 
 
+def stream_flat_stack_index_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reference tier for ``stream_maintained_equiv_check``: the SAME
+    probe tail over the FLAT segment stack — base ∪ every delta
+    segment, fold manifests ignored. Compaction must never change an
+    answer, so this must return :func:`stream_maintained_index_topk`'s
+    rows bit-for-bit (the pytest twin in tests/test_streamed_index.py;
+    the registered equivalence entry makes it driver-visible). Not a
+    production path — a reader would never skip the folds it paid for —
+    so it is not itself registered."""
+    sdir, d = _ensure_streamed_index(spark, sf_dir)
+    flat = spark.read.parquet(f"{d}/postings").select("cell", "vec_id", "v")
+    for k in range(N_STREAM_BATCHES):
+        flat = flat.unionByName(
+            spark.read.parquet(f"{sdir}/delta_b{k}/postings").select(
+                "cell", "vec_id", "v"
+            )
+        )
+    cent_df = spark.read.parquet(f"{d}/centroids")
+    nprobe = int(
+        spark.read.parquet(f"{d}/insert_delta/meta").collect()[0]["nprobe"]
+    )
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    return _probe_and_rank(cent_df, nprobe, queries, flat, self_exclude=True)
+
+
 #: Streaming-delete waves: base vectors (the delivery split stays the
 #: insert stream's) whose ``vec_id % DELETE_WAVE_MOD`` hits one of the
 #: three wave remainders, one wave per micro-batch. Distinct from the
