@@ -27,6 +27,7 @@ from customer_revenue_analysis_sql_tableau_spark.operators import incremental as
 from customer_revenue_analysis_sql_tableau_spark.operators import multimodal as _multimodal
 from customer_revenue_analysis_sql_tableau_spark.operators import pipeline as _pipeline
 from customer_revenue_analysis_sql_tableau_spark.operators import quality as _quality
+from customer_revenue_analysis_sql_tableau_spark.operators import segment_store as _segment_store
 from customer_revenue_analysis_sql_tableau_spark.operators import similarity as _similarity
 from customer_revenue_analysis_sql_tableau_spark.operators import sketch_checks as _sketch_checks
 from customer_revenue_analysis_sql_tableau_spark.operators import splits as _splits
@@ -49,6 +50,7 @@ _REGISTRY_MODULES = [
     _embeddings,
     _incremental,
     _rollups,
+    _segment_store,
     _similarity,
     _sketch_checks,
     _app_layer,

@@ -1,0 +1,97 @@
+"""Segment-store lifecycle tail: time-travel reads + GC/VACUUM.
+
+Pins the chain algebra of as-of-version reads over the multi-writer
+manifest chain, and the three `expire_snapshots` contract clauses of the
+retention pass — including deterministic replay of a torn run (the
+completion-marker discipline every persisted dir in this repo uses).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_revenue_analysis_sql_tableau_spark.operators import (
+    segment_store as ss,
+)
+
+
+@pytest.fixture(scope="module")
+def chain(spark, sf_dir):
+    return ss._manifest_chain(spark, sf_dir)
+
+
+def test_asof_versions_strictly_nest(spark, sf_dir, chain):
+    prev = None
+    for v in (1, 2, 3):
+        cur = {
+            r["vec_id"]
+            for r in ss.read_index_asof(spark, sf_dir, v)
+            .select("vec_id")
+            .collect()
+        }
+        if prev is not None:
+            assert prev < cur  # strict: each version adds rows
+        prev = cur
+
+
+def test_asof_counts_match_delivery_split(spark, sf_dir, chain):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m = ss.DELIVERY_MOD
+    n_base = e.filter(F.col("vec_id") % m != m - 1).count()
+    n_w1 = e.filter(F.col("vec_id") % (2 * m) == m - 1).count()
+    assert ss.read_index_asof(spark, sf_dir, 1).count() == n_base
+    assert ss.read_index_asof(spark, sf_dir, 2).count() == n_base + n_w1
+    assert ss.read_index_asof(spark, sf_dir, 3).count() == e.count()
+
+
+def test_asof_unknown_version_raises(spark, sf_dir, chain):
+    with pytest.raises(ValueError, match="not in chain"):
+        ss.read_index_asof(spark, sf_dir, 99)
+
+
+def test_vacuum_contract_and_idempotence(spark, sf_dir):
+    a = ss.sim_persisted_vacuum(spark, sf_dir).collect()[0]
+    assert a["reader_digest_unchanged"]
+    assert a["only_unreferenced_deleted"]
+    assert a["manifests_retained"]
+    assert a["pinned_reader_fails"]
+    # the destructive pass already ran; a second call must only
+    # recompute the summary from on-disk state, identically
+    b = ss.sim_persisted_vacuum(spark, sf_dir).collect()[0]
+    assert a == b
+
+
+def test_vacuum_expired_artifacts_gone(spark, sf_dir):
+    ss.sim_persisted_vacuum(spark, sf_dir)
+    root = ss._vacuum_dir(spark, sf_dir).removeprefix("file:")
+    assert not os.path.exists(f"{root}/seg_w1")
+    assert not os.path.exists(f"{root}/seg_w2")
+    for v in (1, 2, 3):
+        assert not os.path.exists(f"{root}/manifest_v{v}")
+    with open(f"{root}/manifest_v4") as fh:
+        assert json.load(fh)["segments"] == ["seg_base", "seg_merged"]
+
+
+def test_vacuum_torn_run_replays_deterministically(spark, sf_dir):
+    first = ss.sim_persisted_vacuum(spark, sf_dir).collect()[0]
+    root = ss._vacuum_dir(spark, sf_dir).removeprefix("file:")
+    os.remove(f"{root}/vacuum_done")  # rip the completion marker off
+    replay = ss.sim_persisted_vacuum(spark, sf_dir).collect()[0]
+    assert replay == first
+    assert replay["reader_digest_unchanged"]
+
+
+def test_vacuum_never_touches_shared_chain(spark, sf_dir):
+    """The copy-on-write universe must leave the concurrent-ingest /
+    merge entries' shared artifacts fully intact."""
+    ss.sim_persisted_vacuum(spark, sf_dir)
+    d, chain = ss._manifest_chain(spark, sf_dir)
+    assert sorted(chain) == [1, 2, 3]
+    for seg in ("postings", "insert_delta_w1", "insert_delta_w2"):
+        assert (
+            spark.read.parquet(ss._segment_postings_path(d, seg)).count() > 0
+        )
