@@ -150,8 +150,203 @@ def parquet_compact_small_files(
     )
 
 
+# ---------------------------------------------------------------------------
+# Partitioned-table compaction (r11 VERDICT Next #5): the same bin-pack,
+# applied per PARTITION of a month-partitioned fact and only to the
+# partitions a predicate selects — the Delta ``OPTIMIZE tbl WHERE ...`` /
+# Iceberg ``rewrite_data_files(where=...)`` shape. Files are rewritten
+# IN PLACE inside each selected partition directory (pack to a staging
+# dir, swap files, never across a partition boundary); unselected
+# partitions are never read or written — maintenance I/O ∝ selected
+# partitions, which at 100 TB is the difference between compacting last
+# night's ingest and rewriting the table. Per-partition packs are
+# independent narrow jobs submitted from a small thread pool (the
+# production scheduler shape). Honest caveat: on plain parquet
+# directories the file swap has a non-atomic window — the manifest-swap
+# commit that closes it is a table format's job (the segment store in
+# ``operators/segment_store.py`` demonstrates that discipline); this
+# pass pins the selection + boundary + layout semantics.
+# ---------------------------------------------------------------------------
+
+#: OPTIMIZE ... WHERE part_month < cutoff — selects the first 6 months
+#: of the fixture's 80 (testdata starts 1995-01).
+PART_COMPACT_CUTOFF = "1995-07"
+
+#: Staged fragmentation per partition: round-robin tasks each write one
+#: file per month they hold, so every partition starts with this many
+#: small files.
+PART_STAGE_FILES = 6
+
+
+def _partition_dirs(root: str) -> list[str]:
+    from .parquet import MONTH_COL
+
+    base = root.removeprefix("file:")
+    return sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(base)
+        if d.startswith(f"{MONTH_COL}=")
+    )
+
+
+def _pack_partition_inplace(spark: SparkSession, pdir: str, tmp: str) -> None:
+    """Bin-pack one partition directory in place: pack to ``tmp``, then
+    swap — delete the old small files, move the packed ones in. Never
+    reads or writes outside ``pdir``/``tmp``."""
+    import shutil
+
+    compact_dataset(spark, pdir, tmp)
+    base = pdir.removeprefix("file:")
+    tbase = tmp.removeprefix("file:")
+    for f in os.listdir(base):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(base, f))
+    for f in os.listdir(tbase):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(tbase, f), os.path.join(base, f))
+    shutil.rmtree(tbase, ignore_errors=True)
+
+
+def parquet_compact_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage a month-partitioned, per-partition-fragmented copy of
+    ``orders`` (once per data fingerprint), snapshot its per-partition
+    pre-state (count + content digest + file count, persisted BEFORE
+    any rewrite so torn runs keep the original baseline), then bin-pack
+    the predicate-selected partitions in place. The summary recomputes
+    the contract from the on-disk post-state: exact row count, every
+    partition's rows and content digest unchanged (the pack must never
+    move a row across a month boundary), every selected partition's
+    file count reduced, and every unselected partition untouched."""
+    import json
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .parquet import MONTH_COL, write_month_partitioned
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    staged = f"{warehouse}/compact_part_{_stage_fingerprint(sf_dir)}"
+    pre_dir = f"{staged}_pre"
+    root = staged.removeprefix("file:")
+    marker = os.path.join(root, "_compacted")
+
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+        write_month_partitioned(
+            orders.repartition(PART_STAGE_FILES), "o_orderdate", staged
+        )
+
+    def _state(df: DataFrame) -> DataFrame:
+        cols = [c for c in df.columns]
+        return df.groupBy(MONTH_COL).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("dig"),
+        )
+
+    if not os.path.exists(
+        os.path.join(pre_dir.removeprefix("file:"), "_SUCCESS")
+    ):
+        files = spark.createDataFrame(
+            [
+                (m, _parquet_file_count(f"{staged}/{MONTH_COL}={m}"))
+                for m in _partition_dirs(staged)
+            ],
+            f"{MONTH_COL} string, files int",
+        )
+        _state(spark.read.parquet(staged)).join(
+            files, MONTH_COL
+        ).write.mode("overwrite").parquet(pre_dir)
+
+    if not os.path.exists(marker):
+        selected = [
+            m for m in _partition_dirs(staged) if m < PART_COMPACT_CUTOFF
+        ]
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            list(
+                ex.map(
+                    lambda m: _pack_partition_inplace(
+                        spark,
+                        f"{staged}/{MONTH_COL}={m}",
+                        f"{staged}_tmp/{MONTH_COL}={m}",
+                    ),
+                    selected,
+                )
+            )
+        with open(marker, "w") as fh:  # completion marker LAST
+            json.dump({"selected": selected}, fh)
+
+    with open(marker) as fh:
+        selected = set(json.load(fh)["selected"])
+    pre = spark.read.parquet(pre_dir)
+    post_files = spark.createDataFrame(
+        [
+            (m, _parquet_file_count(f"{staged}/{MONTH_COL}={m}"))
+            for m in _partition_dirs(staged)
+        ],
+        f"{MONTH_COL} string, files int",
+    )
+    post = _state(spark.read.parquet(staged)).join(post_files, MONTH_COL)
+    joined = (
+        pre.alias("a")
+        .join(post.alias("b"), MONTH_COL, "full")
+        .select(
+            F.col(MONTH_COL),
+            (
+                F.col("a.n").isNotNull()
+                & F.col("b.n").isNotNull()
+                & (F.col("a.n") == F.col("b.n"))
+            ).alias("rows_ok"),
+            (F.col("a.dig") == F.col("b.dig")).alias("dig_ok"),
+            F.when(
+                F.col(MONTH_COL) < F.lit(PART_COMPACT_CUTOFF),
+                # packed, or already minimal (a sparse month can stage
+                # a single file — there is nothing below 1 to pack to)
+                (F.col("b.files") < F.col("a.files"))
+                | (F.col("a.files") <= 1),
+            )
+            .otherwise(F.col("b.files") == F.col("a.files"))
+            .alias("files_ok"),
+            F.col("b.n").alias("n"),
+        )
+    )
+    agg = joined.agg(
+        F.sum("n").alias("n_rows"),
+        F.min(F.col("rows_ok").cast("int")).alias("r"),
+        F.min(F.col("dig_ok").cast("int")).alias("d"),
+        F.min(
+            F.when(F.col(MONTH_COL) < F.lit(PART_COMPACT_CUTOFF), F.col("files_ok"))
+            .otherwise(F.lit(True))
+            .cast("int")
+        ).alias("p"),
+        F.min(
+            F.when(F.col(MONTH_COL) >= F.lit(PART_COMPACT_CUTOFF), F.col("files_ok"))
+            .otherwise(F.lit(True))
+            .cast("int")
+        ).alias("u"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(
+            (F.col(MONTH_COL) < F.lit(PART_COMPACT_CUTOFF)).cast("int")
+        ).alias("n_sel"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["n_rows"]),
+                int(agg["n_parts"]),
+                int(agg["n_sel"]),
+                bool(agg["r"] == 1 and agg["n_sel"] == len(selected)),
+                bool(agg["d"] == 1),
+                bool(agg["p"] == 1),
+                bool(agg["u"] == 1),
+            )
+        ],
+        "n_rows bigint, n_partitions bigint, n_selected bigint,"
+        " boundaries_preserved boolean, content_preserved boolean,"
+        " selected_packed boolean, untouched_intact boolean",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parquet_compact_small_files": parquet_compact_small_files,
+    "parquet_compact_partitioned": parquet_compact_partitioned,
 }
 
 ORACLES: dict[str, str] = {
@@ -164,4 +359,22 @@ ORACLES: dict[str, str] = {
                TRUE AS files_reduced,
                TRUE AS target_respected
         FROM documents""",
+    # the partitioned pass: DuckDB recomputes the partition count and
+    # the predicate's selection size from the fact's dates; the
+    # boundary/content/layout invariants are recomputed on the Spark
+    # side from both directory trees and must hold
+    "parquet_compact_partitioned": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT strftime(o_orderdate, '%Y-%m'))
+                    AS BIGINT) AS n_partitions,
+               CAST(count(DISTINCT CASE
+                      WHEN strftime(o_orderdate, '%Y-%m')
+                           < '{PART_COMPACT_CUTOFF}'
+                      THEN strftime(o_orderdate, '%Y-%m') END)
+                    AS BIGINT) AS n_selected,
+               TRUE AS boundaries_preserved,
+               TRUE AS content_preserved,
+               TRUE AS selected_packed,
+               TRUE AS untouched_intact
+        FROM orders""",
 }

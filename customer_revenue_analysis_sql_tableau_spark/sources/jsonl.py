@@ -46,7 +46,7 @@ def write_jsonl(
 
 
 def read_jsonl(
-    spark: SparkSession, path: str, schema: str | None = None
+    spark: SparkSession, path: str | list[str], schema: str | None = None
 ) -> DataFrame:
     """Read JSONL; pass an explicit DDL ``schema`` in production — at
     scale, inference costs a full pass over the data."""

@@ -286,9 +286,72 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _staged(build)
 
 
+def jsonl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the JSONL source — the EXPLICIT-SCHEMA
+    null-fill path (r11 VERDICT Next #6), complementing
+    :func:`parquet_schema_evolution`'s footer-merge path: the same two
+    deliveries (v1 narrow on even doc_ids, v2 adds lang/source on odd)
+    land as JSON lines, and the reader carries the pinned UNION schema
+    — the JSON parse unit null-fills every absent field, no footer
+    merge, no planning-time scan of old files. Same digest discipline
+    and the same oracle as the parquet twin, so the two evolution
+    policies are pinned to the identical answer.
+
+    Divergence hazards the pytest pins (tests/test_sources.py):
+    parquet ``mergeSchema`` fails LOUDLY on any type change — even
+    int→long widening (migrate via an explicit catalog schema, which
+    the parquet reader upcasts correctly); the JSON parse unit under an
+    explicit schema silently COERCES a type-changed scalar to string —
+    a reason production readers pair it with a ``_corrupt_record``
+    column and checksum columns downstream."""
+    docs = load_tables(spark, sf_dir, names=("documents",), register=False)[
+        "documents"
+    ]
+
+    def build(tmp: str) -> DataFrame:
+        even = F.pmod(F.col("doc_id"), 2) == 0
+        write_jsonl(docs.filter(even).select("doc_id", "text"), f"{tmp}/v1")
+        write_jsonl(
+            docs.filter(~even).select("doc_id", "text", "lang", "source"),
+            f"{tmp}/v2",
+        )
+        back = read_jsonl(
+            spark,
+            [f"{tmp}/v1", f"{tmp}/v2"],
+            schema="doc_id bigint, text string, lang string, source string",
+        )
+        nz = lambda c: F.coalesce(c, F.lit("\x00"))  # noqa: E731
+        row_h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        nz(F.col("doc_id").cast("string")),
+                        nz(F.col("text")),
+                        nz(F.col("lang")),
+                        nz(F.col("source")),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        v1 = (F.pmod(F.col("doc_id"), 2) == 0).cast("long")
+        return back.select(row_h.alias("h"), v1.alias("is_v1")).agg(
+            F.sum("is_v1").alias("n_v1"),
+            (F.count(F.lit(1)) - F.sum("is_v1")).alias("n_v2"),
+            F.expr("CAST(bit_xor(h) AS BIGINT)").alias("union_digest"),
+        )
+
+    return _staged(build)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_roundtrip_digest": csv_roundtrip_digest,
     "parquet_schema_evolution": parquet_schema_evolution,
+    "jsonl_schema_evolution": jsonl_schema_evolution,
     "jsonl_roundtrip_digest": jsonl_roundtrip_digest,
     "xml_roundtrip_digest": xml_roundtrip_digest,
     "orc_roundtrip_digest": orc_roundtrip_digest,
@@ -306,6 +369,29 @@ ORACLES: dict[str, str] = {
     # union digest recomputed from the raw table with v1's columns
     # masked by the same doc_id parity rule the staging used
     "parquet_schema_evolution": """
+        WITH u AS (
+            SELECT doc_id, text,
+                   CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+                   CASE WHEN doc_id % 2 = 1 THEN source END AS source
+            FROM documents),
+        h AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(concat_ws(chr(31),
+                        coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+                        coalesce(text, chr(0)),
+                        coalesce(lang, chr(0)),
+                        coalesce(source, chr(0)))),
+                    1, 15))::BIGINT AS h
+            FROM u)
+        SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_v1,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_v2,
+               CAST(bit_xor(h) AS BIGINT) AS union_digest
+        FROM h""",
+    # the JSONL null-fill path must land on the IDENTICAL digest the
+    # parquet footer-merge path does — one oracle, two policies
+    "jsonl_schema_evolution": """
         WITH u AS (
             SELECT doc_id, text,
                    CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,

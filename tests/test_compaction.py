@@ -58,3 +58,115 @@ def test_compact_dataset_respects_floor_and_cap(spark, sf_dir, tmp_path):
 def test_idempotent_recompaction(summary, spark, sf_dir):
     row = cp.parquet_compact_small_files(spark, sf_dir).collect()[0]
     assert tuple(row) == tuple(summary)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned-table compaction (r12)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def part_summary(spark, sf_dir):
+    return cp.parquet_compact_partitioned(spark, sf_dir).collect()[0]
+
+
+def test_partitioned_summary_invariants(part_summary, spark, sf_dir):
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    assert part_summary["n_rows"] == orders.count()
+    assert part_summary["boundaries_preserved"] is True
+    assert part_summary["content_preserved"] is True
+    assert part_summary["selected_packed"] is True
+    assert part_summary["untouched_intact"] is True
+    assert 0 < part_summary["n_selected"] < part_summary["n_partitions"]
+
+
+def test_partitioned_layout_in_place(part_summary, spark, sf_dir):
+    """Selected partitions pack to a single file at fixture sizes;
+    unselected keep the staged fragmentation — the pass never leaves
+    its partition directory."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    staged = f"{warehouse}/compact_part_{cp._stage_fingerprint(sf_dir)}"
+    from customer_revenue_analysis_sql_tableau_spark.sources.parquet import (
+        MONTH_COL,
+    )
+
+    pre = {
+        r[MONTH_COL]: r["files"]
+        for r in spark.read.parquet(f"{staged}_pre").collect()
+    }
+    for m in cp._partition_dirs(staged):
+        n = cp._parquet_file_count(f"{staged}/{MONTH_COL}={m}")
+        if m < cp.PART_COMPACT_CUTOFF:
+            assert n == 1 <= pre[m]
+        else:
+            # sparse months stage fewer than PART_STAGE_FILES (a
+            # round-robin task holding no row for a month writes no
+            # file); untouched means UNCHANGED, not a fixed count
+            assert n == pre[m]
+    assert any(
+        pre[m] > 1
+        for m in cp._partition_dirs(staged)
+        if m < cp.PART_COMPACT_CUTOFF
+    )  # the pack demonstrably reduced at least one selected partition
+
+
+def test_partitioned_dpp_survives_compaction(part_summary, spark, sf_dir):
+    """Dynamic partition pruning must still plant its filter on the
+    compacted tree, and the pruned join must count exactly like the
+    unpruned one."""
+    import pyspark.sql.functions as F
+
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+    from customer_revenue_analysis_sql_tableau_spark.sources.parquet import (
+        MONTH_COL,
+    )
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    staged = f"{warehouse}/compact_part_{cp._stage_fingerprint(sf_dir)}"
+    po = spark.read.parquet(staged)
+    li = load_tables(spark, sf_dir, names=("lineitem",), register=False)[
+        "lineitem"
+    ]
+    dim = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.date_format("l_shipdate", "yyyy-MM").alias(MONTH_COL))
+        .distinct()
+        .filter(F.col(MONTH_COL) < "1995-07")
+    )
+    j = po.join(dim, MONTH_COL).groupBy(MONTH_COL).count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
+    pruned = sorted(map(tuple, j.collect()))
+    old = spark.conf.get(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", "false"
+        )
+        unpruned = sorted(
+            map(
+                tuple,
+                po.join(dim, MONTH_COL).groupBy(MONTH_COL).count().collect(),
+            )
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", old
+        )
+    assert pruned == unpruned and len(pruned) > 0
+
+
+def test_partitioned_torn_run_replays(part_summary, spark, sf_dir):
+    """Ripping the completion marker off replays the pack
+    deterministically against the ORIGINAL persisted pre-state."""
+    import os
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    staged = f"{warehouse}/compact_part_{cp._stage_fingerprint(sf_dir)}"
+    marker = os.path.join(staged.removeprefix("file:"), "_compacted")
+    os.remove(marker)
+    replay = cp.parquet_compact_partitioned(spark, sf_dir).collect()[0]
+    assert replay == part_summary

@@ -6,6 +6,8 @@ from __future__ import annotations
 import glob
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
@@ -537,3 +539,76 @@ def test_parse_dump_skips_insert_text_inside_quoted_values():
     assert [r[0] for r in out["category"]] == [1, 2, 3]
     assert out["category"][1][1] == f"say {evil}; done"
     assert out["language"] == [(1, "English", ts)]
+
+
+def test_schema_evolution_type_change_policy(spark, sf_dir):
+    """The pinned divergence hazards of the two evolution policies
+    (probed empirically, frozen here):
+
+    - parquet ``mergeSchema`` fails LOUDLY on ANY type change across
+      deliveries — a true conflict (int vs string) AND an int→long
+      widening alike (no silent widening at the footer merge);
+    - the migration path for widening is the explicit catalog schema:
+      the parquet reader upcasts int32 files into a ``long`` column
+      correctly;
+    - the JSON parse unit under an explicit schema silently COERCES a
+      type-changed scalar into a string field (no _corrupt_record) —
+      why production readers checksum downstream.
+    """
+    import json
+    import os
+    import tempfile
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="evo_type_")
+    try:
+        # conflict: int vs string under mergeSchema
+        spark.range(3).select(
+            F.col("id").alias("doc_id"), F.lit(1).alias("x")
+        ).write.parquet(f"{tmp}/conflict")
+        spark.range(3, 6).select(
+            F.col("id").alias("doc_id"), F.lit("s").alias("x")
+        ).write.mode("append").parquet(f"{tmp}/conflict")
+        with pytest.raises(Exception, match="[Mm]erg"):
+            spark.read.option("mergeSchema", "true").parquet(
+                f"{tmp}/conflict"
+            ).collect()
+
+        # widening: int32 then int64 deliveries
+        spark.range(3).select(
+            F.col("id").alias("doc_id"), F.lit(1).cast("int").alias("y")
+        ).write.parquet(f"{tmp}/widen")
+        spark.range(3, 6).select(
+            F.col("id").alias("doc_id"), F.lit(2).cast("long").alias("y")
+        ).write.mode("append").parquet(f"{tmp}/widen")
+        with pytest.raises(Exception, match="[Mm]erg"):
+            spark.read.option("mergeSchema", "true").parquet(
+                f"{tmp}/widen"
+            ).collect()
+        # ... which migrates via the explicit catalog schema instead
+        back = spark.read.schema("doc_id long, y long").parquet(
+            f"{tmp}/widen"
+        )
+        assert dict(back.dtypes)["y"] == "bigint" and back.count() == 6
+
+        # JSONL: absent field null-fills; type-changed scalar coerces
+        os.makedirs(f"{tmp}/j")
+        with open(f"{tmp}/j/part1.json", "w") as fh:
+            fh.write(json.dumps({"doc_id": 1, "text": "a"}) + "\n")
+            fh.write(
+                json.dumps({"doc_id": 2, "text": "b", "lang": "en"}) + "\n"
+            )
+            fh.write(json.dumps({"doc_id": 3, "text": "c", "lang": 7}) + "\n")
+        rows = {
+            r["doc_id"]: r["lang"]
+            for r in spark.read.schema(
+                "doc_id long, text string, lang string"
+            )
+            .json(f"{tmp}/j")
+            .collect()
+        }
+        assert rows == {1: None, 2: "en", 3: "7"}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
