@@ -74,120 +74,85 @@ _REGISTRY_MODULES = [
 
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
-# at ENTRY level. Round-11 ordering (VERDICT.md r10, Next #1-#6):
-# (1) the TWENTY-NINE new r11 entries that have never been in a driver
-# window — including the second-session ten: the streaming
-# index-maintenance lifecycle (insert drain + maintained read path +
-# recall bound + the streaming-delete drain), the shuffle-free
-# small-file compaction pass, concat-and-chunk sequence packing, the
-# runtime-bloom-pruned join, the in-plan stream-static enrich drain,
-# and the native-XML roundtrip — the persisted-BPE lifecycle (6-round vocab build whose
-# oracle replays the full trajectory against the ON-DISK merge table,
-# the pure-read-path tokenizer, the deep ≥512-target tier with its
-# structural-invariant summary + strict compression bound; r10 Next
-# #1/#7), the persisted PQ and IVF-PQ lifecycles (build summaries +
-# training-free ADC read paths + recall bounds; r10 Next #4), the
-# multi-delta background merge (r10 Next #5) plus the multi-writer
-# versioned-manifest commit, the per-doc token-id emission, the
-# exact-Gramian/PCA tier, the recursive-CTE reachability (the
-# oracle is the identical standard-SQL text), and the RocksDB-provider cross-batch-dedup
-# drain (r10 Next #6); (2) the FOUR entries whose
-# results or code changed this round and must re-prove — the two
-# batched-BPE entries (the in-round conflict set now includes the
-# merged output symbol on both engines, r10 ADVICE — the merge table
-# itself changed), and the two persisted-index summaries whose
-# cells_within_geometry invariant tightened to bound max(cell) (r10
-# ADVICE); (3) the full THIRTY-NINE-entry r6 proof-staleness cohort
-# (r10 Next #3: the TPC-H tail, temporal_* ×8, the three window
-# drains, four dedup entries, emb_* ×2, and the rest named in r10
-# VERDICT "What's missing" #4) — the ~50-entry budget cuts inside this
-# cohort, so its tail (code unchanged, pytest-covered) spills to r12.
-# Guarded against rot by tests/test_registry_hygiene.py::
+# at ENTRY level. Round-12 ordering (VERDICT.md r11, Next #1-#6):
+# (1) the NINE new r12 entries that have never been in a driver window
+# — the five bit-equivalence checks that make the rows-only read
+# paths' strongest evidence driver-visible (persisted IVF/PQ/IVF-PQ ≡
+# their in-process tiers, the stream-maintained index ≡ the flat
+# segment-stack reader, the deep BPE tokenizer ≡ a direct
+# token-materializing application of the same vocabulary; r11 Next
+# #2), the segment-store lifecycle tail (time-travel as-of-version
+# reads pinning the manifest-chain algebra, and GC/VACUUM with a
+# retention window proving the expire_snapshots contract; r11 Next
+# #3/#4), the predicate-selected per-partition in-place compaction of
+# a month-partitioned fact (r11 Next #5), and the JSONL explicit-
+# schema evolution twin of the parquet footer-merge entry (r11 Next
+# #6); (2) the FIVE entries whose code changed this round and must
+# re-prove — the small-file compaction pass (coalesce-clamped target +
+# _SUCCESS-gated staging reuse; r11 ADVICE) and the four streaming
+# index-maintenance entries (numeric segment ordering; r11 ADVICE);
+# (3) the full TWENTY-ONE-entry r6 proof-staleness cohort (r11 Next
+# #1 — the tail the r11 budget cut; all 21 fit this round, restoring
+# the r7+ freshest-proof floor registry-wide); (4) FIFTEEN r7-stale
+# entries (oldest-proof-first continuation — starts raising the floor
+# toward r8; includes graph_pagerank_copurchase, the r11 bench watch
+# item). Guarded against rot by tests/test_registry_hygiene.py::
 # test_priority_names_exist.
 _PRIORITY = [
-    # -- new this round (r11), first driver proof --
-    "text_bpe_vocab_build",  # persisted merge table, full-trajectory oracle
-    "text_bpe_tokenize_persisted",  # pure read path, hash = batched tokenizer
-    "text_bpe_vocab_build_deep",  # ≥512-target tier, structural invariants
-    "text_bpe_tokenize_deep",  # deep read path (rows-only)
-    "text_bpe_deep_compression_bound",  # strict compression improvement
-    "sim_pq_index_build",  # persisted codebooks + packed codes summary
-    "sim_persisted_pq_topk",  # training-free ADC read path (rows-only)
-    "sim_persisted_pq_recall_check",  # its driver-hash recall bound
-    "sim_ivfpq_index_build",  # cell-partitioned residual-code summary
-    "sim_persisted_ivfpq_topk",  # pruned ADC read path (rows-only)
-    "sim_persisted_ivfpq_recall_check",  # its driver-hash recall bound
-    "sim_persisted_merge_deltas",  # background multi-delta compaction
-    "sim_persisted_concurrent_ingest",  # multi-writer versioned-manifest commit
-    "text_bpe_encode_ids",  # per-doc token-id sequences, order-sensitive digest
-    "graph_reachability_recursive",  # standard WITH RECURSIVE BFS, shared SQL
-    "emb_gramian_exact",  # distributed exact second-moment matrix
-    "emb_pca_project",  # top-K eigenbasis projection (rows-only)
-    "emb_pca_variance_check",  # trace + decomposition invariants
-    "stream_crossbatch_dedup_rocksdb_drain",  # at-scale state-store posture
-    "stream_index_maintenance_drain",  # streaming ingest + scheduled compaction
-    "stream_maintained_index_topk",  # maintained-index read path (rows-only)
-    "stream_maintained_recall_check",  # its driver-hash recall bound
-    "parquet_compact_small_files",  # shuffle-free bin-pack OPTIMIZE pass
-    "corpus_pack_sequences",  # concat-and-chunk sequence packing
-    "bloom_runtime_filter_join",  # runtime bloom-pruned fact-fact join
-    "stream_static_enrich_drain",  # in-plan stream-static broadcast enrich
-    "xml_roundtrip_digest",  # Spark 4 native XML source/sink fidelity
-    "stream_index_delete_drain",  # streaming tombstones + scheduled delete-fold
-    # -- results/code changed this round: re-prove --
-    "text_bpe_train_batched",  # conflict set now includes merged symbol
-    "text_bpe_tokenize_batched",  # same rule via the shared fit
-    "sim_ivf_index_build",  # max(cell) < nlist invariant (ADVICE)
-    "sim_persisted_ingest_delta",  # same invariant tightening (ADVICE)
-    # -- r10 Next #3: the full r6 proof-staleness cohort (floor -> r7+),
-    # -- names recomputed from CORRECTNESS_r01..r10 (exactly 39) --
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_lines_by_flag",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_dominant_promo_suppliers",
-    "tpch_q21_sole_late_supplier",
-    "tpch_q22_dormant_high_balance",
-    "temporal_asof_join",
-    "temporal_latest_per_user",
-    "temporal_pivot_user_values",
-    "temporal_range_join",
-    "temporal_rolling_value_10min",
-    "temporal_unpivot_user_values",
-    "temporal_value_percentiles",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
+    # -- new this round (r12), first driver proof --
+    "sim_persisted_ivf_equiv_check",  # read path = in-process tier, hashed
+    "sim_persisted_pq_equiv_check",
+    "sim_persisted_ivfpq_equiv_check",
+    "stream_maintained_equiv_check",  # folds+pending = flat segment stack
+    "text_bpe_deep_apply_equiv_check",  # vocab join = token materialization
+    "sim_persisted_read_asof",  # time-travel chain algebra
+    "sim_persisted_vacuum",  # retention GC, expire_snapshots contract
+    "parquet_compact_partitioned",  # OPTIMIZE WHERE, per-partition in-place
+    "jsonl_schema_evolution",  # explicit-schema null-fill evolution policy
+    # -- code changed this round: re-prove --
+    "parquet_compact_small_files",  # clamped target + _SUCCESS-gated reuse
+    "stream_index_maintenance_drain",  # numeric segment ordering
+    "stream_index_delete_drain",
+    "stream_maintained_index_topk",  # rows-only; bound twin below
+    "stream_maintained_recall_check",
+    # -- r11 Next #1: the full r6 proof-staleness cohort (exactly 21) --
+    "decontaminate_ngram_overlap",
     "dedup_containment",
     "dedup_containment_prefix",
     "dedup_embedding_signlsh",
     "dedup_survivors_best_quality",
     "emb_label_profile",
     "emb_norm_stats",
-    "decontaminate_ngram_overlap",
+    "feat_stratified_sample",
     "multimodal_decode_features",
     "quality_decile_curriculum",
     "sim_bruteforce_topk",
-    "stream_dedup_first",
-    # ---- ~50-entry budget cut falls around here; the tail below is
-    # ---- code-unchanged + pytest-covered and spills to r12 if cut
     "split_temperature_mixture",
+    "stream_dedup_first",
     "stream_ingest_verdicts_drain",
     "stream_late_data_drain",
-    "feat_stratified_sample",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_tumbling_counts",
+    "temporal_value_percentiles",
     "text_quality_score",
     "training_data_pipeline",
-    # (r7-r10-proven entries keep their fresh proofs; code unchanged)
+    # -- oldest-first continuation: fifteen r7-stale entries --
     "flagship_revenue_by_region",
     "view_customer_value_summary",
-    "q1_top_revenue_customers",
-    "q5_churn_risk",
-    "mfc_window_top1",
+    "graph_pagerank_copurchase",  # r11 bench watch item (worst r9->r11 mover)
+    "dedup_components_bigstar",
+    "dedup_incremental_lsh",
+    "analytics_sessionize_events",
+    "analytics_funnel_conversion_lag",
+    "inc_revenue_with_retractions",
+    "inc_state_rollup",
+    "multimodal_decode_jpeg",
+    "multimodal_size_stats",
+    "text_tfidf_top_terms",
+    "text_gopher_filters",
+    "stream_late_session_drain",
+    "stream_late_sliding_drain",
 ]
 
 

@@ -138,6 +138,15 @@ HEADLINE = [
     # plus both trees' bit_xor content digests (staging is untimed
     # ingest prep, like the bucketed layout)
     "parquet_compact_small_files",
+    # added r12 (extend; don't displace): the time-travel read —
+    # manifest-chain resolution + three as-of reader views verified by
+    # exact set algebra (pure reads over immutable segments; chain
+    # staging is untimed ingest prep). The r12 one-shot passes
+    # (partitioned in-place compaction, VACUUM) are deliberately NOT
+    # timed: their marker-gated destructive step runs once, and their
+    # recurring bin-pack cost is what parquet_compact_small_files
+    # already times every pass.
+    "sim_persisted_read_asof",
 ]
 
 
@@ -238,6 +247,15 @@ def main() -> None:
 
         parquet_compact_small_files(spark, "/root/testdata/sf0.001").collect()
         parquet_compact_small_files(spark, sf_dir).collect()
+    # untimed manifest-chain staging for the time-travel entry: the
+    # multi-writer ingest protocol is ingest cost, not query cost
+    if "sim_persisted_read_asof" in queries:
+        from customer_revenue_analysis_sql_tableau_spark.operators.segment_store import (
+            _manifest_chain,
+        )
+
+        _manifest_chain(spark, "/root/testdata/sf0.001")
+        _manifest_chain(spark, sf_dir)
 
     # JVM warmup: run EVERY headline query once at the tiniest SF so
     # whole-stage codegen compiles each plan's generated classes before

@@ -118,28 +118,48 @@ def sim_persisted_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     as-of-v1 plus EXACTLY writer A's segment, and head minus as-of-v2
     must be EXACTLY writer B's — no version leaks rows across the
     chain in either direction."""
-    d, _chain = _manifest_chain(spark, sf_dir)
-    v1 = read_index_asof(spark, sf_dir, 1).select("vec_id")
-    v2 = read_index_asof(spark, sf_dir, 2).select("vec_id")
-    v3 = read_index_asof(spark, sf_dir, 3).select("vec_id")
-    w1 = spark.read.parquet(f"{d}/insert_delta_w1/postings").select("vec_id")
-    w2 = spark.read.parquet(f"{d}/insert_delta_w2/postings").select("vec_id")
-    v2_expect = v1.unionByName(w1)
-    v2_ok = (
-        v2.join(v2_expect, "vec_id", "left_anti").count() == 0
-        and v2_expect.join(v2, "vec_id", "left_anti").count() == 0
+    d, chain = _manifest_chain(spark, sf_dir)
+    segs = {v: set(chain[v]) for v in (1, 2, 3)}
+    # ONE pass over each distinct segment (the head covers them all),
+    # tagged by segment name; a single aggregation yields per-segment
+    # counts plus the disjointness/uniqueness facts every as-of answer
+    # rides on. (The naive form — materializing three reader views and
+    # anti-joining them pairwise — re-scans the cell-partitioned base
+    # seven times; this shape reads each segment once.)
+    tagged: DataFrame | None = None
+    for seg in sorted(segs[3]):
+        p = (
+            spark.read.parquet(_segment_postings_path(d, seg))
+            .select("vec_id")
+            .withColumn("seg", F.lit(seg))
+        )
+        tagged = p if tagged is None else tagged.unionByName(p)
+    flags = tagged.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[
+            F.max((F.col("seg") == s).cast("int")).alias(f"in_{i}")
+            for i, s in enumerate(sorted(segs[3]))
+        ],
     )
-    head_extra = v3.join(v2, "vec_id", "left_anti")
-    v3_ok = (
-        head_extra.join(w2, "vec_id", "left_anti").count() == 0
-        and w2.join(head_extra, "vec_id", "left_anti").count() == 0
-    )
+    seg_ix = {s: i for i, s in enumerate(sorted(segs[3]))}
+    nseg = len(seg_ix)
+    flag_sum = sum(F.col(f"in_{i}") for i in range(nseg))
+    agg = flags.agg(
+        *[F.sum(f"in_{i}").alias(f"n_{i}") for i in range(nseg)],
+        F.max((flag_sum > 1).cast("int")).alias("overlap"),
+        F.max((F.col("cnt") != flag_sum).cast("int")).alias("dup"),
+    ).collect()[0]
+    n_seg = {s: int(agg[f"n_{i}"]) for s, i in seg_ix.items()}
+    disjoint = agg["overlap"] == 0 and agg["dup"] == 0
+    n_asof = {v: sum(n_seg[s] for s in chain[v]) for v in (1, 2, 3)}
+    v2_ok = segs[2] == segs[1] | {"insert_delta_w1"} and disjoint
+    v3_ok = segs[3] == segs[2] | {"insert_delta_w2"} and disjoint
     return spark.createDataFrame(
         [
             (
-                int(v1.count()),
-                int(v2.count()),
-                int(v3.count()),
+                int(n_asof[1]),
+                int(n_asof[2]),
+                int(n_asof[3]),
                 bool(v2_ok),
                 bool(v3_ok),
             )
