@@ -75,10 +75,11 @@ _REGISTRY_MODULES = [
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
 # at ENTRY level. Round-12 ordering (VERDICT.md r11, Next #1-#6):
-# (1) the NINE new r12 entries that have never been in a driver window
-# — the five bit-equivalence checks that make the rows-only read
-# paths' strongest evidence driver-visible (persisted IVF/PQ/IVF-PQ ≡
-# their in-process tiers, the stream-maintained index ≡ the flat
+# (1) the ELEVEN new r12 entries that have never been in a driver window
+# — the seven bit-equivalence checks that make the rows-only read
+# paths' strongest evidence driver-visible (persisted IVF/PQ/IVF-PQ/
+# delete/delivery ≡ their in-process tiers, the stream-maintained
+# index ≡ the flat
 # segment-stack reader, the deep BPE tokenizer ≡ a direct
 # token-materializing application of the same vocabulary; r11 Next
 # #2), the segment-store lifecycle tail (time-travel as-of-version
@@ -93,7 +94,7 @@ _REGISTRY_MODULES = [
 # index-maintenance entries (numeric segment ordering; r11 ADVICE);
 # (3) the full TWENTY-ONE-entry r6 proof-staleness cohort (r11 Next
 # #1 — the tail the r11 budget cut; all 21 fit this round, restoring
-# the r7+ freshest-proof floor registry-wide); (4) FIFTEEN r7-stale
+# the r7+ freshest-proof floor registry-wide); (4) THIRTEEN r7-stale
 # entries (oldest-proof-first continuation — starts raising the floor
 # toward r8; includes graph_pagerank_copurchase, the r11 bench watch
 # item). Guarded against rot by tests/test_registry_hygiene.py::
@@ -103,6 +104,8 @@ _PRIORITY = [
     "sim_persisted_ivf_equiv_check",  # read path = in-process tier, hashed
     "sim_persisted_pq_equiv_check",
     "sim_persisted_ivfpq_equiv_check",
+    "sim_persisted_delete_equiv_check",
+    "sim_persisted_delivery_equiv_check",
     "stream_maintained_equiv_check",  # folds+pending = flat segment stack
     "text_bpe_deep_apply_equiv_check",  # vocab join = token materialization
     "sim_persisted_read_asof",  # time-travel chain algebra
@@ -137,7 +140,7 @@ _PRIORITY = [
     "temporal_value_percentiles",
     "text_quality_score",
     "training_data_pipeline",
-    # -- oldest-first continuation: fifteen r7-stale entries --
+    # -- oldest-first continuation: thirteen r7-stale entries --
     "flagship_revenue_by_region",
     "view_customer_value_summary",
     "graph_pagerank_copurchase",  # r11 bench watch item (worst r9->r11 mover)
@@ -151,8 +154,6 @@ _PRIORITY = [
     "multimodal_size_stats",
     "text_tfidf_top_terms",
     "text_gopher_filters",
-    "stream_late_session_drain",
-    "stream_late_sliding_drain",
 ]
 
 

@@ -430,6 +430,37 @@ def sim_persisted_ivfpq_equiv_check(
     )
 
 
+def sim_persisted_delete_equiv_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted compacted-index read path ≡ the in-process delete
+    tier — compaction folds the identical wave split into the
+    identically-trained index, so answers must match bit-for-bit."""
+    return _bit_equiv_summary(
+        spark,
+        sim_persisted_delete_ivf_topk(spark, sf_dir),
+        sim_delete_ivf_topk(spark, sf_dir),
+        "query_id",
+        _TOPK_DIGEST,
+        "n_queries",
+    )
+
+
+def sim_persisted_delivery_equiv_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted insert-delta read path ≡ the in-process incremental
+    tier (out-of-corpus delivery queries against base + delta)."""
+    return _bit_equiv_summary(
+        spark,
+        sim_persisted_delivery_topk(spark, sf_dir),
+        sim_incremental_ivf(spark, sf_dir),
+        "query_id",
+        _TOPK_DIGEST,
+        "n_queries",
+    )
+
+
 def stream_maintained_equiv_check(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -577,6 +608,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_persisted_ivf_equiv_check": sim_persisted_ivf_equiv_check,
     "sim_persisted_pq_equiv_check": sim_persisted_pq_equiv_check,
     "sim_persisted_ivfpq_equiv_check": sim_persisted_ivfpq_equiv_check,
+    "sim_persisted_delete_equiv_check": sim_persisted_delete_equiv_check,
+    "sim_persisted_delivery_equiv_check": sim_persisted_delivery_equiv_check,
     "stream_maintained_equiv_check": stream_maintained_equiv_check,
     "text_bpe_deep_apply_equiv_check": text_bpe_deep_apply_equiv_check,
     "vocab_topk_containment_check": vocab_topk_containment_check,
@@ -669,6 +702,17 @@ ORACLES: dict[str, str] = {
         SELECT CAST(count(*) AS BIGINT) AS n_queries,
                TRUE AS rows_equal, TRUE AS bit_identical
         FROM embeddings WHERE vec_id < {N_QUERIES}""",
+    "sim_persisted_delete_equiv_check": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               TRUE AS rows_equal, TRUE AS bit_identical
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+          AND vec_id % {DEL_MOD} != {DEL_COMPACTED}
+          AND vec_id % {DEL_MOD} != {DEL_PENDING}""",
+    "sim_persisted_delivery_equiv_check": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               TRUE AS rows_equal, TRUE AS bit_identical
+        FROM embeddings
+        WHERE vec_id % {DELIVERY_MOD} = {DELIVERY_MOD - 1}""",
     "text_bpe_deep_apply_equiv_check": """
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
                TRUE AS rows_equal, TRUE AS bit_identical
