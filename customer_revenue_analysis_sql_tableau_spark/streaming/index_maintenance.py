@@ -459,6 +459,147 @@ def stream_flat_stack_index_topk(
     return _probe_and_rank(cent_df, nprobe, queries, flat, self_exclude=True)
 
 
+def read_streamed_index_asof(
+    spark: SparkSession, sf_dir: str, batch_id: int
+) -> DataFrame:
+    """AS-OF-BATCH read over the STREAM-maintained index — the
+    streaming twin of ``segment_store.read_index_asof``: the state a
+    reader saw after micro-batch ``batch_id`` committed, reconstructed
+    from immutable on-disk artifacts alone. Resolution: delta segments
+    ``delta_b0..b{batch_id}`` (meta-committed), folds whose folded set
+    is contained in those deltas (a fold commits INSIDE the batch that
+    trips the trigger), remaining deltas pending. Every historical
+    batch state stays reconstructible for free until VACUUM-style
+    retention removes folded segments."""
+    import glob
+    import os
+
+    sdir, d = _ensure_streamed_index(spark, sf_dir)
+    root = sdir.removeprefix("file:")
+    have = {
+        os.path.basename(os.path.dirname(p))
+        for p in glob.glob(f"{root}/delta_b*/meta")
+    }
+    upto = [f"delta_b{k}" for k in range(batch_id + 1)]
+    if not set(upto) <= have:
+        raise ValueError(
+            f"batch {batch_id} not in the committed stream"
+            f" (have: {sorted(have, key=_seg_order)})"
+        )
+    applicable = []
+    for p in glob.glob(f"{root}/merged_v*/manifest"):
+        v = int(os.path.basename(os.path.dirname(p)).removeprefix("merged_v"))
+        folded = {
+            r["segment"]
+            for r in spark.read.parquet(
+                f"{sdir}/merged_v{v}/folded"
+            ).collect()
+        }
+        if folded <= set(upto):
+            applicable.append(v)
+    view = spark.read.parquet(f"{d}/postings").select("cell", "vec_id", "v")
+    folded_all: set[str] = set()
+    for v in sorted(applicable):
+        man = spark.read.parquet(f"{sdir}/merged_v{v}/manifest")
+        view = view.join(
+            F.broadcast(man.select("cell")), "cell", "left_anti"
+        ).unionByName(
+            spark.read.parquet(f"{sdir}/merged_v{v}/postings").select(
+                "cell", "vec_id", "v"
+            )
+        )
+        folded_all |= {
+            r["segment"]
+            for r in spark.read.parquet(
+                f"{sdir}/merged_v{v}/folded"
+            ).collect()
+        }
+    for s in upto:
+        if s not in folded_all:
+            view = view.unionByName(
+                spark.read.parquet(f"{sdir}/{s}/postings").select(
+                    "cell", "vec_id", "v"
+                )
+            )
+    return view
+
+
+def stream_index_asof_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL entry for the stream-maintained index: pin the
+    batch-state algebra from the persisted artifacts. One tagged pass
+    over base + every delta segment yields per-segment counts and the
+    disjointness/uniqueness facts; the as-of-batch live counts follow
+    (DuckDB recomputes each from the delivery's deterministic
+    ``vec_id % N_STREAM_BATCHES`` batch split), and the fold-applied
+    as-of reader at the fold batch is digest-compared against the flat
+    base + delta stack — compaction must be invisible to every
+    historical read, not just the head."""
+    sdir, d = _ensure_streamed_index(spark, sf_dir)
+    segs = [f"delta_b{k}" for k in range(N_STREAM_BATCHES)]
+    tagged = (
+        spark.read.parquet(f"{d}/postings")
+        .select("vec_id")
+        .withColumn("seg", F.lit("base"))
+    )
+    for s in segs:
+        tagged = tagged.unionByName(
+            spark.read.parquet(f"{sdir}/{s}/postings")
+            .select("vec_id")
+            .withColumn("seg", F.lit(s))
+        )
+    names = ["base", *segs]
+    flags = tagged.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[
+            F.max((F.col("seg") == s).cast("int")).alias(f"in_{i}")
+            for i, s in enumerate(names)
+        ],
+    )
+    flag_sum = sum(F.col(f"in_{i}") for i in range(len(names)))
+    agg = flags.agg(
+        *[F.sum(f"in_{i}").alias(f"n_{i}") for i in range(len(names))],
+        F.max((flag_sum > 1).cast("int")).alias("overlap"),
+        F.max((F.col("cnt") != flag_sum).cast("int")).alias("dup"),
+    ).collect()[0]
+    n = {s: int(agg[f"n_{i}"]) for i, s in enumerate(names)}
+    disjoint = agg["overlap"] == 0 and agg["dup"] == 0
+    n_asof = [
+        n["base"] + sum(n[f"delta_b{j}"] for j in range(b + 1))
+        for b in range(N_STREAM_BATCHES)
+    ]
+
+    # fold-applied as-of reader vs the flat stack, at the first batch
+    # whose state has a committed fold (batch 1 in this configuration)
+    fold_b = MERGE_TRIGGER_SEGMENTS - 1
+    folded_view = read_streamed_index_asof(spark, sf_dir, fold_b)
+    flat = spark.read.parquet(f"{d}/postings").select("cell", "vec_id")
+    for k in range(fold_b + 1):
+        flat = flat.unionByName(
+            spark.read.parquet(f"{sdir}/delta_b{k}/postings").select(
+                "cell", "vec_id"
+            )
+        )
+
+    def dig(df: DataFrame):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(vec_id, cell))").alias("dig"),
+        ).collect()[0]
+
+    a, b_ = dig(folded_view.select("cell", "vec_id")), dig(flat)
+    return spark.createDataFrame(
+        [
+            (
+                *[int(x) for x in n_asof],
+                bool(disjoint),
+                bool(a["n"] == b_["n"] and a["dig"] == b_["dig"]),
+            )
+        ],
+        "n_asof_b0 bigint, n_asof_b1 bigint, n_asof_b2 bigint,"
+        " batches_disjoint boolean, folded_reader_equals_flat boolean",
+    )
+
+
 #: Streaming-delete waves: base vectors (the delivery split stays the
 #: insert stream's) whose ``vec_id % DELETE_WAVE_MOD`` hits one of the
 #: three wave remainders, one wave per micro-batch. Distinct from the
@@ -754,6 +895,7 @@ def stream_index_delete_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_index_maintenance_drain": stream_index_maintenance_drain,
     "stream_maintained_index_topk": stream_maintained_index_topk,
+    "stream_index_asof_batch": stream_index_asof_batch,
     "stream_index_delete_drain": stream_index_delete_drain,
 }
 
@@ -787,4 +929,20 @@ ORACLES: dict[str, str] = {
           AND vec_id % {DELETE_WAVE_MOD} IN {DELETE_WAVE_REMS}""",
     # stream_maintained_index_topk: rows-only (approximate tier);
     # bounded by stream_maintained_recall_check in sketch_checks.py
+    # as-of-batch counts recomputed from the delivery's deterministic
+    # vec_id % N_STREAM_BATCHES batch split; the exact engine asserts
+    # the disjointness and fold-invisibility booleans must hold
+    "stream_index_asof_batch": f"""
+        SELECT CAST(sum(CASE WHEN vec_id % {DELIVERY_MOD}
+                                  != {DELIVERY_MOD - 1}
+                              OR vec_id % {N_STREAM_BATCHES} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_asof_b0,
+               CAST(sum(CASE WHEN vec_id % {DELIVERY_MOD}
+                                  != {DELIVERY_MOD - 1}
+                              OR vec_id % {N_STREAM_BATCHES} <= 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_asof_b1,
+               CAST(count(*) AS BIGINT) AS n_asof_b2,
+               TRUE AS batches_disjoint,
+               TRUE AS folded_reader_equals_flat
+        FROM embeddings""",
 }

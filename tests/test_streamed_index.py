@@ -263,3 +263,48 @@ def test_torn_run_replays_idempotently(drained, spark, sf_dir):
         map(tuple, im.stream_maintained_index_topk(spark, sf_dir).collect())
     )
     assert post == pre
+
+
+def test_asof_batch_states_strictly_nest(drained, spark, sf_dir):
+    prev = None
+    for b in range(im.N_STREAM_BATCHES):
+        cur = {
+            r["vec_id"]
+            for r in im.read_streamed_index_asof(spark, sf_dir, b)
+            .select("vec_id")
+            .collect()
+        }
+        if prev is not None:
+            assert prev < cur
+        prev = cur
+    # the head as-of state IS the maintained reader view
+    view, _s, _d = im._maintained_reader_postings(spark, sf_dir)
+    assert prev == {r["vec_id"] for r in view.select("vec_id").collect()}
+
+
+def test_asof_batch_folds_invisible_at_every_batch(drained, spark, sf_dir):
+    """At every batch, the fold-applied as-of reader must equal the
+    flat base + delta_b0..b stack row-for-row (with cells)."""
+    sdir, d = im._ensure_streamed_index(spark, sf_dir)
+    base = spark.read.parquet(f"{d}/postings").select("cell", "vec_id")
+    for b in range(im.N_STREAM_BATCHES):
+        flat = base
+        for k in range(b + 1):
+            flat = flat.unionByName(
+                spark.read.parquet(f"{sdir}/delta_b{k}/postings").select(
+                    "cell", "vec_id"
+                )
+            )
+        asof = im.read_streamed_index_asof(spark, sf_dir, b).select(
+            "cell", "vec_id"
+        )
+        assert sorted(map(tuple, asof.collect())) == sorted(
+            map(tuple, flat.collect())
+        )
+
+
+def test_asof_batch_unknown_raises(drained, spark, sf_dir):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in the committed stream"):
+        im.read_streamed_index_asof(spark, sf_dir, im.N_STREAM_BATCHES + 5)
