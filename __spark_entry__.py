@@ -75,7 +75,7 @@ _REGISTRY_MODULES = [
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
 # at ENTRY level. Round-12 ordering (VERDICT.md r11, Next #1-#6):
-# (1) the TWELVE new r12 entries that have never been in a driver window
+# (1) the THIRTEEN new r12 entries that have never been in a driver window
 # — the seven bit-equivalence checks that make the rows-only read
 # paths' strongest evidence driver-visible (persisted IVF/PQ/IVF-PQ/
 # delete/delivery ≡ their in-process tiers, the stream-maintained
@@ -89,14 +89,15 @@ _REGISTRY_MODULES = [
 # a month-partitioned fact (r11 Next #5), and the JSONL explicit-
 # schema evolution twin of the parquet footer-merge entry (r11 Next
 # #6), and the streamed-index as-of-batch time travel (the streaming
-# twin of the segment-store read; fold-invisibility digest-pinned);
+# twin of the segment-store read; fold-invisibility digest-pinned)
+# plus its GC (manifest-folded segments retired in a CoW clone);
 # (2) the FIVE entries whose code changed this round and must
 # re-prove — the small-file compaction pass (coalesce-clamped target +
 # _SUCCESS-gated staging reuse; r11 ADVICE) and the four streaming
 # index-maintenance entries (numeric segment ordering; r11 ADVICE);
 # (3) the full TWENTY-ONE-entry r6 proof-staleness cohort (r11 Next
 # #1 — the tail the r11 budget cut; all 21 fit this round, restoring
-# the r7+ freshest-proof floor registry-wide); (4) TWELVE r7-stale
+# the r7+ freshest-proof floor registry-wide); (4) ELEVEN r7-stale
 # entries (oldest-proof-first continuation — starts raising the floor
 # toward r8; includes graph_pagerank_copurchase, the r11 bench watch
 # item). Guarded against rot by tests/test_registry_hygiene.py::
@@ -115,6 +116,7 @@ _PRIORITY = [
     "parquet_compact_partitioned",  # OPTIMIZE WHERE, per-partition in-place
     "jsonl_schema_evolution",  # explicit-schema null-fill evolution policy
     "stream_index_asof_batch",  # streamed-index time travel, fold-invisible
+    "stream_index_vacuum",  # GC of manifest-folded segments (CoW clone)
     # -- code changed this round: re-prove --
     "parquet_compact_small_files",  # clamped target + _SUCCESS-gated reuse
     "stream_index_maintenance_drain",  # numeric segment ordering
@@ -143,7 +145,7 @@ _PRIORITY = [
     "temporal_value_percentiles",
     "text_quality_score",
     "training_data_pipeline",
-    # -- oldest-first continuation: twelve r7-stale entries --
+    # -- oldest-first continuation: eleven r7-stale entries --
     "flagship_revenue_by_region",
     "view_customer_value_summary",
     "graph_pagerank_copurchase",  # r11 bench watch item (worst r9->r11 mover)
@@ -155,7 +157,6 @@ _PRIORITY = [
     "inc_state_rollup",
     "multimodal_decode_jpeg",
     "multimodal_size_stats",
-    "text_tfidf_top_terms",
 ]
 
 

@@ -600,6 +600,152 @@ def stream_index_asof_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GC for the STREAM-maintained segment store — the streaming twin
+    of ``segment_store.sim_persisted_vacuum``: a long-running ingest
+    loop accumulates folded delta segments forever (kept so invariants
+    and as-of-batch reads can replay); the retention pass deletes the
+    segments already folded into a MANIFEST-COMMITTED merge, keeping
+    the merged bases and every pending delta. Contract proven from the
+    on-disk post-state: the head reader's answers are bit-unchanged
+    (untouched base cells + merge + pending never referenced the
+    folded originals), only manifest-folded segments were removed,
+    pending segments are intact — and the documented casualty is
+    pinned: an as-of-batch read PREDATING the fold now fails loudly
+    (its pre-fold delta is gone — the ``expire_snapshots`` trade).
+
+    Runs in a copy-on-write clone of the streamed dir (the shared
+    instance keeps its full history for the other entries); the clone
+    is an os-level file copy — segments are immutable, so a byte copy
+    is a valid store. Completion marker written LAST; torn runs replay
+    deterministically. Scale posture: the pass reads manifests and
+    deletes directories — O(#segments) metadata, no data scan; the
+    digests in the summary are proof cost."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    sdir, d = _ensure_streamed_index(spark, sf_dir)
+    root = sdir.removeprefix("file:")
+    vroot = f"{root}_vacuumed"
+    vdir = f"{sdir}_vacuumed"
+    marker = f"{vroot}/vacuum_done"
+
+    def merged_versions(r: str) -> list[int]:
+        import glob
+
+        return sorted(
+            int(os.path.basename(os.path.dirname(p)).removeprefix("merged_v"))
+            for p in glob.glob(f"{r}/merged_v*/manifest")
+        )
+
+    def head_reader(at: str) -> DataFrame:
+        """Untouched base cells + folds in version order + pending —
+        the maintained reader, parameterized by store dir."""
+        view = spark.read.parquet(f"{d}/postings").select(
+            "cell", "vec_id", "v"
+        )
+        folded: set[str] = set()
+        for v in merged_versions(at.removeprefix("file:")):
+            man = spark.read.parquet(f"{at}/merged_v{v}/manifest")
+            view = view.join(
+                F.broadcast(man.select("cell")), "cell", "left_anti"
+            ).unionByName(
+                spark.read.parquet(f"{at}/merged_v{v}/postings").select(
+                    "cell", "vec_id", "v"
+                )
+            )
+            folded |= {
+                r["segment"]
+                for r in spark.read.parquet(
+                    f"{at}/merged_v{v}/folded"
+                ).collect()
+            }
+        for k in range(N_STREAM_BATCHES):
+            s = f"delta_b{k}"
+            if s not in folded and os.path.exists(
+                f"{at.removeprefix('file:')}/{s}/postings"
+            ):
+                view = view.unionByName(
+                    spark.read.parquet(f"{at}/{s}/postings").select(
+                        "cell", "vec_id", "v"
+                    )
+                )
+        return view
+
+    def dig(df: DataFrame):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(vec_id, cell))").alias("dig"),
+        ).collect()[0]
+        return int(r["n"]), int(r["dig"])
+
+    if not os.path.exists(marker):
+        if os.path.exists(vroot):
+            shutil.rmtree(vroot)  # torn clone: re-stage deterministically
+        shutil.copytree(root, vroot)
+        n_pre, d_pre = dig(head_reader(vdir))
+        with open(f"{vroot}/digest_pre", "w") as fh:
+            json.dump({"n": n_pre, "dig": d_pre}, fh)
+        folded: set[str] = set()
+        for v in merged_versions(vroot):
+            folded |= {
+                r["segment"]
+                for r in spark.read.parquet(
+                    f"{vdir}/merged_v{v}/folded"
+                ).collect()
+            }
+        for s in sorted(folded, key=_seg_order):
+            shutil.rmtree(f"{vroot}/{s}", ignore_errors=True)
+        with open(marker, "w") as fh:  # completion marker LAST
+            json.dump({"deleted": sorted(folded, key=_seg_order)}, fh)
+
+    with open(marker) as fh:
+        deleted = json.load(fh)["deleted"]
+    with open(f"{vroot}/digest_pre") as fh:
+        pre = json.load(fh)
+    n_post, d_post = dig(head_reader(vdir))
+    folded_now: set[str] = set()
+    for v in merged_versions(vroot):
+        folded_now |= {
+            r["segment"]
+            for r in spark.read.parquet(f"{vdir}/merged_v{v}/folded").collect()
+        }
+    all_deltas = {f"delta_b{k}" for k in range(N_STREAM_BATCHES)}
+    remaining = {s for s in all_deltas if os.path.exists(f"{vroot}/{s}")}
+    only_folded = (
+        set(deleted) == folded_now and remaining == all_deltas - folded_now
+    )
+    pending_intact = all(
+        os.path.exists(f"{vroot}/{s}/postings")
+        and os.path.exists(f"{vroot}/{s}/meta")
+        for s in remaining
+    )
+    # the documented casualty: a pre-fold as-of read needs a folded
+    # delta that GC removed
+    try:
+        spark.read.parquet(f"{vdir}/delta_b0/postings").limit(1).collect()
+        prefold_fails = False
+    except AnalysisException:
+        prefold_fails = True
+    return spark.createDataFrame(
+        [
+            (
+                int(n_post),
+                bool(n_post == pre["n"] and d_post == pre["dig"]),
+                bool(only_folded),
+                bool(pending_intact),
+                bool(prefold_fails),
+            )
+        ],
+        "n_live bigint, reader_digest_unchanged boolean,"
+        " only_folded_deleted boolean, pending_intact boolean,"
+        " asof_prefold_fails boolean",
+    )
+
+
 #: Streaming-delete waves: base vectors (the delivery split stays the
 #: insert stream's) whose ``vec_id % DELETE_WAVE_MOD`` hits one of the
 #: three wave remainders, one wave per micro-batch. Distinct from the
@@ -896,6 +1042,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_index_maintenance_drain": stream_index_maintenance_drain,
     "stream_maintained_index_topk": stream_maintained_index_topk,
     "stream_index_asof_batch": stream_index_asof_batch,
+    "stream_index_vacuum": stream_index_vacuum,
     "stream_index_delete_drain": stream_index_delete_drain,
 }
 
@@ -944,5 +1091,15 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_asof_b2,
                TRUE AS batches_disjoint,
                TRUE AS folded_reader_equals_flat
+        FROM embeddings""",
+    # after GC the head must still serve base ∪ delivery (the whole
+    # corpus) bit-unchanged, having removed only manifest-folded
+    # segments; pre-fold as-of reads are the documented casualty
+    "stream_index_vacuum": """
+        SELECT CAST(count(*) AS BIGINT) AS n_live,
+               TRUE AS reader_digest_unchanged,
+               TRUE AS only_folded_deleted,
+               TRUE AS pending_intact,
+               TRUE AS asof_prefold_fails
         FROM embeddings""",
 }

@@ -308,3 +308,40 @@ def test_asof_batch_unknown_raises(drained, spark, sf_dir):
 
     with _pytest.raises(ValueError, match="not in the committed stream"):
         im.read_streamed_index_asof(spark, sf_dir, im.N_STREAM_BATCHES + 5)
+
+
+def test_stream_vacuum_contract_and_idempotence(drained, spark, sf_dir):
+    a = im.stream_index_vacuum(spark, sf_dir).collect()[0]
+    assert a["reader_digest_unchanged"]
+    assert a["only_folded_deleted"]
+    assert a["pending_intact"]
+    assert a["asof_prefold_fails"]
+    b = im.stream_index_vacuum(spark, sf_dir).collect()[0]
+    assert a == b
+
+
+def test_stream_vacuum_leaves_shared_store_intact(drained, spark, sf_dir):
+    """The copy-on-write clone must not touch the shared streamed dir:
+    every delta segment and the as-of history stay readable there."""
+    im.stream_index_vacuum(spark, sf_dir)
+    sdir, _d = im._ensure_streamed_index(spark, sf_dir)
+    for k in range(im.N_STREAM_BATCHES):
+        assert (
+            spark.read.parquet(f"{sdir}/delta_b{k}/postings").count() > 0
+        )
+    # pre-fold as-of reads still work on the SHARED store
+    assert im.read_streamed_index_asof(spark, sf_dir, 0).count() > 0
+
+
+def test_stream_vacuum_torn_run_replays(drained, spark, sf_dir):
+    import json
+    import os
+
+    first = im.stream_index_vacuum(spark, sf_dir).collect()[0]
+    sdir, _d = im._ensure_streamed_index(spark, sf_dir)
+    vroot = f"{sdir.removeprefix('file:')}_vacuumed"
+    os.remove(f"{vroot}/vacuum_done")
+    replay = im.stream_index_vacuum(spark, sf_dir).collect()[0]
+    assert replay == first
+    with open(f"{vroot}/vacuum_done") as fh:
+        assert json.load(fh)["deleted"] == ["delta_b0", "delta_b1"]
