@@ -75,7 +75,7 @@ _REGISTRY_MODULES = [
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
 # at ENTRY level. Round-12 ordering (VERDICT.md r11, Next #1-#6):
-# (1) the THIRTEEN new r12 entries that have never been in a driver window
+# (1) the FOURTEEN new r12 entries that have never been in a driver window
 # — the seven bit-equivalence checks that make the rows-only read
 # paths' strongest evidence driver-visible (persisted IVF/PQ/IVF-PQ/
 # delete/delivery ≡ their in-process tiers, the stream-maintained
@@ -101,7 +101,9 @@ _REGISTRY_MODULES = [
 # entries (oldest-proof-first continuation — starts raising the floor
 # toward r8; includes graph_pagerank_copurchase, the r11 bench watch
 # item). Guarded against rot by tests/test_registry_hygiene.py::
-# test_priority_names_exist.
+# test_priority_names_exist. The ~50-entry budget may cut inside the
+# final r7 continuation entries; they are code-unchanged and
+# pytest-covered, so a spill to r13 costs nothing.
 _PRIORITY = [
     # -- new this round (r12), first driver proof --
     "sim_persisted_ivf_equiv_check",  # read path = in-process tier, hashed
@@ -112,6 +114,7 @@ _PRIORITY = [
     "stream_maintained_equiv_check",  # folds+pending = flat segment stack
     "text_bpe_deep_apply_equiv_check",  # vocab join = token materialization
     "sim_persisted_read_asof",  # time-travel chain algebra
+    "sim_asof_v2_brute_topk",  # exact search against a historical snapshot
     "sim_persisted_vacuum",  # retention GC, expire_snapshots contract
     "parquet_compact_partitioned",  # OPTIMIZE WHERE, per-partition in-place
     "jsonl_schema_evolution",  # explicit-schema null-fill evolution policy

@@ -48,6 +48,8 @@ from pyspark.sql import functions as F
 
 from .similarity import (
     DELIVERY_MOD,
+    N_QUERIES,
+    TOP_K,
     _ivf_index_dir,
     sim_persisted_concurrent_ingest,
 )
@@ -166,6 +168,37 @@ def sim_persisted_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_asof_v1 bigint, n_asof_v2 bigint, n_asof_v3 bigint,"
         " v2_is_v1_plus_w1 boolean, head_minus_v2_is_w2 boolean",
+    )
+
+
+def sim_asof_v2_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel as a QUERY surface, not just an audit: exact cosine
+    top-k against the AS-OF-v2 snapshot (base + writer A's wave — the
+    corpus a reader saw before writer B's commit). The live set comes
+    from :func:`read_index_asof`; the tail is the shared brute-force
+    shape (broadcast queries, JVM fold dot product, per-query window
+    top-k), so the whole historical answer is hash-green against
+    DuckDB's brute force over the same membership predicate. The
+    reproducible-training-snapshot story: any committed version's
+    exact search results can be regenerated bit-for-bit."""
+    from .dedup import _cos
+
+    live = read_index_asof(spark, sf_dir, 2).select("vec_id", "v")
+    q = live.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        live.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _cos("qv", "v").alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
@@ -325,6 +358,7 @@ def sim_persisted_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_persisted_read_asof": sim_persisted_read_asof,
+    "sim_asof_v2_brute_topk": sim_asof_v2_brute_topk,
     "sim_persisted_vacuum": sim_persisted_vacuum,
 }
 
@@ -344,6 +378,28 @@ ORACLES: dict[str, str] = {
                TRUE AS v2_is_v1_plus_w1,
                TRUE AS head_minus_v2_is_w2
         FROM embeddings""",
+    # the historical snapshot's exact search: DuckDB reproduces the
+    # v2 membership (base ∪ wave A) from the delivery split and runs
+    # the identical brute force — hash-green, every float bit
+    "sim_asof_v2_brute_topk": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id % {_W} != {_W - 1}
+               OR vec_id % {2 * _W} = {_W - 1}),
+        scored AS (
+            SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                   list_dot_product(q.v, x.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(x.v, x.v))) AS cosine
+            FROM e q JOIN e x ON q.vec_id != x.vec_id
+            WHERE q.vec_id < {N_QUERIES}),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {TOP_K}""",
     # after GC the head must still serve the FULL corpus (base ∪ both
     # waves) with its pre-delete digest, having removed only the
     # retired segments

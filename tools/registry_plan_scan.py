@@ -52,6 +52,7 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "quality_decile_cutoffs",  # broadcast decile cutoffs (1 row)
         "feat_vocab_coverage",  # broadcast corpus totals (1 row)
         "sim_bruteforce_topk",  # query set × corpus, queries bounded
+        "sim_asof_v2_brute_topk",  # exact CHECK baseline over the v2 snapshot (bounded query set)
         "sim_ivf_topk",  # query set × centroids, both bounded
         "text_unigram_logprob",  # broadcast (T, V) scalar frame (1 row)
         "tpch_q11_important_parts",  # scalar value threshold (1 row)
@@ -98,6 +99,7 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
 PERKEY_WINDOW_ALLOWLIST: frozenset[str] = frozenset(
     {
         "sim_bruteforce_topk",  # exact baseline: full-corpus rank is the point
+        "sim_asof_v2_brute_topk",  # exact baseline over the historical snapshot
         "sim_lsh_recall_check",  # embeds sim_bruteforce_topk
         "sim_ivf_recall_check",  # embeds sim_bruteforce_topk
         "sim_pq_recall_check",  # embeds sim_bruteforce_topk
