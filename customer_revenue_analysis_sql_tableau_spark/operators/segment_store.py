@@ -111,6 +111,37 @@ def read_index_asof(
     return live
 
 
+def segment_union_stats(
+    spark: SparkSession, segments: list[tuple[str, DataFrame]]
+) -> tuple[dict[str, int], bool]:
+    """ONE tagged-union pass over named (vec_id) segment frames:
+    per-segment counts plus the disjointness facts every additive
+    segment-store answer rides on — no vector in two segments, no
+    duplicate within one. Shared by the batch time-travel entry and
+    the streaming as-of-batch twin so the accounting rule can never
+    drift between them. Returns ``({segment: count}, disjoint)``."""
+    tagged: DataFrame | None = None
+    names = [n for n, _df in segments]
+    for name, df in segments:
+        p = df.select("vec_id").withColumn("seg", F.lit(name))
+        tagged = p if tagged is None else tagged.unionByName(p)
+    flags = tagged.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[
+            F.max((F.col("seg") == s).cast("int")).alias(f"in_{i}")
+            for i, s in enumerate(names)
+        ],
+    )
+    flag_sum = sum(F.col(f"in_{i}") for i in range(len(names)))
+    agg = flags.agg(
+        *[F.sum(f"in_{i}").alias(f"n_{i}") for i in range(len(names))],
+        F.max((flag_sum > 1).cast("int")).alias("overlap"),
+        F.max((F.col("cnt") != flag_sum).cast("int")).alias("dup"),
+    ).collect()[0]
+    counts = {s: int(agg[f"n_{i}"]) for i, s in enumerate(names)}
+    return counts, bool(agg["overlap"] == 0 and agg["dup"] == 0)
+
+
 def sim_persisted_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-TRAVEL entry: pin the chain algebra of the v1 → v2 → v3
     manifest history the multi-writer protocol committed. Oracle-backed
@@ -122,37 +153,17 @@ def sim_persisted_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain in either direction."""
     d, chain = _manifest_chain(spark, sf_dir)
     segs = {v: set(chain[v]) for v in (1, 2, 3)}
-    # ONE pass over each distinct segment (the head covers them all),
-    # tagged by segment name; a single aggregation yields per-segment
-    # counts plus the disjointness/uniqueness facts every as-of answer
-    # rides on. (The naive form — materializing three reader views and
+    # ONE pass over each distinct segment (the head covers them all).
+    # The naive form — materializing three reader views and
     # anti-joining them pairwise — re-scans the cell-partitioned base
-    # seven times; this shape reads each segment once.)
-    tagged: DataFrame | None = None
-    for seg in sorted(segs[3]):
-        p = (
-            spark.read.parquet(_segment_postings_path(d, seg))
-            .select("vec_id")
-            .withColumn("seg", F.lit(seg))
-        )
-        tagged = p if tagged is None else tagged.unionByName(p)
-    flags = tagged.groupBy("vec_id").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        *[
-            F.max((F.col("seg") == s).cast("int")).alias(f"in_{i}")
-            for i, s in enumerate(sorted(segs[3]))
+    # seven times; this shape reads each segment once.
+    n_seg, disjoint = segment_union_stats(
+        spark,
+        [
+            (seg, spark.read.parquet(_segment_postings_path(d, seg)))
+            for seg in sorted(segs[3])
         ],
     )
-    seg_ix = {s: i for i, s in enumerate(sorted(segs[3]))}
-    nseg = len(seg_ix)
-    flag_sum = sum(F.col(f"in_{i}") for i in range(nseg))
-    agg = flags.agg(
-        *[F.sum(f"in_{i}").alias(f"n_{i}") for i in range(nseg)],
-        F.max((flag_sum > 1).cast("int")).alias("overlap"),
-        F.max((F.col("cnt") != flag_sum).cast("int")).alias("dup"),
-    ).collect()[0]
-    n_seg = {s: int(agg[f"n_{i}"]) for s, i in seg_ix.items()}
-    disjoint = agg["overlap"] == 0 and agg["dup"] == 0
     n_asof = {v: sum(n_seg[s] for s in chain[v]) for v in (1, 2, 3)}
     v2_ok = segs[2] == segs[1] | {"insert_delta_w1"} and disjoint
     v3_ok = segs[3] == segs[2] | {"insert_delta_w2"} and disjoint
@@ -267,7 +278,7 @@ def sim_persisted_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a reader pinned to an expired version failing loudly."""
     from pyspark.errors import AnalysisException
 
-    d, chain = _manifest_chain(spark, sf_dir)
+    d, _chain = _manifest_chain(spark, sf_dir)  # ensures the source chain
     vd = _vacuum_dir(spark, sf_dir)
     root = vd.removeprefix("file:")
     marker = f"{root}/vacuum_done"

@@ -189,22 +189,49 @@ def _partition_dirs(root: str) -> list[str]:
     )
 
 
-def _pack_partition_inplace(spark: SparkSession, pdir: str, tmp: str) -> None:
-    """Bin-pack one partition directory in place: pack to ``tmp``, then
-    swap — delete the old small files, move the packed ones in. Never
-    reads or writes outside ``pdir``/``tmp``."""
+def _pack_partition_inplace(spark: SparkSession, pdir: str, pack: str) -> None:
+    """Bin-pack one partition directory in place, torn-run-safe. Three
+    phases, each independently replayable (a naive delete-then-move
+    swap loses rows for good if the process dies between the delete
+    and the move — replay would re-pack the partially-emptied
+    partition and overwrite the only surviving copy):
+
+    A. build the packed copy in ``pack`` (gated on its ``_SUCCESS``;
+       the partition is never touched before the copy is complete, so
+       a crash here just rebuilds from the intact partition);
+    B. swap, driven by the ``_incoming`` manifest PERSISTED at the end
+       of phase A (recomputing the set from the residual ``pack``
+       listing after a partial move would mark already-moved files as
+       deletable): delete every partition parquet NOT in the incoming
+       set (renamed under a ``packed-`` prefix), then move the
+       incoming files still waiting in ``pack``. Replaying any prefix
+       of B converges to the same state;
+    C. remove ``pack``. A crash after C re-enters phase A, which
+       re-packs the already-packed partition 1:1 — content identical.
+
+    Never reads or writes outside ``pdir``/``pack``."""
+    import json
     import shutil
 
-    compact_dataset(spark, pdir, tmp)
     base = pdir.removeprefix("file:")
-    tbase = tmp.removeprefix("file:")
-    for f in os.listdir(base):
-        if f.endswith(".parquet"):
+    pbase = pack.removeprefix("file:")
+    manifest = os.path.join(pbase, "_incoming")
+    if not os.path.exists(manifest):  # phase A (+ its completion marker)
+        compact_dataset(spark, pdir, pack)
+        names = sorted(
+            f for f in os.listdir(pbase) if f.endswith(".parquet")
+        )
+        with open(manifest, "w") as fh:
+            json.dump(names, fh)
+    with open(manifest) as fh:
+        incoming = {f"packed-{f}": f for f in json.load(fh)}
+    for f in os.listdir(base):  # phase B: delete old, keep incoming
+        if f.endswith(".parquet") and f not in incoming:
             os.remove(os.path.join(base, f))
-    for f in os.listdir(tbase):
-        if f.endswith(".parquet"):
-            shutil.move(os.path.join(tbase, f), os.path.join(base, f))
-    shutil.rmtree(tbase, ignore_errors=True)
+    for dst, src in incoming.items():
+        if os.path.exists(os.path.join(pbase, src)):
+            shutil.move(os.path.join(pbase, src), os.path.join(base, dst))
+    shutil.rmtree(pbase, ignore_errors=True)  # phase C
 
 
 def parquet_compact_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:

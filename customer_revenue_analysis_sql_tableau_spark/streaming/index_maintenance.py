@@ -459,6 +459,56 @@ def stream_flat_stack_index_topk(
     return _probe_and_rank(cent_df, nprobe, queries, flat, self_exclude=True)
 
 
+def _fold_applied_view(
+    spark: SparkSession, store_dir: str, base_dir: str, delta_names: list[str]
+) -> DataFrame:
+    """The fold-application reader algebra, parameterized by store dir
+    and visible delta set: manifest-committed folds whose folded set
+    the deltas cover, applied in version order over the base, then the
+    unfolded deltas still present on disk unioned in. Each fold's
+    ``folded`` manifest is read ONCE. Serves the as-of reader and the
+    vacuumed-clone head reader; ``_maintained_reader_postings`` stays
+    on the ``final_manifest`` deliberately — it is the end-of-stream
+    source of truth, these two resolve from raw store state."""
+    import glob
+    import os
+
+    root = store_dir.removeprefix("file:")
+    folds: dict[int, set[str]] = {}
+    for p in glob.glob(f"{root}/merged_v*/manifest"):
+        v = int(os.path.basename(os.path.dirname(p)).removeprefix("merged_v"))
+        folded = {
+            r["segment"]
+            for r in spark.read.parquet(
+                f"{store_dir}/merged_v{v}/folded"
+            ).collect()
+        }
+        if folded <= set(delta_names):
+            folds[v] = folded
+    view = spark.read.parquet(f"{base_dir}/postings").select(
+        "cell", "vec_id", "v"
+    )
+    folded_all: set[str] = set()
+    for v in sorted(folds):
+        man = spark.read.parquet(f"{store_dir}/merged_v{v}/manifest")
+        view = view.join(
+            F.broadcast(man.select("cell")), "cell", "left_anti"
+        ).unionByName(
+            spark.read.parquet(f"{store_dir}/merged_v{v}/postings").select(
+                "cell", "vec_id", "v"
+            )
+        )
+        folded_all |= folds[v]
+    for s in delta_names:
+        if s not in folded_all and os.path.exists(f"{root}/{s}/postings"):
+            view = view.unionByName(
+                spark.read.parquet(f"{store_dir}/{s}/postings").select(
+                    "cell", "vec_id", "v"
+                )
+            )
+    return view
+
+
 def read_streamed_index_asof(
     spark: SparkSession, sf_dir: str, batch_id: int
 ) -> DataFrame:
@@ -486,42 +536,7 @@ def read_streamed_index_asof(
             f"batch {batch_id} not in the committed stream"
             f" (have: {sorted(have, key=_seg_order)})"
         )
-    applicable = []
-    for p in glob.glob(f"{root}/merged_v*/manifest"):
-        v = int(os.path.basename(os.path.dirname(p)).removeprefix("merged_v"))
-        folded = {
-            r["segment"]
-            for r in spark.read.parquet(
-                f"{sdir}/merged_v{v}/folded"
-            ).collect()
-        }
-        if folded <= set(upto):
-            applicable.append(v)
-    view = spark.read.parquet(f"{d}/postings").select("cell", "vec_id", "v")
-    folded_all: set[str] = set()
-    for v in sorted(applicable):
-        man = spark.read.parquet(f"{sdir}/merged_v{v}/manifest")
-        view = view.join(
-            F.broadcast(man.select("cell")), "cell", "left_anti"
-        ).unionByName(
-            spark.read.parquet(f"{sdir}/merged_v{v}/postings").select(
-                "cell", "vec_id", "v"
-            )
-        )
-        folded_all |= {
-            r["segment"]
-            for r in spark.read.parquet(
-                f"{sdir}/merged_v{v}/folded"
-            ).collect()
-        }
-    for s in upto:
-        if s not in folded_all:
-            view = view.unionByName(
-                spark.read.parquet(f"{sdir}/{s}/postings").select(
-                    "cell", "vec_id", "v"
-                )
-            )
-    return view
+    return _fold_applied_view(spark, sdir, d, upto)
 
 
 def stream_index_asof_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,35 +549,15 @@ def stream_index_asof_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     as-of reader at the fold batch is digest-compared against the flat
     base + delta stack — compaction must be invisible to every
     historical read, not just the head."""
+    from ..operators.segment_store import segment_union_stats
+
     sdir, d = _ensure_streamed_index(spark, sf_dir)
     segs = [f"delta_b{k}" for k in range(N_STREAM_BATCHES)]
-    tagged = (
-        spark.read.parquet(f"{d}/postings")
-        .select("vec_id")
-        .withColumn("seg", F.lit("base"))
+    n, disjoint = segment_union_stats(
+        spark,
+        [("base", spark.read.parquet(f"{d}/postings"))]
+        + [(s, spark.read.parquet(f"{sdir}/{s}/postings")) for s in segs],
     )
-    for s in segs:
-        tagged = tagged.unionByName(
-            spark.read.parquet(f"{sdir}/{s}/postings")
-            .select("vec_id")
-            .withColumn("seg", F.lit(s))
-        )
-    names = ["base", *segs]
-    flags = tagged.groupBy("vec_id").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        *[
-            F.max((F.col("seg") == s).cast("int")).alias(f"in_{i}")
-            for i, s in enumerate(names)
-        ],
-    )
-    flag_sum = sum(F.col(f"in_{i}") for i in range(len(names)))
-    agg = flags.agg(
-        *[F.sum(f"in_{i}").alias(f"n_{i}") for i in range(len(names))],
-        F.max((flag_sum > 1).cast("int")).alias("overlap"),
-        F.max((F.col("cnt") != flag_sum).cast("int")).alias("dup"),
-    ).collect()[0]
-    n = {s: int(agg[f"n_{i}"]) for i, s in enumerate(names)}
-    disjoint = agg["overlap"] == 0 and agg["dup"] == 0
     n_asof = [
         n["base"] + sum(n[f"delta_b{j}"] for j in range(b + 1))
         for b in range(N_STREAM_BATCHES)
@@ -643,37 +638,12 @@ def stream_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def head_reader(at: str) -> DataFrame:
         """Untouched base cells + folds in version order + pending —
-        the maintained reader, parameterized by store dir."""
-        view = spark.read.parquet(f"{d}/postings").select(
-            "cell", "vec_id", "v"
+        the shared fold-application algebra, parameterized by store
+        dir (the `_fold_applied_view` existence check is what lets the
+        vacuumed clone, whose folded deltas are gone, still resolve)."""
+        return _fold_applied_view(
+            spark, at, d, [f"delta_b{k}" for k in range(N_STREAM_BATCHES)]
         )
-        folded: set[str] = set()
-        for v in merged_versions(at.removeprefix("file:")):
-            man = spark.read.parquet(f"{at}/merged_v{v}/manifest")
-            view = view.join(
-                F.broadcast(man.select("cell")), "cell", "left_anti"
-            ).unionByName(
-                spark.read.parquet(f"{at}/merged_v{v}/postings").select(
-                    "cell", "vec_id", "v"
-                )
-            )
-            folded |= {
-                r["segment"]
-                for r in spark.read.parquet(
-                    f"{at}/merged_v{v}/folded"
-                ).collect()
-            }
-        for k in range(N_STREAM_BATCHES):
-            s = f"delta_b{k}"
-            if s not in folded and os.path.exists(
-                f"{at.removeprefix('file:')}/{s}/postings"
-            ):
-                view = view.unionByName(
-                    spark.read.parquet(f"{at}/{s}/postings").select(
-                        "cell", "vec_id", "v"
-                    )
-                )
-        return view
 
     def dig(df: DataFrame):
         r = df.agg(

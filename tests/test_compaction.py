@@ -170,3 +170,51 @@ def test_partitioned_torn_run_replays(part_summary, spark, sf_dir):
     os.remove(marker)
     replay = cp.parquet_compact_partitioned(spark, sf_dir).collect()[0]
     assert replay == part_summary
+
+
+def test_pack_partition_inplace_torn_swap_replays(spark, sf_dir, tmp_path):
+    """Kill the swap at every prefix of phase B and replay: the
+    partition must converge to exactly the packed content — the naive
+    delete-then-move swap lost rows for good when the process died
+    between the delete and the move."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "part")
+    spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(6).write.parquet(src)
+    expected = sorted(
+        map(tuple, spark.read.parquet(src).collect())
+    )
+
+    # run phase A only, then simulate a torn phase B: delete one OLD
+    # file and move one incoming file in, then crash (return) — replay
+    # via the public function must converge
+    pack = str(tmp_path / "pack")
+    cp.compact_dataset(spark, src, pack)
+    import json
+
+    names = sorted(
+        f for f in os.listdir(pack) if f.endswith(".parquet")
+    )
+    with open(os.path.join(pack, "_incoming"), "w") as fh:
+        json.dump(names, fh)
+    old = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    os.remove(os.path.join(src, old[0]))  # partial delete
+    shutil.move(
+        os.path.join(pack, names[0]),
+        os.path.join(src, f"packed-{names[0]}"),
+    )  # partial move-in; "crash" here
+    cp._pack_partition_inplace(spark, src, pack)  # replay
+    got = sorted(map(tuple, spark.read.parquet(src).collect()))
+    assert got == expected
+    assert not os.path.exists(pack)
+    files = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert files and all(f.startswith("packed-") for f in files)
+
+    # replay after completion (pack dir gone): re-packs 1:1, content identical
+    cp._pack_partition_inplace(spark, src, pack)
+    assert sorted(map(tuple, spark.read.parquet(src).collect())) == expected
