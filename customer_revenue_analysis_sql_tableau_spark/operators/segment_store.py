@@ -339,7 +339,13 @@ def sim_persisted_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f_ in os.listdir(root)
         if os.path.isdir(os.path.join(root, f_))
     )
-    referenced = {s for s in head_segs}
+    # referenced = union over the RETAINED manifests (reduces to the
+    # head's segments at retention 1, and generalizes: a wider window
+    # keeps everything its versions still reference)
+    referenced: set[str] = set()
+    for v in remaining_manifests:
+        with open(f"{root}/manifest_v{v}") as fh:
+            referenced |= set(json.load(fh)["segments"])
     only_unreferenced = remaining_segs == sorted(referenced) and not (
         set(done["deleted"]) & referenced
     )

@@ -95,3 +95,28 @@ def test_vacuum_never_touches_shared_chain(spark, sf_dir):
         assert (
             spark.read.parquet(ss._segment_postings_path(d, seg)).count() > 0
         )
+
+
+def test_vacuum_wider_retention_keeps_history(spark, sf_dir, monkeypatch, tmp_path):
+    """With a 2-version retention window, v3 still references both
+    delta waves, so GC must delete NOTHING and keep manifests v3+v4 —
+    the policy generalizes beyond the head-only default."""
+    monkeypatch.setattr(ss, "VACUUM_RETAIN_LAST", 2)
+    monkeypatch.setattr(
+        ss, "_vacuum_dir", lambda spark_, sf: str(tmp_path / "vac2")
+    )
+    r = ss.sim_persisted_vacuum(spark, sf_dir).collect()[0]
+    assert r["reader_digest_unchanged"]
+    assert r["only_unreferenced_deleted"]
+    assert r["manifests_retained"]
+    # nothing was unreferenced, so nothing may fail or vanish
+    assert r["pinned_reader_fails"] is False
+    root = str(tmp_path / "vac2")
+    assert os.path.exists(f"{root}/seg_w1") and os.path.exists(
+        f"{root}/seg_w2"
+    )
+    assert sorted(
+        int(f.removeprefix("manifest_v"))
+        for f in os.listdir(root)
+        if f.startswith("manifest_v")
+    ) == [3, 4]
