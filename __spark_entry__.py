@@ -39,6 +39,7 @@ from customer_revenue_analysis_sql_tableau_spark import app_layer as _app_layer
 from customer_revenue_analysis_sql_tableau_spark import streaming as _streaming
 from customer_revenue_analysis_sql_tableau_spark.functions import gallery as _gallery
 from customer_revenue_analysis_sql_tableau_spark.sources import compaction as _compaction
+from customer_revenue_analysis_sql_tableau_spark.sources import manifest_table as _manifest_table
 from customer_revenue_analysis_sql_tableau_spark.sources import roundtrips as _roundtrips
 
 _REGISTRY_MODULES = [
@@ -70,96 +71,84 @@ _REGISTRY_MODULES = [
     _tpch_extended,
     _roundtrips,
     _compaction,
+    _manifest_table,
 ]
 
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
-# at ENTRY level. Round-12 ordering (VERDICT.md r11, Next #1-#6):
-# (1) the FOURTEEN new r12 entries that have never been in a driver window
-# — the seven bit-equivalence checks that make the rows-only read
-# paths' strongest evidence driver-visible (persisted IVF/PQ/IVF-PQ/
-# delete/delivery ≡ their in-process tiers, the stream-maintained
-# index ≡ the flat
-# segment-stack reader, the deep BPE tokenizer ≡ a direct
-# token-materializing application of the same vocabulary; r11 Next
-# #2), the segment-store lifecycle tail (time-travel as-of-version
-# reads pinning the manifest-chain algebra, and GC/VACUUM with a
-# retention window proving the expire_snapshots contract; r11 Next
-# #3/#4), the predicate-selected per-partition in-place compaction of
-# a month-partitioned fact (r11 Next #5), and the JSONL explicit-
-# schema evolution twin of the parquet footer-merge entry (r11 Next
-# #6), and the streamed-index as-of-batch time travel (the streaming
-# twin of the segment-store read; fold-invisibility digest-pinned)
-# plus its GC (manifest-folded segments retired in a CoW clone);
-# (2) the FIVE entries whose code changed this round and must
-# re-prove — the small-file compaction pass (coalesce-clamped target +
-# _SUCCESS-gated staging reuse; r11 ADVICE) and the four streaming
-# index-maintenance entries (numeric segment ordering; r11 ADVICE);
-# (3) the full TWENTY-ONE-entry r6 proof-staleness cohort (r11 Next
-# #1 — the tail the r11 budget cut; all 21 fit this round, restoring
-# the r7+ freshest-proof floor registry-wide); (4) ELEVEN r7-stale
-# entries (oldest-proof-first continuation — starts raising the floor
-# toward r8; includes graph_pagerank_copurchase, the r11 bench watch
-# item). Guarded against rot by tests/test_registry_hygiene.py::
-# test_priority_names_exist. The ~50-entry budget may cut inside the
-# final r7 continuation entries; they are code-unchanged and
-# pytest-covered, so a spill to r13 costs nothing.
+# at ENTRY level. Round-13 ordering (VERDICT.md r12, Next #1-#6):
+# (1) the FOUR new r13 entries that have never been in a driver window
+# — the reader-ATOMIC manifest-committed partitioned compaction
+# (closes SCALE.md's honest caveat: readers resolve a versioned
+# manifest, never glob the directory; pre-swap or post-swap, never the
+# window; r12 Next #2), the multi-version VACUUM retention window
+# (retain 2 over a compaction-rewritten chain: intermediate version
+# readable as-of, only the truly-unreferenced segment expires; r12
+# Next #3), the SCHEDULED per-batch retention drain for the streamed
+# store (GC as a policy inside the maintenance loop, tallies pinned
+# per batch; r12 Next #5), and the streamed as-of-batch exact search
+# (time travel as a QUERY surface for the stream-maintained store,
+# hash-green vs DuckDB over the membership predicate; r12 Next #6);
+# (2) EIGHT entries whose code changed this round and must re-prove —
+# the segment-store/streamed lifecycle entries (shared lake_core
+# algebra, digests now cover the vector column v, chain validation,
+# broad casualty probes; r12 ADVICE ×4) and the partitioned compaction
+# (rename-committed _incoming manifest); (3) the FULL 35-entry r7
+# proof-staleness cohort (r12 Next #1 — fits entirely this round,
+# raising the freshest-proof floor to r8 registry-wide). Guarded
+# against rot by tests/test_registry_hygiene.py::
+# test_priority_names_exist. 4+8+35 = 47 fits the ~50-entry budget.
 _PRIORITY = [
-    # -- new this round (r12), first driver proof --
-    "sim_persisted_ivf_equiv_check",  # read path = in-process tier, hashed
-    "sim_persisted_pq_equiv_check",
-    "sim_persisted_ivfpq_equiv_check",
-    "sim_persisted_delete_equiv_check",
-    "sim_persisted_delivery_equiv_check",
-    "stream_maintained_equiv_check",  # folds+pending = flat segment stack
-    "text_bpe_deep_apply_equiv_check",  # vocab join = token materialization
-    "sim_persisted_read_asof",  # time-travel chain algebra
-    "sim_asof_v2_brute_topk",  # exact search against a historical snapshot
-    "sim_persisted_vacuum",  # retention GC, expire_snapshots contract
-    "parquet_compact_partitioned",  # OPTIMIZE WHERE, per-partition in-place
-    "jsonl_schema_evolution",  # explicit-schema null-fill evolution policy
-    "stream_index_asof_batch",  # streamed-index time travel, fold-invisible
-    "stream_index_vacuum",  # GC of manifest-folded segments (CoW clone)
+    # -- new this round (r13), first driver proof --
+    "parquet_compact_manifest_atomic",  # reader-atomic OPTIMIZE WHERE
+    "sim_persisted_vacuum_window",  # retention window 2, real expiry
+    "stream_index_retention_drain",  # scheduled per-batch GC, pinned tallies
+    "stream_asof_b1_brute_topk",  # streamed-store historical exact search
     # -- code changed this round: re-prove --
-    "parquet_compact_small_files",  # clamped target + _SUCCESS-gated reuse
-    "stream_index_maintenance_drain",  # numeric segment ordering
+    "sim_persisted_read_asof",  # lake_core chain walk + validation
+    "sim_asof_v2_brute_topk",  # shared brute tail refactor
+    "sim_persisted_vacuum",  # shared retention pass + broad probe
+    "stream_index_asof_batch",  # digest now covers v (r12 ADVICE)
+    "stream_index_vacuum",  # digest covers v + staleness guard
+    "stream_index_maintenance_drain",  # _ensure_streamed_index params
     "stream_index_delete_drain",
-    "stream_maintained_index_topk",  # rows-only; bound twin below
-    "stream_maintained_recall_check",
-    # -- r11 Next #1: the full r6 proof-staleness cohort (exactly 21) --
-    "decontaminate_ngram_overlap",
-    "dedup_containment",
-    "dedup_containment_prefix",
-    "dedup_embedding_signlsh",
-    "dedup_survivors_best_quality",
-    "emb_label_profile",
-    "emb_norm_stats",
-    "feat_stratified_sample",
-    "multimodal_decode_features",
-    "quality_decile_curriculum",
-    "sim_bruteforce_topk",
-    "split_temperature_mixture",
-    "stream_dedup_first",
-    "stream_ingest_verdicts_drain",
-    "stream_late_data_drain",
-    "stream_session_windows",
-    "stream_sliding_counts",
-    "stream_tumbling_counts",
-    "temporal_value_percentiles",
-    "text_quality_score",
-    "training_data_pipeline",
-    # -- oldest-first continuation: eleven r7-stale entries --
-    "flagship_revenue_by_region",
-    "view_customer_value_summary",
-    "graph_pagerank_copurchase",  # r11 bench watch item (worst r9->r11 mover)
-    "dedup_components_bigstar",
-    "dedup_incremental_lsh",
-    "analytics_sessionize_events",
-    "analytics_funnel_conversion_lag",
-    "inc_revenue_with_retractions",
-    "inc_state_rollup",
-    "multimodal_decode_jpeg",
+    "parquet_compact_partitioned",  # rename-committed _incoming manifest
+    # -- r12 Next #1: the FULL r7 proof-staleness cohort (exactly 35) --
+    "analytics_event_type_bigrams",
+    "dq_constraint_violations",
+    "emb_kmeans_assign",
+    "events_json_extract",
+    "graph_triangle_stats",
+    "jsonl_corrupt_tolerance",
+    "multimodal_decode_bmp",
+    "multimodal_decode_gif",
+    "multimodal_decode_jpeg_header",
+    "multimodal_decode_png",
+    "multimodal_decode_wav",
     "multimodal_size_stats",
+    "parquet_schema_evolution",
+    "quality_decile_cutoffs_approx_check",
+    "split_leakage_safe",
+    "split_length_buckets",
+    "split_mixture_sample",
+    "split_pack_sequences",
+    "stream_late_session_drain",
+    "stream_late_sliding_drain",
+    "tableau_g2_first_order_day",
+    "temporal_asof_tolerance",
+    "text_doc_fingerprint",
+    "text_fulltext_search",
+    "text_gopher_filters",
+    "text_lang_histogram",
+    "text_lang_id_ngram",
+    "text_phrase_search",
+    "text_ranked_search",
+    "text_rolling_fingerprint",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_token_stats_bpe",
+    "text_top_terms_per_source",
+    "text_unigram_logprob",
 ]
 
 

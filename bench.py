@@ -147,6 +147,13 @@ HEADLINE = [
     # recurring bin-pack cost is what parquet_compact_small_files
     # already times every pass.
     "sim_persisted_read_asof",
+    # r13 adds NO entries (common-43 subset stays stable): the round's
+    # new surface is all marker-gated one-shot lifecycle passes
+    # (manifest-atomic compaction, windowed VACUUM, scheduled stream
+    # GC) or exact CHECK baselines (stream_asof_b1_brute_topk) — the
+    # same exclusion class as the r12 passes above; their recurring
+    # costs (bin-pack, manifest-chain read) are already timed by
+    # parquet_compact_small_files and sim_persisted_read_asof.
 ]
 
 

@@ -4,8 +4,8 @@ The persisted ANN index already writes the full lake discipline —
 immutable cell-partitioned segments, meta-written-last commits, a
 versioned segments manifest appended by compare-and-swap
 (``similarity.sim_persisted_concurrent_ingest``) and versioned merge
-manifests (``similarity.sim_persisted_merge_deltas``). Two lifecycle
-surfaces were still missing (r11 VERDICT "What's missing" #3/#4):
+manifests (``similarity.sim_persisted_merge_deltas``). This module adds
+the lifecycle tail on top of those artifacts:
 
 - **Time travel** (:func:`read_index_asof`): immutable segments +
   versioned manifests make every historical index state reconstructible
@@ -14,21 +14,32 @@ surfaces were still missing (r11 VERDICT "What's missing" #3/#4):
   registered entry pins the chain algebra: as-of-v2 equals v1 plus
   exactly writer A's segment, and head minus v2 is exactly writer B's.
 - **VACUUM** (:func:`sim_persisted_vacuum`): retired segments otherwise
-  accumulate forever (SCALE.md noted the gap). The retention pass keeps
-  the segments referenced by the last ``VACUUM_RETAIN_LAST`` manifest
-  versions, deletes every unreferenced segment directory and expired
-  manifest, and proves the three contract clauses of Iceberg's
-  ``expire_snapshots``: (a) head-reader answers are bit-unchanged, (b)
-  only unreferenced directories were removed, (c) a reader pinned to an
-  expired version is the documented casualty.
+  accumulate forever. The retention pass keeps the segments referenced
+  by the last ``VACUUM_RETAIN_LAST`` manifest versions, deletes every
+  unreferenced segment directory and expired manifest, and proves the
+  three contract clauses of Iceberg's ``expire_snapshots``: (a)
+  head-reader answers are bit-unchanged, (b) only unreferenced
+  directories were removed, (c) a reader pinned to an expired version
+  is the documented casualty.
+- **Windowed VACUUM** (:func:`sim_persisted_vacuum_window`, r12 VERDICT
+  Next #3): the same pass at retention 2 over a DEEPER chain in which a
+  compaction rewrote a delta — so the window genuinely splits history:
+  the intermediate retained version stays readable as-of with its exact
+  pre-delete digest, only the segment no retained version references
+  expires, and both casualty modes fire (pinned file read AND expired
+  as-of resolution).
 
-Scale posture: both passes read only manifests (KB-sized JSON) plus, for
+Scale posture: all passes read only manifests (KB-sized JSON) plus, for
 VACUUM, O(#segments) driver-side directory metadata — no data scan. The
 corpus-sized digests and counts in the registered summaries are the cost
-of the PROOF, not of the production pass. The VACUUM entry stages its
-own copy-on-write universe (segment copies + its own manifest chain)
-so the destructive delete can never invalidate the concurrent-ingest /
+of the PROOF, not of the production pass. The VACUUM entries stage their
+own copy-on-write universes (segment copies + their own manifest chains)
+so the destructive deletes can never invalidate the concurrent-ingest /
 merge entries' shared artifacts.
+
+Shared algebra (digest, tagged-union stats, manifest chain walk, atomic
+JSON commits) lives in ``lake_core`` — one definition for the batch
+store, the stream-maintained store, and the compaction passes.
 
 Reference parity note: the reference (customer-revenue-analysis-sql-
 tableau, a MySQL dump + Tableau workbook) has no storage-lifecycle
@@ -38,7 +49,6 @@ mandate.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 from collections.abc import Callable
@@ -46,6 +56,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..lake_core import (
+    atomic_write_json,
+    content_digest,
+    json_manifest_chain,
+    read_json,
+    segment_union_stats,
+    union_segments,
+)
 from .similarity import (
     DELIVERY_MOD,
     N_QUERIES,
@@ -54,11 +72,27 @@ from .similarity import (
     sim_persisted_concurrent_ingest,
 )
 
+__all__ = [
+    "read_index_asof",
+    "segment_union_stats",  # re-export: canonical home is lake_core
+    "sim_persisted_read_asof",
+    "sim_asof_v2_brute_topk",
+    "sim_persisted_vacuum",
+    "sim_persisted_vacuum_window",
+    "brute_topk_over_live",
+]
+
 #: VACUUM retention: keep segments referenced by this many newest
 #: manifest versions. 1 = head-only (the most aggressive legal setting;
 #: production defaults retain hours-to-days of versions — the pass is
-#: identical, only the cutoff moves).
+#: identical, only the cutoff moves). ``sim_persisted_vacuum_window``
+#: exercises a window of 2 over a deeper chain.
 VACUUM_RETAIN_LAST = 1
+
+#: The postings projection every reader view in this store resolves to;
+#: digests cover all three so a copy that corrupted vector VALUES (not
+#: just membership) flips them.
+_POSTING_COLS = ("vec_id", "v", "cell")
 
 
 def _segment_postings_path(d: str, seg: str) -> str:
@@ -79,13 +113,10 @@ def _manifest_chain(
     mdir = f"{d}/segments_manifest".removeprefix("file:")
     if not os.path.exists(f"{mdir}/manifest_v3"):
         sim_persisted_concurrent_ingest(spark, sf_dir)
-    chain: dict[int, list[str]] = {}
-    for f_ in os.listdir(mdir):
-        if f_.startswith("manifest_v"):
-            with open(f"{mdir}/{f_}") as fh:
-                doc = json.load(fh)
-            chain[int(doc["version"])] = doc["segments"]
-    return d, chain
+    return d, {
+        int(doc["version"]): doc["segments"]
+        for doc in json_manifest_chain(mdir).values()
+    }
 
 
 def read_index_asof(
@@ -102,44 +133,35 @@ def read_index_asof(
             f"manifest version {version} not in chain"
             f" (available: {sorted(chain)})"
         )
-    live: DataFrame | None = None
-    for seg in chain[version]:
-        p = spark.read.parquet(_segment_postings_path(d, seg)).select(
-            "vec_id", "v", "cell"
-        )
-        live = p if live is None else live.unionByName(p)
-    return live
-
-
-def segment_union_stats(
-    spark: SparkSession, segments: list[tuple[str, DataFrame]]
-) -> tuple[dict[str, int], bool]:
-    """ONE tagged-union pass over named (vec_id) segment frames:
-    per-segment counts plus the disjointness facts every additive
-    segment-store answer rides on — no vector in two segments, no
-    duplicate within one. Shared by the batch time-travel entry and
-    the streaming as-of-batch twin so the accounting rule can never
-    drift between them. Returns ``({segment: count}, disjoint)``."""
-    tagged: DataFrame | None = None
-    names = [n for n, _df in segments]
-    for name, df in segments:
-        p = df.select("vec_id").withColumn("seg", F.lit(name))
-        tagged = p if tagged is None else tagged.unionByName(p)
-    flags = tagged.groupBy("vec_id").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        *[
-            F.max((F.col("seg") == s).cast("int")).alias(f"in_{i}")
-            for i, s in enumerate(names)
-        ],
+    return union_segments(
+        spark,
+        [_segment_postings_path(d, seg) for seg in chain[version]],
+        ("vec_id", "v", "cell"),
     )
-    flag_sum = sum(F.col(f"in_{i}") for i in range(len(names)))
-    agg = flags.agg(
-        *[F.sum(f"in_{i}").alias(f"n_{i}") for i in range(len(names))],
-        F.max((flag_sum > 1).cast("int")).alias("overlap"),
-        F.max((F.col("cnt") != flag_sum).cast("int")).alias("dup"),
-    ).collect()[0]
-    counts = {s: int(agg[f"n_{i}"]) for i, s in enumerate(names)}
-    return counts, bool(agg["overlap"] == 0 and agg["dup"] == 0)
+
+
+def _validated_full_chain(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, dict[int, list[str]]]:
+    """The 3-version multi-writer chain, validated up front: every
+    expected version present and earlier versions' segment sets nested
+    in the head — a torn/partial chain raises the same descriptive
+    ``ValueError`` contract as :func:`read_index_asof`, never a bare
+    ``KeyError`` (r12 ADVICE)."""
+    d, chain = _manifest_chain(spark, sf_dir)
+    missing = [v for v in (1, 2, 3) if v not in chain]
+    if missing:
+        raise ValueError(
+            f"manifest version {missing} not in chain"
+            f" (available: {sorted(chain)})"
+        )
+    for v in (1, 2):
+        if not set(chain[v]) <= set(chain[3]):
+            raise ValueError(
+                f"torn manifest chain: v{v} references segments outside"
+                f" the head ({sorted(set(chain[v]) - set(chain[3]))})"
+            )
+    return d, chain
 
 
 def sim_persisted_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,7 +173,7 @@ def sim_persisted_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     as-of-v1 plus EXACTLY writer A's segment, and head minus as-of-v2
     must be EXACTLY writer B's — no version leaks rows across the
     chain in either direction."""
-    d, chain = _manifest_chain(spark, sf_dir)
+    d, chain = _validated_full_chain(spark, sf_dir)
     segs = {v: set(chain[v]) for v in (1, 2, 3)}
     # ONE pass over each distinct segment (the head covers them all).
     # The naive form — materializing three reader views and
@@ -182,24 +204,21 @@ def sim_persisted_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sim_asof_v2_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time travel as a QUERY surface, not just an audit: exact cosine
-    top-k against the AS-OF-v2 snapshot (base + writer A's wave — the
-    corpus a reader saw before writer B's commit). The live set comes
-    from :func:`read_index_asof`; the tail is the shared brute-force
-    shape (broadcast queries, JVM fold dot product, per-query window
-    top-k), so the whole historical answer is hash-green against
-    DuckDB's brute force over the same membership predicate. The
-    reproducible-training-snapshot story: any committed version's
-    exact search results can be regenerated bit-for-bit."""
+def brute_topk_over_live(live: DataFrame) -> DataFrame:
+    """Exact cosine top-k tail shared by every as-of CHECK baseline
+    (batch chain and streamed twin): bounded broadcast query set
+    (``vec_id < N_QUERIES`` of the live snapshot), JVM fold dot
+    product, per-query window top-k with the deterministic
+    (cosine DESC, neighbor ASC) tie-break. Deliberately a non-scale
+    plan — the cost of an exactness PROOF, never a production path
+    (allowlisted as such in tools/registry_plan_scan.py)."""
+    from pyspark.sql import Window
+
     from .dedup import _cos
 
-    live = read_index_asof(spark, sf_dir, 2).select("vec_id", "v")
     q = live.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -213,14 +232,29 @@ def sim_asof_v2_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_asof_v2_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel as a QUERY surface, not just an audit: exact cosine
+    top-k against the AS-OF-v2 snapshot (base + writer A's wave — the
+    corpus a reader saw before writer B's commit). The live set comes
+    from :func:`read_index_asof`; the tail is the shared brute-force
+    shape (:func:`brute_topk_over_live`), so the whole historical
+    answer is hash-green against DuckDB's brute force over the same
+    membership predicate. The reproducible-training-snapshot story:
+    any committed version's exact search results can be regenerated
+    bit-for-bit."""
+    live = read_index_asof(spark, sf_dir, 2).select("vec_id", "v")
+    return brute_topk_over_live(live)
+
+
 # ---------------------------------------------------------------------------
-# VACUUM: the destructive pass runs in its own copy-on-write universe.
+# VACUUM: destructive passes run in their own copy-on-write universes.
 # ---------------------------------------------------------------------------
 
-#: The staged universe's segment names and the manifest history: three
-#: additive commits, then a compaction commit that folds both deltas
-#: into one merged segment and RETIRES them — leaving w1/w2 unreferenced
-#: by the head, which is exactly what GC must (only) collect.
+#: The head-retention universe's segment names and manifest history:
+#: three additive commits, then a compaction commit that folds both
+#: deltas into one merged segment and RETIRES them — leaving w1/w2
+#: unreferenced by the head, which is exactly what GC must (only)
+#: collect.
 _VAC_CHAIN: dict[int, list[str]] = {
     1: ["seg_base"],
     2: ["seg_base", "seg_w1"],
@@ -239,24 +273,51 @@ def _vacuum_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _vac_reader(spark: SparkSession, vd: str, segments: list[str]) -> DataFrame:
-    live: DataFrame | None = None
-    for seg in segments:
-        p = spark.read.parquet(f"{vd}/{seg}/postings").select(
-            "vec_id", "v", "cell"
-        )
-        live = p if live is None else live.unionByName(p)
-    return live
+    return union_segments(
+        spark, [f"{vd}/{seg}/postings" for seg in segments], _POSTING_COLS
+    )
 
 
 def _vac_digest(df: DataFrame):
     """(count, order-insensitive content digest) of a reader view —
     xxhash64 hashes the vector array by value, so any row or element
     change flips it."""
-    r = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("bit_xor(xxhash64(vec_id, cell, v))").alias("dig"),
-    ).collect()[0]
-    return int(r["n"]), int(r["dig"])
+    return content_digest(df, ("vec_id", "cell", "v"))
+
+
+def _run_retention(
+    root: str, chain: dict[int, list[str]], staged: set[str], retain: int
+) -> tuple[list[str], list[int], list[int]]:
+    """The retention pass both VACUUM entries share: keep the segments
+    referenced by the newest ``retain`` manifest versions, delete every
+    unreferenced segment directory and expired manifest file. Returns
+    ``(deleted_segments, expired_versions, retained_versions)`` —
+    O(#segments) driver metadata, no data scan."""
+    retained = sorted(chain)[-retain:]
+    referenced = {s for v in retained for s in chain[v]}
+    deleted = sorted(staged - referenced)
+    for seg in deleted:
+        shutil.rmtree(f"{root}/{seg}", ignore_errors=True)
+    expired = [v for v in chain if v not in retained]
+    for v in expired:
+        try:
+            os.remove(f"{root}/manifest_v{v}")
+        except FileNotFoundError:
+            pass
+    return deleted, expired, retained
+
+
+def _pinned_read_fails(spark: SparkSession, path: str) -> bool:
+    """The documented casualty probe: ANY failure of the pinned read
+    satisfies the contract clause — catch broadly, not just
+    ``AnalysisException`` (r12 ADVICE: a different exception class from
+    a future Spark version must flip the boolean, not abort the
+    entry)."""
+    try:
+        spark.read.parquet(path).limit(1).collect()
+        return False
+    except Exception:  # noqa: BLE001 - any failure IS the contract
+        return True
 
 
 def sim_persisted_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,8 +337,6 @@ def sim_persisted_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), head-reader digest unchanged across the delete, only
     unreferenced directories removed, only the retained manifest left,
     and a reader pinned to an expired version failing loudly."""
-    from pyspark.errors import AnalysisException
-
     d, _chain = _manifest_chain(spark, sf_dir)  # ensures the source chain
     vd = _vacuum_dir(spark, sf_dir)
     root = vd.removeprefix("file:")
@@ -295,44 +354,30 @@ def sim_persisted_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.parquet(f"{vd}/seg_w2/postings")
         ).write.mode("overwrite").parquet(f"{vd}/seg_merged/postings")
         for v, segs in _VAC_CHAIN.items():
-            with open(f"{root}/manifest_v{v}", "w") as fh:
-                json.dump({"version": v, "segments": segs}, fh)
+            atomic_write_json(
+                f"{root}/manifest_v{v}", {"version": v, "segments": segs}
+            )
         # snapshot the head answer BEFORE any delete — the digest the
         # post-delete reader must reproduce bit-for-bit
         n_pre, dig_pre = _vac_digest(
             _vac_reader(spark, vd, _VAC_CHAIN[head_v])
         )
-        with open(f"{root}/digest_pre", "w") as fh:
-            json.dump({"n": n_pre, "dig": dig_pre}, fh)
+        atomic_write_json(f"{root}/digest_pre", {"n": n_pre, "dig": dig_pre})
 
-        # ---- the retention pass ----
-        retained = sorted(_VAC_CHAIN)[-VACUUM_RETAIN_LAST:]
-        referenced = {s for v in retained for s in _VAC_CHAIN[v]}
-        staged = {*_VAC_SOURCES, "seg_merged"}
-        deleted = sorted(staged - referenced)
-        for seg in deleted:
-            shutil.rmtree(f"{root}/{seg}", ignore_errors=True)
-        expired = [v for v in _VAC_CHAIN if v not in retained]
-        for v in expired:
-            try:
-                os.remove(f"{root}/manifest_v{v}")
-            except FileNotFoundError:
-                pass
-        with open(marker, "w") as fh:  # completion marker LAST
-            json.dump({"deleted": deleted, "expired": expired}, fh)
+        deleted, expired, _retained = _run_retention(
+            root,
+            _VAC_CHAIN,
+            {*_VAC_SOURCES, "seg_merged"},
+            VACUUM_RETAIN_LAST,
+        )
+        # completion marker LAST
+        atomic_write_json(marker, {"deleted": deleted, "expired": expired})
 
     # ---- recompute the contract from the on-disk post-state ----
-    with open(marker) as fh:
-        done = json.load(fh)
-    with open(f"{root}/digest_pre") as fh:
-        pre = json.load(fh)
-    remaining_manifests = sorted(
-        int(f_.removeprefix("manifest_v"))
-        for f_ in os.listdir(root)
-        if f_.startswith("manifest_v")
-    )
-    with open(f"{root}/manifest_v{head_v}") as fh:
-        head_segs = json.load(fh)["segments"]
+    done = read_json(marker)
+    pre = read_json(f"{root}/digest_pre")
+    remaining_manifests = sorted(json_manifest_chain(root))
+    head_segs = read_json(f"{root}/manifest_v{head_v}")["segments"]
     n_post, dig_post = _vac_digest(_vac_reader(spark, vd, head_segs))
     remaining_segs = sorted(
         f_
@@ -344,16 +389,10 @@ def sim_persisted_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps everything its versions still reference)
     referenced: set[str] = set()
     for v in remaining_manifests:
-        with open(f"{root}/manifest_v{v}") as fh:
-            referenced |= set(json.load(fh)["segments"])
+        referenced |= set(read_json(f"{root}/manifest_v{v}")["segments"])
     only_unreferenced = remaining_segs == sorted(referenced) and not (
         set(done["deleted"]) & referenced
     )
-    try:  # the documented casualty: a reader pinned to an expired version
-        spark.read.parquet(f"{vd}/seg_w1/postings").limit(1).collect()
-        pinned_fails = False
-    except AnalysisException:
-        pinned_fails = True
     return spark.createDataFrame(
         [
             (
@@ -364,7 +403,7 @@ def sim_persisted_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
                     remaining_manifests
                     == sorted(_VAC_CHAIN)[-VACUUM_RETAIN_LAST:]
                 ),
-                bool(pinned_fails),
+                bool(_pinned_read_fails(spark, f"{vd}/seg_w1/postings")),
             )
         ],
         "n_live bigint, reader_digest_unchanged boolean,"
@@ -373,10 +412,169 @@ def sim_persisted_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Windowed VACUUM (retention 2): the window must genuinely split
+# history — an intermediate version stays readable, an older one
+# expires. The chain a compaction mid-history produces: v3 rewrote
+# writer A's delta into a compacted twin (seg_m1, same rows), so after
+# retention-2 GC the only casualty is seg_w1 (referenced by v1/v2
+# alone) while v3 — the intermediate RETAINED version — must still
+# serve its exact pre-delete digest.
+# ---------------------------------------------------------------------------
+
+_VAC2_CHAIN: dict[int, list[str]] = {
+    1: ["seg_base"],
+    2: ["seg_base", "seg_w1"],
+    3: ["seg_base", "seg_m1"],
+    4: ["seg_base", "seg_m1", "seg_w2"],
+}
+_VAC2_RETAIN = 2
+
+
+def _vacuum2_dir(spark: SparkSession, sf_dir: str) -> str:
+    return f"{_ivf_index_dir(spark, sf_dir)}_vacuum_w2"
+
+
+def read_vacuum2_asof(
+    spark: SparkSession, sf_dir: str, version: int
+) -> DataFrame:
+    """As-of read over the windowed-retention universe's REMAINING
+    manifest chain — after GC, resolving an expired version raises the
+    same ``ValueError`` contract as :func:`read_index_asof` (the second
+    casualty mode the windowed entry pins)."""
+    vd = _vacuum2_dir(spark, sf_dir)
+    chain = {
+        v: doc["segments"]
+        for v, doc in json_manifest_chain(vd.removeprefix("file:")).items()
+    }
+    if version not in chain:
+        raise ValueError(
+            f"manifest version {version} not in chain"
+            f" (available: {sorted(chain)})"
+        )
+    return _vac_reader(spark, vd, chain[version])
+
+
+def sim_persisted_vacuum_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-version retention (r12 VERDICT Next #3): VACUUM with
+    ``retain = 2`` over a 4-version chain where a compaction rewrote
+    writer A's delta (v3: ``seg_w1`` → ``seg_m1``, identical rows).
+    Retained = {v3, v4}; their reference closure is {base, m1, w2}, so
+    GC must delete EXACTLY ``seg_w1`` and expire manifests v1/v2 —
+    while v3, the intermediate retained version, must remain readable
+    as-of with its exact pre-delete content digest (snapshotted before
+    any delete). Both casualty modes are pinned: the expired segment's
+    pinned file read fails loudly, and as-of resolution of an expired
+    VERSION raises the chain's ``ValueError`` contract.
+
+    Copy-on-write universe (own segment copies + own manifest chain);
+    completion marker written LAST; torn runs replay deterministically.
+    Scale posture identical to :func:`sim_persisted_vacuum`: the pass
+    is O(#segments) driver metadata, the digests are proof cost."""
+    d, _chain = _manifest_chain(spark, sf_dir)  # ensures source segments
+    vd = _vacuum2_dir(spark, sf_dir)
+    root = vd.removeprefix("file:")
+    marker = f"{root}/vacuum_done"
+    head_v = max(_VAC2_CHAIN)
+    mid_v = sorted(_VAC2_CHAIN)[-_VAC2_RETAIN]  # the intermediate retained
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        for seg, src in _VAC_SOURCES.items():
+            spark.read.parquet(_segment_postings_path(d, src)).write.mode(
+                "overwrite"
+            ).parquet(f"{vd}/{seg}/postings")
+        # the mid-chain compaction: rewrite w1 1:1 (coalesced) — same
+        # rows, different files, new segment identity
+        spark.read.parquet(f"{vd}/seg_w1/postings").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{vd}/seg_m1/postings")
+        for v, segs in _VAC2_CHAIN.items():
+            atomic_write_json(
+                f"{root}/manifest_v{v}", {"version": v, "segments": segs}
+            )
+        # snapshot EVERY retained version's digest before any delete —
+        # the windowed contract is that each retained version (not just
+        # the head) reproduces its answer bit-for-bit afterwards
+        pre = {}
+        for v in sorted(_VAC2_CHAIN)[-_VAC2_RETAIN:]:
+            n, dig = _vac_digest(_vac_reader(spark, vd, _VAC2_CHAIN[v]))
+            pre[str(v)] = {"n": n, "dig": dig}
+        atomic_write_json(f"{root}/digest_pre", pre)
+
+        deleted, expired, _retained = _run_retention(
+            root,
+            _VAC2_CHAIN,
+            {*_VAC_SOURCES, "seg_m1"},
+            _VAC2_RETAIN,
+        )
+        atomic_write_json(marker, {"deleted": deleted, "expired": expired})
+
+    done = read_json(marker)
+    pre = read_json(f"{root}/digest_pre")
+    remaining_manifests = sorted(json_manifest_chain(root))
+    head_segs = read_json(f"{root}/manifest_v{head_v}")["segments"]
+    n_post, dig_post = _vac_digest(_vac_reader(spark, vd, head_segs))
+    head_pre = pre[str(head_v)]
+    # the intermediate retained version, re-read from disk post-delete
+    try:
+        n_mid, dig_mid = _vac_digest(read_vacuum2_asof(spark, sf_dir, mid_v))
+        mid_pre = pre[str(mid_v)]
+        mid_ok = n_mid == mid_pre["n"] and dig_mid == mid_pre["dig"]
+    except Exception:  # noqa: BLE001 - a failed retained read is a FAIL
+        mid_ok = False
+    remaining_segs = sorted(
+        f_
+        for f_ in os.listdir(root)
+        if os.path.isdir(os.path.join(root, f_))
+    )
+    referenced: set[str] = set()
+    for v in remaining_manifests:
+        referenced |= set(read_json(f"{root}/manifest_v{v}")["segments"])
+    only_unreferenced = (
+        remaining_segs == sorted(referenced)
+        and not (set(done["deleted"]) & referenced)
+        and done["deleted"] == ["seg_w1"]
+    )
+    # casualty mode 2: resolving an EXPIRED version raises the chain's
+    # ValueError contract (the manifest itself is gone)
+    try:
+        read_vacuum2_asof(spark, sf_dir, 2)
+        expired_raises = False
+    except ValueError:
+        expired_raises = True
+    return spark.createDataFrame(
+        [
+            (
+                int(n_post),
+                bool(
+                    n_post == head_pre["n"] and dig_post == head_pre["dig"]
+                ),
+                bool(mid_ok),
+                bool(only_unreferenced),
+                bool(
+                    remaining_manifests
+                    == sorted(_VAC2_CHAIN)[-_VAC2_RETAIN:]
+                ),
+                bool(
+                    expired_raises
+                    and _pinned_read_fails(spark, f"{vd}/seg_w1/postings")
+                ),
+            )
+        ],
+        "n_live bigint, head_digest_unchanged boolean,"
+        " intermediate_asof_readable boolean,"
+        " only_unreferenced_deleted boolean, manifests_retained boolean,"
+        " expired_asof_fails boolean",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_persisted_read_asof": sim_persisted_read_asof,
     "sim_asof_v2_brute_topk": sim_asof_v2_brute_topk,
     "sim_persisted_vacuum": sim_persisted_vacuum,
+    "sim_persisted_vacuum_window": sim_persisted_vacuum_window,
 }
 
 _W = DELIVERY_MOD  # 10: delivery = %10==9; wave A = %20==9, wave B = %20==19
@@ -426,5 +624,17 @@ ORACLES: dict[str, str] = {
                TRUE AS only_unreferenced_deleted,
                TRUE AS manifests_retained,
                TRUE AS pinned_reader_fails
+        FROM embeddings""",
+    # retention 2 over the compaction-rewritten chain: the head still
+    # serves the full corpus (base ∪ m1 ∪ w2 ≡ base ∪ w1 ∪ w2), the
+    # intermediate retained version reproduces its digest, exactly
+    # seg_w1 expired, and both casualty modes fired
+    "sim_persisted_vacuum_window": """
+        SELECT CAST(count(*) AS BIGINT) AS n_live,
+               TRUE AS head_digest_unchanged,
+               TRUE AS intermediate_asof_readable,
+               TRUE AS only_unreferenced_deleted,
+               TRUE AS manifests_retained,
+               TRUE AS expired_asof_fails
         FROM embeddings""",
 }

@@ -213,18 +213,34 @@ def _pack_partition_inplace(spark: SparkSession, pdir: str, pack: str) -> None:
     import json
     import shutil
 
+    from ..lake_core import atomic_write_json
+
     base = pdir.removeprefix("file:")
     pbase = pack.removeprefix("file:")
     manifest = os.path.join(pbase, "_incoming")
-    if not os.path.exists(manifest):  # phase A (+ its completion marker)
+
+    def _load_manifest() -> list[str] | None:
+        """The phase-A completion marker, defensively: the manifest is
+        rename-committed (atomic on POSIX), but an unreadable/truncated
+        file left by an older writer must re-enter phase A rather than
+        poison every replay with JSONDecodeError (r12 ADVICE)."""
+        if not os.path.exists(manifest):
+            return None
+        try:
+            with open(manifest) as fh:
+                return json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            shutil.rmtree(pbase, ignore_errors=True)
+            return None
+
+    names = _load_manifest()
+    if names is None:  # phase A (+ its rename-committed marker)
         compact_dataset(spark, pdir, pack)
         names = sorted(
             f for f in os.listdir(pbase) if f.endswith(".parquet")
         )
-        with open(manifest, "w") as fh:
-            json.dump(names, fh)
-    with open(manifest) as fh:
-        incoming = {f"packed-{f}": f for f in json.load(fh)}
+        atomic_write_json(manifest, names)
+    incoming = {f"packed-{f}": f for f in names}
     for f in os.listdir(base):  # phase B: delete old, keep incoming
         if f.endswith(".parquet") and f not in incoming:
             os.remove(os.path.join(base, f))
@@ -297,8 +313,10 @@ def parquet_compact_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                     selected,
                 )
             )
-        with open(marker, "w") as fh:  # completion marker LAST
-            json.dump({"selected": selected}, fh)
+        from ..lake_core import atomic_write_json
+
+        # completion marker LAST (rename-committed)
+        atomic_write_json(marker, {"selected": selected})
 
     with open(marker) as fh:
         selected = set(json.load(fh)["selected"])

@@ -1,0 +1,413 @@
+"""Manifest-committed parquet table: reader-ATOMIC partitioned
+compaction (r12 VERDICT Next #2).
+
+``compaction.parquet_compact_partitioned`` pins the selection/boundary/
+layout semantics of ``OPTIMIZE ... WHERE`` but swaps files IN PLACE
+inside each partition directory — torn-RUN-safe, yet a concurrent
+reader globbing the directory can observe the swap window (SCALE.md's
+honest caveat). This module closes that caveat with the discipline
+every table format uses and the segment store already demonstrates
+(``operators/segment_store.py``): **readers resolve a versioned
+manifest, never glob the directory**, and the only mutation readers can
+observe is one atomic rename.
+
+Layout: a month-partitioned parquet tree (``pm=YYYY-MM/*.parquet``)
+plus ``_manifests/manifest_v{N}`` JSON files, each the COMPLETE file
+listing ``{month: [file names]}`` of that version. The protocol:
+
+1. **Pack** (:func:`pack_partition_files`): rewrite one selected
+   partition's CURRENT files into few target-sized ones under NEW
+   names (``v{N+1}-...``) inside the same partition directory. New
+   names are never referenced by any committed manifest, so writing
+   them is invisible — a reader at any point of the pack sees exactly
+   its resolved version's files.
+2. **Commit** (:func:`commit_manifest`): one rename-atomic JSON write
+   of ``manifest_v{N+1}``. Readers resolving before it see v N
+   (old files, all still present); after it, v N+1 (new files). There
+   is no intermediate state — pre-swap or post-swap, never the window.
+3. **Vacuum** (:func:`vacuum_manifested`): delete files no RETAINED
+   manifest references (old fragments AND any orphans a torn pack left)
+   and expired manifest files. Only after this do pinned old-version
+   readers become the documented casualty.
+
+Scale posture: manifests are KB-sized driver metadata (file NAMES, not
+data); the pack is per-partition narrow I/O ∝ selected partitions, run
+from a thread pool like the in-place pass; vacuum is O(#files)
+directory metadata. Readers plan from an explicit file list with
+``basePath`` set, so partition pruning and DPP behave exactly as on a
+globbed tree (pinned by tests/test_manifest_table.py).
+
+Reference parity note: the reference (customer-revenue-analysis-sql-
+tableau, a MySQL dump + Tableau workbook) has no lake-maintenance
+surface; this module belongs to the driver's large-scale-pipeline
+mandate.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..lake_core import (
+    atomic_write_json,
+    content_digest,
+    json_manifest_chain,
+    read_json,
+)
+from .compaction import (
+    PART_COMPACT_CUTOFF,
+    PART_STAGE_FILES,
+    TARGET_FILE_BYTES,
+    _stage_fingerprint,
+)
+from .parquet import MONTH_COL, write_month_partitioned
+
+MANIFEST_SUBDIR = "_manifests"
+
+#: Vacuum retention for the registered entry: head-only (the most
+#: aggressive legal setting; a wider window just moves the cutoff —
+#: the windowed-retention semantics are pinned by the segment store's
+#: ``sim_persisted_vacuum_window``).
+MANIFEST_RETAIN_LAST = 1
+
+
+def _mdir(root: str) -> str:
+    return os.path.join(root.removeprefix("file:"), MANIFEST_SUBDIR)
+
+
+def manifest_chain(root: str) -> dict[int, dict]:
+    """``{version: {"version": N, "files": {month: [names]}}}`` — KB of
+    driver metadata."""
+    return json_manifest_chain(_mdir(root))
+
+
+def init_manifest(root: str) -> dict:
+    """Bootstrap ``manifest_v1`` from an existing partitioned tree (the
+    one directory scan an IMPORT pays; every later version is written
+    by the committing writer, never re-scanned)."""
+    base = root.removeprefix("file:")
+    files: dict[str, list[str]] = {}
+    for d in sorted(os.listdir(base)):
+        if d.startswith(f"{MONTH_COL}="):
+            month = d.split("=", 1)[1]
+            files[month] = sorted(
+                f
+                for f in os.listdir(os.path.join(base, d))
+                if f.endswith(".parquet")
+            )
+    os.makedirs(_mdir(root), exist_ok=True)
+    payload = {"version": 1, "files": files}
+    atomic_write_json(os.path.join(_mdir(root), "manifest_v1"), payload)
+    return payload
+
+
+def read_manifested(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Resolve ``version`` (default: head) from the manifest chain and
+    read EXACTLY its listed files — never a directory glob, so a
+    concurrent compaction commit is invisible until a reader re-resolves.
+    ``basePath`` keeps the hive partition column alive for pruning/DPP.
+    Raises the chain's ``ValueError`` contract on a version never
+    committed or already vacuumed."""
+    chain = manifest_chain(root)
+    if not chain:
+        raise ValueError(f"no manifest chain at {root}")
+    if version is None:
+        version = max(chain)
+    if version not in chain:
+        raise ValueError(
+            f"manifest version {version} not in chain"
+            f" (available: {sorted(chain)})"
+        )
+    paths = [
+        f"{root}/{MONTH_COL}={m}/{name}"
+        for m, names in sorted(chain[version]["files"].items())
+        for name in names
+    ]
+    return spark.read.option("basePath", root).parquet(*paths)
+
+
+def pack_partition_files(
+    spark: SparkSession,
+    root: str,
+    month: str,
+    current_names: list[str],
+    new_version: int,
+    target_bytes: int = TARGET_FILE_BYTES,
+) -> list[str]:
+    """Phase 1 of the atomic swap for ONE partition: bin-pack the
+    partition's CURRENT committed files (read by explicit path, never a
+    glob — uncommitted orphans must not leak into the pack) into
+    ``ceil(bytes/target)`` files via a shuffle-free ``coalesce``, land
+    them in the partition directory under ``v{new_version}-`` names no
+    committed manifest references, and return the new names. Replay
+    after a crash just writes fresh never-referenced names; the orphans
+    are vacuum's job. Narrow, no Exchange — same plan contract as
+    ``compaction.compact_dataset``."""
+    base = root.removeprefix("file:")
+    pdir = os.path.join(base, f"{MONTH_COL}={month}")
+    paths = [os.path.join(pdir, n) for n in current_names]
+    n_bytes = sum(os.stat(p).st_size for p in paths)
+    df = spark.read.parquet(*paths)
+    n = max(1, math.ceil(n_bytes / target_bytes))
+    n = min(n, df.rdd.getNumPartitions())
+    tmp = os.path.join(base, "_pack_tmp", f"{MONTH_COL}={month}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.coalesce(n).write.mode("overwrite").parquet(tmp)
+    new_names = []
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet"):
+            name = f"v{new_version}-{f}"
+            shutil.move(os.path.join(tmp, f), os.path.join(pdir, name))
+            new_names.append(name)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return new_names
+
+
+def commit_manifest(root: str, payload: dict) -> None:
+    """Phase 2: THE commit point — one atomic rename. Refuses to
+    overwrite a committed version (manifests are immutable; a racing
+    writer must re-resolve and re-commit the next version — the CAS
+    discipline ``sim_persisted_concurrent_ingest`` demonstrates)."""
+    path = os.path.join(_mdir(root), f"manifest_v{payload['version']}")
+    if os.path.exists(path):
+        raise FileExistsError(f"manifest v{payload['version']} committed")
+    atomic_write_json(path, payload)
+
+
+def compact_manifested(
+    spark: SparkSession,
+    root: str,
+    months: list[str],
+    max_workers: int = 6,
+) -> dict:
+    """``OPTIMIZE ... WHERE`` with a reader-atomic commit: pack every
+    selected partition (thread pool, independent narrow jobs), then
+    commit ONE new manifest whose selected months list the packed files
+    and whose unselected months carry the head's lists verbatim.
+    Idempotent: if the target version is already committed, returns it
+    without touching the tree."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    chain = manifest_chain(root)
+    head_v = max(chain)
+    head = chain[head_v]
+    new_v = head_v + 1
+    if new_v in chain:  # replay after a completed commit
+        return chain[new_v]
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        packed = dict(
+            zip(
+                months,
+                ex.map(
+                    lambda m: pack_partition_files(
+                        spark, root, m, head["files"][m], new_v
+                    ),
+                    months,
+                ),
+            )
+        )
+    files = {
+        m: packed.get(m, names) for m, names in head["files"].items()
+    }
+    payload = {"version": new_v, "files": files}
+    commit_manifest(root, payload)
+    return payload
+
+
+def vacuum_manifested(
+    root: str, retain: int = MANIFEST_RETAIN_LAST
+) -> tuple[list[str], list[int]]:
+    """Phase 3: delete every ``.parquet`` file in the partition tree
+    that no RETAINED manifest references (pre-compaction fragments AND
+    orphans torn packs left) plus expired manifest files. O(#files)
+    driver metadata, no data read. Returns ``(deleted relative paths,
+    expired versions)``; idempotent."""
+    base = root.removeprefix("file:")
+    chain = manifest_chain(root)
+    retained = sorted(chain)[-retain:]
+    referenced = {
+        f"{MONTH_COL}={m}/{name}"
+        for v in retained
+        for m, names in chain[v]["files"].items()
+        for name in names
+    }
+    deleted: list[str] = []
+    for d in sorted(os.listdir(base)):
+        if not d.startswith(f"{MONTH_COL}="):
+            continue
+        for f in sorted(os.listdir(os.path.join(base, d))):
+            rel = f"{d}/{f}"
+            if f.endswith(".parquet") and rel not in referenced:
+                os.remove(os.path.join(base, rel))
+                deleted.append(rel)
+    expired = [v for v in sorted(chain) if v not in retained]
+    for v in expired:
+        os.remove(os.path.join(_mdir(root), f"manifest_v{v}"))
+    return deleted, expired
+
+
+# ---------------------------------------------------------------------------
+# Registered entry
+# ---------------------------------------------------------------------------
+
+
+def _atomic_root(spark: SparkSession, sf_dir: str) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{warehouse}/compact_manatomic_{_stage_fingerprint(sf_dir)}"
+
+
+def parquet_compact_manifest_atomic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reader-atomic compaction lifecycle end-to-end, each phase
+    gated on its own rename-committed marker so torn runs replay
+    deterministically:
+
+    1. stage a month-partitioned fragmented ``orders`` copy + bootstrap
+       ``manifest_v1``; snapshot the v1 reader's full-content digest;
+    2. pack the predicate-selected partitions and commit
+       ``manifest_v2``; BEFORE any delete, verify BOTH versions serve
+       the identical digest (the atomicity payoff: old and new layouts
+       coexist, pre-swap readers finish correct) and persist the
+       verdict + v1's per-month file counts;
+    3. vacuum to the head: old fragments deleted, v1 expired.
+
+    The summary recomputes the contract from the on-disk post-state:
+    exact row count and selection size (DuckDB recomputes both from the
+    fact's dates), the persisted both-versions-identical verdict, every
+    selected month's committed file count reduced (or already minimal),
+    every unselected month's file LIST carried verbatim, the head
+    reader's digest unchanged across the vacuum, and a reader pinned to
+    the expired version raising the chain's ``ValueError`` contract."""
+    root = _atomic_root(spark, sf_dir)
+    base = root.removeprefix("file:")
+
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+        write_month_partitioned(
+            orders.repartition(PART_STAGE_FILES), "o_orderdate", root
+        )
+    # bootstrap only when NO version was ever committed — after vacuum
+    # the chain legitimately starts at v2, and re-scanning the packed
+    # tree into a fresh "v1" would resurrect the expired version
+    if not manifest_chain(root):
+        init_manifest(root)
+
+    digest_pre_path = os.path.join(base, "digest_pre")
+    if not os.path.exists(digest_pre_path):
+        df1 = read_manifested(spark, root, 1)
+        n, dig = content_digest(df1, tuple(df1.columns))
+        atomic_write_json(digest_pre_path, {"n": n, "dig": dig})
+    pre = read_json(digest_pre_path)
+
+    chain = manifest_chain(root)
+    selected = sorted(
+        m for m in chain[max(chain)]["files"] if m < PART_COMPACT_CUTOFF
+    )
+    if 2 not in chain:
+        compact_manifested(spark, root, selected)
+
+    # the atomicity verdict MUST be computed while both versions are
+    # still servable (v1 files die at vacuum) — persisted, replay-safe
+    swap_check_path = os.path.join(base, "swap_check")
+    if not os.path.exists(swap_check_path):
+        chain = manifest_chain(root)
+        df1 = read_manifested(spark, root, 1)
+        df2 = read_manifested(spark, root, 2)
+        d1 = content_digest(df1, tuple(df1.columns))
+        d2 = content_digest(df2, tuple(df2.columns))
+        atomic_write_json(
+            swap_check_path,
+            {
+                "both_identical": list(d1) == list(d2) == [pre["n"], pre["dig"]],
+                "files_v1": {m: len(ns) for m, ns in chain[1]["files"].items()},
+                "unselected_untouched": all(
+                    chain[1]["files"][m] == chain[2]["files"][m]
+                    for m in chain[1]["files"]
+                    if m not in selected
+                ),
+            },
+        )
+    swap = read_json(swap_check_path)
+
+    vacuum_marker = os.path.join(base, "vacuum_done")
+    if not os.path.exists(vacuum_marker):
+        deleted, expired = vacuum_manifested(root)
+        atomic_write_json(
+            vacuum_marker, {"deleted": deleted, "expired": expired}
+        )
+    done = read_json(vacuum_marker)
+
+    # ---- recompute the contract from the on-disk post-state ----
+    chain = manifest_chain(root)
+    head = read_manifested(spark, root)
+    n_post, dig_post = content_digest(head, tuple(head.columns))
+    files_v2 = {m: len(ns) for m, ns in chain[max(chain)]["files"].items()}
+    selected_packed = all(
+        files_v2[m] < swap["files_v1"][m] or swap["files_v1"][m] <= 1
+        for m in selected
+    )
+    deleted_gone = all(
+        not os.path.exists(os.path.join(base, rel))
+        for rel in done["deleted"]
+    )
+    try:
+        read_manifested(spark, root, 1)
+        pinned_v1_fails = False
+    except ValueError:
+        pinned_v1_fails = True
+    return spark.createDataFrame(
+        [
+            (
+                int(n_post),
+                int(len(selected)),
+                bool(swap["both_identical"]),
+                bool(selected_packed),
+                bool(swap["unselected_untouched"]),
+                bool(
+                    n_post == pre["n"]
+                    and dig_post == pre["dig"]
+                    and deleted_gone
+                    and sorted(chain) == [2]
+                ),
+                bool(pinned_v1_fails),
+            )
+        ],
+        "n_rows bigint, n_selected bigint,"
+        " swap_atomic_both_versions_identical boolean,"
+        " selected_packed boolean, unselected_untouched boolean,"
+        " post_vacuum_digest_unchanged boolean, pinned_v1_fails boolean",
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "parquet_compact_manifest_atomic": parquet_compact_manifest_atomic,
+}
+
+ORACLES: dict[str, str] = {
+    # DuckDB recomputes the exact row count and the predicate's
+    # selection size from the fact's dates; the swap/layout/vacuum
+    # invariants are recomputed on the Spark side from the manifest
+    # chain and both directory trees, and must hold
+    "parquet_compact_manifest_atomic": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT CASE
+                      WHEN strftime(o_orderdate, '%Y-%m')
+                           < '{PART_COMPACT_CUTOFF}'
+                      THEN strftime(o_orderdate, '%Y-%m') END)
+                    AS BIGINT) AS n_selected,
+               TRUE AS swap_atomic_both_versions_identical,
+               TRUE AS selected_packed,
+               TRUE AS unselected_untouched,
+               TRUE AS post_vacuum_digest_unchanged,
+               TRUE AS pinned_v1_fails
+        FROM orders""",
+}

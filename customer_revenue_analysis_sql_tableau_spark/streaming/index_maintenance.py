@@ -50,10 +50,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..catalog import load_tables
+from ..lake_core import atomic_write_json, content_digest, read_json
 from ..operators.similarity import (
     DELIVERY_MOD,
     MERGE_TRIGGER_SEGMENTS,
     N_QUERIES,
+    TOP_K,
     _ivf_index_dir,
     _probe_and_rank,
     sim_persisted_ingest_delta,
@@ -83,19 +85,36 @@ def _base_dir(spark: SparkSession, sf_dir: str) -> str:
     return f"{_ivf_index_dir(spark, sf_dir)}_base"
 
 
-def _ensure_streamed_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+def _ensure_streamed_index(
+    spark: SparkSession,
+    sf_dir: str,
+    sdir: str | None = None,
+    retention: bool = False,
+) -> tuple[str, str]:
     """Idempotently run the maintenance stream; return (streamed_dir,
     base_dir). The ``final_manifest`` is written LAST (the completion
     marker — same crash-consistency discipline as every segment: a
     torn run has no manifest and re-enters the whole stream, whose
-    per-segment ``overwrite`` writes make replay idempotent)."""
+    per-segment ``overwrite`` writes make replay idempotent).
+
+    With ``retention=True`` (r12 VERDICT Next #5) the GC policy runs as
+    a SCHEDULED per-batch step inside the maintenance loop, not a
+    manual pass: after every micro-batch's commit+fold evaluation, the
+    policy re-reads the ON-DISK manifest state, deletes any delta
+    segment a manifest-committed merge has folded, and commits the
+    batch's tally as an atomic ``gc_b{n}`` JSON (written even when
+    empty — the policy provably evaluated every batch). Deterministic
+    trigger: folded ⇒ collectable, so with 3 batches and fold trigger 2
+    the tallies are exactly (0, 2, 0). Retention instances run in their
+    own ``sdir`` so the default instance keeps its full as-of history."""
     import shutil
     import tempfile
 
     from pyspark.errors import AnalysisException
 
     d = _base_dir(spark, sf_dir)
-    sdir = _streamed_dir(spark, sf_dir)
+    if sdir is None:
+        sdir = _streamed_dir(spark, sf_dir)
     try:
         spark.read.parquet(f"{sdir}/final_manifest").collect()
         return sdir, d
@@ -179,6 +198,28 @@ def _ensure_streamed_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             )
         return view
 
+    def gc_folded_segments(batch_id: int) -> None:
+        """The scheduled retention step: evaluated EVERY batch against
+        the on-disk manifest state (what a separate GC service would
+        see) — delete delta segments a manifest-committed merge has
+        folded, tally committed atomically per batch."""
+        import os
+
+        root = sdir.removeprefix("file:")
+        folded: set[str] = set()
+        for v in merged_versions():
+            for r in spark.read.parquet(
+                f"{sdir}/merged_v{v}/folded"
+            ).collect():
+                folded.add(r["segment"])
+        deleted = sorted(
+            (s for s in folded if os.path.exists(f"{root}/{s}")),
+            key=_seg_order,
+        )
+        for s in deleted:
+            shutil.rmtree(f"{root}/{s}", ignore_errors=True)
+        atomic_write_json(f"{root}/gc_b{batch_id}", {"deleted": deleted})
+
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # availableNow can add a trailing no-op
             return
@@ -195,6 +236,8 @@ def _ensure_streamed_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
         pending = pending_segments()
         if len(pending) < MERGE_TRIGGER_SEGMENTS:
+            if retention:
+                gc_folded_segments(batch_id)
             return
         # compaction: fold the pending stack into the next version,
         # rewriting only delta-touched cells of the current view
@@ -224,6 +267,8 @@ def _ensure_streamed_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         spark.createDataFrame(
             [(int(c), int(ver)) for c in touched], "cell int, version int"
         ).write.mode("overwrite").parquet(f"{sdir}/merged_v{ver}/manifest")
+        if retention:  # the fold this batch committed is collectable NOW
+            gc_folded_segments(batch_id)
 
     tmp = tempfile.mkdtemp(prefix="stream_index_maint_")
     try:
@@ -564,30 +609,27 @@ def stream_index_asof_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     # fold-applied as-of reader vs the flat stack, at the first batch
-    # whose state has a committed fold (batch 1 in this configuration)
+    # whose state has a committed fold (batch 1 in this configuration).
+    # The digest covers the vector column v, not just (vec_id, cell) —
+    # a fold that corrupted vector VALUES must flip it (r12 ADVICE,
+    # matching sim_persisted_vacuum's value-level guarantee).
     fold_b = MERGE_TRIGGER_SEGMENTS - 1
     folded_view = read_streamed_index_asof(spark, sf_dir, fold_b)
-    flat = spark.read.parquet(f"{d}/postings").select("cell", "vec_id")
+    flat = spark.read.parquet(f"{d}/postings").select("cell", "vec_id", "v")
     for k in range(fold_b + 1):
         flat = flat.unionByName(
             spark.read.parquet(f"{sdir}/delta_b{k}/postings").select(
-                "cell", "vec_id"
+                "cell", "vec_id", "v"
             )
         )
-
-    def dig(df: DataFrame):
-        return df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(vec_id, cell))").alias("dig"),
-        ).collect()[0]
-
-    a, b_ = dig(folded_view.select("cell", "vec_id")), dig(flat)
+    a = content_digest(folded_view, ("vec_id", "cell", "v"))
+    b_ = content_digest(flat, ("vec_id", "cell", "v"))
     return spark.createDataFrame(
         [
             (
                 *[int(x) for x in n_asof],
                 bool(disjoint),
-                bool(a["n"] == b_["n"] and a["dig"] == b_["dig"]),
+                bool(a == b_),
             )
         ],
         "n_asof_b0 bigint, n_asof_b1 bigint, n_asof_b2 bigint,"
@@ -616,11 +658,8 @@ def stream_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically. Scale posture: the pass reads manifests and
     deletes directories — O(#segments) metadata, no data scan; the
     digests in the summary are proof cost."""
-    import json
     import os
     import shutil
-
-    from pyspark.errors import AnalysisException
 
     sdir, d = _ensure_streamed_index(spark, sf_dir)
     root = sdir.removeprefix("file:")
@@ -645,20 +684,28 @@ def stream_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, at, d, [f"delta_b{k}" for k in range(N_STREAM_BATCHES)]
         )
 
-    def dig(df: DataFrame):
-        r = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(vec_id, cell))").alias("dig"),
-        ).collect()[0]
-        return int(r["n"]), int(r["dig"])
+    dig_cols = ("vec_id", "cell", "v")
 
+    def dig(df: DataFrame):
+        # covers the vector column v (r12 ADVICE): a copy or fold that
+        # corrupted vector values must flip the digest
+        return content_digest(df, dig_cols)
+
+    # a clone whose pre-digest predates the column set (or lacks the
+    # tag) is stale — re-stage rather than compare incompatible digests
+    if os.path.exists(marker) and read_json(f"{vroot}/digest_pre").get(
+        "cols"
+    ) != list(dig_cols):
+        shutil.rmtree(vroot)
     if not os.path.exists(marker):
         if os.path.exists(vroot):
             shutil.rmtree(vroot)  # torn clone: re-stage deterministically
         shutil.copytree(root, vroot)
         n_pre, d_pre = dig(head_reader(vdir))
-        with open(f"{vroot}/digest_pre", "w") as fh:
-            json.dump({"n": n_pre, "dig": d_pre}, fh)
+        atomic_write_json(
+            f"{vroot}/digest_pre",
+            {"n": n_pre, "dig": d_pre, "cols": list(dig_cols)},
+        )
         folded: set[str] = set()
         for v in merged_versions(vroot):
             folded |= {
@@ -669,13 +716,13 @@ def stream_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         for s in sorted(folded, key=_seg_order):
             shutil.rmtree(f"{vroot}/{s}", ignore_errors=True)
-        with open(marker, "w") as fh:  # completion marker LAST
-            json.dump({"deleted": sorted(folded, key=_seg_order)}, fh)
+        # completion marker LAST
+        atomic_write_json(
+            marker, {"deleted": sorted(folded, key=_seg_order)}
+        )
 
-    with open(marker) as fh:
-        deleted = json.load(fh)["deleted"]
-    with open(f"{vroot}/digest_pre") as fh:
-        pre = json.load(fh)
+    deleted = read_json(marker)["deleted"]
+    pre = read_json(f"{vroot}/digest_pre")
     n_post, d_post = dig(head_reader(vdir))
     folded_now: set[str] = set()
     for v in merged_versions(vroot):
@@ -694,12 +741,11 @@ def stream_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in remaining
     )
     # the documented casualty: a pre-fold as-of read needs a folded
-    # delta that GC removed
-    try:
-        spark.read.parquet(f"{vdir}/delta_b0/postings").limit(1).collect()
-        prefold_fails = False
-    except AnalysisException:
-        prefold_fails = True
+    # delta that GC removed (ANY failure satisfies the contract —
+    # shared broad probe, r12 ADVICE)
+    from ..operators.segment_store import _pinned_read_fails
+
+    prefold_fails = _pinned_read_fails(spark, f"{vdir}/delta_b0/postings")
     return spark.createDataFrame(
         [
             (
@@ -714,6 +760,109 @@ def stream_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         " only_folded_deleted boolean, pending_intact boolean,"
         " asof_prefold_fails boolean",
     )
+
+
+def _gc_instance_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The scheduled-retention instance's own store (the default
+    instance keeps its full history for the as-of entries)."""
+    return f"{_streamed_dir(spark, sf_dir)}_gc"
+
+
+def stream_index_retention_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCHEDULED retention (r12 VERDICT Next #5): the GC policy folded
+    into the per-batch maintenance loop the way compaction already is —
+    each micro-batch evaluates retention against the on-disk manifest
+    state and commits an atomic per-batch tally, instead of a one-shot
+    manual vacuum pass. With the deterministic schedule (3 batches,
+    fold trigger 2) the tallies are pinned: batch 0 collects nothing,
+    batch 1 collects exactly the two deltas its own fold just
+    manifest-committed, batch 2 nothing (already collected).
+
+    The summary recomputes the contract from the PERSISTED post-state:
+    exact delivery count, the pinned per-batch tallies, the head
+    reader's live vector set equal to base ∪ delivery exactly, every
+    surviving vector's VALUE bit-equal to its source embedding (the
+    value-level check — GC must never corrupt a payload), the pending
+    delta intact with its meta, and the folded deltas gone from disk.
+
+    Scale posture: the scheduled step is O(#segments) driver metadata
+    per batch — folded-set resolution from KB manifests + directory
+    deletes; no data scan rides the ingest loop."""
+    sdir, d = _ensure_streamed_index(
+        spark, sf_dir, sdir=_gc_instance_dir(spark, sf_dir), retention=True
+    )
+    root = sdir.removeprefix("file:")
+    tallies = [
+        len(read_json(f"{root}/gc_b{k}")["deleted"])
+        for k in range(N_STREAM_BATCHES)
+    ]
+    all_deltas = [f"delta_b{k}" for k in range(N_STREAM_BATCHES)]
+    view = _fold_applied_view(spark, sdir, d, all_deltas)
+
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    src = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    n_delivery = e.filter(
+        F.col("vec_id") % DELIVERY_MOD == DELIVERY_MOD - 1
+    ).count()
+    # live set = base ∪ delivery = the WHOLE corpus (by construction of
+    # the delivery split); value-level: every surviving v bit-equals
+    # its source embedding
+    j = view.join(src, "vec_id", "full").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("v").isNull() | F.col("ev").isNull()).cast("int")
+        ).alias("set_mismatch"),
+        F.sum((F.col("v") != F.col("ev")).cast("int")).alias(
+            "value_mismatch"
+        ),
+    ).collect()[0]
+    import os
+
+    pending_intact = os.path.exists(
+        f"{root}/delta_b{N_STREAM_BATCHES - 1}/postings"
+    ) and os.path.exists(f"{root}/delta_b{N_STREAM_BATCHES - 1}/meta")
+    folded_deleted = not any(
+        os.path.exists(f"{root}/delta_b{k}")
+        for k in range(MERGE_TRIGGER_SEGMENTS)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_delivery),
+                *[int(t) for t in tallies],
+                bool(j["set_mismatch"] == 0),
+                bool(j["value_mismatch"] == 0),
+                bool(pending_intact),
+                bool(folded_deleted),
+            )
+        ],
+        "n_delivery bigint, n_gc_b0 bigint, n_gc_b1 bigint,"
+        " n_gc_b2 bigint, live_set_preserved boolean,"
+        " values_intact boolean, pending_intact boolean,"
+        " folded_deleted boolean",
+    )
+
+
+def stream_asof_b1_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel as a QUERY surface for the STREAM-maintained store —
+    the streaming twin of ``segment_store.sim_asof_v2_brute_topk``:
+    exact cosine top-k against the as-of-batch-1 snapshot (base + the
+    first two delivery micro-batches, the fold applied), through the
+    shared brute tail (``segment_store.brute_topk_over_live``), so the
+    historical answer is hash-green against DuckDB's brute force over
+    the same membership predicate (``vec_id % DELIVERY_MOD ==
+    DELIVERY_MOD-1`` deliveries batched by ``vec_id %
+    N_STREAM_BATCHES``). Reproducible-training-snapshot story, streamed
+    edition: any committed batch state's exact search regenerates
+    bit-for-bit."""
+    from ..operators.segment_store import brute_topk_over_live
+
+    live = read_streamed_index_asof(spark, sf_dir, 1).select("vec_id", "v")
+    return brute_topk_over_live(live)
 
 
 #: Streaming-delete waves: base vectors (the delivery split stays the
@@ -1013,6 +1162,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_maintained_index_topk": stream_maintained_index_topk,
     "stream_index_asof_batch": stream_index_asof_batch,
     "stream_index_vacuum": stream_index_vacuum,
+    "stream_index_retention_drain": stream_index_retention_drain,
+    "stream_asof_b1_brute_topk": stream_asof_b1_brute_topk,
     "stream_index_delete_drain": stream_index_delete_drain,
 }
 
@@ -1072,4 +1223,43 @@ ORACLES: dict[str, str] = {
                TRUE AS pending_intact,
                TRUE AS asof_prefold_fails
         FROM embeddings""",
+    # scheduled retention: the delivery count is exact; the per-batch
+    # GC tallies are pinned by the deterministic schedule (fold at
+    # batch 1 collects its two freshly-folded deltas; batches 0/2
+    # collect nothing); the live-set/value/layout invariants are
+    # recomputed from the artifacts and must hold
+    "stream_index_retention_drain": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_delivery,
+               CAST(0 AS BIGINT) AS n_gc_b0,
+               CAST({MERGE_TRIGGER_SEGMENTS} AS BIGINT) AS n_gc_b1,
+               CAST(0 AS BIGINT) AS n_gc_b2,
+               TRUE AS live_set_preserved,
+               TRUE AS values_intact,
+               TRUE AS pending_intact,
+               TRUE AS folded_deleted
+        FROM embeddings
+        WHERE vec_id % {DELIVERY_MOD} = {DELIVERY_MOD - 1}""",
+    # the streamed store's historical exact search: DuckDB reproduces
+    # the as-of-batch-1 membership (base ∪ delivery batches 0,1 per the
+    # vec_id % N_STREAM_BATCHES split) and runs the identical brute
+    # force — hash-green, every float bit
+    "stream_asof_b1_brute_topk": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id % {DELIVERY_MOD} != {DELIVERY_MOD - 1}
+               OR vec_id % {N_STREAM_BATCHES} <= 1),
+        scored AS (
+            SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                   list_dot_product(q.v, x.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(x.v, x.v))) AS cosine
+            FROM e q JOIN e x ON q.vec_id != x.vec_id
+            WHERE q.vec_id < {N_QUERIES}),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {TOP_K}""",
 }

@@ -218,3 +218,32 @@ def test_pack_partition_inplace_torn_swap_replays(spark, sf_dir, tmp_path):
     # replay after completion (pack dir gone): re-packs 1:1, content identical
     cp._pack_partition_inplace(spark, src, pack)
     assert sorted(map(tuple, spark.read.parquet(src).collect())) == expected
+
+
+def test_pack_partition_truncated_manifest_reenters_phase_a(
+    spark, sf_dir, tmp_path
+):
+    """A truncated ``_incoming`` manifest (a crash mid-write by an
+    OLD, pre-atomic writer) must re-enter phase A instead of failing
+    every replay with JSONDecodeError (r12 ADVICE; new writes are
+    rename-committed and can't tear, but replay must tolerate legacy
+    debris)."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "part")
+    spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(4).write.parquet(src)
+    expected = sorted(map(tuple, spark.read.parquet(src).collect()))
+
+    pack = str(tmp_path / "pack")
+    cp.compact_dataset(spark, src, pack)
+    with open(os.path.join(pack, "_incoming"), "w") as fh:
+        fh.write('["part-')  # truncated JSON
+    cp._pack_partition_inplace(spark, src, pack)  # must not raise
+    got = sorted(map(tuple, spark.read.parquet(src).collect()))
+    assert got == expected
+    assert not os.path.exists(pack)

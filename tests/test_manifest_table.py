@@ -1,0 +1,140 @@
+"""Manifest-committed compaction (r13): reader-ATOMIC swap.
+
+The in-place pass (test_compaction.py) is torn-RUN-safe; this module
+pins the stronger guarantee the versioned-manifest commit buys: a
+concurrent reader interleaved at EVERY phase of the swap resolves a
+complete committed version — pre-swap or post-swap, never the window.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_revenue_analysis_sql_tableau_spark.lake_core import content_digest
+from customer_revenue_analysis_sql_tableau_spark.sources import manifest_table as mt
+from customer_revenue_analysis_sql_tableau_spark.sources.parquet import MONTH_COL
+
+
+@pytest.fixture(scope="module")
+def summary(spark, sf_dir):
+    return mt.parquet_compact_manifest_atomic(spark, sf_dir).collect()[0]
+
+
+def test_entry_invariants(summary, spark, sf_dir):
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    assert summary["n_rows"] == orders.count()
+    assert summary["swap_atomic_both_versions_identical"] is True
+    assert summary["selected_packed"] is True
+    assert summary["unselected_untouched"] is True
+    assert summary["post_vacuum_digest_unchanged"] is True
+    assert summary["pinned_v1_fails"] is True
+    assert summary["n_selected"] > 0
+
+
+def test_entry_idempotent(summary, spark, sf_dir):
+    row = mt.parquet_compact_manifest_atomic(spark, sf_dir).collect()[0]
+    assert tuple(row) == tuple(summary)
+
+
+@pytest.fixture()
+def staged(spark, tmp_path):
+    """A small 3-month manifested table with fragmented partitions."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(600).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7).alias("v"),
+        F.concat(
+            F.lit("2001-0"), (F.col("id") % 3 + 1).cast("string")
+        ).alias(MONTH_COL),
+    )
+    df.repartition(5).write.partitionBy(MONTH_COL).parquet(root)
+    mt.init_manifest(root)
+    d = content_digest(
+        mt.read_manifested(spark, root), ("k", "v", MONTH_COL)
+    )
+    return root, d
+
+
+def _digest(spark, root, version=None):
+    return content_digest(
+        mt.read_manifested(spark, root, version), ("k", "v", MONTH_COL)
+    )
+
+
+def test_reader_never_observes_torn_state(spark, staged):
+    """Interleave a resolving reader at every phase of the swap: after
+    each single partition's pack (files landed, nothing committed),
+    after the manifest commit, and after the vacuum — the resolved
+    digest must equal the original at every step, and the pinned
+    old-version reader must stay correct until vacuum."""
+    root, d0 = staged
+    chain = mt.manifest_chain(root)
+    months = sorted(chain[1]["files"])
+    packed = {}
+    for m in months:  # phase 1, one partition at a time
+        packed[m] = mt.pack_partition_files(
+            spark, root, m, chain[1]["files"][m], 2
+        )
+        # a reader between packs resolves v1 and sees the OLD files
+        assert _digest(spark, root) == d0
+    # phase 2: the commit point — one atomic rename
+    mt.commit_manifest(root, {"version": 2, "files": packed})
+    assert _digest(spark, root) == d0  # resolves v2, new files
+    assert _digest(spark, root, 1) == d0  # pinned reader still correct
+    # phase 3: vacuum — old fragments + expired manifest gone
+    deleted, expired = mt.vacuum_manifested(root)
+    assert _digest(spark, root) == d0
+    assert expired == [1] and len(deleted) > 0
+    with pytest.raises(ValueError, match="not in chain"):
+        mt.read_manifested(spark, root, 1)
+
+
+def test_commit_refuses_overwrite(spark, staged):
+    root, _d0 = staged
+    chain = mt.manifest_chain(root)
+    with pytest.raises(FileExistsError):
+        mt.commit_manifest(root, {"version": 1, "files": chain[1]["files"]})
+
+
+def test_resolver_ignores_inflight_tmp_manifests(spark, staged):
+    """A crash mid-commit leaves only a ``.tmp.<pid>`` file — the
+    resolver must not read it as a version."""
+    root, d0 = staged
+    mdir = mt._mdir(root)
+    with open(os.path.join(mdir, "manifest_v2.tmp.999"), "w") as fh:
+        fh.write('{"version": 2, "files"')  # truncated garbage
+    assert sorted(mt.manifest_chain(root)) == [1]
+    assert _digest(spark, root) == d0
+
+
+def test_orphans_invisible_and_vacuumed(spark, staged):
+    """Files a torn pack left (never referenced by any manifest) must
+    be invisible to every reader and collected by vacuum."""
+    root, d0 = staged
+    chain = mt.manifest_chain(root)
+    m = sorted(chain[1]["files"])[0]
+    mt.pack_partition_files(spark, root, m, chain[1]["files"][m], 2)
+    # no commit — the "torn run". Reader unaffected:
+    assert _digest(spark, root) == d0
+    deleted, expired = mt.vacuum_manifested(root)  # retain head = v1
+    assert expired == []
+    assert all(rel.split("/")[1].startswith("v2-") for rel in deleted)
+    assert len(deleted) > 0
+    assert _digest(spark, root) == d0
+
+
+def test_manifested_read_keeps_partition_pruning(spark, staged):
+    """The explicit-file-list read with basePath must keep the hive
+    partition column prunable — a month filter reads one partition."""
+    root, _d0 = staged
+    df = mt.read_manifested(spark, root).filter(
+        F.col(MONTH_COL) == "2001-01"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2001-01" in plan
+    assert df.count() == 200

@@ -120,3 +120,76 @@ def test_vacuum_wider_retention_keeps_history(spark, sf_dir, monkeypatch, tmp_pa
         for f in os.listdir(root)
         if f.startswith("manifest_v")
     ) == [3, 4]
+
+
+def test_windowed_vacuum_contract_and_idempotence(spark, sf_dir):
+    """Retention 2 over the compaction-rewritten chain: intermediate
+    version readable with its exact digest, only seg_w1 expired, both
+    casualty modes fired."""
+    a = ss.sim_persisted_vacuum_window(spark, sf_dir).collect()[0]
+    assert a["head_digest_unchanged"]
+    assert a["intermediate_asof_readable"]
+    assert a["only_unreferenced_deleted"]
+    assert a["manifests_retained"]
+    assert a["expired_asof_fails"]
+    b = ss.sim_persisted_vacuum_window(spark, sf_dir).collect()[0]
+    assert a == b
+
+
+def test_windowed_vacuum_walks_all_retained_versions(spark, sf_dir):
+    """Every RETAINED version must stay resolvable post-GC and nest:
+    v3 ⊂ v4 (r12 VERDICT Next #3 'pytest walking all retained
+    versions')."""
+    ss.sim_persisted_vacuum_window(spark, sf_dir)
+    prev = None
+    for v in (3, 4):
+        cur = {
+            r["vec_id"]
+            for r in ss.read_vacuum2_asof(spark, sf_dir, v)
+            .select("vec_id")
+            .collect()
+        }
+        if prev is not None:
+            assert prev < cur
+        prev = cur
+    root = ss._vacuum2_dir(spark, sf_dir).removeprefix("file:")
+    assert not os.path.exists(f"{root}/seg_w1")
+    for seg in ("seg_base", "seg_m1", "seg_w2"):
+        assert os.path.exists(f"{root}/{seg}")
+    assert sorted(
+        int(f.removeprefix("manifest_v"))
+        for f in os.listdir(root)
+        if f.startswith("manifest_v") and not f.endswith(".tmp")
+    ) == [3, 4]
+    for v in (1, 2):
+        with pytest.raises(ValueError, match="not in chain"):
+            ss.read_vacuum2_asof(spark, sf_dir, v)
+
+
+def test_windowed_vacuum_torn_run_replays(spark, sf_dir):
+    first = ss.sim_persisted_vacuum_window(spark, sf_dir).collect()[0]
+    root = ss._vacuum2_dir(spark, sf_dir).removeprefix("file:")
+    os.remove(f"{root}/vacuum_done")
+    replay = ss.sim_persisted_vacuum_window(spark, sf_dir).collect()[0]
+    assert replay == first
+    assert replay["head_digest_unchanged"]
+
+
+def test_read_asof_torn_chain_raises_value_error(spark, sf_dir, monkeypatch):
+    """A torn/partial chain must surface the descriptive ValueError
+    contract, never a bare KeyError (r12 ADVICE)."""
+    d, chain = ss._manifest_chain(spark, sf_dir)
+
+    def torn(spark_, sf):
+        return d, {1: chain[1], 3: chain[3]}  # v2 missing
+
+    monkeypatch.setattr(ss, "_manifest_chain", torn)
+    with pytest.raises(ValueError, match="not in chain"):
+        ss.sim_persisted_read_asof(spark, sf_dir)
+
+    def leaky(spark_, sf):
+        return d, {1: chain[1] + ["ghost_seg"], 2: chain[2], 3: chain[3]}
+
+    monkeypatch.setattr(ss, "_manifest_chain", leaky)
+    with pytest.raises(ValueError, match="torn manifest chain"):
+        ss.sim_persisted_read_asof(spark, sf_dir)

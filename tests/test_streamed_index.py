@@ -345,3 +345,73 @@ def test_stream_vacuum_torn_run_replays(drained, spark, sf_dir):
     assert replay == first
     with open(f"{vroot}/vacuum_done") as fh:
         assert json.load(fh)["deleted"] == ["delta_b0", "delta_b1"]
+
+
+def test_retention_drain_summary_invariants(spark, sf_dir):
+    """Scheduled per-batch GC (r12 Next #5): tallies pinned by the
+    deterministic schedule, live set + values intact, folded deltas
+    gone, pending delta untouched."""
+    row = im.stream_index_retention_drain(spark, sf_dir).collect()[0]
+    e = sim.load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    n_delivery = e.filter(
+        F.col("vec_id") % sim.DELIVERY_MOD == sim.DELIVERY_MOD - 1
+    ).count()
+    assert row["n_delivery"] == n_delivery
+    assert (row["n_gc_b0"], row["n_gc_b1"], row["n_gc_b2"]) == (0, 2, 0)
+    assert row["live_set_preserved"] is True
+    assert row["values_intact"] is True
+    assert row["pending_intact"] is True
+    assert row["folded_deleted"] is True
+    # idempotent: a second call recomputes from the persisted store
+    again = im.stream_index_retention_drain(spark, sf_dir).collect()[0]
+    assert tuple(again) == tuple(row)
+
+
+def test_retention_tallies_committed_every_batch(spark, sf_dir):
+    """The policy provably evaluated EVERY batch: a gc tally file per
+    micro-batch, empty tallies included."""
+    import json
+
+    im.stream_index_retention_drain(spark, sf_dir).collect()
+    root = im._gc_instance_dir(spark, sf_dir).removeprefix("file:")
+    for k in range(im.N_STREAM_BATCHES):
+        with open(f"{root}/gc_b{k}") as fh:
+            doc = json.load(fh)
+        assert doc["deleted"] == (
+            ["delta_b0", "delta_b1"] if k == 1 else []
+        )
+
+
+def test_retention_instance_leaves_default_instance_intact(spark, sf_dir):
+    """The scheduled-GC instance runs in its own store; the default
+    instance keeps its full as-of history."""
+    im.stream_index_retention_drain(spark, sf_dir).collect()
+    sdir, _d = im._ensure_streamed_index(spark, sf_dir)
+    for k in range(im.N_STREAM_BATCHES):
+        assert (
+            spark.read.parquet(f"{sdir}/delta_b{k}/postings").count() > 0
+        )
+
+
+def test_stream_asof_brute_equals_flat_brute(spark, sf_dir):
+    """The streamed as-of-b1 exact search must equal the brute force
+    over the flat base + delta_b0 + delta_b1 stack bit-for-bit — the
+    fold is invisible to the historical QUERY surface, not just the
+    membership audit."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.segment_store import (
+        brute_topk_over_live,
+    )
+
+    sdir, d = im._ensure_streamed_index(spark, sf_dir)
+    flat = spark.read.parquet(f"{d}/postings").select("vec_id", "v")
+    for k in range(2):
+        flat = flat.unionByName(
+            spark.read.parquet(f"{sdir}/delta_b{k}/postings").select(
+                "vec_id", "v"
+            )
+        )
+    a = sorted(
+        map(tuple, im.stream_asof_b1_brute_topk(spark, sf_dir).collect())
+    )
+    b = sorted(map(tuple, brute_topk_over_live(flat).collect()))
+    assert a == b and len(a) == sim.N_QUERIES * sim.TOP_K

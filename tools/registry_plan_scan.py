@@ -53,6 +53,7 @@ BNLJ_ALLOWLIST: frozenset[str] = frozenset(
         "feat_vocab_coverage",  # broadcast corpus totals (1 row)
         "sim_bruteforce_topk",  # query set × corpus, queries bounded
         "sim_asof_v2_brute_topk",  # exact CHECK baseline over the v2 snapshot (bounded query set)
+        "stream_asof_b1_brute_topk",  # exact CHECK baseline over the streamed as-of-b1 snapshot
         "sim_ivf_topk",  # query set × centroids, both bounded
         "text_unigram_logprob",  # broadcast (T, V) scalar frame (1 row)
         "tpch_q11_important_parts",  # scalar value threshold (1 row)
@@ -100,6 +101,7 @@ PERKEY_WINDOW_ALLOWLIST: frozenset[str] = frozenset(
     {
         "sim_bruteforce_topk",  # exact baseline: full-corpus rank is the point
         "sim_asof_v2_brute_topk",  # exact baseline over the historical snapshot
+        "stream_asof_b1_brute_topk",  # exact baseline over the streamed historical snapshot
         "sim_lsh_recall_check",  # embeds sim_bruteforce_topk
         "sim_ivf_recall_check",  # embeds sim_bruteforce_topk
         "sim_pq_recall_check",  # embeds sim_bruteforce_topk
