@@ -85,6 +85,24 @@ def _base_dir(spark: SparkSession, sf_dir: str) -> str:
     return f"{_ivf_index_dir(spark, sf_dir)}_base"
 
 
+def _apply_fold(
+    spark: SparkSession, view: DataFrame, store_dir: str, version: int
+) -> DataFrame:
+    """ONE fold application — the reader algebra every maintained view
+    in this module is built from (r12 VERDICT Next #4: one definition,
+    not five inline copies): drop the fold's touched cells from the
+    view (its manifest lists them), union the fold's rewritten
+    postings. Applied in version order, later folds win their cells."""
+    man = spark.read.parquet(f"{store_dir}/merged_v{version}/manifest")
+    return view.join(
+        F.broadcast(man.select("cell")), "cell", "left_anti"
+    ).unionByName(
+        spark.read.parquet(f"{store_dir}/merged_v{version}/postings").select(
+            "cell", "vec_id", "v"
+        )
+    )
+
+
 def _ensure_streamed_index(
     spark: SparkSession,
     sf_dir: str,
@@ -188,14 +206,7 @@ def _ensure_streamed_index(
         manifests in version order (later versions win their cells)."""
         view = base_postings
         for v in merged_versions():
-            man = spark.read.parquet(f"{sdir}/merged_v{v}/manifest")
-            view = view.join(
-                F.broadcast(man.select("cell")), "cell", "left_anti"
-            ).unionByName(
-                spark.read.parquet(f"{sdir}/merged_v{v}/postings").select(
-                    "cell", "vec_id", "v"
-                )
-            )
+            view = _apply_fold(spark, view, sdir, v)
         return view
 
     def gc_folded_segments(batch_id: int) -> None:
@@ -335,14 +346,7 @@ def _maintained_reader_postings(
         }
     )
     for v in versions:
-        man = spark.read.parquet(f"{sdir}/merged_v{v}/manifest")
-        view = view.join(
-            F.broadcast(man.select("cell")), "cell", "left_anti"
-        ).unionByName(
-            spark.read.parquet(f"{sdir}/merged_v{v}/postings").select(
-                "cell", "vec_id", "v"
-            )
-        )
+        view = _apply_fold(spark, view, sdir, v)
     for r in final:
         if r["status"] == "pending":
             view = view.unionByName(
@@ -427,9 +431,7 @@ def stream_index_maintenance_drain(
         merged_p = spark.read.parquet(f"{sdir}/merged_v{v}/postings")
         if merged_p.count() != n_prev_touched + folded_rows.count():
             io_bounded = False
-        prev_view = prev_view.join(
-            F.broadcast(man.select("cell")), "cell", "left_anti"
-        ).unionByName(merged_p.select("cell", "vec_id", "v"))
+        prev_view = _apply_fold(spark, prev_view, sdir, v)
 
     return spark.createDataFrame(
         [
@@ -535,14 +537,7 @@ def _fold_applied_view(
     )
     folded_all: set[str] = set()
     for v in sorted(folds):
-        man = spark.read.parquet(f"{store_dir}/merged_v{v}/manifest")
-        view = view.join(
-            F.broadcast(man.select("cell")), "cell", "left_anti"
-        ).unionByName(
-            spark.read.parquet(f"{store_dir}/merged_v{v}/postings").select(
-                "cell", "vec_id", "v"
-            )
-        )
+        view = _apply_fold(spark, view, store_dir, v)
         folded_all |= folds[v]
     for s in delta_names:
         if s not in folded_all and os.path.exists(f"{root}/{s}/postings"):
@@ -936,14 +931,7 @@ def _ensure_delete_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     def current_view() -> DataFrame:
         view = base_postings
         for v in merged_versions():
-            man = spark.read.parquet(f"{ddir}/merged_v{v}/manifest")
-            view = view.join(
-                F.broadcast(man.select("cell")), "cell", "left_anti"
-            ).unionByName(
-                spark.read.parquet(f"{ddir}/merged_v{v}/postings").select(
-                    "cell", "vec_id", "v"
-                )
-            )
+            view = _apply_fold(spark, view, ddir, v)
         return view
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1043,14 +1031,7 @@ def _delete_reader_postings(
         }
     )
     for v in versions:
-        man = spark.read.parquet(f"{ddir}/merged_v{v}/manifest")
-        view = view.join(
-            F.broadcast(man.select("cell")), "cell", "left_anti"
-        ).unionByName(
-            spark.read.parquet(f"{ddir}/merged_v{v}/postings").select(
-                "cell", "vec_id", "v"
-            )
-        )
+        view = _apply_fold(spark, view, ddir, v)
     for r in final:
         if r["status"] == "pending":
             view = view.join(
@@ -1134,9 +1115,7 @@ def stream_index_delete_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0][0]
         if not agg:
             cells_ok = False
-        prev_view = prev_view.join(
-            F.broadcast(man.select("cell")), "cell", "left_anti"
-        ).unionByName(merged_p.select("cell", "vec_id", "v"))
+        prev_view = _apply_fold(spark, prev_view, ddir, v)
 
     return spark.createDataFrame(
         [
