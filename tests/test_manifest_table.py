@@ -138,3 +138,48 @@ def test_manifested_read_keeps_partition_pruning(spark, staged):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "2001-01" in plan
     assert df.count() == 200
+
+
+def test_racing_writers_one_commit_wins(spark, staged):
+    """Two compactions racing to the same target version: both pack
+    (their files coexist under never-referenced names), exactly one
+    commit wins the create-exclusive rename, the loser re-resolves and
+    commits the NEXT version on top of the winner's — and every
+    committed version serves the original content."""
+    root, d0 = staged
+    chain = mt.manifest_chain(root)
+    months = sorted(chain[1]["files"])
+
+    # writer A and writer B both pack for v2 (different month subsets —
+    # a realistic split maintenance schedule)
+    a_months, b_months = months[:1], months[1:]
+    a_packed = {
+        m: mt.pack_partition_files(spark, root, m, chain[1]["files"][m], 2)
+        for m in a_months
+    }
+    b_packed = {
+        m: mt.pack_partition_files(spark, root, m, chain[1]["files"][m], 2)
+        for m in b_months
+    }
+    # A commits v2 first
+    mt.commit_manifest(
+        root,
+        {"version": 2, "files": {**chain[1]["files"], **a_packed}},
+    )
+    # B's v2 commit must LOSE loudly, never clobber
+    with pytest.raises(FileExistsError):
+        mt.commit_manifest(
+            root,
+            {"version": 2, "files": {**chain[1]["files"], **b_packed}},
+        )
+    # B re-resolves the new head and commits v3 on top of it
+    head = mt.manifest_chain(root)[2]
+    mt.commit_manifest(
+        root, {"version": 3, "files": {**head["files"], **b_packed}}
+    )
+    for v in (1, 2, 3):
+        assert _digest(spark, root, v) == d0
+    # vacuum to the head keeps exactly the v3 files
+    deleted, expired = mt.vacuum_manifested(root)
+    assert expired == [1, 2]
+    assert _digest(spark, root) == d0
