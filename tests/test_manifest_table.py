@@ -183,3 +183,25 @@ def test_racing_writers_one_commit_wins(spark, staged):
     deleted, expired = mt.vacuum_manifested(root)
     assert expired == [1, 2]
     assert _digest(spark, root) == d0
+
+
+def test_manifest_vacuum_retention_window(spark, staged):
+    """``vacuum_manifested(retain=2)`` must keep BOTH retained
+    versions' files servable (the windowed-retention contract the
+    segment store pins in depth) and expire nothing still referenced."""
+    root, d0 = staged
+    chain = mt.manifest_chain(root)
+    months = sorted(chain[1]["files"])
+    packed = {
+        m: mt.pack_partition_files(spark, root, m, chain[1]["files"][m], 2)
+        for m in months
+    }
+    mt.commit_manifest(root, {"version": 2, "files": packed})
+    deleted, expired = mt.vacuum_manifested(root, retain=2)
+    assert deleted == [] and expired == []
+    assert _digest(spark, root, 1) == d0
+    assert _digest(spark, root, 2) == d0
+    # narrowing to head-only NOW collects v1's files and expires v1
+    deleted, expired = mt.vacuum_manifested(root, retain=1)
+    assert expired == [1] and len(deleted) > 0
+    assert _digest(spark, root) == d0

@@ -415,3 +415,26 @@ def test_stream_asof_brute_equals_flat_brute(spark, sf_dir):
     )
     b = sorted(map(tuple, brute_topk_over_live(flat).collect()))
     assert a == b and len(a) == sim.N_QUERIES * sim.TOP_K
+
+
+def test_stream_vacuum_stale_digest_format_restages(drained, spark, sf_dir):
+    """A vacuumed clone whose persisted digest_pre predates the digest
+    column set (e.g. pre-r13 artifacts without the vector column) must
+    re-stage instead of comparing incompatible digests."""
+    import json
+    import os
+
+    first = im.stream_index_vacuum(spark, sf_dir).collect()[0]
+    sdir, _d = im._ensure_streamed_index(spark, sf_dir)
+    vroot = f"{sdir.removeprefix('file:')}_vacuumed"
+    with open(f"{vroot}/digest_pre") as fh:
+        doc = json.load(fh)
+    assert doc["cols"] == ["vec_id", "cell", "v"]
+    doc.pop("cols")  # simulate an old-format clone
+    doc["dig"] = doc["dig"] ^ 1  # and a digest the new formula won't hit
+    with open(f"{vroot}/digest_pre", "w") as fh:
+        json.dump(doc, fh)
+    replay = im.stream_index_vacuum(spark, sf_dir).collect()[0]
+    assert replay == first
+    assert replay["reader_digest_unchanged"]
+    assert os.path.exists(f"{vroot}/vacuum_done")
