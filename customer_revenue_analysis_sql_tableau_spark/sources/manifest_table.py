@@ -254,8 +254,55 @@ def vacuum_manifested(
     return deleted, expired
 
 
+def incremental_files(
+    root: str, v_from: int, v_to: int
+) -> tuple[list[str], list[str]]:
+    """File-level DIFF of two committed snapshots — the primitive
+    behind incremental consumption (Iceberg incremental scan / Delta
+    CDF): ``(added, removed)`` relative paths between ``v_from`` and
+    ``v_to``. Pure manifest arithmetic: KB of driver metadata, cost
+    independent of table size. Raises the chain's ``ValueError``
+    contract on an uncommitted/vacuumed version."""
+    chain = manifest_chain(root)
+    for v in (v_from, v_to):
+        if v not in chain:
+            raise ValueError(
+                f"manifest version {v} not in chain"
+                f" (available: {sorted(chain)})"
+            )
+
+    def rels(v: int) -> set[str]:
+        return {
+            f"{MONTH_COL}={m}/{name}"
+            for m, names in chain[v]["files"].items()
+            for name in names
+        }
+
+    a, b = rels(v_from), rels(v_to)
+    return sorted(b - a), sorted(a - b)
+
+
+def read_manifested_incremental(
+    spark: SparkSession, root: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Read the rows ADDED between two snapshots by scanning ONLY the
+    files the newer manifest added — at 100 TB an incremental consumer
+    (downstream training-data refresh, CDC materialization) pays I/O
+    ∝ the delta, never a table scan. For an append commit this is
+    exactly the appended rows; for a content-neutral rewrite
+    (compaction) added-minus-removed is the empty multiset (pinned in
+    tests). Returns an empty frame when nothing was added."""
+    added, _removed = incremental_files(root, v_from, v_to)
+    if not added:
+        head = read_manifested(spark, root, v_to)
+        return head.limit(0)
+    return spark.read.option("basePath", root).parquet(
+        *[f"{root}/{rel}" for rel in added]
+    )
+
+
 # ---------------------------------------------------------------------------
-# Registered entry
+# Registered entries
 # ---------------------------------------------------------------------------
 
 
@@ -388,8 +435,70 @@ def parquet_compact_manifest_atomic(
     )
 
 
+#: The incremental-read universe's append boundary: v1 commits the
+#: months before it, v2 appends the rest — so the v1→v2 incremental
+#: read is a deterministic slice DuckDB can recompute row-for-row.
+APPEND_FROM = "2001-01"
+
+
+def _incr_root(spark: SparkSession, sf_dir: str) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{warehouse}/manifest_incr_{_stage_fingerprint(sf_dir)}"
+
+
+def parquet_manifest_incremental_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL SNAPSHOT READ over the manifested table — change
+    consumption with I/O ∝ the delta: stage the month-partitioned fact
+    once, commit manifest v1 referencing only the months before
+    ``APPEND_FROM`` (the newer months' files are on disk but
+    UNREFERENCED — exactly a writer's staged-but-uncommitted state),
+    then commit v2 referencing everything (the append commit: zero
+    data writes, one atomic rename). The registered query returns the
+    v1→v2 incremental rows read from ONLY the added files — hash-green
+    row-for-row against DuckDB's recomputation of the appended slice,
+    a row-level oracle rather than a boolean summary. pytest pins the
+    I/O claim itself: ``df.inputFiles()`` is exactly the added file
+    set, and a compaction commit's added-minus-removed multiset is
+    empty."""
+    root = _incr_root(spark, sf_dir)
+    base = root.removeprefix("file:")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+        write_month_partitioned(
+            orders.repartition(PART_STAGE_FILES), "o_orderdate", root
+        )
+    if not manifest_chain(root):
+        full = init_manifest(root)  # v1 bootstrap scans once ...
+        os.remove(os.path.join(_mdir(root), "manifest_v1"))
+        # ... then v1 commits only the pre-append months and v2 the
+        # full listing (the append's file names come from the staged
+        # scan, not a re-scan — a real writer knows what it wrote)
+        commit_manifest(
+            root,
+            {
+                "version": 1,
+                "files": {
+                    m: ns
+                    for m, ns in full["files"].items()
+                    if m < APPEND_FROM
+                },
+            },
+        )
+        commit_manifest(root, {"version": 2, "files": full["files"]})
+    return read_manifested_incremental(spark, root, 1, 2).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.col(MONTH_COL).alias("pm"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parquet_compact_manifest_atomic": parquet_compact_manifest_atomic,
+    "parquet_manifest_incremental_read": parquet_manifest_incremental_read,
 }
 
 ORACLES: dict[str, str] = {
@@ -410,4 +519,12 @@ ORACLES: dict[str, str] = {
                TRUE AS post_vacuum_digest_unchanged,
                TRUE AS pinned_v1_fails
         FROM orders""",
+    # the incremental read is a ROW-LEVEL oracle: DuckDB recomputes
+    # the appended slice (months >= APPEND_FROM) and the hash compares
+    # every value — the added-files scan must reproduce it exactly
+    "parquet_manifest_incremental_read": f"""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+               strftime(o_orderdate, '%Y-%m') AS pm
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y-%m') >= '{APPEND_FROM}'""",
 }

@@ -205,3 +205,61 @@ def test_manifest_vacuum_retention_window(spark, staged):
     deleted, expired = mt.vacuum_manifested(root, retain=1)
     assert expired == [1] and len(deleted) > 0
     assert _digest(spark, root) == d0
+
+
+def test_incremental_read_scans_only_added_files(spark, sf_dir):
+    """The I/O claim itself: the incremental scan's input files are
+    EXACTLY the files the newer manifest added — change consumption
+    costs the delta, never a table scan."""
+    mt.parquet_manifest_incremental_read(spark, sf_dir).collect()
+    root = mt._incr_root(spark, sf_dir)
+    added, removed = mt.incremental_files(root, 1, 2)
+    assert added and removed == []
+    df = mt.read_manifested_incremental(spark, root, 1, 2)
+
+    def norm(p):  # file:///x, file:/x, /x -> /x
+        return "/" + p.removeprefix("file:").lstrip("/")
+
+    got = {norm(f) for f in df.inputFiles()}
+    want = {norm(f"{root}/{rel}") for rel in added}
+    assert got == want
+    # and the rows are exactly head minus v1 (set algebra on disk)
+    n_head = mt.read_manifested(spark, root, 2).count()
+    n_v1 = mt.read_manifested(spark, root, 1).count()
+    assert df.count() == n_head - n_v1 > 0
+
+
+def test_incremental_diff_of_rewrite_is_empty(spark, staged):
+    """A content-neutral rewrite (compaction commit) adds and removes
+    files but its row-level incremental diff must be the empty
+    multiset: rows(added) minus rows(removed) cancel exactly."""
+    root, _d0 = staged
+    chain = mt.manifest_chain(root)
+    months = sorted(chain[1]["files"])
+    packed = {
+        m: mt.pack_partition_files(spark, root, m, chain[1]["files"][m], 2)
+        for m in months
+    }
+    mt.commit_manifest(root, {"version": 2, "files": packed})
+    added, removed = mt.incremental_files(root, 1, 2)
+    assert added and removed
+    a = spark.read.option("basePath", root).parquet(
+        *[f"{root}/{r}" for r in added]
+    )
+    b = spark.read.option("basePath", root).parquet(
+        *[f"{root}/{r}" for r in removed]
+    )
+    cols = a.columns
+    diff = (
+        a.groupBy(cols).count().withColumnRenamed("count", "na")
+        .join(b.groupBy(cols).count().withColumnRenamed("count", "nb"),
+              cols, "full")
+        .filter("na IS DISTINCT FROM nb")
+    )
+    assert diff.count() == 0
+
+
+def test_incremental_unknown_version_raises(spark, staged):
+    root, _d0 = staged
+    with pytest.raises(ValueError, match="not in chain"):
+        mt.incremental_files(root, 1, 9)
