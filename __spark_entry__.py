@@ -97,11 +97,12 @@ _REGISTRY_MODULES = [
 # proof-staleness cohort (r12 Next #1 — fits entirely this round,
 # raising the freshest-proof floor to r8 registry-wide). Guarded
 # against rot by tests/test_registry_hygiene.py::
-# test_priority_names_exist. 5+8+35 = 48 fits the ~50-entry budget.
+# test_priority_names_exist. 6+8+35 = 49 fits the ~50-entry budget.
 _PRIORITY = [
     # -- new this round (r13), first driver proof --
     "parquet_compact_manifest_atomic",  # reader-atomic OPTIMIZE WHERE
     "parquet_manifest_incremental_read",  # snapshot-diff read, row-level oracle
+    "stream_manifest_append_drain",  # exactly-once sink via manifest CAS
     "sim_persisted_vacuum_window",  # retention window 2, real expiry
     "stream_index_retention_drain",  # scheduled per-batch GC, pinned tallies
     "stream_asof_b1_brute_topk",  # streamed-store historical exact search

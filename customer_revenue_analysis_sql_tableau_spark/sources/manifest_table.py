@@ -496,9 +496,176 @@ def parquet_manifest_incremental_read(
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming append sink: exactly-once via batch-id-keyed manifest CAS.
+# ---------------------------------------------------------------------------
+
+#: The streaming-append drain's delivery: orders split into this many
+#: mtime-ordered files (one micro-batch each, the drains recipe).
+STREAM_APPEND_BATCHES = 3
+
+
+def _stream_append_root(spark: SparkSession, sf_dir: str) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{warehouse}/manifest_stream_{_stage_fingerprint(sf_dir)}"
+
+
+def stream_manifest_append_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACTLY-ONCE STREAMING SINK on plain parquet, built from the
+    manifest discipline alone — the Delta-streaming-sink contract
+    without a table format: a ``foreachBatch`` loop lands each
+    micro-batch's files month-partitioned under never-referenced
+    ``b{batch}-`` names (invisible), then publishes them with ONE
+    create-exclusive manifest commit keyed by the batch id
+    (``version = batch_id + 2`` over the empty v1). Replays are
+    no-ops: a batch whose manifest version already exists skips
+    entirely, so a crash-restart (same batch ids, courtesy of the
+    checkpoint) can never double-append — and a torn batch's already-
+    moved files are unreferenced orphans vacuum collects, never
+    visible rows.
+
+    Summary recomputed from the PERSISTED chain: exact head row count
+    (DuckDB: the whole delivery), the commit tally, each consecutive
+    incremental read exactly equal to its batch's deterministic
+    ``o_orderkey % N`` slice, and the increments partitioning the head
+    (disjoint + covering, via one tagged aggregation). Scale posture:
+    per-batch work is the batch's own write + a KB manifest commit;
+    the incremental-read verification is proof cost."""
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    root = _stream_append_root(spark, sf_dir)
+    base = root.removeprefix("file:")
+    n_expected = STREAM_APPEND_BATCHES + 1
+
+    def chain() -> dict[int, dict]:
+        return manifest_chain(root)
+
+    if len(chain()) < n_expected:
+        os.makedirs(base, exist_ok=True)
+        if 1 not in chain():  # v1: the empty table
+            os.makedirs(_mdir(root), exist_ok=True)
+            atomic_write_json(
+                os.path.join(_mdir(root), "manifest_v1"),
+                {"version": 1, "files": {}},
+            )
+        orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+        delivery = orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        )
+
+        def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+            ver = int(batch_id) + 2
+            cur = chain()
+            if ver in cur or batch_df.isEmpty():
+                return  # replayed batch: its commit already published
+            head = cur[max(cur)]
+            tmpd = os.path.join(base, "_stream_tmp", f"b{batch_id}")
+            shutil.rmtree(tmpd, ignore_errors=True)
+            batch_df.withColumn(
+                MONTH_COL, F.date_format(F.col("o_orderdate"), "yyyy-MM")
+            ).write.partitionBy(MONTH_COL).parquet(tmpd)
+            files = {m: list(ns) for m, ns in head["files"].items()}
+            for d in sorted(os.listdir(tmpd)):
+                if not d.startswith(f"{MONTH_COL}="):
+                    continue
+                m = d.split("=", 1)[1]
+                os.makedirs(os.path.join(base, d), exist_ok=True)
+                for f in sorted(os.listdir(os.path.join(tmpd, d))):
+                    if f.endswith(".parquet"):
+                        name = f"b{batch_id}-{f}"
+                        shutil.move(
+                            os.path.join(tmpd, d, f),
+                            os.path.join(base, d, name),
+                        )
+                        files.setdefault(m, []).append(name)
+            shutil.rmtree(tmpd, ignore_errors=True)
+            commit_manifest(root, {"version": ver, "files": files})
+
+        tmp = tempfile.mkdtemp(prefix="manifest_stream_")
+        try:
+            src = f"{tmp}/src"
+            base_ts = time.time() - 1000
+            seen: set[str] = set()
+            for k in range(STREAM_APPEND_BATCHES):
+                delivery.filter(
+                    F.col("o_orderkey") % STREAM_APPEND_BATCHES == k
+                ).coalesce(1).write.mode("append").parquet(src)
+                for f in glob.glob(f"{src}/part-*.parquet"):
+                    if f not in seen:
+                        seen.add(f)
+                        os.utime(f, (base_ts + k * 10, base_ts + k * 10))
+            (
+                spark.readStream.schema(
+                    "o_orderkey bigint, o_custkey bigint,"
+                    " o_totalprice double, o_orderdate timestamp"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(on_batch)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # ---- recompute the contract from the persisted chain ----
+    cur = chain()
+    head_v = max(cur)
+    head = read_manifested(spark, root, head_v)
+    n_head = head.count()
+    # each consecutive increment must be EXACTLY its batch's slice,
+    # and the increments must partition the head (tagged union)
+    slices_ok = True
+    tagged: DataFrame | None = None
+    for v in range(2, head_v + 1):
+        inc = read_manifested_incremental(spark, root, v - 1, v).select(
+            "o_orderkey"
+        )
+        want = (
+            head.select("o_orderkey")
+            .filter(F.col("o_orderkey") % STREAM_APPEND_BATCHES == v - 2)
+        )
+        if (
+            inc.join(want, "o_orderkey", "left_anti").count() != 0
+            or want.join(inc, "o_orderkey", "left_anti").count() != 0
+        ):
+            slices_ok = False
+        t = inc.withColumn("src", F.lit(v))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    part = tagged.groupBy("o_orderkey").count()
+    disjoint = part.filter(F.col("count") > 1).count() == 0
+    covers = (
+        head.select("o_orderkey")
+        .join(part.select("o_orderkey"), "o_orderkey", "left_anti")
+        .count()
+        == 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_head),
+                int(len(cur) - 1),
+                bool(slices_ok),
+                bool(disjoint and covers),
+            )
+        ],
+        "n_rows bigint, n_commits bigint,"
+        " increments_match_batches boolean,"
+        " increments_partition_head boolean",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parquet_compact_manifest_atomic": parquet_compact_manifest_atomic,
     "parquet_manifest_incremental_read": parquet_manifest_incremental_read,
+    "stream_manifest_append_drain": stream_manifest_append_drain,
 }
 
 ORACLES: dict[str, str] = {
@@ -527,4 +694,14 @@ ORACLES: dict[str, str] = {
                strftime(o_orderdate, '%Y-%m') AS pm
         FROM orders
         WHERE strftime(o_orderdate, '%Y-%m') >= '{APPEND_FROM}'""",
+    # the streaming sink's head must hold the whole delivery exactly
+    # once; the commit tally is pinned by the schedule (one manifest
+    # version per micro-batch over the empty v1); the slice/partition
+    # invariants are recomputed from the persisted chain and must hold
+    "stream_manifest_append_drain": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST({STREAM_APPEND_BATCHES} AS BIGINT) AS n_commits,
+               TRUE AS increments_match_batches,
+               TRUE AS increments_partition_head
+        FROM orders""",
 }

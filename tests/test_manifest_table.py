@@ -263,3 +263,55 @@ def test_incremental_unknown_version_raises(spark, staged):
     root, _d0 = staged
     with pytest.raises(ValueError, match="not in chain"):
         mt.incremental_files(root, 1, 9)
+
+
+def test_stream_append_drain_summary_and_idempotence(spark, sf_dir):
+    row = mt.stream_manifest_append_drain(spark, sf_dir).collect()[0]
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    assert row["n_rows"] == orders.count()
+    assert row["n_commits"] == mt.STREAM_APPEND_BATCHES
+    assert row["increments_match_batches"] is True
+    assert row["increments_partition_head"] is True
+    # a second call must not re-run the stream or add files
+    root = mt._stream_append_root(spark, sf_dir).removeprefix("file:")
+    n_files = sum(
+        len(fs) for _r, _d, fs in os.walk(root) if True
+    )
+    again = mt.stream_manifest_append_drain(spark, sf_dir).collect()[0]
+    assert tuple(again) == tuple(row)
+    assert (
+        sum(len(fs) for _r, _d, fs in os.walk(root)) == n_files
+    )
+
+
+def test_stream_append_torn_commit_replays_exactly_once(spark, sf_dir):
+    """Rip the LAST commit off a completed stream (a crash between a
+    batch's file moves and its commit): re-entry must re-publish
+    exactly that batch — earlier batches' existing manifests make
+    their replays no-ops — and the head must hold the delivery exactly
+    once, the torn batch's first-run files left as unreferenced
+    orphans that vacuum collects without changing the head."""
+    first = mt.stream_manifest_append_drain(spark, sf_dir).collect()[0]
+    root = mt._stream_append_root(spark, sf_dir)
+    base = root.removeprefix("file:")
+    last_v = mt.STREAM_APPEND_BATCHES + 1
+    os.remove(os.path.join(mt._mdir(root), f"manifest_v{last_v}"))
+    replay = mt.stream_manifest_append_drain(spark, sf_dir).collect()[0]
+    assert tuple(replay) == tuple(first)  # exactly-once: no double rows
+    # the torn run's originals are now orphans; vacuum collects them
+    # and the head digest is unchanged
+    pre = content_digest(
+        mt.read_manifested(spark, root),
+        ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+    )
+    deleted, _expired = mt.vacuum_manifested(root)
+    assert len(deleted) > 0  # the orphaned first-run b2- files
+    assert (
+        content_digest(
+            mt.read_manifested(spark, root),
+            ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+        )
+        == pre
+    )
