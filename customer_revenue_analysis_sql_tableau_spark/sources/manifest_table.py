@@ -131,7 +131,15 @@ def read_manifested(
         for m, names in sorted(chain[version]["files"].items())
         for name in names
     ]
-    return spark.read.option("basePath", root).parquet(*paths)
+    reader = spark.read.option("basePath", root)
+    # a manifest may PIN the version's schema (the Iceberg/Delta
+    # metadata role): readers then never pay a plan-time footer merge,
+    # and files predating an added column null-fill it (the r12
+    # schema-evolution policy, carried by table metadata instead of a
+    # caller-side catalog)
+    if "schema" in chain[version]:
+        reader = reader.schema(chain[version]["schema"])
+    return reader.parquet(*paths)
 
 
 def pack_partition_files(
@@ -662,10 +670,107 @@ def stream_manifest_append_drain(
     )
 
 
+# ---------------------------------------------------------------------------
+# Schema evolution carried by the manifest (not by footer merging).
+# ---------------------------------------------------------------------------
+
+_SCHEMA_V1 = (
+    "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp,"
+    f" {MONTH_COL} string"
+)
+_SCHEMA_V2 = (
+    "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp,"
+    f" o_totalprice double, {MONTH_COL} string"
+)
+
+
+def _schev_root(spark: SparkSession, sf_dir: str) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{warehouse}/manifest_schev_{_stage_fingerprint(sf_dir)}"
+
+
+def parquet_manifest_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCHEMA EVOLUTION carried by table METADATA — the piece the r12
+    policy work said a 100 TB table needs ("pin the union schema in a
+    catalog"), now provided by the table itself: v1 commits the
+    pre-append months with a 3-column schema pinned IN the manifest;
+    the append commit lands new months whose files carry an added
+    ``o_totalprice`` column and pins the 4-column union schema in
+    manifest v2. Readers resolving v2 get old files null-filled with
+    ZERO plan-time footer scans (no ``mergeSchema`` — the schema is one
+    KB of metadata); readers pinned to v1 still see v1's 3-column
+    world. The old months' FILES are untouched across the evolution —
+    adding a column is a metadata-only commit (pinned in tests).
+    Row-level oracle: DuckDB recomputes the evolved table (price only
+    where the new-schema months hold it)."""
+    root = _schev_root(spark, sf_dir)
+    base = root.removeprefix("file:")
+    if not manifest_chain(root):
+        import shutil
+        import tempfile
+
+        orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+        pm = F.date_format(F.col("o_orderdate"), "yyyy-MM")
+        old = orders.filter(pm < APPEND_FROM).select(
+            "o_orderkey", "o_custkey", "o_orderdate", pm.alias(MONTH_COL)
+        )
+        old.repartition(2).write.mode("overwrite").partitionBy(
+            MONTH_COL
+        ).parquet(root)
+        v1 = init_manifest(root)
+        os.remove(os.path.join(_mdir(root), "manifest_v1"))
+        commit_manifest(
+            root,
+            {"version": 1, "files": v1["files"], "schema": _SCHEMA_V1},
+        )
+        # the evolved delivery: new months, one more column — staged to
+        # a tmp tree, moved in under never-referenced names, published
+        # by the v2 commit that ALSO pins the union schema
+        tmpd = tempfile.mkdtemp(prefix="manifest_schev_")
+        new = orders.filter(pm >= APPEND_FROM).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            "o_totalprice",
+            pm.alias(MONTH_COL),
+        )
+        new.repartition(2).write.mode("overwrite").partitionBy(
+            MONTH_COL
+        ).parquet(tmpd)
+        files = {m: list(ns) for m, ns in v1["files"].items()}
+        for d in sorted(os.listdir(tmpd)):
+            if not d.startswith(f"{MONTH_COL}="):
+                continue
+            m = d.split("=", 1)[1]
+            os.makedirs(os.path.join(base, d), exist_ok=True)
+            for f in sorted(os.listdir(os.path.join(tmpd, d))):
+                if f.endswith(".parquet"):
+                    name = f"ev2-{f}"
+                    shutil.move(
+                        os.path.join(tmpd, d, f),
+                        os.path.join(base, d, name),
+                    )
+                    files.setdefault(m, []).append(name)
+        shutil.rmtree(tmpd, ignore_errors=True)
+        commit_manifest(
+            root, {"version": 2, "files": files, "schema": _SCHEMA_V2}
+        )
+    return read_manifested(spark, root, 2).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.col(MONTH_COL).alias("pm"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parquet_compact_manifest_atomic": parquet_compact_manifest_atomic,
     "parquet_manifest_incremental_read": parquet_manifest_incremental_read,
     "stream_manifest_append_drain": stream_manifest_append_drain,
+    "parquet_manifest_schema_evolution": parquet_manifest_schema_evolution,
 }
 
 ORACLES: dict[str, str] = {
@@ -703,5 +808,14 @@ ORACLES: dict[str, str] = {
                CAST({STREAM_APPEND_BATCHES} AS BIGINT) AS n_commits,
                TRUE AS increments_match_batches,
                TRUE AS increments_partition_head
+        FROM orders""",
+    # manifest-pinned schema evolution, row-level: the evolved table
+    # holds the price only where the new-schema months carry it, and
+    # every old row null-fills — DuckDB recomputes the whole frame
+    "parquet_manifest_schema_evolution": f"""
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CASE WHEN strftime(o_orderdate, '%Y-%m') >= '{APPEND_FROM}'
+                    THEN o_totalprice END AS o_totalprice,
+               strftime(o_orderdate, '%Y-%m') AS pm
         FROM orders""",
 }

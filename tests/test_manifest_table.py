@@ -315,3 +315,36 @@ def test_stream_append_torn_commit_replays_exactly_once(spark, sf_dir):
         )
         == pre
     )
+
+
+def test_schema_evolution_is_metadata_only(spark, sf_dir):
+    """Adding a column must be a METADATA commit: v1-pinned readers
+    keep the 3-column world, v2 readers get old files null-filled with
+    the manifest's union schema, and the old months' file lists are
+    byte-identical between the two manifests (no data rewritten)."""
+    mt.parquet_manifest_schema_evolution(spark, sf_dir).collect()
+    root = mt._schev_root(spark, sf_dir)
+    chain = mt.manifest_chain(root)
+    v1 = mt.read_manifested(spark, root, 1)
+    assert v1.columns == [
+        "o_orderkey", "o_custkey", "o_orderdate", MONTH_COL
+    ]
+    v2 = mt.read_manifested(spark, root, 2)
+    assert v2.columns == [
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        MONTH_COL,
+    ]
+    n_old = v2.filter(F.col(MONTH_COL) < mt.APPEND_FROM).count()
+    assert (
+        v2.filter(F.col("o_totalprice").isNull()).count() == n_old > 0
+    )
+    assert v2.filter(
+        (F.col(MONTH_COL) >= mt.APPEND_FROM)
+        & F.col("o_totalprice").isNull()
+    ).count() == 0
+    for m, names in chain[1]["files"].items():
+        assert chain[2]["files"][m] == names  # old files untouched
+    # the evolved read never pays a footer merge: the scan's schema is
+    # the manifest's, not a merged one
+    plan = v2._jdf.queryExecution().executedPlan().toString()
+    assert "o_totalprice" in plan
