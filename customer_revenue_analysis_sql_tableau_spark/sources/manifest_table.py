@@ -553,6 +553,15 @@ def stream_manifest_append_drain(
     def chain() -> dict[int, dict]:
         return manifest_chain(root)
 
+    # the PROOF needs the full v1..v{1+N} history. A PREFIX chain
+    # [1..k] is a legitimate torn-run state the batch-id protocol
+    # resumes exactly (earlier batches find their versions committed
+    # and skip); anything else — e.g. a vacuumed universe holding only
+    # the head — is STALE: resuming batch ids on top of it would
+    # splice fresh commits under an old head. Rebuild from scratch.
+    cur0 = sorted(chain())
+    if cur0 and cur0 != list(range(1, len(cur0) + 1)):
+        shutil.rmtree(base, ignore_errors=True)
     if len(chain()) < n_expected:
         os.makedirs(base, exist_ok=True)
         if 1 not in chain():  # v1: the empty table

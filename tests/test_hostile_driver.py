@@ -38,6 +38,12 @@ PROBES = (
     # r4: full streaming path (write → readStream → GroupState → µs
     # round-trip) emitting timestamps
     "stream_cdc_latest_drain",
+    # r13: manifest-table entries RETURNING raw timestamp columns from
+    # warm persisted artifacts (no load_tables on the warm path — the
+    # values must still hash-match because the staged parquet carries
+    # zone-insensitive NTZ timestamps)
+    "parquet_manifest_incremental_read",
+    "parquet_manifest_schema_evolution",
 )
 
 HOSTILE_TZ = "America/New_York"

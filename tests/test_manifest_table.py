@@ -286,16 +286,27 @@ def test_stream_append_drain_summary_and_idempotence(spark, sf_dir):
     )
 
 
-def test_stream_append_torn_commit_replays_exactly_once(spark, sf_dir):
+def test_stream_append_torn_commit_replays_exactly_once(
+    spark, sf_dir, tmp_path, monkeypatch
+):
     """Rip the LAST commit off a completed stream (a crash between a
     batch's file moves and its commit): re-entry must re-publish
     exactly that batch — earlier batches' existing manifests make
     their replays no-ops — and the head must hold the delivery exactly
     once, the torn batch's first-run files left as unreferenced
-    orphans that vacuum collects without changing the head."""
+    orphans that vacuum collects without changing the head. Runs on a
+    CLONE of the shared universe: the vacuum at the end destroys the
+    v1..v4 history the registered entry's verification needs."""
+    import shutil
+
     first = mt.stream_manifest_append_drain(spark, sf_dir).collect()[0]
-    root = mt._stream_append_root(spark, sf_dir)
-    base = root.removeprefix("file:")
+    shared = mt._stream_append_root(spark, sf_dir).removeprefix("file:")
+    clone = str(tmp_path / "stream_clone")
+    shutil.copytree(shared, clone)
+    monkeypatch.setattr(
+        mt, "_stream_append_root", lambda s_, sf_: clone
+    )
+    root = clone
     last_v = mt.STREAM_APPEND_BATCHES + 1
     os.remove(os.path.join(mt._mdir(root), f"manifest_v{last_v}"))
     replay = mt.stream_manifest_append_drain(spark, sf_dir).collect()[0]
@@ -314,6 +325,29 @@ def test_stream_append_torn_commit_replays_exactly_once(spark, sf_dir):
             ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
         )
         == pre
+    )
+
+
+def test_stream_append_stale_chain_rebuilds(spark, sf_dir, tmp_path, monkeypatch):
+    """A universe someone vacuumed to its head (non-prefix chain) must
+    be rebuilt from scratch, not spliced under the old head — the bug
+    class: batch-id commits resumed over expired history produce
+    increments that no longer partition the table."""
+    import shutil
+
+    first = mt.stream_manifest_append_drain(spark, sf_dir).collect()[0]
+    shared = mt._stream_append_root(spark, sf_dir).removeprefix("file:")
+    clone = str(tmp_path / "stream_vac")
+    shutil.copytree(shared, clone)
+    monkeypatch.setattr(mt, "_stream_append_root", lambda s_, sf_: clone)
+    mt.vacuum_manifested(clone)  # head-only: chain becomes {4}
+    assert sorted(mt.manifest_chain(clone)) == [
+        mt.STREAM_APPEND_BATCHES + 1
+    ]
+    row = mt.stream_manifest_append_drain(spark, sf_dir).collect()[0]
+    assert tuple(row) == tuple(first)
+    assert sorted(mt.manifest_chain(clone)) == list(
+        range(1, mt.STREAM_APPEND_BATCHES + 2)
     )
 
 
