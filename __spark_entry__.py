@@ -97,15 +97,17 @@ _REGISTRY_MODULES = [
 # proof-staleness cohort (r12 Next #1 — fits entirely this round,
 # raising the freshest-proof floor to r8 registry-wide). Guarded
 # against rot by tests/test_registry_hygiene.py::
-# test_priority_names_exist. 7+8+35 = 50 fills the ~50-entry budget
-# exactly (the r7 cohort is code-unchanged and pytest-covered, so a
-# 1-2 entry budget cut at the tail costs nothing and spills to r14).
+# test_priority_names_exist. 8+8+35 = 51 slightly overfills the
+# ~50-entry budget; the r7 cohort tail is code-unchanged and
+# pytest-covered, so a 1-2 entry cut there costs nothing (spills to
+# r14 per the documented rule).
 _PRIORITY = [
     # -- new this round (r13), first driver proof --
     "parquet_compact_manifest_atomic",  # reader-atomic OPTIMIZE WHERE
     "parquet_manifest_incremental_read",  # snapshot-diff read, row-level oracle
     "stream_manifest_append_drain",  # exactly-once sink via manifest CAS
     "parquet_manifest_schema_evolution",  # union schema pinned in metadata
+    "parquet_manifest_delete_where",  # metadata partition drop + CoW row delete
     "sim_persisted_vacuum_window",  # retention window 2, real expiry
     "stream_index_retention_drain",  # scheduled per-batch GC, pinned tallies
     "stream_asof_b1_brute_topk",  # streamed-store historical exact search

@@ -775,11 +775,162 @@ def parquet_manifest_schema_evolution(
     )
 
 
+# ---------------------------------------------------------------------------
+# DELETE WHERE: partition drops are metadata, row deletes are CoW.
+# ---------------------------------------------------------------------------
+
+#: The delete entry's two predicates: one whole partition (pure
+#: metadata drop — zero data I/O) and one row-level slice inside a
+#: second partition (copy-on-write rewrite of ONLY that partition's
+#: files).
+DELETE_DROP_MONTH = "1995-01"
+DELETE_ROW_MONTH = "1995-02"
+DELETE_ROW_MOD, DELETE_ROW_REM = 7, 3
+
+
+def _delete_root(spark: SparkSession, sf_dir: str) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{warehouse}/manifest_del_{_stage_fingerprint(sf_dir)}"
+
+
+def parquet_manifest_delete_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``DELETE WHERE`` with the two cost tiers every table format
+    distinguishes, in one commit:
+
+    - **partition-aligned predicate** (``part_month =
+      DELETE_DROP_MONTH``): the month's files simply leave the
+      manifest — ZERO data I/O, the files stay on disk for time travel
+      until vacuum (at 100 TB this is why retention-partitioned facts
+      make deletes free);
+    - **row-level predicate inside one partition** (``o_custkey %
+      DELETE_ROW_MOD = DELETE_ROW_REM`` within ``DELETE_ROW_MONTH``):
+      copy-on-write rewrite of ONLY that partition's files minus the
+      matches, landed under never-referenced names and published by
+      the same atomic commit.
+
+    Both become visible in ONE rename; a v1-pinned reader still serves
+    the pre-delete table (GDPR-style hard delete completes at vacuum,
+    the documented two-step). The summary recomputes the contract from
+    the chain + directory state: exact surviving count and both delete
+    tallies (DuckDB recomputes all three), surviving set exactly equal
+    to table-minus-predicates, the partition drop provably metadata-
+    only (v1's files untouched on disk, no new files for that month),
+    the rewrite confined to its target partition, and every other
+    month's file list carried verbatim."""
+    import shutil
+
+    root = _delete_root(spark, sf_dir)
+    base = root.removeprefix("file:")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+        write_month_partitioned(
+            orders.repartition(PART_STAGE_FILES), "o_orderdate", root
+        )
+    if not manifest_chain(root):
+        init_manifest(root)
+    chain = manifest_chain(root)
+    if 2 not in chain:
+        v1 = chain[1]
+        # CoW rewrite of the row-delete partition: read ITS committed
+        # files only, drop the matches, land new files
+        src = [
+            f"{root}/{MONTH_COL}={DELETE_ROW_MONTH}/{n}"
+            for n in v1["files"][DELETE_ROW_MONTH]
+        ]
+        kept = spark.read.parquet(*src).filter(
+            ~(F.col("o_custkey") % DELETE_ROW_MOD == DELETE_ROW_REM)
+        )
+        tmp = os.path.join(base, "_pack_tmp", f"{MONTH_COL}={DELETE_ROW_MONTH}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+        new_names = []
+        pdir = os.path.join(base, f"{MONTH_COL}={DELETE_ROW_MONTH}")
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet"):
+                name = f"d2-{f}"
+                shutil.move(os.path.join(tmp, f), os.path.join(pdir, name))
+                new_names.append(name)
+        shutil.rmtree(os.path.join(base, "_pack_tmp"), ignore_errors=True)
+        files = {
+            m: (new_names if m == DELETE_ROW_MONTH else list(ns))
+            for m, ns in v1["files"].items()
+            if m != DELETE_DROP_MONTH  # the metadata-only drop
+        }
+        commit_manifest(root, {"version": 2, "files": files})
+
+    # ---- recompute the contract from the on-disk post-state ----
+    chain = manifest_chain(root)
+    v1, v2 = chain[1], chain[2]
+    head = read_manifested(spark, root, 2)
+    full = read_manifested(spark, root, 1)
+    n_live = head.count()
+    n_dropped = full.filter(F.col(MONTH_COL) == DELETE_DROP_MONTH).count()
+    n_rowdel = full.filter(
+        (F.col(MONTH_COL) == DELETE_ROW_MONTH)
+        & (F.col("o_custkey") % DELETE_ROW_MOD == DELETE_ROW_REM)
+    ).count()
+    expected = full.filter(
+        (F.col(MONTH_COL) != DELETE_DROP_MONTH)
+        & ~(
+            (F.col(MONTH_COL) == DELETE_ROW_MONTH)
+            & (F.col("o_custkey") % DELETE_ROW_MOD == DELETE_ROW_REM)
+        )
+    ).select("o_orderkey")
+    lost = expected.join(
+        head.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).count()
+    invented = head.select("o_orderkey").join(
+        expected, "o_orderkey", "left_anti"
+    ).count()
+    drop_dir = os.path.join(base, f"{MONTH_COL}={DELETE_DROP_MONTH}")
+    drop_metadata_only = (
+        DELETE_DROP_MONTH not in v2["files"]
+        and sorted(
+            f for f in os.listdir(drop_dir) if f.endswith(".parquet")
+        )
+        == sorted(v1["files"][DELETE_DROP_MONTH])
+    )
+    new_files = {
+        (m, n)
+        for m, ns in v2["files"].items()
+        for n in ns
+        if n not in set(v1["files"].get(m, []))
+    }
+    rewrite_confined = bool(new_files) and all(
+        m == DELETE_ROW_MONTH for m, _n in new_files
+    )
+    untouched_identical = all(
+        v2["files"][m] == v1["files"][m]
+        for m in v2["files"]
+        if m not in (DELETE_ROW_MONTH,)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_live),
+                int(n_dropped),
+                int(n_rowdel),
+                bool(lost == 0 and invented == 0),
+                bool(drop_metadata_only),
+                bool(rewrite_confined),
+                bool(untouched_identical),
+            )
+        ],
+        "n_live bigint, n_partition_dropped bigint, n_row_deleted bigint,"
+        " survivors_exact boolean, partition_drop_metadata_only boolean,"
+        " rewrite_confined_to_target boolean, untouched_lists_identical"
+        " boolean",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parquet_compact_manifest_atomic": parquet_compact_manifest_atomic,
     "parquet_manifest_incremental_read": parquet_manifest_incremental_read,
     "stream_manifest_append_drain": stream_manifest_append_drain,
     "parquet_manifest_schema_evolution": parquet_manifest_schema_evolution,
+    "parquet_manifest_delete_where": parquet_manifest_delete_where,
 }
 
 ORACLES: dict[str, str] = {
@@ -826,5 +977,29 @@ ORACLES: dict[str, str] = {
                CASE WHEN strftime(o_orderdate, '%Y-%m') >= '{APPEND_FROM}'
                     THEN o_totalprice END AS o_totalprice,
                strftime(o_orderdate, '%Y-%m') AS pm
+        FROM orders""",
+    # DELETE WHERE: DuckDB recomputes the surviving count and both
+    # delete tallies from the fact; the metadata-only / confinement /
+    # exact-survivor invariants are recomputed from the chain and
+    # directory state and must hold
+    "parquet_manifest_delete_where": f"""
+        SELECT CAST(sum(CASE
+                 WHEN strftime(o_orderdate, '%Y-%m') != '{DELETE_DROP_MONTH}'
+                  AND NOT (strftime(o_orderdate, '%Y-%m')
+                             = '{DELETE_ROW_MONTH}'
+                           AND o_custkey % {DELETE_ROW_MOD}
+                             = {DELETE_ROW_REM})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+               CAST(sum(CASE
+                 WHEN strftime(o_orderdate, '%Y-%m') = '{DELETE_DROP_MONTH}'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_partition_dropped,
+               CAST(sum(CASE
+                 WHEN strftime(o_orderdate, '%Y-%m') = '{DELETE_ROW_MONTH}'
+                  AND o_custkey % {DELETE_ROW_MOD} = {DELETE_ROW_REM}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_row_deleted,
+               TRUE AS survivors_exact,
+               TRUE AS partition_drop_metadata_only,
+               TRUE AS rewrite_confined_to_target,
+               TRUE AS untouched_lists_identical
         FROM orders""",
 }

@@ -382,3 +382,62 @@ def test_schema_evolution_is_metadata_only(spark, sf_dir):
     # the manifest's, not a merged one
     plan = v2._jdf.queryExecution().executedPlan().toString()
     assert "o_totalprice" in plan
+
+
+def test_delete_where_two_tiers_and_hard_delete_at_vacuum(spark, sf_dir):
+    """DELETE WHERE: summary invariants, v1-pinned readers still serve
+    the PRE-delete table (the documented two-step: logical delete at
+    commit, hard delete at vacuum), and vacuum then removes the
+    dropped partition's files plus the rewritten originals while the
+    head digest is unchanged."""
+    import shutil
+
+    row = mt.parquet_manifest_delete_where(spark, sf_dir).collect()[0]
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    assert (
+        row["n_live"]
+        == orders.count() - row["n_partition_dropped"] - row["n_row_deleted"]
+    )
+    assert row["n_partition_dropped"] > 0 and row["n_row_deleted"] > 0
+    assert row["survivors_exact"] is True
+    assert row["partition_drop_metadata_only"] is True
+    assert row["rewrite_confined_to_target"] is True
+    assert row["untouched_lists_identical"] is True
+    # idempotent
+    again = mt.parquet_manifest_delete_where(spark, sf_dir).collect()[0]
+    assert tuple(again) == tuple(row)
+
+    # destructive tail on a CLONE: v1 still serves the full table;
+    # vacuum completes the hard delete without changing the head
+    shared = mt._delete_root(spark, sf_dir).removeprefix("file:")
+    clone = str(
+        (os.path.dirname(shared) or ".") + "/manifest_del_clone_test"
+    )
+    shutil.rmtree(clone, ignore_errors=True)
+    shutil.copytree(shared, clone)
+    try:
+        assert mt.read_manifested(spark, clone, 1).count() == orders.count()
+        pre = content_digest(
+            mt.read_manifested(spark, clone, 2), ("o_orderkey",)
+        )
+        deleted, expired = mt.vacuum_manifested(clone)
+        assert expired == [1]
+        assert any(
+            rel.startswith(f"{MONTH_COL}={mt.DELETE_DROP_MONTH}/")
+            for rel in deleted
+        )
+        assert any(
+            rel.startswith(f"{MONTH_COL}={mt.DELETE_ROW_MONTH}/")
+            and not rel.split("/")[1].startswith("d2-")
+            for rel in deleted
+        )
+        assert (
+            content_digest(
+                mt.read_manifested(spark, clone, 2), ("o_orderkey",)
+            )
+            == pre
+        )
+    finally:
+        shutil.rmtree(clone, ignore_errors=True)
