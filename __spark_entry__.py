@@ -97,7 +97,7 @@ _REGISTRY_MODULES = [
 # proof-staleness cohort (r12 Next #1 — fits entirely this round,
 # raising the freshest-proof floor to r8 registry-wide). Guarded
 # against rot by tests/test_registry_hygiene.py::
-# test_priority_names_exist. 8+8+35 = 51 slightly overfills the
+# test_priority_names_exist. 9+8+35 = 52 slightly overfills the
 # ~50-entry budget; the r7 cohort tail is code-unchanged and
 # pytest-covered, so a 1-2 entry cut there costs nothing (spills to
 # r14 per the documented rule).
@@ -108,6 +108,7 @@ _PRIORITY = [
     "stream_manifest_append_drain",  # exactly-once sink via manifest CAS
     "parquet_manifest_schema_evolution",  # union schema pinned in metadata
     "parquet_manifest_delete_where",  # metadata partition drop + CoW row delete
+    "parquet_manifest_merge_upsert",  # matched-file CoW update + inserts
     "sim_persisted_vacuum_window",  # retention window 2, real expiry
     "stream_index_retention_drain",  # scheduled per-batch GC, pinned tallies
     "stream_asof_b1_brute_topk",  # streamed-store historical exact search

@@ -925,12 +925,148 @@ def parquet_manifest_delete_where(
     )
 
 
+# ---------------------------------------------------------------------------
+# MERGE (upsert): update matched rows via CoW of ONLY the files that
+# hold matches; insert unmatched as new files; one atomic commit.
+# ---------------------------------------------------------------------------
+
+MERGE_KEY_MOD, MERGE_KEY_REM = 97, 5
+MERGE_PRICE_BUMP = 1000.0
+MERGE_INSERT_OFFSET = 10_000_000
+
+
+def _merge_root(spark: SparkSession, sf_dir: str) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{warehouse}/manifest_merge_{_stage_fingerprint(sf_dir)}"
+
+
+def parquet_manifest_merge_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``MERGE INTO`` on the manifested table — the Delta/Iceberg
+    merge algorithm from first principles, all published in one atomic
+    rename:
+
+    1. **find matched files**, not partitions: scan the head with
+       ``input_file_name()`` semi-joined to the broadcast source keys —
+       rewrite I/O ∝ files that actually hold a match (at 100 TB, the
+       difference between touching GBs and rewriting the table);
+    2. **CoW-update** each affected file set per partition (matched
+       rows get the price bump, unmatched neighbors ride along
+       unchanged) under never-referenced ``m2-`` names;
+    3. **insert** the not-matched source rows as new ``i2-`` files in
+       their partitions;
+    4. commit ``manifest_v2``: affected names swapped, inserts
+       appended, every untouched file's name carried verbatim.
+
+    The registered query returns the ENTIRE merged table — a row-level
+    oracle (DuckDB recomputes update ∪ insert from the fact), so any
+    lost neighbor row, double-applied update, or misplaced insert
+    hash-fails. v1-pinned readers keep the pre-merge table (pinned in
+    tests, with rewrite confinement checked file-by-file)."""
+    import shutil
+
+    root = _merge_root(spark, sf_dir)
+    base = root.removeprefix("file:")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+        write_month_partitioned(
+            orders.repartition(PART_STAGE_FILES), "o_orderdate", root
+        )
+    if not manifest_chain(root):
+        init_manifest(root)
+    chain = manifest_chain(root)
+    if 2 not in chain:
+        v1 = chain[1]
+        head = read_manifested(spark, root, 1)
+        matched = F.col("o_orderkey") % MERGE_KEY_MOD == MERGE_KEY_REM
+        # 1. the files that hold matches (driver gets (month, name)
+        # pairs — KB-sized, bounded by file count)
+        aff = (
+            head.withColumn("fname", F.input_file_name())
+            .filter(matched)
+            .select(MONTH_COL, "fname")
+            .distinct()
+            .collect()
+        )
+        affected: dict[str, set[str]] = {}
+        for r in aff:
+            affected.setdefault(r[MONTH_COL], set()).add(
+                os.path.basename(r["fname"])
+            )
+        # 2. CoW-update per partition, reading ONLY its affected files
+        new_names: dict[str, list[str]] = {}
+        for m, names in sorted(affected.items()):
+            src = [f"{root}/{MONTH_COL}={m}/{n}" for n in sorted(names)]
+            upd = spark.read.parquet(*src).withColumn(
+                "o_totalprice",
+                F.when(
+                    matched, F.col("o_totalprice") + MERGE_PRICE_BUMP
+                ).otherwise(F.col("o_totalprice")),
+            )
+            tmp = os.path.join(base, "_pack_tmp", f"{MONTH_COL}={m}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            upd.coalesce(1).write.mode("overwrite").parquet(tmp)
+            pdir = os.path.join(base, f"{MONTH_COL}={m}")
+            got = []
+            for f in sorted(os.listdir(tmp)):
+                if f.endswith(".parquet"):
+                    name = f"m2-{f}"
+                    shutil.move(
+                        os.path.join(tmp, f), os.path.join(pdir, name)
+                    )
+                    got.append(name)
+            new_names[m] = got
+        # 3. inserts: the not-matched source rows (key-shifted twins of
+        # the matched rows, months unchanged), one new file per month
+        ins = head.filter(matched).withColumn(
+            "o_orderkey", F.col("o_orderkey") + MERGE_INSERT_OFFSET
+        )
+        tmp = os.path.join(base, "_pack_tmp", "_inserts")
+        shutil.rmtree(tmp, ignore_errors=True)
+        ins.coalesce(1).write.mode("overwrite").partitionBy(
+            MONTH_COL
+        ).parquet(tmp)
+        ins_names: dict[str, list[str]] = {}
+        for d in sorted(os.listdir(tmp)):
+            if not d.startswith(f"{MONTH_COL}="):
+                continue
+            m = d.split("=", 1)[1]
+            pdir = os.path.join(base, f"{MONTH_COL}={m}")
+            os.makedirs(pdir, exist_ok=True)
+            for f in sorted(os.listdir(os.path.join(tmp, d))):
+                if f.endswith(".parquet"):
+                    name = f"i2-{f}"
+                    shutil.move(
+                        os.path.join(tmp, d, f), os.path.join(pdir, name)
+                    )
+                    ins_names.setdefault(m, []).append(name)
+        shutil.rmtree(os.path.join(base, "_pack_tmp"), ignore_errors=True)
+        # 4. one commit: swap affected, append inserts, carry the rest
+        files = {
+            m: sorted(set(ns) - affected.get(m, set()))
+            + new_names.get(m, [])
+            + ins_names.get(m, [])
+            for m, ns in v1["files"].items()
+        }
+        commit_manifest(root, {"version": 2, "files": files})
+
+    return read_manifested(spark, root, 2).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.col(MONTH_COL).alias("pm"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parquet_compact_manifest_atomic": parquet_compact_manifest_atomic,
     "parquet_manifest_incremental_read": parquet_manifest_incremental_read,
     "stream_manifest_append_drain": stream_manifest_append_drain,
     "parquet_manifest_schema_evolution": parquet_manifest_schema_evolution,
     "parquet_manifest_delete_where": parquet_manifest_delete_where,
+    "parquet_manifest_merge_upsert": parquet_manifest_merge_upsert,
 }
 
 ORACLES: dict[str, str] = {
@@ -1002,4 +1138,20 @@ ORACLES: dict[str, str] = {
                TRUE AS rewrite_confined_to_target,
                TRUE AS untouched_lists_identical
         FROM orders""",
+    # MERGE, row-level over the WHOLE merged table: update ∪ insert
+    # recomputed by DuckDB — any lost neighbor, double update, or
+    # misplaced insert hash-fails
+    "parquet_manifest_merge_upsert": f"""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % {MERGE_KEY_MOD} = {MERGE_KEY_REM}
+                    THEN o_totalprice + {MERGE_PRICE_BUMP}
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, strftime(o_orderdate, '%Y-%m') AS pm
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + {MERGE_INSERT_OFFSET}, o_custkey,
+               o_totalprice,
+               o_orderdate, strftime(o_orderdate, '%Y-%m') AS pm
+        FROM orders
+        WHERE o_orderkey % {MERGE_KEY_MOD} = {MERGE_KEY_REM}""",
 }

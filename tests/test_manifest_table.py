@@ -441,3 +441,45 @@ def test_delete_where_two_tiers_and_hard_delete_at_vacuum(spark, sf_dir):
         )
     finally:
         shutil.rmtree(clone, ignore_errors=True)
+
+
+def test_merge_rewrites_only_matched_files(spark, sf_dir):
+    """MERGE confinement, file-by-file: every v1 file WITHOUT a match
+    keeps its exact name in v2; every v1 file WITH a match is swapped
+    for an m2- rewrite; inserts are i2- files; and a v1-pinned reader
+    still serves the pre-merge table."""
+    mt.parquet_manifest_merge_upsert(spark, sf_dir).collect()
+    root = mt._merge_root(spark, sf_dir)
+    chain = mt.manifest_chain(root)
+    v1, v2 = chain[1], chain[2]
+    head1 = mt.read_manifested(spark, root, 1)
+    matched = F.col("o_orderkey") % mt.MERGE_KEY_MOD == mt.MERGE_KEY_REM
+    aff_rows = (
+        head1.withColumn("fname", F.input_file_name())
+        .filter(matched)
+        .select(MONTH_COL, "fname")
+        .distinct()
+        .collect()
+    )
+    affected = {}
+    for r in aff_rows:
+        affected.setdefault(r[MONTH_COL], set()).add(
+            os.path.basename(r["fname"])
+        )
+    assert affected  # the predicate hits something
+    for m, names in v1["files"].items():
+        kept = [n for n in v2["files"][m] if not n.startswith(("m2-", "i2-"))]
+        assert sorted(kept) == sorted(set(names) - affected.get(m, set()))
+        if affected.get(m):
+            assert any(n.startswith("m2-") for n in v2["files"][m])
+    # v1-pinned read = the pre-merge table, bit-for-bit
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    assert head1.count() == orders.count()
+    d1 = content_digest(head1, ("o_orderkey", "o_totalprice"))
+    d0 = content_digest(
+        orders.select("o_orderkey", "o_totalprice"),
+        ("o_orderkey", "o_totalprice"),
+    )
+    assert d1 == d0
