@@ -1,5 +1,6 @@
-"""Manifest-committed parquet table: reader-ATOMIC partitioned
-compaction (r12 VERDICT Next #2).
+"""Manifest-committed parquet table: a complete minimal table format
+on plain parquet + atomic JSON renames (r12 VERDICT Next #2, then
+widened to the full verb set).
 
 ``compaction.parquet_compact_partitioned`` pins the selection/boundary/
 layout semantics of ``OPTIMIZE ... WHERE`` but swaps files IN PLACE
@@ -13,26 +14,34 @@ observe is one atomic rename.
 
 Layout: a month-partitioned parquet tree (``pm=YYYY-MM/*.parquet``)
 plus ``_manifests/manifest_v{N}`` JSON files, each the COMPLETE file
-listing ``{month: [file names]}`` of that version. The protocol:
+listing ``{month: [file names]}`` (optionally + the version's pinned
+schema) of that version. The universal protocol every verb follows:
 
-1. **Pack** (:func:`pack_partition_files`): rewrite one selected
-   partition's CURRENT files into few target-sized ones under NEW
-   names (``v{N+1}-...``) inside the same partition directory. New
-   names are never referenced by any committed manifest, so writing
-   them is invisible — a reader at any point of the pack sees exactly
-   its resolved version's files.
-2. **Commit** (:func:`commit_manifest`): one rename-atomic JSON write
-   of ``manifest_v{N+1}``. Readers resolving before it see v N
-   (old files, all still present); after it, v N+1 (new files). There
-   is no intermediate state — pre-swap or post-swap, never the window.
+1. **Land files invisible**: new data always arrives under names no
+   committed manifest references (``v2-``/``b0-``/``ev2-``/``d2-``/
+   ``m2-``/``i2-`` prefixes) — a reader at any point sees exactly its
+   resolved version's files; a torn writer leaves only orphans.
+2. **Commit** (:func:`commit_manifest`): one rename-atomic,
+   create-exclusive JSON write — CAS against racing writers, no
+   intermediate state, pre-swap or post-swap never the window.
 3. **Vacuum** (:func:`vacuum_manifested`): delete files no RETAINED
-   manifest references (old fragments AND any orphans a torn pack left)
-   and expired manifest files. Only after this do pinned old-version
-   readers become the documented casualty.
+   manifest references (superseded fragments AND torn-run orphans) and
+   expired manifests. Only then do pinned old-version readers become
+   the documented casualty.
+
+Verbs built on that protocol, each a registered driver-hash entry:
+reader-atomic OPTIMIZE (``parquet_compact_manifest_atomic``),
+incremental snapshot reads (``parquet_manifest_incremental_read``),
+an exactly-once STREAMING append sink keyed by batch id
+(``stream_manifest_append_drain``), schema evolution pinned in table
+metadata (``parquet_manifest_schema_evolution``), DELETE WHERE with
+metadata partition drops + CoW row rewrites
+(``parquet_manifest_delete_where``), and MERGE upsert over exactly the
+matched files (``parquet_manifest_merge_upsert``).
 
 Scale posture: manifests are KB-sized driver metadata (file NAMES, not
-data); the pack is per-partition narrow I/O ∝ selected partitions, run
-from a thread pool like the in-place pass; vacuum is O(#files)
+data); packs/rewrites are per-partition narrow I/O ∝ affected files,
+run from a thread pool where independent; vacuum is O(#files)
 directory metadata. Readers plan from an explicit file list with
 ``basePath`` set, so partition pruning and DPP behave exactly as on a
 globbed tree (pinned by tests/test_manifest_table.py).
@@ -107,6 +116,50 @@ def init_manifest(root: str) -> dict:
     return payload
 
 
+def _ensure_staged_orders(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Stage the month-partitioned fragmented ``orders`` copy once per
+    data fingerprint (``_SUCCESS``-gated, like every staged universe);
+    callers bootstrap their own manifest chain on top."""
+    base = root.removeprefix("file:")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+        write_month_partitioned(
+            orders.repartition(PART_STAGE_FILES), "o_orderdate", root
+        )
+
+
+def land_files(tmp: str, pdir: str, prefix: str) -> list[str]:
+    """Step 1 of the module's universal protocol: move a flat tmp
+    write's parquet files into a partition directory under
+    never-referenced ``prefix`` names (invisible until a manifest
+    commit references them); returns the landed names."""
+    names: list[str] = []
+    os.makedirs(pdir, exist_ok=True)
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet"):
+            name = f"{prefix}{f}"
+            shutil.move(os.path.join(tmp, f), os.path.join(pdir, name))
+            names.append(name)
+    return names
+
+
+def land_partitioned_files(
+    tmp: str, base: str, prefix: str
+) -> dict[str, list[str]]:
+    """Like :func:`land_files` for a ``partitionBy`` tmp tree: move
+    every month's files into the table under ``prefix`` names; returns
+    ``{month: [names]}`` for the months that landed anything."""
+    out: dict[str, list[str]] = {}
+    for d in sorted(os.listdir(tmp)):
+        if d.startswith(f"{MONTH_COL}="):
+            names = land_files(
+                os.path.join(tmp, d), os.path.join(base, d), prefix
+            )
+            if names:
+                out[d.split("=", 1)[1]] = names
+    return out
+
+
 def read_manifested(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
@@ -169,12 +222,7 @@ def pack_partition_files(
     tmp = os.path.join(base, "_pack_tmp", f"{MONTH_COL}={month}")
     shutil.rmtree(tmp, ignore_errors=True)
     df.coalesce(n).write.mode("overwrite").parquet(tmp)
-    new_names = []
-    for f in sorted(os.listdir(tmp)):
-        if f.endswith(".parquet"):
-            name = f"v{new_version}-{f}"
-            shutil.move(os.path.join(tmp, f), os.path.join(pdir, name))
-            new_names.append(name)
+    new_names = land_files(tmp, pdir, f"v{new_version}-")
     shutil.rmtree(tmp, ignore_errors=True)
     return new_names
 
@@ -345,11 +393,7 @@ def parquet_compact_manifest_atomic(
     root = _atomic_root(spark, sf_dir)
     base = root.removeprefix("file:")
 
-    if not os.path.exists(os.path.join(base, "_SUCCESS")):
-        orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
-        write_month_partitioned(
-            orders.repartition(PART_STAGE_FILES), "o_orderdate", root
-        )
+    _ensure_staged_orders(spark, sf_dir, root)
     # bootstrap only when NO version was ever committed — after vacuum
     # the chain legitimately starts at v2, and re-scanning the packed
     # tree into a fresh "v1" would resurrect the expired version
@@ -471,12 +515,7 @@ def parquet_manifest_incremental_read(
     set, and a compaction commit's added-minus-removed multiset is
     empty."""
     root = _incr_root(spark, sf_dir)
-    base = root.removeprefix("file:")
-    if not os.path.exists(os.path.join(base, "_SUCCESS")):
-        orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
-        write_month_partitioned(
-            orders.repartition(PART_STAGE_FILES), "o_orderdate", root
-        )
+    _ensure_staged_orders(spark, sf_dir, root)
     if not manifest_chain(root):
         full = init_manifest(root)  # v1 bootstrap scans once ...
         os.remove(os.path.join(_mdir(root), "manifest_v1"))
@@ -587,19 +626,10 @@ def stream_manifest_append_drain(
                 MONTH_COL, F.date_format(F.col("o_orderdate"), "yyyy-MM")
             ).write.partitionBy(MONTH_COL).parquet(tmpd)
             files = {m: list(ns) for m, ns in head["files"].items()}
-            for d in sorted(os.listdir(tmpd)):
-                if not d.startswith(f"{MONTH_COL}="):
-                    continue
-                m = d.split("=", 1)[1]
-                os.makedirs(os.path.join(base, d), exist_ok=True)
-                for f in sorted(os.listdir(os.path.join(tmpd, d))):
-                    if f.endswith(".parquet"):
-                        name = f"b{batch_id}-{f}"
-                        shutil.move(
-                            os.path.join(tmpd, d, f),
-                            os.path.join(base, d, name),
-                        )
-                        files.setdefault(m, []).append(name)
+            for m, ns in land_partitioned_files(
+                tmpd, base, f"b{batch_id}-"
+            ).items():
+                files.setdefault(m, []).extend(ns)
             shutil.rmtree(tmpd, ignore_errors=True)
             commit_manifest(root, {"version": ver, "files": files})
 
@@ -749,19 +779,8 @@ def parquet_manifest_schema_evolution(
             MONTH_COL
         ).parquet(tmpd)
         files = {m: list(ns) for m, ns in v1["files"].items()}
-        for d in sorted(os.listdir(tmpd)):
-            if not d.startswith(f"{MONTH_COL}="):
-                continue
-            m = d.split("=", 1)[1]
-            os.makedirs(os.path.join(base, d), exist_ok=True)
-            for f in sorted(os.listdir(os.path.join(tmpd, d))):
-                if f.endswith(".parquet"):
-                    name = f"ev2-{f}"
-                    shutil.move(
-                        os.path.join(tmpd, d, f),
-                        os.path.join(base, d, name),
-                    )
-                    files.setdefault(m, []).append(name)
+        for m, ns in land_partitioned_files(tmpd, base, "ev2-").items():
+            files.setdefault(m, []).extend(ns)
         shutil.rmtree(tmpd, ignore_errors=True)
         commit_manifest(
             root, {"version": 2, "files": files, "schema": _SCHEMA_V2}
@@ -823,11 +842,7 @@ def parquet_manifest_delete_where(
 
     root = _delete_root(spark, sf_dir)
     base = root.removeprefix("file:")
-    if not os.path.exists(os.path.join(base, "_SUCCESS")):
-        orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
-        write_month_partitioned(
-            orders.repartition(PART_STAGE_FILES), "o_orderdate", root
-        )
+    _ensure_staged_orders(spark, sf_dir, root)
     if not manifest_chain(root):
         init_manifest(root)
     chain = manifest_chain(root)
@@ -845,13 +860,9 @@ def parquet_manifest_delete_where(
         tmp = os.path.join(base, "_pack_tmp", f"{MONTH_COL}={DELETE_ROW_MONTH}")
         shutil.rmtree(tmp, ignore_errors=True)
         kept.coalesce(1).write.mode("overwrite").parquet(tmp)
-        new_names = []
-        pdir = os.path.join(base, f"{MONTH_COL}={DELETE_ROW_MONTH}")
-        for f in sorted(os.listdir(tmp)):
-            if f.endswith(".parquet"):
-                name = f"d2-{f}"
-                shutil.move(os.path.join(tmp, f), os.path.join(pdir, name))
-                new_names.append(name)
+        new_names = land_files(
+            tmp, os.path.join(base, f"{MONTH_COL}={DELETE_ROW_MONTH}"), "d2-"
+        )
         shutil.rmtree(os.path.join(base, "_pack_tmp"), ignore_errors=True)
         files = {
             m: (new_names if m == DELETE_ROW_MONTH else list(ns))
@@ -968,11 +979,7 @@ def parquet_manifest_merge_upsert(
 
     root = _merge_root(spark, sf_dir)
     base = root.removeprefix("file:")
-    if not os.path.exists(os.path.join(base, "_SUCCESS")):
-        orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
-        write_month_partitioned(
-            orders.repartition(PART_STAGE_FILES), "o_orderdate", root
-        )
+    _ensure_staged_orders(spark, sf_dir, root)
     if not manifest_chain(root):
         init_manifest(root)
     chain = manifest_chain(root)
@@ -1007,16 +1014,9 @@ def parquet_manifest_merge_upsert(
             tmp = os.path.join(base, "_pack_tmp", f"{MONTH_COL}={m}")
             shutil.rmtree(tmp, ignore_errors=True)
             upd.coalesce(1).write.mode("overwrite").parquet(tmp)
-            pdir = os.path.join(base, f"{MONTH_COL}={m}")
-            got = []
-            for f in sorted(os.listdir(tmp)):
-                if f.endswith(".parquet"):
-                    name = f"m2-{f}"
-                    shutil.move(
-                        os.path.join(tmp, f), os.path.join(pdir, name)
-                    )
-                    got.append(name)
-            new_names[m] = got
+            new_names[m] = land_files(
+                tmp, os.path.join(base, f"{MONTH_COL}={m}"), "m2-"
+            )
         # 3. inserts: the not-matched source rows (key-shifted twins of
         # the matched rows, months unchanged), one new file per month
         ins = head.filter(matched).withColumn(
@@ -1027,20 +1027,7 @@ def parquet_manifest_merge_upsert(
         ins.coalesce(1).write.mode("overwrite").partitionBy(
             MONTH_COL
         ).parquet(tmp)
-        ins_names: dict[str, list[str]] = {}
-        for d in sorted(os.listdir(tmp)):
-            if not d.startswith(f"{MONTH_COL}="):
-                continue
-            m = d.split("=", 1)[1]
-            pdir = os.path.join(base, f"{MONTH_COL}={m}")
-            os.makedirs(pdir, exist_ok=True)
-            for f in sorted(os.listdir(os.path.join(tmp, d))):
-                if f.endswith(".parquet"):
-                    name = f"i2-{f}"
-                    shutil.move(
-                        os.path.join(tmp, d, f), os.path.join(pdir, name)
-                    )
-                    ins_names.setdefault(m, []).append(name)
+        ins_names = land_partitioned_files(tmp, base, "i2-")
         shutil.rmtree(os.path.join(base, "_pack_tmp"), ignore_errors=True)
         # 4. one commit: swap affected, append inserts, carry the rest
         files = {
