@@ -14,6 +14,10 @@ accounting rules can never drift between the stores:
   truncated file that poisons every replay (the r12 ADVICE item against
   ``_pack_partition_inplace``); ``os.rename`` within one directory is
   atomic on POSIX, so a manifest either exists complete or not at all.
+- :func:`exclusive_write_json` — the CAS twin: same torn-write safety,
+  plus create-exclusivity via ``os.link`` (``FileExistsError`` for the
+  losing racer, never a silent clobber). Every versioned COMMIT point
+  (manifest tables, multi-writer stores) goes through this one.
 - :func:`content_digest` — the ONE definition of "same content": exact
   row count + order-insensitive ``bit_xor`` of per-row ``xxhash64``
   over the caller's column list. Any lost, duplicated, or value-altered
@@ -59,6 +63,28 @@ def atomic_write_json(path: str, obj) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, path)
+
+
+def exclusive_write_json(path: str, obj) -> None:
+    """CREATE-EXCLUSIVE commit of a JSON manifest: write a temp file,
+    then ``os.link`` it to ``path`` — the link fails with
+    ``FileExistsError`` when ``path`` already exists, so of two racing
+    writers exactly one succeeds and the loser fails LOUDLY. A
+    check-then-rename idiom is not a CAS: both writers pass the
+    ``exists`` check and the later ``os.rename`` silently REPLACES the
+    earlier commit (the r13 ADVICE item against ``commit_manifest``).
+    The payload is still never observable half-written (the link target
+    is the fully-fsynced temp inode); a crash between link and unlink
+    leaves only a ``.tmp.`` file the chain walk ignores."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
 
 
 def read_json(path: str):

@@ -66,6 +66,7 @@ from ..catalog import load_tables
 from ..lake_core import (
     atomic_write_json,
     content_digest,
+    exclusive_write_json,
     json_manifest_chain,
     read_json,
 )
@@ -96,10 +97,10 @@ def manifest_chain(root: str) -> dict[int, dict]:
     return json_manifest_chain(_mdir(root))
 
 
-def init_manifest(root: str) -> dict:
-    """Bootstrap ``manifest_v1`` from an existing partitioned tree (the
-    one directory scan an IMPORT pays; every later version is written
-    by the committing writer, never re-scanned)."""
+def scan_partition_files(root: str) -> dict[str, list[str]]:
+    """The one directory scan an IMPORT pays: ``{month: [file names]}``
+    of an existing partitioned tree. Every later version is written by
+    the committing writer, never re-scanned."""
     base = root.removeprefix("file:")
     files: dict[str, list[str]] = {}
     for d in sorted(os.listdir(base)):
@@ -110,8 +111,13 @@ def init_manifest(root: str) -> dict:
                 for f in os.listdir(os.path.join(base, d))
                 if f.endswith(".parquet")
             )
+    return files
+
+
+def init_manifest(root: str) -> dict:
+    """Bootstrap ``manifest_v1`` from an existing partitioned tree."""
     os.makedirs(_mdir(root), exist_ok=True)
-    payload = {"version": 1, "files": files}
+    payload = {"version": 1, "files": scan_partition_files(root)}
     atomic_write_json(os.path.join(_mdir(root), "manifest_v1"), payload)
     return payload
 
@@ -228,14 +234,17 @@ def pack_partition_files(
 
 
 def commit_manifest(root: str, payload: dict) -> None:
-    """Phase 2: THE commit point — one atomic rename. Refuses to
-    overwrite a committed version (manifests are immutable; a racing
-    writer must re-resolve and re-commit the next version — the CAS
-    discipline ``sim_persisted_concurrent_ingest`` demonstrates)."""
+    """Phase 2: THE commit point — one CREATE-EXCLUSIVE link commit
+    (``lake_core.exclusive_write_json``). Manifests are immutable: of
+    two writers racing to the same version exactly one wins the link,
+    the loser gets ``FileExistsError`` from the primitive itself —
+    never a silent clobber the way a check-then-rename would (r13
+    ADVICE) — and must re-resolve and re-commit the next version (the
+    CAS discipline ``sim_persisted_concurrent_ingest`` demonstrates;
+    :func:`commit_transaction` adds the semantic conflict check on
+    top)."""
     path = os.path.join(_mdir(root), f"manifest_v{payload['version']}")
-    if os.path.exists(path):
-        raise FileExistsError(f"manifest v{payload['version']} committed")
-    atomic_write_json(path, payload)
+    exclusive_write_json(path, payload)
 
 
 def compact_manifested(
@@ -243,20 +252,28 @@ def compact_manifested(
     root: str,
     months: list[str],
     max_workers: int = 6,
+    base_version: int | None = None,
 ) -> dict:
     """``OPTIMIZE ... WHERE`` with a reader-atomic commit: pack every
     selected partition (thread pool, independent narrow jobs), then
     commit ONE new manifest whose selected months list the packed files
-    and whose unselected months carry the head's lists verbatim.
-    Idempotent: if the target version is already committed, returns it
-    without touching the tree."""
+    and whose unselected months carry the base's lists verbatim.
+    Idempotent only when the caller PINS ``base_version`` (a replay
+    then finds ``base+1`` committed and returns it without packing —
+    the r13 ADVICE fix: with a floating base the guard was dead code,
+    since ``max(chain)+1`` can never already be committed)."""
     from concurrent.futures import ThreadPoolExecutor
 
     chain = manifest_chain(root)
-    head_v = max(chain)
+    head_v = max(chain) if base_version is None else base_version
+    if head_v not in chain:
+        raise ValueError(
+            f"base version {head_v} not in chain"
+            f" (available: {sorted(chain)})"
+        )
     head = chain[head_v]
     new_v = head_v + 1
-    if new_v in chain:  # replay after a completed commit
+    if new_v in chain:  # replay after a completed commit (pinned base)
         return chain[new_v]
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
         packed = dict(
@@ -278,32 +295,65 @@ def compact_manifested(
     return payload
 
 
+#: Orphan grace window (seconds): a file referenced by NO manifest at
+#: all may be an IN-FLIGHT writer's landed-but-uncommitted data (step 1
+#: of the protocol), so vacuum skips such files younger than this —
+#: the role of Delta's ``deletedFileRetentionDuration`` (r13 ADVICE:
+#: without an age gate a concurrent vacuum eats a live writer's
+#: landing). Files referenced by an EXPIRED manifest are superseded by
+#: a later commit and need no grace.
+VACUUM_ORPHAN_GRACE_SECONDS = 6 * 3600.0
+
+
 def vacuum_manifested(
-    root: str, retain: int = MANIFEST_RETAIN_LAST
+    root: str,
+    retain: int = MANIFEST_RETAIN_LAST,
+    grace_seconds: float = VACUUM_ORPHAN_GRACE_SECONDS,
 ) -> tuple[list[str], list[int]]:
-    """Phase 3: delete every ``.parquet`` file in the partition tree
-    that no RETAINED manifest references (pre-compaction fragments AND
-    orphans torn packs left) plus expired manifest files. O(#files)
-    driver metadata, no data read. Returns ``(deleted relative paths,
-    expired versions)``; idempotent."""
+    """Phase 3: delete parquet files no RETAINED manifest references,
+    plus expired manifest files. Two removal tiers (r13 ADVICE):
+
+    - **superseded** — referenced by a manifest OUTSIDE the retention
+      window but not inside it: its writer committed long ago, a later
+      commit replaced it; removed immediately;
+    - **orphan** — referenced by NO manifest in the chain: either a
+      torn run's leftovers OR a live writer's landed-but-uncommitted
+      files, indistinguishable by name — removed only when older than
+      ``grace_seconds`` (mtime). Deterministic torn-run tests pass
+      ``grace_seconds=0``.
+
+    O(#files) driver metadata, no data read. Returns
+    ``(deleted relative paths, expired versions)``; idempotent."""
+    import time
+
     base = root.removeprefix("file:")
     chain = manifest_chain(root)
     retained = sorted(chain)[-retain:]
-    referenced = {
-        f"{MONTH_COL}={m}/{name}"
-        for v in retained
-        for m, names in chain[v]["files"].items()
-        for name in names
-    }
+
+    def rels(versions) -> set[str]:
+        return {
+            f"{MONTH_COL}={m}/{name}"
+            for v in versions
+            for m, names in chain[v]["files"].items()
+            for name in names
+        }
+
+    referenced = rels(retained)
+    referenced_any = rels(sorted(chain))
+    cutoff = time.time() - grace_seconds
     deleted: list[str] = []
     for d in sorted(os.listdir(base)):
         if not d.startswith(f"{MONTH_COL}="):
             continue
         for f in sorted(os.listdir(os.path.join(base, d))):
             rel = f"{d}/{f}"
-            if f.endswith(".parquet") and rel not in referenced:
-                os.remove(os.path.join(base, rel))
-                deleted.append(rel)
+            if not f.endswith(".parquet") or rel in referenced:
+                continue
+            if rel not in referenced_any:  # orphan: age-gated
+                if os.stat(os.path.join(base, rel)).st_mtime > cutoff:
+                    continue
+            os.remove(os.path.join(base, rel))
+            deleted.append(rel)
     expired = [v for v in sorted(chain) if v not in retained]
     for v in expired:
         os.remove(os.path.join(_mdir(root), f"manifest_v{v}"))
@@ -412,7 +462,7 @@ def parquet_compact_manifest_atomic(
         m for m in chain[max(chain)]["files"] if m < PART_COMPACT_CUTOFF
     )
     if 2 not in chain:
-        compact_manifested(spark, root, selected)
+        compact_manifested(spark, root, selected, base_version=1)
 
     # the atomicity verdict MUST be computed while both versions are
     # still servable (v1 files die at vacuum) — persisted, replay-safe
@@ -516,24 +566,29 @@ def parquet_manifest_incremental_read(
     empty."""
     root = _incr_root(spark, sf_dir)
     _ensure_staged_orders(spark, sf_dir, root)
-    if not manifest_chain(root):
-        full = init_manifest(root)  # v1 bootstrap scans once ...
-        os.remove(os.path.join(_mdir(root), "manifest_v1"))
-        # ... then v1 commits only the pre-append months and v2 the
-        # full listing (the append's file names come from the staged
-        # scan, not a re-scan — a real writer knows what it wrote)
-        commit_manifest(
-            root,
-            {
-                "version": 1,
-                "files": {
-                    m: ns
-                    for m, ns in full["files"].items()
-                    if m < APPEND_FROM
+    # each commit gated INDEPENDENTLY (r13 ADVICE: gating both on an
+    # empty chain wedges a replay that crashed between the commits —
+    # chain={1} would skip the bootstrap forever). The staged tree is
+    # _SUCCESS-gated, so the re-scan is deterministic across replays.
+    chain = manifest_chain(root)
+    if 1 not in chain or 2 not in chain:
+        full = scan_partition_files(root)
+        if 1 not in chain:
+            # v1 commits only the pre-append months; the newer months'
+            # files are on disk but UNREFERENCED (a writer's staged-
+            # but-uncommitted state)
+            os.makedirs(_mdir(root), exist_ok=True)
+            commit_manifest(
+                root,
+                {
+                    "version": 1,
+                    "files": {
+                        m: ns for m, ns in full.items() if m < APPEND_FROM
+                    },
                 },
-            },
-        )
-        commit_manifest(root, {"version": 2, "files": full["files"]})
+            )
+        if 2 not in chain:
+            commit_manifest(root, {"version": 2, "files": full})
     return read_manifested_incremental(spark, root, 1, 2).select(
         "o_orderkey",
         "o_custkey",
@@ -555,6 +610,40 @@ STREAM_APPEND_BATCHES = 3
 def _stream_append_root(spark: SparkSession, sf_dir: str) -> str:
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     return f"{warehouse}/manifest_stream_{_stage_fingerprint(sf_dir)}"
+
+
+def publish_stream_append_batch(
+    root: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """Publish ONE micro-batch into the manifested table, exactly once:
+    version = ``batch_id + 2`` over the empty v1 — UNCONDITIONALLY, so
+    the version arithmetic never leaves a hole. A replayed batch finds
+    its version committed and skips entirely; an EMPTY batch commits a
+    head-carry manifest (same files as the head — r13 ADVICE: skipping
+    it would leave a chain gap that desyncs the prefix check and every
+    downstream batch's version); a torn batch's already-moved files are
+    unreferenced orphans vacuum collects, never visible rows."""
+    import shutil
+
+    base = root.removeprefix("file:")
+    ver = int(batch_id) + 2
+    cur = manifest_chain(root)
+    if ver in cur:
+        return  # replayed batch: its commit already published
+    head = cur[max(cur)]
+    files = {m: list(ns) for m, ns in head["files"].items()}
+    if not batch_df.isEmpty():
+        tmpd = os.path.join(base, "_stream_tmp", f"b{batch_id}")
+        shutil.rmtree(tmpd, ignore_errors=True)
+        batch_df.withColumn(
+            MONTH_COL, F.date_format(F.col("o_orderdate"), "yyyy-MM")
+        ).write.partitionBy(MONTH_COL).parquet(tmpd)
+        for m, ns in land_partitioned_files(
+            tmpd, base, f"b{batch_id}-"
+        ).items():
+            files.setdefault(m, []).extend(ns)
+        shutil.rmtree(tmpd, ignore_errors=True)
+    commit_manifest(root, {"version": ver, "files": files})
 
 
 def stream_manifest_append_drain(
@@ -615,23 +704,7 @@ def stream_manifest_append_drain(
         )
 
         def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-            ver = int(batch_id) + 2
-            cur = chain()
-            if ver in cur or batch_df.isEmpty():
-                return  # replayed batch: its commit already published
-            head = cur[max(cur)]
-            tmpd = os.path.join(base, "_stream_tmp", f"b{batch_id}")
-            shutil.rmtree(tmpd, ignore_errors=True)
-            batch_df.withColumn(
-                MONTH_COL, F.date_format(F.col("o_orderdate"), "yyyy-MM")
-            ).write.partitionBy(MONTH_COL).parquet(tmpd)
-            files = {m: list(ns) for m, ns in head["files"].items()}
-            for m, ns in land_partitioned_files(
-                tmpd, base, f"b{batch_id}-"
-            ).items():
-                files.setdefault(m, []).extend(ns)
-            shutil.rmtree(tmpd, ignore_errors=True)
-            commit_manifest(root, {"version": ver, "files": files})
+            publish_stream_append_batch(root, batch_df, batch_id)
 
         tmp = tempfile.mkdtemp(prefix="manifest_stream_")
         try:
@@ -746,45 +819,59 @@ def parquet_manifest_schema_evolution(
     where the new-schema months hold it)."""
     root = _schev_root(spark, sf_dir)
     base = root.removeprefix("file:")
-    if not manifest_chain(root):
+    # each commit gated INDEPENDENTLY (r13 ADVICE: an all-or-nothing
+    # empty-chain gate wedges a replay that crashed between v1 and v2)
+    chain = manifest_chain(root)
+    if 1 not in chain or 2 not in chain:
         import shutil
         import tempfile
 
         orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
         pm = F.date_format(F.col("o_orderdate"), "yyyy-MM")
-        old = orders.filter(pm < APPEND_FROM).select(
-            "o_orderkey", "o_custkey", "o_orderdate", pm.alias(MONTH_COL)
-        )
-        old.repartition(2).write.mode("overwrite").partitionBy(
-            MONTH_COL
-        ).parquet(root)
-        v1 = init_manifest(root)
-        os.remove(os.path.join(_mdir(root), "manifest_v1"))
-        commit_manifest(
-            root,
-            {"version": 1, "files": v1["files"], "schema": _SCHEMA_V1},
-        )
-        # the evolved delivery: new months, one more column — staged to
-        # a tmp tree, moved in under never-referenced names, published
-        # by the v2 commit that ALSO pins the union schema
-        tmpd = tempfile.mkdtemp(prefix="manifest_schev_")
-        new = orders.filter(pm >= APPEND_FROM).select(
-            "o_orderkey",
-            "o_custkey",
-            "o_orderdate",
-            "o_totalprice",
-            pm.alias(MONTH_COL),
-        )
-        new.repartition(2).write.mode("overwrite").partitionBy(
-            MONTH_COL
-        ).parquet(tmpd)
-        files = {m: list(ns) for m, ns in v1["files"].items()}
-        for m, ns in land_partitioned_files(tmpd, base, "ev2-").items():
-            files.setdefault(m, []).extend(ns)
-        shutil.rmtree(tmpd, ignore_errors=True)
-        commit_manifest(
-            root, {"version": 2, "files": files, "schema": _SCHEMA_V2}
-        )
+        if 1 not in chain:
+            # stage the 3-column old months straight into the tree and
+            # commit v1 (replay-safe: static overwrite re-stages the
+            # whole tree only while nothing is committed)
+            old = orders.filter(pm < APPEND_FROM).select(
+                "o_orderkey", "o_custkey", "o_orderdate",
+                pm.alias(MONTH_COL),
+            )
+            old.repartition(2).write.mode("overwrite").partitionBy(
+                MONTH_COL
+            ).parquet(root)
+            os.makedirs(_mdir(root), exist_ok=True)
+            commit_manifest(
+                root,
+                {
+                    "version": 1,
+                    "files": scan_partition_files(root),
+                    "schema": _SCHEMA_V1,
+                },
+            )
+            chain = manifest_chain(root)
+        if 2 not in chain:
+            # the evolved delivery: new months, one more column —
+            # staged to a tmp tree, moved in under never-referenced
+            # names (a torn replay's first-run files become orphans),
+            # published by the v2 commit that ALSO pins the union schema
+            tmpd = tempfile.mkdtemp(prefix="manifest_schev_")
+            new = orders.filter(pm >= APPEND_FROM).select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderdate",
+                "o_totalprice",
+                pm.alias(MONTH_COL),
+            )
+            new.repartition(2).write.mode("overwrite").partitionBy(
+                MONTH_COL
+            ).parquet(tmpd)
+            files = {m: list(ns) for m, ns in chain[1]["files"].items()}
+            for m, ns in land_partitioned_files(tmpd, base, "ev2-").items():
+                files.setdefault(m, []).extend(ns)
+            shutil.rmtree(tmpd, ignore_errors=True)
+            commit_manifest(
+                root, {"version": 2, "files": files, "schema": _SCHEMA_V2}
+            )
     return read_manifested(spark, root, 2).select(
         "o_orderkey",
         "o_custkey",

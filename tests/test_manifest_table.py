@@ -114,14 +114,20 @@ def test_resolver_ignores_inflight_tmp_manifests(spark, staged):
 
 def test_orphans_invisible_and_vacuumed(spark, staged):
     """Files a torn pack left (never referenced by any manifest) must
-    be invisible to every reader and collected by vacuum."""
+    be invisible to every reader, SURVIVE a default-grace vacuum (they
+    are indistinguishable from a live writer's in-flight landing — the
+    r13 ADVICE age gate), and be collected once the grace is waived."""
     root, d0 = staged
     chain = mt.manifest_chain(root)
     m = sorted(chain[1]["files"])[0]
     mt.pack_partition_files(spark, root, m, chain[1]["files"][m], 2)
     # no commit — the "torn run". Reader unaffected:
     assert _digest(spark, root) == d0
-    deleted, expired = mt.vacuum_manifested(root)  # retain head = v1
+    # default grace: the young orphans are spared (in-flight writer?)
+    deleted, expired = mt.vacuum_manifested(root)
+    assert deleted == [] and expired == []
+    # grace waived (deterministic torn-run cleanup): collected
+    deleted, expired = mt.vacuum_manifested(root, grace_seconds=0)
     assert expired == []
     assert all(rel.split("/")[1].startswith("v2-") for rel in deleted)
     assert len(deleted) > 0
@@ -317,7 +323,7 @@ def test_stream_append_torn_commit_replays_exactly_once(
         mt.read_manifested(spark, root),
         ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
     )
-    deleted, _expired = mt.vacuum_manifested(root)
+    deleted, _expired = mt.vacuum_manifested(root, grace_seconds=0)
     assert len(deleted) > 0  # the orphaned first-run b2- files
     assert (
         content_digest(
@@ -483,3 +489,130 @@ def test_merge_rewrites_only_matched_files(spark, sf_dir):
         ("o_orderkey", "o_totalprice"),
     )
     assert d1 == d0
+
+
+# ---------------------------------------------------------------------------
+# r14: the r13-ADVICE hardening — true CAS, pinned-base replay, torn
+# bootstrap resume, empty-batch versioning.
+# ---------------------------------------------------------------------------
+
+
+def test_commit_is_create_exclusive_never_clobbers(spark, staged):
+    """The commit primitive must be a real CAS: when the destination
+    exists, the loser raises AND the winner's payload is untouched —
+    a check-then-rename would let the later writer silently REPLACE
+    the earlier commit (r13 ADVICE)."""
+    root, _d0 = staged
+    chain = mt.manifest_chain(root)
+    winner = {"version": 2, "files": chain[1]["files"]}
+    mt.commit_manifest(root, winner)
+    loser = {"version": 2, "files": {}}
+    with pytest.raises(FileExistsError):
+        mt.commit_manifest(root, loser)
+    assert mt.manifest_chain(root)[2] == winner  # never clobbered
+    # and the loser's temp inode is cleaned up
+    mdir = mt._mdir(root)
+    assert not [f for f in os.listdir(mdir) if ".tmp." in f]
+
+
+def test_compact_pinned_base_replay_is_noop(spark, staged):
+    """With ``base_version`` pinned, a replayed compaction returns the
+    committed manifest without packing again (the r13 ADVICE fix: the
+    floating-base replay guard was dead code)."""
+    root, d0 = staged
+    months = sorted(mt.manifest_chain(root)[1]["files"])
+    first = mt.compact_manifested(spark, root, months, base_version=1)
+    base = root
+    n_files = sum(
+        len(fs) for _r, _d, fs in os.walk(base)
+    )
+    again = mt.compact_manifested(spark, root, months, base_version=1)
+    assert again == first
+    assert sum(len(fs) for _r, _d, fs in os.walk(base)) == n_files
+    assert _digest(spark, root, 2) == d0
+    with pytest.raises(ValueError, match="not in chain"):
+        mt.compact_manifested(spark, root, months, base_version=9)
+
+
+def _clone_universe(root_fn, spark, sf_dir, tmp_path, monkeypatch, mod, attr):
+    import shutil
+
+    shared = root_fn(spark, sf_dir).removeprefix("file:")
+    clone = str(tmp_path / "clone")
+    shutil.copytree(shared, clone)
+    monkeypatch.setattr(mod, attr, lambda s_, sf_: clone)
+    return clone
+
+
+def test_incremental_bootstrap_resumes_after_torn_v2(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A crash between the v1 and v2 bootstrap commits must RESUME on
+    replay (commit v2 and serve the same rows), not wedge on a chain
+    that skips the bootstrap forever (r13 ADVICE)."""
+    first = mt.parquet_manifest_incremental_read(spark, sf_dir)
+    d0 = content_digest(first, tuple(first.columns))
+    clone = _clone_universe(
+        mt._incr_root, spark, sf_dir, tmp_path, monkeypatch, mt, "_incr_root"
+    )
+    os.remove(os.path.join(mt._mdir(clone), "manifest_v2"))
+    replay = mt.parquet_manifest_incremental_read(spark, sf_dir)
+    assert sorted(mt.manifest_chain(clone)) == [1, 2]
+    assert content_digest(replay, tuple(replay.columns)) == d0
+
+
+def test_schema_evolution_resumes_after_torn_v2(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    first = mt.parquet_manifest_schema_evolution(spark, sf_dir)
+    d0 = content_digest(first, tuple(first.columns))
+    clone = _clone_universe(
+        mt._schev_root, spark, sf_dir, tmp_path, monkeypatch, mt, "_schev_root"
+    )
+    os.remove(os.path.join(mt._mdir(clone), "manifest_v2"))
+    replay = mt.parquet_manifest_schema_evolution(spark, sf_dir)
+    chain = mt.manifest_chain(clone)
+    assert sorted(chain) == [1, 2]
+    assert chain[2]["schema"] == mt._SCHEMA_V2
+    assert content_digest(replay, tuple(replay.columns)) == d0
+    # the torn first run's ev2- files are orphans the age-gated vacuum
+    # spares by default and collects once grace is waived
+    deleted, _exp = mt.vacuum_manifested(clone, grace_seconds=0)
+    assert any(rel.split("/")[1].startswith("ev2-") for rel in deleted)
+    final = mt.parquet_manifest_schema_evolution(spark, sf_dir)
+    assert content_digest(final, tuple(final.columns)) == d0
+
+
+def test_stream_publish_empty_batch_keeps_version_arithmetic(spark, tmp_path):
+    """An EMPTY micro-batch must still commit its version (head-carry)
+    so ``version = batch_id + 2`` holds unconditionally — skipping it
+    leaves a chain hole that desyncs the prefix check and every later
+    batch (r13 ADVICE)."""
+    root = str(tmp_path / "stream_tbl")
+    os.makedirs(mt._mdir(root), exist_ok=True)
+    mt.commit_manifest(root, {"version": 1, "files": {}})
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double,"
+        " o_orderdate timestamp"
+    )
+    batch0 = spark.createDataFrame(
+        [(1, 10, 5.0, __import__("datetime").datetime(2001, 3, 1))],
+        schema,
+    )
+    empty = spark.createDataFrame([], schema)
+    mt.publish_stream_append_batch(root, batch0, 0)
+    mt.publish_stream_append_batch(root, empty, 1)  # EMPTY mid-sequence
+    batch2 = spark.createDataFrame(
+        [(2, 20, 7.0, __import__("datetime").datetime(2001, 4, 1))],
+        schema,
+    )
+    mt.publish_stream_append_batch(root, batch2, 2)
+    chain = mt.manifest_chain(root)
+    assert sorted(chain) == [1, 2, 3, 4]  # no hole
+    assert chain[3]["files"] == chain[2]["files"]  # head-carry
+    assert mt.read_manifested(spark, root, 4).count() == 2
+    # the empty version's incremental read is the empty frame
+    assert mt.read_manifested_incremental(spark, root, 2, 3).count() == 0
+    # replay of any batch is a no-op
+    mt.publish_stream_append_batch(root, batch0, 0)
+    assert mt.read_manifested(spark, root).count() == 2
