@@ -247,6 +247,89 @@ def commit_manifest(root: str, payload: dict) -> None:
     exclusive_write_json(path, payload)
 
 
+class CommitConflictError(RuntimeError):
+    """A rebasing transaction's removed-file set overlaps a commit that
+    landed since its snapshot: both transactions rewrote (or deleted)
+    the same file, so serializing them would silently drop one's
+    rewrite. The transaction must abort, re-read the new head, and
+    redo its work — the Delta/Iceberg conflict-detection contract."""
+
+
+def _check_no_removal_conflict(
+    head: dict, removed: dict[str, set[str]]
+) -> None:
+    """Every file this transaction removes must still be listed in the
+    head it is rebasing onto. A missing file was removed by an
+    intervening commit (a MERGE CoW-rewriting the same file, a
+    compaction that repacked it, a DELETE that dropped it) — the one
+    race the version CAS alone cannot see."""
+    missing = {
+        f"{MONTH_COL}={m}/{n}"
+        for m, ns in removed.items()
+        for n in ns
+        if n not in set(head["files"].get(m, []))
+    }
+    if missing:
+        raise CommitConflictError(
+            "transaction removes files an intervening commit already"
+            f" rewrote or deleted: {sorted(missing)[:8]}"
+            f"{' ...' if len(missing) > 8 else ''}"
+        )
+
+
+def commit_transaction(
+    root: str,
+    snapshot_version: int,
+    removed: dict[str, list[str]],
+    added: dict[str, list[str]],
+    max_retries: int = 20,
+) -> tuple[dict, int]:
+    """Optimistic-concurrency COMMIT — the transaction protocol's
+    missing verb on top of the version CAS (r13 VERDICT Next #1). A
+    transaction is ``(snapshot it read, files it removes, files it has
+    already landed)``; append-only transactions have ``removed={}``.
+
+    Protocol per attempt:
+
+    1. resolve the head; if commits landed since our last attempt,
+       run the SEMANTIC conflict check: every file we remove must still
+       be in the head (:func:`_check_no_removal_conflict`) — disjoint
+       work (appends, rewrites of other files) COMMUTES and is rebased;
+       overlapping rewrites ABORT with :class:`CommitConflictError`;
+    2. build the new listing = head − removed + added (months emptied
+       by a removal drop out — the metadata partition delete);
+    3. CAS-commit ``head+1``; a racing winner sends us back to 1.
+
+    Cost: KB-sized manifest arithmetic per attempt, no data I/O — the
+    landed files are reused verbatim across rebases. Returns
+    ``(committed payload, number of rebases)``."""
+    removed_sets = {m: set(ns) for m, ns in removed.items() if ns}
+    attempt_v = snapshot_version + 1
+    rebases = 0
+    for _ in range(max_retries):
+        chain = manifest_chain(root)
+        head_v = max(chain)
+        head = chain[head_v]
+        if attempt_v <= head_v:
+            rebases += 1
+            attempt_v = head_v + 1
+        _check_no_removal_conflict(head, removed_sets)
+        files = {
+            m: [n for n in ns if n not in removed_sets.get(m, set())]
+            for m, ns in head["files"].items()
+        }
+        for m, ns in added.items():
+            files[m] = files.get(m, []) + list(ns)
+        files = {m: ns for m, ns in files.items() if ns}
+        payload = {"version": attempt_v, "files": files}
+        try:
+            commit_manifest(root, payload)
+            return payload, rebases
+        except FileExistsError:
+            continue  # a racer landed head+1 first: re-resolve, retry
+    raise RuntimeError("commit_transaction: retries exhausted")
+
+
 def compact_manifested(
     spark: SparkSession,
     root: str,
@@ -1134,6 +1217,169 @@ def parquet_manifest_merge_upsert(
     )
 
 
+# ---------------------------------------------------------------------------
+# Transaction conflict detection: a deterministic MERGE-vs-OPTIMIZE race.
+# ---------------------------------------------------------------------------
+
+TXN_MERGE_MONTH = "1995-03"
+TXN_MERGE_MOD, TXN_MERGE_REM = 5, 1
+TXN_PRICE_BUMP = 500.0
+TXN_APPEND_MOD, TXN_APPEND_REM = 11, 4
+TXN_INSERT_OFFSET = 20_000_000
+
+
+def _txn_root(spark: SparkSession, sf_dir: str) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{warehouse}/manifest_txn_{_stage_fingerprint(sf_dir)}"
+
+
+def _land_coalesced(
+    spark: SparkSession, root: str, month: str, names: list[str],
+    transform, prefix: str,
+) -> list[str]:
+    """Read ONE partition's listed files, apply ``transform``, land the
+    single-file rewrite under never-referenced ``prefix`` names."""
+    import shutil
+
+    base = root.removeprefix("file:")
+    src = [f"{root}/{MONTH_COL}={month}/{n}" for n in names]
+    out = transform(spark.read.parquet(*src))
+    tmp = os.path.join(base, "_pack_tmp", f"{prefix}{MONTH_COL}={month}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    landed = land_files(
+        tmp, os.path.join(base, f"{MONTH_COL}={month}"), prefix
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return landed
+
+
+def parquet_manifest_conflict_detect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRANSACTION CONFLICT DETECTION (r13 VERDICT Next #1), replayed
+    as a deterministic three-writer schedule — one genuine abort
+    CAPTURED (the run fails if it does not fire), one commuting rebase:
+
+    - **Txn A** (MERGE): snapshot v1, CoW-rewrites ``TXN_MERGE_MONTH``'s
+      files with a price bump on the matched keys; commits v2.
+    - **Txn B** (OPTIMIZE of the SAME month, prepared against the STALE
+      v1 snapshot): packs v1's files; its commit loses the v2 CAS and
+      the rebase check finds its removed set already rewritten by A →
+      ``CommitConflictError``. Had the protocol rebased blindly, B's
+      listing would have REVIVED the pre-merge files and silently
+      dropped A's update — the exact bug class conflict detection
+      exists for. B then re-reads the new head, re-packs A's files, and
+      commits v3 (content-neutral, bump preserved).
+    - **Txn C** (append, also prepared against a stale snapshot): lands
+      insert rows, removes nothing — its rebase COMMUTES past B's v3
+      and commits v4 with exactly one rebase.
+
+    The registered query returns the ENTIRE final table — a row-level
+    oracle (DuckDB recomputes bump-applied ∪ inserts), so a lost or
+    double-applied update hash-fails. The abort and the rebase tallies
+    are persisted and re-asserted on every call."""
+    root = _txn_root(spark, sf_dir)
+    base = root.removeprefix("file:")
+    _ensure_staged_orders(spark, sf_dir, root)
+    if not manifest_chain(root):
+        init_manifest(root)
+    chain = manifest_chain(root)
+    is_match = F.col("o_custkey") % TXN_MERGE_MOD == TXN_MERGE_REM
+
+    if 2 not in chain:  # Txn A: the merge
+        names = chain[1]["files"][TXN_MERGE_MONTH]
+        a_names = _land_coalesced(
+            spark, root, TXN_MERGE_MONTH, names,
+            lambda df: df.withColumn(
+                "o_totalprice",
+                F.when(
+                    is_match, F.col("o_totalprice") + TXN_PRICE_BUMP
+                ).otherwise(F.col("o_totalprice")),
+            ),
+            "a2-",
+        )
+        _payload, n_reb = commit_transaction(
+            root, 1,
+            removed={TXN_MERGE_MONTH: names},
+            added={TXN_MERGE_MONTH: a_names},
+        )
+        if n_reb != 0:
+            raise RuntimeError("uncontended merge should not rebase")
+        chain = manifest_chain(root)
+
+    conflict_marker = os.path.join(base, "conflict_captured")
+    if 3 not in chain:  # Txn B: stale compaction → abort → redo
+        v1_names = chain[1]["files"][TXN_MERGE_MONTH]
+        b_names = _land_coalesced(
+            spark, root, TXN_MERGE_MONTH, v1_names, lambda df: df, "c2-"
+        )
+        try:
+            commit_transaction(
+                root, 1,
+                removed={TXN_MERGE_MONTH: v1_names},
+                added={TXN_MERGE_MONTH: b_names},
+            )
+            raise RuntimeError(
+                "conflict NOT detected: stale compaction committed over"
+                " the merge — its listing revived the pre-merge files"
+            )
+        except CommitConflictError as exc:
+            atomic_write_json(
+                conflict_marker,
+                {"conflict_captured": True, "detail": str(exc)[:200]},
+            )
+        # the correct retry: re-read the NEW head, pack ITS files
+        head = manifest_chain(root)[2]
+        head_names = head["files"][TXN_MERGE_MONTH]
+        b2_names = _land_coalesced(
+            spark, root, TXN_MERGE_MONTH, head_names, lambda df: df, "c3-"
+        )
+        _payload, n_reb = commit_transaction(
+            root, 2,
+            removed={TXN_MERGE_MONTH: head_names},
+            added={TXN_MERGE_MONTH: b2_names},
+        )
+        if n_reb != 0:
+            raise RuntimeError("fresh-snapshot retry should not rebase")
+        chain = manifest_chain(root)
+
+    if 4 not in chain:  # Txn C: stale append → commuting rebase
+        import shutil
+
+        ins = read_manifested(spark, root, 1).filter(
+            F.col("o_custkey") % TXN_APPEND_MOD == TXN_APPEND_REM
+        ).withColumn(
+            "o_orderkey", F.col("o_orderkey") + TXN_INSERT_OFFSET
+        )
+        tmp = os.path.join(base, "_pack_tmp", "_txn_append")
+        shutil.rmtree(tmp, ignore_errors=True)
+        ins.coalesce(1).write.mode("overwrite").partitionBy(
+            MONTH_COL
+        ).parquet(tmp)
+        ap_names = land_partitioned_files(tmp, base, "ap4-")
+        shutil.rmtree(os.path.join(base, "_pack_tmp"), ignore_errors=True)
+        # prepared against snapshot v2 — v3 landed since: must rebase
+        _payload, n_reb = commit_transaction(
+            root, 2, removed={}, added=ap_names
+        )
+        atomic_write_json(
+            os.path.join(base, "append_rebases"), {"n_rebases": n_reb}
+        )
+
+    if not read_json(conflict_marker).get("conflict_captured"):
+        raise RuntimeError("conflict marker missing or false")
+    if read_json(os.path.join(base, "append_rebases"))["n_rebases"] != 1:
+        raise RuntimeError("append transaction did not rebase exactly once")
+    return read_manifested(spark, root, 4).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.col(MONTH_COL).alias("pm"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parquet_compact_manifest_atomic": parquet_compact_manifest_atomic,
     "parquet_manifest_incremental_read": parquet_manifest_incremental_read,
@@ -1141,6 +1387,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parquet_manifest_schema_evolution": parquet_manifest_schema_evolution,
     "parquet_manifest_delete_where": parquet_manifest_delete_where,
     "parquet_manifest_merge_upsert": parquet_manifest_merge_upsert,
+    "parquet_manifest_conflict_detect": parquet_manifest_conflict_detect,
 }
 
 ORACLES: dict[str, str] = {
@@ -1228,4 +1475,25 @@ ORACLES: dict[str, str] = {
                o_orderdate, strftime(o_orderdate, '%Y-%m') AS pm
         FROM orders
         WHERE o_orderkey % {MERGE_KEY_MOD} = {MERGE_KEY_REM}""",
+    # conflict detection, row-level over the WHOLE final table: the
+    # merge's bump applied exactly once (the aborted stale compaction
+    # would have REVIVED pre-merge files — any revived row hash-fails)
+    # plus the commuting append's inserts, which copy the PRE-merge v1
+    # rows (original price) by construction. The abort and the
+    # exactly-one-rebase facts are re-asserted inside the entry, which
+    # RAISES if either is missing — captured, not assumed.
+    "parquet_manifest_conflict_detect": f"""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN strftime(o_orderdate, '%Y-%m') = '{TXN_MERGE_MONTH}'
+                     AND o_custkey % {TXN_MERGE_MOD} = {TXN_MERGE_REM}
+                    THEN o_totalprice + {TXN_PRICE_BUMP}
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, strftime(o_orderdate, '%Y-%m') AS pm
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + {TXN_INSERT_OFFSET}, o_custkey,
+               o_totalprice, o_orderdate,
+               strftime(o_orderdate, '%Y-%m') AS pm
+        FROM orders
+        WHERE o_custkey % {TXN_APPEND_MOD} = {TXN_APPEND_REM}""",
 }
