@@ -1218,6 +1218,189 @@ def parquet_manifest_merge_upsert(
 
 
 # ---------------------------------------------------------------------------
+# Row-level CHANGE DATA FEED: derived from CoW file diffs, no stored
+# change files (r13 VERDICT Next #2).
+# ---------------------------------------------------------------------------
+
+
+def _read_rels(spark: SparkSession, root: str, rels: list[str]):
+    if not rels:
+        return None
+    return spark.read.option("basePath", root).parquet(
+        *[f"{root}/{rel}" for rel in rels]
+    )
+
+
+def changes_for_commit(
+    spark: SparkSession, root: str, version: int, key_cols: list[str]
+) -> DataFrame | None:
+    """Row-level changes ONE commit introduced, derived by diffing the
+    rows of its removed files (pre-image) against its added files
+    (post-image) on ``key_cols`` — the Delta-CDF contract without
+    stored change files, possible because every mutation here is CoW:
+
+    - key only in post          → ``insert``
+    - key only in pre           → ``delete``
+    - key in both, row differs  → ``update_preimage`` + ``update_postimage``
+    - key in both, identical    → no change (a compaction rewrite's
+      carried neighbors — filtered out, so OPTIMIZE emits an EMPTY feed)
+
+    I/O ∝ the commit's removed+added files, never a table scan; the
+    classification is two anti-joins plus one hash-compare join over
+    delta-sized inputs. ``key_cols`` must be unique per snapshot (the
+    table's primary key). Returns ``None`` for a metadata-only commit
+    (schema evolution, empty stream batch)."""
+    added, removed = incremental_files(root, version - 1, version)
+    post, pre = _read_rels(spark, root, added), _read_rels(spark, root, removed)
+    ct = "_change_type"
+    if pre is None and post is None:
+        return None
+    if pre is None:
+        return post.withColumn(ct, F.lit("insert"))
+    if post is None:
+        return pre.withColumn(ct, F.lit("delete"))
+    cols = post.columns
+    vh = F.xxhash64(*cols)
+    ins = post.join(pre.select(key_cols), key_cols, "left_anti").withColumn(
+        ct, F.lit("insert")
+    )
+    dele = pre.join(post.select(key_cols), key_cols, "left_anti").withColumn(
+        ct, F.lit("delete")
+    )
+    changed_keys = (
+        pre.select(*key_cols, vh.alias("_vh_pre"))
+        .join(post.select(*key_cols, vh.alias("_vh_post")), key_cols)
+        .filter(F.col("_vh_pre") != F.col("_vh_post"))
+        .select(key_cols)
+    )
+    upd_pre = pre.join(changed_keys, key_cols, "left_semi").withColumn(
+        ct, F.lit("update_preimage")
+    )
+    upd_post = post.join(changed_keys, key_cols, "left_semi").withColumn(
+        ct, F.lit("update_postimage")
+    )
+    return ins.unionByName(dele).unionByName(upd_pre).unionByName(upd_post)
+
+
+def read_change_feed(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """CHANGE DATA FEED between two snapshots: union of each commit's
+    row-level changes in ``(v_from, v_to]``, tagged with
+    ``_commit_version`` — what a downstream IVM consumer ingests
+    instead of full-diffing after an update (the r13 gap: incremental
+    reads covered appends only). Raises the chain's ``ValueError``
+    contract on uncommitted versions; commits with no net file change
+    contribute nothing."""
+    chain = manifest_chain(root)
+    for v in (v_from, v_to):
+        if v not in chain:
+            raise ValueError(
+                f"manifest version {v} not in chain"
+                f" (available: {sorted(chain)})"
+            )
+    out: DataFrame | None = None
+    for v in range(v_from + 1, v_to + 1):
+        ch = changes_for_commit(spark, root, v, key_cols)
+        if ch is None:
+            continue
+        ch = ch.withColumn("_commit_version", F.lit(v))
+        out = ch if out is None else out.unionByName(ch)
+    if out is None:
+        raise ValueError(
+            f"no data commits between v{v_from} and v{v_to}"
+        )
+    return out
+
+
+def parquet_manifest_change_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MERGE commit's change feed, row-level: updates emit pre- AND
+    post-images (neighbors carried by the CoW rewrite are correctly
+    absent), inserts emit their rows — DuckDB recomputes all three
+    classes from the fact, so a misclassified, lost, or phantom change
+    row hash-fails."""
+    parquet_manifest_merge_upsert(spark, sf_dir)  # ensure the universe
+    root = _merge_root(spark, sf_dir)
+    return read_change_feed(spark, root, 1, 2, ["o_orderkey"]).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.col(MONTH_COL).alias("pm"),
+        "_change_type",
+        "_commit_version",
+    )
+
+
+def parquet_manifest_change_feed_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DELETE commit's change feed: the metadata partition drop's
+    rows AND the CoW row-delete's rows both surface as ``delete``
+    changes (the drop's pre-image files are still on disk until vacuum
+    — exactly why the two-step logical/hard delete enables CDF);
+    surviving neighbors of the rewritten file are absent."""
+    parquet_manifest_delete_where(spark, sf_dir)  # ensure the universe
+    root = _delete_root(spark, sf_dir)
+    return read_change_feed(spark, root, 1, 2, ["o_orderkey"]).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col(MONTH_COL).alias("pm"),
+        "_change_type",
+        "_commit_version",
+    )
+
+
+def manifest_cdf_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE consuming the change feed — the
+    consumer the r13 gap blocked: a per-month revenue/count aggregate
+    materialized at snapshot v1 is folded forward with SIGNED deltas
+    (+post-image/insert, −pre-image/delete; the retraction discipline
+    of ``operators/incremental.py``) and must equal DuckDB's direct
+    recompute over the MERGED table — cost ∝ the change feed, never a
+    re-scan of the table. Money rides integer cents so the fold is
+    associative-exact at any partitioning."""
+    from ..functions.money import cents
+
+    parquet_manifest_merge_upsert(spark, sf_dir)
+    root = _merge_root(spark, sf_dir)
+    state = (
+        read_manifested(spark, root, 1)
+        .groupBy(F.col(MONTH_COL).alias("pm"))
+        .agg(
+            F.sum(cents("o_totalprice")).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        read_change_feed(spark, root, 1, 2, ["o_orderkey"])
+        .select(
+            F.col(MONTH_COL).alias("pm"),
+            (sign * cents("o_totalprice")).alias("revenue_cents"),
+            sign.cast("bigint").alias("n_orders"),
+        )
+    )
+    return (
+        state.unionByName(delta)
+        .groupBy("pm")
+        .agg(
+            F.sum("revenue_cents").alias("revenue_cents"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Transaction conflict detection: a deterministic MERGE-vs-OPTIMIZE race.
 # ---------------------------------------------------------------------------
 
@@ -1388,6 +1571,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parquet_manifest_delete_where": parquet_manifest_delete_where,
     "parquet_manifest_merge_upsert": parquet_manifest_merge_upsert,
     "parquet_manifest_conflict_detect": parquet_manifest_conflict_detect,
+    "parquet_manifest_change_feed": parquet_manifest_change_feed,
+    "parquet_manifest_change_feed_delete": parquet_manifest_change_feed_delete,
+    "manifest_cdf_ivm_revenue": manifest_cdf_ivm_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -1496,4 +1682,55 @@ ORACLES: dict[str, str] = {
                strftime(o_orderdate, '%Y-%m') AS pm
         FROM orders
         WHERE o_custkey % {TXN_APPEND_MOD} = {TXN_APPEND_REM}""",
+    # the MERGE commit's change feed, row-level: DuckDB recomputes all
+    # three change classes from the fact — pre-images at the original
+    # price, post-images bumped, inserts key-shifted; carried neighbors
+    # must be ABSENT (any phantom/lost/misclassified change hash-fails)
+    "parquet_manifest_change_feed": f"""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+               strftime(o_orderdate, '%Y-%m') AS pm,
+               'update_preimage' AS _change_type, 2 AS _commit_version
+        FROM orders WHERE o_orderkey % {MERGE_KEY_MOD} = {MERGE_KEY_REM}
+        UNION ALL
+        SELECT o_orderkey, o_custkey,
+               o_totalprice + {MERGE_PRICE_BUMP}, o_orderdate,
+               strftime(o_orderdate, '%Y-%m') AS pm,
+               'update_postimage' AS _change_type, 2 AS _commit_version
+        FROM orders WHERE o_orderkey % {MERGE_KEY_MOD} = {MERGE_KEY_REM}
+        UNION ALL
+        SELECT o_orderkey + {MERGE_INSERT_OFFSET}, o_custkey,
+               o_totalprice, o_orderdate,
+               strftime(o_orderdate, '%Y-%m') AS pm,
+               'insert' AS _change_type, 2 AS _commit_version
+        FROM orders WHERE o_orderkey % {MERGE_KEY_MOD} = {MERGE_KEY_REM}""",
+    # the DELETE commit's change feed: both tiers surface as deletes —
+    # the dropped partition's rows (pre-image files still on disk) and
+    # the CoW row-delete's matches; surviving neighbors absent
+    "parquet_manifest_change_feed_delete": f"""
+        SELECT o_orderkey, o_custkey,
+               strftime(o_orderdate, '%Y-%m') AS pm,
+               'delete' AS _change_type, 2 AS _commit_version
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y-%m') = '{DELETE_DROP_MONTH}'
+           OR (strftime(o_orderdate, '%Y-%m') = '{DELETE_ROW_MONTH}'
+               AND o_custkey % {DELETE_ROW_MOD} = {DELETE_ROW_REM})""",
+    # IVM over the feed: the folded per-month aggregate must equal the
+    # direct recompute over the MERGED table (update ∪ insert), exact
+    # in integer cents
+    "manifest_cdf_ivm_revenue": f"""
+        SELECT pm,
+               CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents,
+               count(*) AS n_orders
+        FROM (
+            SELECT strftime(o_orderdate, '%Y-%m') AS pm,
+                   CASE WHEN o_orderkey % {MERGE_KEY_MOD} = {MERGE_KEY_REM}
+                        THEN o_totalprice + {MERGE_PRICE_BUMP}
+                        ELSE o_totalprice END AS price
+            FROM orders
+            UNION ALL
+            SELECT strftime(o_orderdate, '%Y-%m') AS pm, o_totalprice
+            FROM orders
+            WHERE o_orderkey % {MERGE_KEY_MOD} = {MERGE_KEY_REM}
+        ) GROUP BY pm""",
 }

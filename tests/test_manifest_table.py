@@ -750,3 +750,107 @@ def test_conflict_detect_entry_persisted_facts(spark, sf_dir):
         for r in orig.collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r14: row-level change feed over CoW commits.
+# ---------------------------------------------------------------------------
+
+
+def test_cdf_compaction_commit_emits_empty_feed(spark, staged):
+    """A content-neutral rewrite (OPTIMIZE) adds and removes files but
+    every carried row is identical pre/post — the feed must be EMPTY."""
+    root, _d0 = staged
+    chain = mt.manifest_chain(root)
+    months = sorted(chain[1]["files"])
+    packed = {
+        m: mt.pack_partition_files(spark, root, m, chain[1]["files"][m], 2)
+        for m in months
+    }
+    mt.commit_manifest(root, {"version": 2, "files": packed})
+    feed = mt.read_change_feed(spark, root, 1, 2, ["k"])
+    assert feed.count() == 0
+
+
+def test_cdf_classifies_all_change_types(spark, staged):
+    """One commit that simultaneously updates half of 2001-01, carries
+    the other half, drops 2001-02, and appends new keys — the feed must
+    classify every row and omit every carried neighbor."""
+    root, _d0 = staged
+    v1 = mt.manifest_chain(root)[1]
+    # CoW rewrite of 2001-01: bump v where k % 2 == 0
+    upd_names = mt._land_coalesced(
+        spark, root, "2001-01", v1["files"]["2001-01"],
+        lambda df: df.withColumn(
+            "v",
+            F.when(F.col("k") % 2 == 0, F.col("v") + 1).otherwise(F.col("v")),
+        ),
+        "u2-",
+    )
+    # appended new keys into 2001-03
+    ins_names = mt._land_coalesced(
+        spark, root, "2001-03", v1["files"]["2001-03"],
+        lambda df: df.withColumn("k", F.col("k") + 10_000),
+        "n2-",
+    )
+    files = {
+        "2001-01": upd_names,  # rewrite
+        # 2001-02 dropped (delete)
+        "2001-03": v1["files"]["2001-03"] + ins_names,  # append
+    }
+    mt.commit_manifest(root, {"version": 2, "files": files})
+    feed = mt.read_change_feed(spark, root, 1, 2, ["k"]).cache()
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {
+        "update_preimage": 100,   # half of 2001-01's 200 rows
+        "update_postimage": 100,
+        "delete": 200,            # all of 2001-02
+        "insert": 200,            # the shifted copies
+    }
+    # pre/post pair on the same keys, values bumped exactly once
+    pre = feed.filter(F.col("_change_type") == "update_preimage")
+    post = feed.filter(F.col("_change_type") == "update_postimage")
+    j = pre.select("k", F.col("v").alias("v_pre")).join(
+        post.select("k", F.col("v").alias("v_post")), "k"
+    )
+    assert j.count() == 100
+    assert j.filter(F.col("v_post") != F.col("v_pre") + 1).count() == 0
+    # carried neighbors (odd k of 2001-01, all of untouched 2001-03
+    # originals) are absent
+    assert feed.filter(
+        (F.col(MONTH_COL) == "2001-01") & (F.col("k") % 2 == 1)
+    ).count() == 0
+    feed.unpersist()
+
+
+def test_cdf_metadata_only_range_raises(spark, staged):
+    """A version range holding only metadata commits (head-carry) has
+    no change rows — the reader must say so loudly."""
+    root, _d0 = staged
+    v1 = mt.manifest_chain(root)[1]
+    mt.commit_manifest(root, {"version": 2, "files": v1["files"]})
+    assert mt.changes_for_commit(spark, root, 2, ["k"]) is None
+    with pytest.raises(ValueError, match="no data commits"):
+        mt.read_change_feed(spark, root, 1, 2, ["k"])
+
+
+def test_cdf_ivm_fold_matches_direct_recompute(spark, sf_dir):
+    """The IVM consumer: state(v1) folded with signed CDF deltas must
+    equal the direct aggregate over the merged head (v2)."""
+    from customer_revenue_analysis_sql_tableau_spark.functions.money import cents
+
+    folded = mt.manifest_cdf_ivm_revenue(spark, sf_dir)
+    root = mt._merge_root(spark, sf_dir)
+    direct = (
+        mt.read_manifested(spark, root, 2)
+        .groupBy(F.col(MONTH_COL).alias("pm"))
+        .agg(
+            F.sum(cents("o_totalprice")).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    assert folded.exceptAll(direct).count() == 0
+    assert direct.exceptAll(folded).count() == 0
