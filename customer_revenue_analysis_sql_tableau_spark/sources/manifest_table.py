@@ -866,6 +866,182 @@ def stream_manifest_append_drain(
 
 
 # ---------------------------------------------------------------------------
+# Streaming MERGE sink: per-micro-batch CoW upsert + batch-id-keyed
+# commit (r13 VERDICT Next #4 — the Delta streaming-upsert contract).
+# ---------------------------------------------------------------------------
+
+#: The streaming-merge drain's delivery: 3 micro-batches; batch k
+#: carries keys with ``o_orderkey % 3 in (0, k)`` at price
+#: ``base + k·BUMP`` — so mod-0 keys are UPSERTED three times (their
+#: final image must be batch 2's, and exactly once), mod-1/mod-2 keys
+#: insert once. Any double-applied or lost upsert hash-fails the
+#: row-level oracle.
+STREAM_MERGE_BATCHES = 3
+STREAM_MERGE_BUMP = 250.0
+
+
+def _stream_merge_root(spark: SparkSession, sf_dir: str) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{warehouse}/manifest_smerge_{_stage_fingerprint(sf_dir)}"
+
+
+def publish_stream_merge_batch(
+    spark: SparkSession, root: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """Publish ONE micro-batch as a MERGE (full-row upsert keyed by
+    ``o_orderkey``) into the manifested table, exactly once:
+
+    1. replay guard: version ``batch_id + 2`` already committed → skip;
+    2. matched-file discovery: semi-join the head on the BROADCAST
+       batch keys under ``input_file_name()`` — the driver collects
+       only (month, file) pairs, bounded by file count; rewrite I/O is
+       ∝ files that actually hold a matched key, never the table;
+    3. CoW: each affected file set is rewritten WITHOUT the matched
+       keys (update = delete-old + insert-new, valid for full-row
+       upserts) under ``mb{batch}-`` names;
+    4. the batch's rows land partitioned under ``b{batch}-`` names;
+    5. ONE commit publishes rewrites + inserts atomically.
+
+    A torn batch (files landed, no commit) leaves only orphans; the
+    checkpoint replays the same batch id, which lands fresh names and
+    commits once. Empty batches commit head-carry so the version
+    arithmetic never holes."""
+    import shutil
+
+    base = root.removeprefix("file:")
+    ver = int(batch_id) + 2
+    cur = manifest_chain(root)
+    if ver in cur:
+        return  # replayed batch: already published
+    head = cur[max(cur)]
+    files = {m: list(ns) for m, ns in head["files"].items()}
+    if not batch_df.isEmpty():
+        batch = batch_df.withColumn(
+            MONTH_COL, F.date_format(F.col("o_orderdate"), "yyyy-MM")
+        )
+        keys = batch.select("o_orderkey")
+        if any(files.values()):
+            head_df = read_manifested(spark, root, max(cur))
+            aff = (
+                head_df.withColumn("fname", F.input_file_name())
+                .join(F.broadcast(keys), "o_orderkey", "left_semi")
+                .select(MONTH_COL, "fname")
+                .distinct()
+                .collect()
+            )
+            affected: dict[str, set[str]] = {}
+            for r in aff:
+                affected.setdefault(r[MONTH_COL], set()).add(
+                    os.path.basename(r["fname"])
+                )
+            for m, names in sorted(affected.items()):
+                src = [f"{root}/{MONTH_COL}={m}/{n}" for n in sorted(names)]
+                kept = spark.read.parquet(*src).join(
+                    F.broadcast(keys), "o_orderkey", "left_anti"
+                )
+                tmp = os.path.join(base, "_pack_tmp", f"mb{batch_id}-{m}")
+                shutil.rmtree(tmp, ignore_errors=True)
+                kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+                landed = land_files(
+                    tmp,
+                    os.path.join(base, f"{MONTH_COL}={m}"),
+                    f"mb{batch_id}-",
+                )
+                files[m] = [n for n in files[m] if n not in names] + landed
+        tmpd = os.path.join(base, "_stream_tmp", f"b{batch_id}")
+        shutil.rmtree(tmpd, ignore_errors=True)
+        batch.write.partitionBy(MONTH_COL).parquet(tmpd)
+        for m, ns in land_partitioned_files(
+            tmpd, base, f"b{batch_id}-"
+        ).items():
+            files.setdefault(m, []).extend(ns)
+        shutil.rmtree(os.path.join(base, "_pack_tmp"), ignore_errors=True)
+        shutil.rmtree(tmpd, ignore_errors=True)
+    commit_manifest(root, {"version": ver, "files": files})
+
+
+def stream_manifest_merge_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACTLY-ONCE STREAMING MERGE into the manifested table — the
+    composition the r13 verdict asked for: each micro-batch is one CoW
+    upsert + one batch-id-keyed commit (replays skip), reusing the
+    MERGE machinery under the append sink's idempotence discipline.
+    The registered query returns the ENTIRE final table, a row-level
+    oracle: every key's surviving image must be its LAST delivery's
+    (mod-0 keys were re-delivered and updated twice), present exactly
+    once — a torn-batch double-apply, a lost neighbor in a rewritten
+    file, or a stale image all hash-fail."""
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    root = _stream_merge_root(spark, sf_dir)
+    base = root.removeprefix("file:")
+    n_expected = STREAM_MERGE_BATCHES + 1
+
+    cur0 = sorted(manifest_chain(root))
+    if cur0 and cur0 != list(range(1, len(cur0) + 1)):
+        shutil.rmtree(base, ignore_errors=True)  # stale (vacuumed) universe
+    if len(manifest_chain(root)) < n_expected:
+        os.makedirs(base, exist_ok=True)
+        if 1 not in manifest_chain(root):  # v1: the empty table
+            os.makedirs(_mdir(root), exist_ok=True)
+            atomic_write_json(
+                os.path.join(_mdir(root), "manifest_v1"),
+                {"version": 1, "files": {}},
+            )
+        orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+        delivery = orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        )
+
+        def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+            publish_stream_merge_batch(spark, root, batch_df, batch_id)
+
+        tmp = tempfile.mkdtemp(prefix="manifest_smerge_")
+        try:
+            src = f"{tmp}/src"
+            base_ts = time.time() - 1000
+            seen: set[str] = set()
+            for k in range(STREAM_MERGE_BATCHES):
+                mod = F.col("o_orderkey") % STREAM_MERGE_BATCHES
+                delivery.filter((mod == 0) | (mod == k)).withColumn(
+                    "o_totalprice",
+                    F.col("o_totalprice")
+                    + F.lit(k * STREAM_MERGE_BUMP),
+                ).coalesce(1).write.mode("append").parquet(src)
+                for f in glob.glob(f"{src}/part-*.parquet"):
+                    if f not in seen:
+                        seen.add(f)
+                        os.utime(f, (base_ts + k * 10, base_ts + k * 10))
+            (
+                spark.readStream.schema(
+                    "o_orderkey bigint, o_custkey bigint,"
+                    " o_totalprice double, o_orderdate timestamp"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(on_batch)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return read_manifested(spark, root).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.col(MONTH_COL).alias("pm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Schema evolution carried by the manifest (not by footer merging).
 # ---------------------------------------------------------------------------
 
@@ -1567,6 +1743,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parquet_compact_manifest_atomic": parquet_compact_manifest_atomic,
     "parquet_manifest_incremental_read": parquet_manifest_incremental_read,
     "stream_manifest_append_drain": stream_manifest_append_drain,
+    "stream_manifest_merge_drain": stream_manifest_merge_drain,
     "parquet_manifest_schema_evolution": parquet_manifest_schema_evolution,
     "parquet_manifest_delete_where": parquet_manifest_delete_where,
     "parquet_manifest_merge_upsert": parquet_manifest_merge_upsert,
@@ -1611,6 +1788,19 @@ ORACLES: dict[str, str] = {
                CAST({STREAM_APPEND_BATCHES} AS BIGINT) AS n_commits,
                TRUE AS increments_match_batches,
                TRUE AS increments_partition_head
+        FROM orders""",
+    # streaming MERGE, row-level over the WHOLE final table: each key's
+    # surviving image is its LAST delivery's — mod-0 keys re-delivered
+    # in batches 1 and 2 must carry batch 2's price exactly once;
+    # mod-k keys insert once at their batch's price
+    "stream_manifest_merge_drain": f"""
+        SELECT o_orderkey, o_custkey,
+               o_totalprice + CASE
+                 WHEN o_orderkey % {STREAM_MERGE_BATCHES} = 1
+                 THEN {1 * STREAM_MERGE_BUMP}
+                 ELSE {(STREAM_MERGE_BATCHES - 1) * STREAM_MERGE_BUMP}
+               END AS o_totalprice,
+               o_orderdate, strftime(o_orderdate, '%Y-%m') AS pm
         FROM orders""",
     # manifest-pinned schema evolution, row-level: the evolved table
     # holds the price only where the new-schema months carry it, and

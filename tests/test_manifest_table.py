@@ -854,3 +854,88 @@ def test_cdf_ivm_fold_matches_direct_recompute(spark, sf_dir):
     )
     assert folded.exceptAll(direct).count() == 0
     assert direct.exceptAll(folded).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r14: exactly-once streaming MERGE into the manifested table.
+# ---------------------------------------------------------------------------
+
+
+def test_stream_merge_drain_final_state_and_idempotence(spark, sf_dir):
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+
+    df = mt.stream_manifest_merge_drain(spark, sf_dir)
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    assert df.count() == orders.count()  # every key exactly once
+    # mod-0 keys (upserted twice) carry the LAST delivery's price
+    j = df.filter(F.col("o_orderkey") % mt.STREAM_MERGE_BATCHES == 0).join(
+        orders.select("o_orderkey", F.col("o_totalprice").alias("base")),
+        "o_orderkey",
+    )
+    bump = (mt.STREAM_MERGE_BATCHES - 1) * mt.STREAM_MERGE_BUMP
+    assert j.filter(
+        F.col("o_totalprice") != F.col("base") + bump
+    ).count() == 0
+    # duplicate check: no key appears twice
+    assert df.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+    # a second call must not re-run the stream or change anything
+    root = mt._stream_merge_root(spark, sf_dir).removeprefix("file:")
+    n_files = sum(len(fs) for _r, _d, fs in os.walk(root))
+    again = mt.stream_manifest_merge_drain(spark, sf_dir)
+    assert again.count() == df.count()
+    assert sum(len(fs) for _r, _d, fs in os.walk(root)) == n_files
+
+
+def test_stream_merge_torn_commit_replays_exactly_once(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Rip the LAST merge commit off a completed stream: re-entry must
+    re-publish exactly that batch — the head holds every key once with
+    its final image, and the torn first run's files are orphans vacuum
+    collects without changing the head."""
+    import shutil
+
+    first = mt.stream_manifest_merge_drain(spark, sf_dir)
+    d0 = content_digest(first, ("o_orderkey", "o_totalprice"))
+    shared = mt._stream_merge_root(spark, sf_dir).removeprefix("file:")
+    clone = str(tmp_path / "smerge_clone")
+    shutil.copytree(shared, clone)
+    monkeypatch.setattr(mt, "_stream_merge_root", lambda s_, sf_: clone)
+    last_v = mt.STREAM_MERGE_BATCHES + 1
+    os.remove(os.path.join(mt._mdir(clone), f"manifest_v{last_v}"))
+    replay = mt.stream_manifest_merge_drain(spark, sf_dir)
+    assert content_digest(replay, ("o_orderkey", "o_totalprice")) == d0
+    deleted, _exp = mt.vacuum_manifested(clone, grace_seconds=0)
+    assert len(deleted) > 0  # the torn run's orphaned files
+    assert (
+        content_digest(
+            mt.read_manifested(spark, clone),
+            ("o_orderkey", "o_totalprice"),
+        )
+        == d0
+    )
+
+
+def test_stream_merge_rewrites_only_matched_files(spark, sf_dir):
+    """Confinement: batch 1's CoW rewrites (mb1- names) replace ONLY
+    files of months that held a mod-0 or mod-1 key at v2; every other
+    v2 file name is carried verbatim into v3."""
+    mt.stream_manifest_merge_drain(spark, sf_dir)
+    root = mt._stream_merge_root(spark, sf_dir)
+    chain = mt.manifest_chain(root)
+    v2, v3 = chain[2], chain[3]
+    v2_files = {
+        (m, n) for m, ns in v2["files"].items() for n in ns
+    }
+    v3_files = {
+        (m, n) for m, ns in v3["files"].items() for n in ns
+    }
+    new = v3_files - v2_files
+    assert new  # batch 1 landed rewrites + inserts
+    assert all(
+        n.startswith(("mb1-", "b1-")) for _m, n in new
+    )
+    removed = v2_files - v3_files
+    # every removed file was replaced by a rewrite in the same month
+    rewritten_months = {m for m, n in new if n.startswith("mb1-")}
+    assert removed and {m for m, _n in removed} <= rewritten_months
