@@ -1394,6 +1394,198 @@ def parquet_manifest_merge_upsert(
 
 
 # ---------------------------------------------------------------------------
+# OPTIMIZE ... ZORDER BY: the one compaction that legitimately
+# shuffles (r13 VERDICT Next #6) — Morton-clustered rewrite committed
+# through the manifest, with the skipping payoff measured from the
+# parquet footers themselves.
+# ---------------------------------------------------------------------------
+
+ZORDER_CUTOFF = PART_COMPACT_CUTOFF
+ZORDER_FILES_PER_MONTH = 4
+ZORDER_X, ZORDER_Y = "o_custkey", "o_totalprice"
+
+
+def zorder_pack_partition(
+    spark: SparkSession,
+    root: str,
+    month: str,
+    names: list[str],
+    prefix: str,
+    xcol: str,
+    ycol: str,
+    n_files: int,
+) -> list[str]:
+    """Clustered rewrite of ONE partition's committed files along the
+    Morton curve of (xcol, ycol) (``sources.zorder``): a
+    ``repartitionByRange`` on the interleaved z-value — sample-based
+    range partitioning, the same machinery as any global sort, paid
+    once at OPTIMIZE time — then landed under never-referenced
+    ``prefix`` names. Unlike the bin-pack this IS a shuffle, and that
+    is the point: footer min/max stats of z-contiguous files cover
+    tiles of the (x, y) plane, so readers skip files on EITHER
+    predicate afterwards."""
+    import shutil
+
+    from .zorder import zorder_value
+
+    base = root.removeprefix("file:")
+    src = [f"{root}/{MONTH_COL}={month}/{n}" for n in names]
+    df = spark.read.parquet(*src)
+    tmp = os.path.join(base, "_pack_tmp", f"{prefix}{MONTH_COL}={month}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        zorder_value(df, xcol, ycol)
+        .repartitionByRange(n_files, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    landed = land_files(
+        tmp, os.path.join(base, f"{MONTH_COL}={month}"), prefix
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return landed
+
+
+def _file_minmax(path: str, cols: list[str]) -> dict[str, tuple] | None:
+    """Per-file (min, max) of ``cols`` from the parquet FOOTER row-group
+    statistics — zero data I/O, exactly the metadata a scan's file-skip
+    decision reads. ``None`` when any stat is absent (counts as
+    eligible, the conservative reading)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict[str, tuple] = {}
+    for c in cols:
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        out[c] = (mn, mx)
+    return out
+
+
+def count_eligible_files(
+    root: str,
+    files: dict[str, list[str]],
+    months: list[str],
+    box: dict[str, tuple],
+) -> tuple[int, int]:
+    """``(total files, files a footer-stats skip would still read)``
+    for a conjunctive range predicate ``box`` over the listed months.
+    O(#files) footer metadata on the driver — the measurement twin of
+    the scan-side skip."""
+    base = root.removeprefix("file:")
+    total = eligible = 0
+    for m in months:
+        for n in files.get(m, []):
+            total += 1
+            mm = _file_minmax(
+                os.path.join(base, f"{MONTH_COL}={m}", n), list(box)
+            )
+            if mm is None or all(
+                mm[c][0] <= hi and mm[c][1] >= lo
+                for c, (lo, hi) in box.items()
+            ):
+                eligible += 1
+    return total, eligible
+
+
+def _zorder_root(spark: SparkSession, sf_dir: str) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{warehouse}/manifest_zorder_{_stage_fingerprint(sf_dir)}"
+
+
+def parquet_manifest_zorder_optimize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``OPTIMIZE ... WHERE ... ZORDER BY (o_custkey, o_totalprice)``
+    as a manifest-committed rewrite — connecting ``sources/zorder.py``'s
+    Morton projection to the table lifecycle (r13 VERDICT Next #6):
+
+    1. selected partitions are rewritten z-clustered (the shuffle is
+       the feature) and published in ONE atomic commit; unselected
+       months carry verbatim;
+    2. the payoff is measured from the footers: under a small
+       (custkey-band AND price-band) query box, the v1 random layout
+       leaves ~every file eligible, the v2 clustered layout must leave
+       strictly fewer — recomputed from the on-disk stats every call;
+    3. the content digest is unchanged across the rewrite (clustering
+       is content-neutral), and the commit is the usual CAS.
+
+    Scale posture: per-partition range-shuffle ∝ the partition, footer
+    measurement is O(#files) metadata; at 100 TB the identical
+    mechanism prices the OPTIMIZE and the reader's skip."""
+    root = _zorder_root(spark, sf_dir)
+    _ensure_staged_orders(spark, sf_dir, root)
+    if not manifest_chain(root):
+        init_manifest(root)
+    chain = manifest_chain(root)
+    selected = sorted(
+        m for m in chain[1]["files"] if m < ZORDER_CUTOFF
+    )
+    if 2 not in chain:
+        v1 = chain[1]
+        files = {m: list(ns) for m, ns in v1["files"].items()}
+        for m in selected:
+            files[m] = zorder_pack_partition(
+                spark, root, m, v1["files"][m], "z2-",
+                ZORDER_X, ZORDER_Y, ZORDER_FILES_PER_MONTH,
+            )
+        commit_manifest(root, {"version": 2, "files": files})
+        chain = manifest_chain(root)
+
+    # ---- recompute the contract from the on-disk post-state ----
+    d1 = content_digest(
+        read_manifested(spark, root, 1),
+        ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", MONTH_COL),
+    )
+    d2 = content_digest(
+        read_manifested(spark, root, 2),
+        ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", MONTH_COL),
+    )
+    # the query box: a decile band of each clustering key, placed
+    # inside one Morton quadrant (a box STRADDLING the midpoint touches
+    # every quadrant and defeats any clustering); bounds from one 1-row
+    # aggregation over the table
+    b = read_manifested(spark, root, 2).agg(
+        F.min(ZORDER_X), F.max(ZORDER_X), F.min(ZORDER_Y), F.max(ZORDER_Y)
+    ).collect()[0]
+    xlo = b[0] + (b[1] - b[0]) * 0.10
+    xhi = b[0] + (b[1] - b[0]) * 0.20
+    ylo = b[2] + (b[3] - b[2]) * 0.10
+    yhi = b[2] + (b[3] - b[2]) * 0.20
+    box = {ZORDER_X: (xlo, xhi), ZORDER_Y: (ylo, yhi)}
+    n1, elig1 = count_eligible_files(root, chain[1]["files"], selected, box)
+    n2, elig2 = count_eligible_files(root, chain[2]["files"], selected, box)
+    unselected_untouched = all(
+        chain[1]["files"][m] == chain[2]["files"][m]
+        for m in chain[1]["files"]
+        if m not in selected
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(d2[0]),
+                int(len(selected)),
+                bool(d1 == d2),
+                bool(elig2 < elig1),
+                bool(elig2 < n2),
+                bool(unselected_untouched),
+            )
+        ],
+        "n_rows bigint, n_selected bigint, digest_unchanged boolean,"
+        " skip_improved boolean, clustered_layout_skips boolean,"
+        " unselected_untouched boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Row-level CHANGE DATA FEED: derived from CoW file diffs, no stored
 # change files (r13 VERDICT Next #2).
 # ---------------------------------------------------------------------------
@@ -1748,6 +1940,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parquet_manifest_delete_where": parquet_manifest_delete_where,
     "parquet_manifest_merge_upsert": parquet_manifest_merge_upsert,
     "parquet_manifest_conflict_detect": parquet_manifest_conflict_detect,
+    "parquet_manifest_zorder_optimize": parquet_manifest_zorder_optimize,
     "parquet_manifest_change_feed": parquet_manifest_change_feed,
     "parquet_manifest_change_feed_delete": parquet_manifest_change_feed_delete,
     "manifest_cdf_ivm_revenue": manifest_cdf_ivm_revenue,
@@ -1872,6 +2065,22 @@ ORACLES: dict[str, str] = {
                strftime(o_orderdate, '%Y-%m') AS pm
         FROM orders
         WHERE o_custkey % {TXN_APPEND_MOD} = {TXN_APPEND_REM}""",
+    # clustered OPTIMIZE: DuckDB recomputes the row count and the
+    # selection size; the clustering invariants — digest unchanged
+    # across the shuffle rewrite, footer-stats skip strictly improved
+    # under the quadrant box, unselected months verbatim — are
+    # recomputed from the on-disk footers/chain and must hold
+    "parquet_manifest_zorder_optimize": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT CASE
+                      WHEN strftime(o_orderdate, '%Y-%m') < '{ZORDER_CUTOFF}'
+                      THEN strftime(o_orderdate, '%Y-%m') END)
+                    AS BIGINT) AS n_selected,
+               TRUE AS digest_unchanged,
+               TRUE AS skip_improved,
+               TRUE AS clustered_layout_skips,
+               TRUE AS unselected_untouched
+        FROM orders""",
     # the MERGE commit's change feed, row-level: DuckDB recomputes all
     # three change classes from the fact — pre-images at the original
     # price, post-images bumped, inserts key-shifted; carried neighbors

@@ -939,3 +939,61 @@ def test_stream_merge_rewrites_only_matched_files(spark, sf_dir):
     # every removed file was replaced by a rewrite in the same month
     rewritten_months = {m for m, n in new if n.startswith("mb1-")}
     assert removed and {m for m, _n in removed} <= rewritten_months
+
+
+# ---------------------------------------------------------------------------
+# r14: clustered OPTIMIZE (ZORDER) through the manifest.
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_optimize_entry_invariants(spark, sf_dir):
+    row = mt.parquet_manifest_zorder_optimize(spark, sf_dir).collect()[0]
+    from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    assert row["n_rows"] == orders.count()
+    assert row["n_selected"] > 0
+    assert row["digest_unchanged"] is True
+    assert row["skip_improved"] is True
+    assert row["clustered_layout_skips"] is True
+    assert row["unselected_untouched"] is True
+    # idempotent replay
+    again = mt.parquet_manifest_zorder_optimize(spark, sf_dir).collect()[0]
+    assert tuple(again) == tuple(row)
+
+
+def test_zorder_skip_measured_from_footers(spark):
+    """The magnitude behind the boolean: under the quadrant box the
+    clustered layout must read at most half the files the random
+    layout reads (footer stats only, zero data I/O). Pinned at sf0.01
+    — at sf0.001 a month holds ~20 rows, so even the random layout's
+    3-row files have ranges narrow enough to skip and the file-count
+    magnitude is meaningless (the entry's absolute-count boolean still
+    holds there)."""
+    sf_dir = "/root/testdata/sf0.01"
+    mt.parquet_manifest_zorder_optimize(spark, sf_dir).collect()
+    root = mt._zorder_root(spark, sf_dir)
+    chain = mt.manifest_chain(root)
+    selected = sorted(m for m in chain[1]["files"] if m < mt.ZORDER_CUTOFF)
+    b = mt.read_manifested(spark, root, 2).agg(
+        F.min(mt.ZORDER_X), F.max(mt.ZORDER_X),
+        F.min(mt.ZORDER_Y), F.max(mt.ZORDER_Y),
+    ).collect()[0]
+    box = {
+        mt.ZORDER_X: (
+            b[0] + (b[1] - b[0]) * 0.10, b[0] + (b[1] - b[0]) * 0.20
+        ),
+        mt.ZORDER_Y: (
+            b[2] + (b[3] - b[2]) * 0.10, b[2] + (b[3] - b[2]) * 0.20
+        ),
+    }
+    n1, e1 = mt.count_eligible_files(root, chain[1]["files"], selected, box)
+    n2, e2 = mt.count_eligible_files(root, chain[2]["files"], selected, box)
+    assert e1 / n1 > 0.9  # random layout: nearly every file eligible
+    assert e2 / n2 <= 0.5  # clustered layout: at least half skipped
+    # partition pruning still holds on the clustered manifested read
+    df = mt.read_manifested(spark, root, 2).filter(
+        F.col(MONTH_COL) == selected[0]
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and selected[0] in plan
