@@ -198,6 +198,39 @@ def _cpu_calibration_mt(n_threads: int) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _bandwidth_calibration(spark) -> float:
+    """Shuffle/memory-BANDWIDTH gauge (r13 VERDICT "wrong" #1): a fixed
+    24M-row hash-repartition + aggregation whose cost rides shuffle
+    write/read and memory bandwidth, not single-core CPU speed — the
+    axis the sha256 gauges cannot see (r13's driver artifact read 1.24×
+    with BOTH CPU gauges near-clean because the co-tenant pressure was
+    on the memory/IO side, which is what the shuffle-heavy entries
+    actually ride). One untimed pass compiles the codegen; the gauge is
+    min-of-3. A round whose total moved while (st, mt) read clean but
+    this gauge moved alike is host drift, self-diagnosing from the
+    artifact alone; bench_compare prints the deflated ratio."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        n = (
+            spark.range(24_000_000)
+            .select(
+                (F.col("id") * 2654435761 % 1048576).alias("k"),
+                F.col("id").alias("v"),
+            )
+            .repartition(64, "k")
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"))
+            .count()
+        )
+        assert n > 0
+        return time.perf_counter() - t0
+
+    once()  # codegen + shuffle-path warmup, untimed
+    return round(min(once() for _ in range(3)), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -205,6 +238,7 @@ def main() -> None:
     calibration = min(_cpu_calibration() for _ in range(3))
     calibration_mt = min(_cpu_calibration_mt(cpus) for _ in range(3))
     spark = get_spark("bench")
+    calibration_bw = _bandwidth_calibration(spark)
     queries = entrymod.queries()
 
     # untimed layout build for the bucketed-view A/B: the write-once
@@ -359,11 +393,13 @@ def main() -> None:
     n = queries["view_customer_value_summary"](spark, sf_dir).count()
     assert n >= 0
     aux["view_customer_value_summary__warm"] = round(time.perf_counter() - t0, 3)
-    # post-run multi-core gauge: a burst that began or ended mid-run
-    # shows up as pre/post divergence (detail line, not the summary)
+    # post-run multi-core + bandwidth gauges: a burst that began or
+    # ended mid-run shows up as pre/post divergence (detail line, not
+    # the summary)
     aux["cpu_calibration_mt_final_s"] = min(
         _cpu_calibration_mt(cpus) for _ in range(3)
     )
+    aux["shuffle_calibration_final_s"] = _bandwidth_calibration(spark)
 
     first, final = sentinels[0], sentinels[-1]
     drift_pct = round((final - first) / first * 100, 1)
@@ -408,6 +444,7 @@ def main() -> None:
         "normalized_total": round(sum(normalized.values()), 3),
         "cpu_calibration_s": calibration,
         "cpu_calibration_mt_s": calibration_mt,
+        "shuffle_calibration_s": calibration_bw,
         "sentinel_clean": sentinel_clean,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

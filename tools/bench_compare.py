@@ -60,6 +60,13 @@ def main() -> None:
             f"multi-core gauge:  old={mo}  new={mn}  "
             f"deflated ratio={(sn / mn) / (so / mo):.3f}x"
         )
+    bo, bn = old.get("shuffle_calibration_s"), new.get("shuffle_calibration_s")
+    if bo and bn:
+        print(
+            f"bandwidth gauge:   old={bo}  new={bn}  "
+            f"deflated ratio={(sn / bn) / (so / bo):.3f}x  "
+            f"(shuffle/memory axis — the one the CPU gauges miss)"
+        )
     # clamp old timings that round(…,3) collapsed to 0.0 — a
     # sub-millisecond query must not ZeroDivisionError the whole diff
     ratio = lambda k: qn[k] / max(qo[k], 0.001)  # noqa: E731
