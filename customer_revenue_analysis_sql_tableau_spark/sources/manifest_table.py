@@ -283,6 +283,7 @@ def commit_transaction(
     removed: dict[str, list[str]],
     added: dict[str, list[str]],
     max_retries: int = 20,
+    extra: dict | None = None,
 ) -> tuple[dict, int]:
     """Optimistic-concurrency COMMIT — the transaction protocol's
     missing verb on top of the version CAS (r13 VERDICT Next #1). A
@@ -321,7 +322,7 @@ def commit_transaction(
         for m, ns in added.items():
             files[m] = files.get(m, []) + list(ns)
         files = {m: ns for m, ns in files.items() if ns}
-        payload = {"version": attempt_v, "files": files}
+        payload = {"version": attempt_v, "files": files, **(extra or {})}
         try:
             commit_manifest(root, payload)
             return payload, rebases
@@ -1768,6 +1769,43 @@ def manifest_cdf_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def manifest_cdf_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF composed across a CHAIN of streaming-merge commits — the
+    multi-commit proof: the stream-merge universe's three upsert
+    commits (insert-only, update+insert, update+insert) are read as ONE
+    change feed from the empty v1 to the head, and the signed-delta
+    fold over that feed alone must reproduce the per-month aggregate of
+    the FINAL table (DuckDB recomputes it from the upsert semantics).
+    Every intermediate image must cancel exactly: a mod-0 key
+    contributes +base, −base/+base+250, −(base+250)/+(base+500) across
+    the three commits — any commit's feed misclassifying an update as
+    an insert (or leaking a carried neighbor) double-counts and
+    hash-fails. This is what a downstream incremental consumer does
+    when it catches up over several commits at once."""
+    from ..functions.money import cents
+
+    stream_manifest_merge_drain(spark, sf_dir)  # ensure the universe
+    root = _stream_merge_root(spark, sf_dir)
+    head_v = max(manifest_chain(root))
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        read_change_feed(spark, root, 1, head_v, ["o_orderkey"])
+        .select(
+            F.col(MONTH_COL).alias("pm"),
+            (sign * cents("o_totalprice")).alias("revenue_cents"),
+            sign.cast("bigint").alias("n_orders"),
+        )
+        .groupBy("pm")
+        .agg(
+            F.sum("revenue_cents").alias("revenue_cents"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Transaction conflict detection: a deterministic MERGE-vs-OPTIMIZE race.
 # ---------------------------------------------------------------------------
@@ -1944,6 +1982,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parquet_manifest_change_feed": parquet_manifest_change_feed,
     "parquet_manifest_change_feed_delete": parquet_manifest_change_feed_delete,
     "manifest_cdf_ivm_revenue": manifest_cdf_ivm_revenue,
+    "manifest_cdf_stream_fold": manifest_cdf_stream_fold,
 }
 
 ORACLES: dict[str, str] = {
@@ -2131,5 +2170,23 @@ ORACLES: dict[str, str] = {
             SELECT strftime(o_orderdate, '%Y-%m') AS pm, o_totalprice
             FROM orders
             WHERE o_orderkey % {MERGE_KEY_MOD} = {MERGE_KEY_REM}
+        ) GROUP BY pm""",
+    # CDF composed across the streaming-merge CHAIN: the signed fold
+    # over the three upsert commits' feeds alone (empty v1 state) must
+    # equal the per-month aggregate of the final upserted table —
+    # every intermediate image cancels exactly or the hash fails
+    "manifest_cdf_stream_fold": f"""
+        SELECT pm,
+               CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents,
+               count(*) AS n_orders
+        FROM (
+            SELECT strftime(o_orderdate, '%Y-%m') AS pm,
+                   o_totalprice + CASE
+                     WHEN o_orderkey % {STREAM_MERGE_BATCHES} = 1
+                     THEN {1 * STREAM_MERGE_BUMP}
+                     ELSE {(STREAM_MERGE_BATCHES - 1) * STREAM_MERGE_BUMP}
+                   END AS price
+            FROM orders
         ) GROUP BY pm""",
 }

@@ -32,6 +32,7 @@ def _worst_case_summary() -> dict:
         "normalized_total": 9999.999,
         "cpu_calibration_s": 99.999,
         "cpu_calibration_mt_s": 99.999,
+        "shuffle_calibration_s": 99.999,
         "sentinel_clean": False,
         "sf": 0.001,
     }

@@ -1,0 +1,136 @@
+"""ManifestTable facade (r14): the declarative verb surface over the
+manifest-committed table — every mutation one conflict-checked commit,
+history as DESCRIBE HISTORY, time travel / CDF / incremental as reads.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_revenue_analysis_sql_tableau_spark.lake_core import content_digest
+from customer_revenue_analysis_sql_tableau_spark.sources import manifest_table as mt
+from customer_revenue_analysis_sql_tableau_spark.sources.parquet import MONTH_COL
+from customer_revenue_analysis_sql_tableau_spark.sources.table_api import (
+    ManifestTable,
+    parquet_manifest_history,
+    _api_root,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """A small 3-month table created through the API."""
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).cast("double").alias("v"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2001-0"),
+                (F.col("id") % 3 + 1).cast("string"),
+                F.lit("-15"),
+            )
+        ).alias("ts"),
+    )
+    t = ManifestTable.create(spark, df, str(tmp_path / "tbl"), date_col="ts")
+    return t
+
+
+def _dig(t, version=None):
+    return content_digest(t.read(version), ("k", "v", MONTH_COL))
+
+
+def test_api_lifecycle_and_history(spark, table):
+    t = table
+    assert t.version() == 1
+    d1 = _dig(t)
+    # UPSERT: update k%5==0 (v doubled), insert k+1000 twins
+    hit = t.read(1).filter(F.col("k") % 5 == 0)
+    src = hit.withColumn("v", F.col("v") * 2).unionByName(
+        hit.withColumn("k", F.col("k") + 1000)
+    )
+    t.upsert(src, key="k")
+    assert t.version() == 2
+    assert t.read().count() == 300 + 60
+    # updated rows carry the new image exactly once
+    upd = t.read().filter((F.col("k") % 5 == 0) & (F.col("k") < 1000))
+    assert upd.count() == 60
+    assert upd.filter(F.col("v") != F.col("k") * 6).count() == 0
+    # DELETE: drop 2001-02 as metadata, k%7==3 elsewhere as CoW
+    t.delete_where(months=["2001-02"], predicate=F.col("k") % 7 == 3)
+    assert t.version() == 3
+    head = t.read()
+    assert head.filter(F.col(MONTH_COL) == "2001-02").count() == 0
+    assert head.filter(
+        (F.col("k") % 7 == 3) & (F.col(MONTH_COL) != "2001-02")
+    ).count() == 0
+    n3 = head.count()
+    # OPTIMIZE: pack the surviving months; content unchanged
+    months = sorted(mt.manifest_chain(t.root)[3]["files"])
+    d_pre = _dig(t)
+    t.optimize(months)
+    assert t.version() == 4 and _dig(t) == d_pre
+    assert t.read().count() == n3
+    # history: operations tagged, file tallies consistent
+    hist = {r["version"]: r for r in t.history().collect()}
+    assert [hist[v]["operation"] for v in (1, 2, 3, 4)] == [
+        "CREATE", "UPSERT", "DELETE", "OPTIMIZE",
+    ]
+    assert hist[1]["n_removed_files"] == 0
+    assert hist[3]["n_removed_files"] > 0  # the drop + rewrite
+    assert hist[4]["n_added_files"] > 0 and hist[4]["n_removed_files"] > 0
+    # time travel: v1 still serves the original content
+    assert _dig(t, 1) == d1
+    # vacuum to head; head unchanged, old versions expire
+    deleted, expired = t.vacuum(grace_seconds=0)
+    assert expired == [1, 2, 3] and len(deleted) > 0
+    assert _dig(t) == d_pre
+
+
+def test_api_upsert_requires_partition_column(spark, table):
+    src = spark.createDataFrame([(1, 2.0)], "k bigint, v double")
+    with pytest.raises(ValueError, match=MONTH_COL):
+        table.upsert(src, key="k")
+
+
+def test_api_stale_writer_conflicts_through_facade(spark, table):
+    """Two facade writers from the same snapshot: a commuting append-
+    style upsert (disjoint keys, no matched files) rebases; an
+    overlapping rewrite aborts — the facade inherits
+    commit_transaction's classification."""
+    t = table
+    # writer A: delete a month (removes its files)
+    t.delete_where(months=["2001-01"])
+    # writer B prepared against v1: optimize the SAME month — its
+    # removed set was already dropped by A
+    v1 = mt.manifest_chain(t.root)[1]
+    packed = mt.pack_partition_files(
+        spark, t.root, "2001-01", v1["files"]["2001-01"], 99
+    )
+    with pytest.raises(mt.CommitConflictError):
+        mt.commit_transaction(
+            t.root, 1,
+            {"2001-01": v1["files"]["2001-01"]},
+            {"2001-01": packed},
+            extra={"operation": "OPTIMIZE"},
+        )
+
+
+def test_history_entry_torn_run_resumes(spark, sf_dir, tmp_path, monkeypatch):
+    """Rip the DELETE commit (v3) off a completed lifecycle: replay
+    must re-run delete + optimize and converge to the same history."""
+    import shutil
+    from customer_revenue_analysis_sql_tableau_spark.sources import table_api
+
+    first = parquet_manifest_history(spark, sf_dir).collect()
+    shared = _api_root(spark, sf_dir).removeprefix("file:")
+    clone = str(tmp_path / "api_clone")
+    shutil.copytree(shared, clone)
+    monkeypatch.setattr(table_api, "_api_root", lambda s_, sf_: clone)
+    for v in (3, 4):
+        os.remove(os.path.join(mt._mdir(clone), f"manifest_v{v}"))
+    replay = parquet_manifest_history(spark, sf_dir).collect()
+    assert [tuple(r) for r in replay] == [tuple(r) for r in first]
