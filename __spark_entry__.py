@@ -82,23 +82,26 @@ _REGISTRY_MODULES = [
 # (1) the TWO r7-stale budget-spill entries FIRST (r13 Next #3 — both
 # code-unchanged and pytest-pinned, swept before anything else so the
 # registry-wide proof floor finally clears r7);
-# (2) the EIGHT new r14 entries, first driver proof — transaction
+# (2) the NINE new r14 entries, first driver proof — transaction
 # conflict detection (deterministic merge-vs-stale-compaction abort
 # CAPTURED plus a commuting append rebase, row-level oracle over the
 # final table; r13 Next #1), the MERGE and DELETE commits' row-level
 # change feeds plus the signed-delta IVM consumer (r13 Next #2), the
 # exactly-once streaming MERGE drain (r13 Next #4), and the
 # manifest-committed OPTIMIZE ZORDER with footer-measured skipping
-# (r13 Next #6);
-# (3) TWO r13 manifest entries whose bootstrap was restructured this
-# round (torn-v1/v2 resume gating — the riskiest change class) and
-# must re-prove. The other changed manifest entries (compact-atomic,
-# append drain, delete, merge) changed only via the shared commit
-# primitive / behavior-preserving extraction, are pytest-pinned, were
-# re-proven locally at sf0.01 AND sf0.1 this round, and are exercised
-# INSIDE the new entries (the change feeds stage through delete/merge;
-# the stream fold drains the merge sink), so they yield their slots;
-# (4) the FULL 40-entry r8 proof-staleness cohort. 2+8+2+40 = 52
+# (r13 Next #6), the multi-commit CDF fold, the five-verb
+# ManifestTable API's DESCRIBE HISTORY, and the manifest-stats pruned
+# read;
+# (3) ONE r13 manifest entry whose bootstrap was restructured this
+# round (torn-v1/v2 resume gating — the riskiest change class, with
+# the ROW-level oracle) re-proves. The other changed manifest entries
+# (schema-evolution twin of the same restructure, compact-atomic,
+# append drain, delete, merge) are pytest-pinned (incl. dedicated
+# clone-and-rip-v2 resume tests), were re-proven locally at sf0.01 AND
+# sf0.1 this round, and are exercised INSIDE the new entries (the
+# change feeds stage through delete/merge; the stream fold drains the
+# merge sink), so they yield their slots;
+# (4) the FULL 40-entry r8 proof-staleness cohort. 2+9+1+40 = 52
 # slightly overfills the ~50-entry budget; the r8 tail is
 # code-unchanged and pytest-covered, so a <=2-entry spill costs
 # nothing (documented rule; spills sweep first in r15). Guarded
@@ -116,10 +119,10 @@ _PRIORITY = [
     "stream_manifest_merge_drain",  # exactly-once streaming CoW upsert
     "parquet_manifest_zorder_optimize",  # clustered OPTIMIZE, footer-measured
     "manifest_cdf_stream_fold",  # CDF composed across the upsert chain
-    "parquet_manifest_history",  # DESCRIBE HISTORY over the 4-verb API
+    "parquet_manifest_history",  # DESCRIBE HISTORY over the 5-verb API
+    "parquet_manifest_stats_pruned_read",  # manifest-stats file pruning
     # -- code changed this round: re-prove --
     "parquet_manifest_incremental_read",  # torn-bootstrap resume gating
-    "parquet_manifest_schema_evolution",  # torn-bootstrap resume gating
     # -- r13 Next #3: the FULL 40-entry r8 proof-staleness cohort --
     "app_any_column_search",
     "app_range_filter",

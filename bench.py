@@ -154,6 +154,13 @@ HEADLINE = [
     # same exclusion class as the r12 passes above; their recurring
     # costs (bin-pack, manifest-chain read) are already timed by
     # parquet_compact_small_files and sim_persisted_read_asof.
+    # r14 likewise adds NO entries: conflict detection, change feeds,
+    # the streaming merge, zorder optimize, history, and the stats
+    # commit are all version-gated one-shot lifecycle passes; the
+    # stats-PRUNED read's recurring cost is a sub-second box query
+    # whose plan cost is already represented by the scan family, and
+    # its I/O claim is pinned by inputFiles() in tests rather than
+    # wall time.
 ]
 
 

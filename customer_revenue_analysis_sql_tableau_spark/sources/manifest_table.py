@@ -1502,6 +1502,138 @@ def _zorder_root(spark: SparkSession, sf_dir: str) -> str:
     return f"{warehouse}/manifest_zorder_{_stage_fingerprint(sf_dir)}"
 
 
+# ---------------------------------------------------------------------------
+# Manifest-carried file statistics: pruning decided from the MANIFEST,
+# not from opening footers — the Delta-log-stats role. At 100 TB a
+# footer-per-file skip pays one object-store round trip per file;
+# manifest stats price the whole prune as one KB-sized metadata read.
+# ---------------------------------------------------------------------------
+
+
+def collect_file_stats(
+    root: str, files: dict[str, list[str]], cols: list[str]
+) -> dict[str, dict[str, dict[str, list]]]:
+    """One footer sweep over the listed files → ``{month: {name:
+    {col: [min, max]}}}`` — the ANALYZE-style one-time cost a stats
+    commit pays so every later read prunes from the manifest alone.
+    (A production writer collects these AT WRITE TIME from the data it
+    just wrote; landing-time collection here keeps the staged
+    universes unchanged.)"""
+    base = root.removeprefix("file:")
+    out: dict[str, dict[str, dict[str, list]]] = {}
+    for m, names in sorted(files.items()):
+        for n in names:
+            mm = _file_minmax(
+                os.path.join(base, f"{MONTH_COL}={m}", n), cols
+            )
+            if mm is not None:
+                out.setdefault(m, {})[n] = {
+                    c: [lo, hi] for c, (lo, hi) in mm.items()
+                }
+    return out
+
+
+def read_manifested_pruned(
+    spark: SparkSession,
+    root: str,
+    box: dict[str, tuple],
+    version: int | None = None,
+) -> tuple[DataFrame, list[str], int]:
+    """Read a conjunctive range query (``box``) over the manifested
+    table, pruning files from the MANIFEST's stats field before Spark
+    ever lists them: a file is skipped when any box column's recorded
+    [min, max] misses its band; files without stats stay eligible (the
+    conservative reading). Returns ``(filtered frame, eligible relative
+    paths, total files)`` so callers — and tests — can pin the I/O
+    claim via ``df.inputFiles()``. The residual predicate is still
+    applied: stats pruning is a superset filter, never a semantics
+    change."""
+    chain = manifest_chain(root)
+    if version is None:
+        version = max(chain)
+    snap = chain[version]
+    stats = snap.get("stats", {})
+    eligible: list[str] = []
+    total = 0
+    for m, names in sorted(snap["files"].items()):
+        for n in names:
+            total += 1
+            st = stats.get(m, {}).get(n)
+            if st is None or all(
+                c not in st or (st[c][0] <= hi and st[c][1] >= lo)
+                for c, (lo, hi) in box.items()
+            ):
+                eligible.append(f"{MONTH_COL}={m}/{n}")
+    df = spark.read.option("basePath", root).parquet(
+        *[f"{root}/{rel}" for rel in eligible]
+    )
+    for c, (lo, hi) in box.items():
+        df = df.filter(F.col(c).between(lo, hi))
+    return df, eligible, total
+
+
+#: The pruned-read entry's query box: one decile band per clustering
+#: key, inside one Morton quadrant (same placement argument as the
+#: zorder entry), with bounds DuckDB recomputes from the same min/max.
+STATS_BOX_LO, STATS_BOX_HI = 0.10, 0.20
+
+
+def _stats_box(spark: SparkSession, root: str) -> dict[str, tuple]:
+    b = read_manifested(spark, root, 2).agg(
+        F.min(ZORDER_X), F.max(ZORDER_X), F.min(ZORDER_Y), F.max(ZORDER_Y)
+    ).collect()[0]
+    return {
+        ZORDER_X: (
+            b[0] + (b[1] - b[0]) * STATS_BOX_LO,
+            b[0] + (b[1] - b[0]) * STATS_BOX_HI,
+        ),
+        ZORDER_Y: (
+            b[2] + (b[3] - b[2]) * STATS_BOX_LO,
+            b[2] + (b[3] - b[2]) * STATS_BOX_HI,
+        ),
+    }
+
+
+def parquet_manifest_stats_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MANIFEST-STATS-PRUNED READ over the z-clustered table: a stats
+    commit (v3, metadata-only — same files as v2 plus per-file
+    [min, max] of the clustering keys from one footer sweep) lets the
+    reader prune files without opening a single footer; the registered
+    query returns the box query's ROWS read from only the eligible
+    files — row-level hash against DuckDB's recomputation of the same
+    box over the raw fact, so a file wrongly pruned (lost rows) or a
+    stats/box boundary error hash-fails. pytest pins the I/O claim:
+    ``df.inputFiles()`` is exactly the eligible set, strictly smaller
+    than the table."""
+    parquet_manifest_zorder_optimize(spark, sf_dir)  # ensure the universe
+    root = _zorder_root(spark, sf_dir)
+    chain = manifest_chain(root)
+    if 3 not in chain:
+        v2 = chain[2]
+        commit_manifest(
+            root,
+            {
+                "version": 3,
+                "files": v2["files"],
+                "stats": collect_file_stats(
+                    root, v2["files"], [ZORDER_X, ZORDER_Y]
+                ),
+                "operation": "COLLECT_STATS",
+            },
+        )
+    df, _eligible, _total = read_manifested_pruned(
+        spark, root, _stats_box(spark, root), 3
+    )
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col(MONTH_COL).alias("pm"),
+    )
+
+
 def parquet_manifest_zorder_optimize(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1628,7 +1760,24 @@ def changes_for_commit(
         return post.withColumn(ct, F.lit("insert"))
     if post is None:
         return pre.withColumn(ct, F.lit("delete"))
-    cols = post.columns
+    # schema evolution across the commit: align BOTH images to the
+    # union schema, null-filling the side that predates a column — a
+    # carried row rewritten into the evolved schema (new column null)
+    # stays hash-identical and drops out; a row whose new column was
+    # populated classifies as an update with a null pre-image
+    cols = list(post.columns)
+    if pre.columns != post.columns:
+        cols += [c for c in pre.columns if c not in post.columns]
+
+        def align(df: DataFrame, other: DataFrame) -> DataFrame:
+            for c in cols:
+                if c not in df.columns:
+                    df = df.withColumn(
+                        c, F.lit(None).cast(other.schema[c].dataType)
+                    )
+            return df.select(cols)
+
+        pre, post = align(pre, post), align(post, pre)
     vh = F.xxhash64(*cols)
     ins = post.join(pre.select(key_cols), key_cols, "left_anti").withColumn(
         ct, F.lit("insert")
@@ -1983,6 +2132,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parquet_manifest_change_feed_delete": parquet_manifest_change_feed_delete,
     "manifest_cdf_ivm_revenue": manifest_cdf_ivm_revenue,
     "manifest_cdf_stream_fold": manifest_cdf_stream_fold,
+    "parquet_manifest_stats_pruned_read": parquet_manifest_stats_pruned_read,
 }
 
 ORACLES: dict[str, str] = {
@@ -2171,6 +2321,23 @@ ORACLES: dict[str, str] = {
             FROM orders
             WHERE o_orderkey % {MERGE_KEY_MOD} = {MERGE_KEY_REM}
         ) GROUP BY pm""",
+    # manifest-stats-pruned read, ROW-LEVEL: DuckDB recomputes the same
+    # box query (bounds from the same min/max arithmetic) over the raw
+    # fact — a wrongly-pruned file loses rows and hash-fails; the
+    # files-actually-read claim is pinned by pytest via inputFiles()
+    "parquet_manifest_stats_pruned_read": f"""
+        WITH b AS (
+            SELECT min(o_custkey) AS xmin, max(o_custkey) AS xmax,
+                   min(o_totalprice) AS ymin, max(o_totalprice) AS ymax
+            FROM orders
+        )
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               strftime(o_orderdate, '%Y-%m') AS pm
+        FROM orders, b
+        WHERE o_custkey BETWEEN xmin + (xmax - xmin) * {STATS_BOX_LO}
+                            AND xmin + (xmax - xmin) * {STATS_BOX_HI}
+          AND o_totalprice BETWEEN ymin + (ymax - ymin) * {STATS_BOX_LO}
+                               AND ymin + (ymax - ymin) * {STATS_BOX_HI}""",
     # CDF composed across the streaming-merge CHAIN: the signed fold
     # over the three upsert commits' feeds alone (empty v1 state) must
     # equal the per-month aggregate of the final upserted table —

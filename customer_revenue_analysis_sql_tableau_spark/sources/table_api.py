@@ -236,6 +236,35 @@ class ManifestTable:
         )
         return payload
 
+    def restore(self, version: int) -> dict:
+        """RESTORE TABLE TO VERSION: commit a NEW head whose file
+        listing (and pinned schema, if any) is exactly the target
+        version's — time travel made durable. Zero data I/O (file
+        names re-referenced, never copied), vacuum-safe afterwards
+        (the restored files are live again via the new head). The
+        target must still be within the vacuum retention window: a
+        restore to an expired version has nothing to reference."""
+        snap = self.version()
+        chain = mt.manifest_chain(self.root)
+        target = chain[version]
+        head_files = chain[snap]["files"]
+        tgt_files = target["files"]
+        removed = {
+            m: [n for n in ns if n not in set(tgt_files.get(m, []))]
+            for m, ns in head_files.items()
+        }
+        added = {
+            m: [n for n in ns if n not in set(head_files.get(m, []))]
+            for m, ns in tgt_files.items()
+        }
+        extra = {"operation": "RESTORE", "restored_version": version}
+        if "schema" in target:
+            extra["schema"] = target["schema"]
+        payload, _reb = mt.commit_transaction(
+            self.root, snap, removed, added, extra=extra
+        )
+        return payload
+
     # -- reads over the chain -------------------------------------------
 
     def history(self) -> DataFrame:
@@ -308,15 +337,17 @@ def _api_root(spark: SparkSession, sf_dir: str) -> str:
 
 
 def parquet_manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DESCRIBE HISTORY over a four-verb lifecycle driven entirely
+    """DESCRIBE HISTORY over a five-verb lifecycle driven entirely
     through the :class:`ManifestTable` API — CREATE, a mixed
     update+insert UPSERT, a two-tier DELETE (month drop + predicate
-    CoW), and an OPTIMIZE. The registered query joins the history's
-    (version, operation) with each version's EXACT row count, all four
-    recomputed by DuckDB from the verbs' deterministic semantics — a
-    wrong operation tag, a lost version, or any verb touching the
-    wrong rows hash-fails. Each phase is version-gated, so torn runs
-    resume."""
+    CoW), an OPTIMIZE, and a RESTORE back to the pre-delete version
+    (zero data I/O: the v2 file names are simply re-referenced — and
+    the count proves the delete verifiably un-happened). The
+    registered query joins the history's (version, operation) with
+    each version's EXACT row count, all five recomputed by DuckDB from
+    the verbs' deterministic semantics — a wrong operation tag, a lost
+    version, or any verb touching the wrong rows hash-fails. Each
+    phase is version-gated, so torn runs resume."""
     from ..catalog import load_tables
 
     root = _api_root(spark, sf_dir)
@@ -347,6 +378,8 @@ def parquet_manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             if m < mt.ZORDER_CUTOFF
         )
         t.optimize(sel)
+    if 5 not in mt.manifest_chain(root):
+        t.restore(2)  # the delete verifiably un-happens
     hist = t.history()
     counts = [
         (v, t.read(v).count()) for v in sorted(mt.manifest_chain(root))
@@ -394,5 +427,7 @@ ORACLES = {
         SELECT 3, 'DELETE', CAST(n1 + ins - dropm - rowdel AS BIGINT) FROM c
         UNION ALL
         SELECT 4, 'OPTIMIZE', CAST(n1 + ins - dropm - rowdel AS BIGINT)
-        FROM c""",
+        FROM c
+        UNION ALL
+        SELECT 5, 'RESTORE', CAST(n1 + ins AS BIGINT) FROM c""",
 }

@@ -997,3 +997,100 @@ def test_zorder_skip_measured_from_footers(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and selected[0] in plan
+
+
+# ---------------------------------------------------------------------------
+# r14: manifest-carried file stats + pruned reads; CDF across schema
+# evolution.
+# ---------------------------------------------------------------------------
+
+
+def test_stats_pruned_read_io_claim(spark):
+    """The I/O claim itself: the pruned read's input files are EXACTLY
+    the manifest-eligible set, strictly smaller than the table, and the
+    filtered rows equal the unpruned box query's. Pinned at sf0.01
+    (same rationale as the zorder magnitude test)."""
+    sf_dir = "/root/testdata/sf0.01"
+    mt.parquet_manifest_stats_pruned_read(spark, sf_dir).collect()
+    root = mt._zorder_root(spark, sf_dir)
+    box = mt._stats_box(spark, root)
+    df, eligible, total = mt.read_manifested_pruned(spark, root, box, 3)
+    assert 0 < len(eligible) < total
+
+    def norm(p):
+        return "/" + p.removeprefix("file:").lstrip("/")
+
+    got = {norm(f) for f in df.inputFiles()}
+    want = {norm(f"{root}/{rel}") for rel in eligible}
+    assert got == want
+    # pruning is a superset filter: same rows as the unpruned query
+    full = mt.read_manifested(spark, root, 3)
+    for c, (lo, hi) in box.items():
+        full = full.filter(F.col(c).between(lo, hi))
+    assert df.count() == full.count() > 0
+    assert df.exceptAll(full).count() == 0
+
+
+def test_stats_absent_means_eligible(spark, staged):
+    """Files without recorded stats must stay eligible — pruning can
+    never silently drop unpriced files."""
+    root, _d0 = staged
+    chain = mt.manifest_chain(root)
+    v1 = chain[1]
+    stats = mt.collect_file_stats(root, v1["files"], ["k"])
+    # strip one month's stats entirely
+    m0 = sorted(stats)[0]
+    del stats[m0]
+    mt.commit_manifest(
+        root, {"version": 2, "files": v1["files"], "stats": stats}
+    )
+    # a box matching nothing: priced files all pruned; unpriced stay
+    df, eligible, total = mt.read_manifested_pruned(
+        spark, root, {"k": (10**9, 10**9 + 1)}, 2
+    )
+    assert total == sum(len(ns) for ns in v1["files"].values())
+    assert all(rel.startswith(f"{MONTH_COL}={m0}/") for rel in eligible)
+    assert len(eligible) == len(v1["files"][m0])
+    assert df.count() == 0  # the residual predicate still applies
+
+
+def test_cdf_across_schema_evolution(spark, tmp_path):
+    """A CoW rewrite that simultaneously evolves the schema: carried
+    rows (new column null on both images after alignment) drop out;
+    rows whose new column was populated emit update pairs with a NULL
+    pre-image for the added column."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.0).alias("v"),
+        F.lit("2001-01").alias(MONTH_COL),
+    )
+    df.coalesce(1).write.partitionBy(MONTH_COL).parquet(root)
+    mt.init_manifest(root)
+    v1 = mt.manifest_chain(root)[1]
+    # rewrite the single file into an EVOLVED schema: new column w,
+    # populated only for even k; v carried unchanged
+    evolved = mt._land_coalesced(
+        spark, root, "2001-01", v1["files"]["2001-01"],
+        lambda d: d.withColumn(
+            "w", F.when(F.col("k") % 2 == 0, F.lit(1.5))
+        ),
+        "e2-",
+    )
+    mt.commit_manifest(
+        root, {"version": 2, "files": {"2001-01": evolved}}
+    )
+    feed = mt.read_change_feed(spark, root, 1, 2, ["k"]).cache()
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_type == {"update_preimage": 50, "update_postimage": 50}
+    pre = feed.filter(F.col("_change_type") == "update_preimage")
+    assert pre.filter(F.col("w").isNotNull()).count() == 0  # null pre-image
+    post = feed.filter(F.col("_change_type") == "update_postimage")
+    assert post.filter(F.col("w") != 1.5).count() == 0
+    assert post.filter(F.col("k") % 2 != 0).count() == 0
+    feed.unpersist()

@@ -120,8 +120,9 @@ def test_api_stale_writer_conflicts_through_facade(spark, table):
 
 
 def test_history_entry_torn_run_resumes(spark, sf_dir, tmp_path, monkeypatch):
-    """Rip the DELETE commit (v3) off a completed lifecycle: replay
-    must re-run delete + optimize and converge to the same history."""
+    """Rip the commit SUFFIX (v3..v5 — a crash mid-lifecycle) off a
+    completed run: replay must re-run delete + optimize + restore and
+    converge to the same history."""
     import shutil
     from customer_revenue_analysis_sql_tableau_spark.sources import table_api
 
@@ -130,7 +131,23 @@ def test_history_entry_torn_run_resumes(spark, sf_dir, tmp_path, monkeypatch):
     clone = str(tmp_path / "api_clone")
     shutil.copytree(shared, clone)
     monkeypatch.setattr(table_api, "_api_root", lambda s_, sf_: clone)
-    for v in (3, 4):
+    for v in (3, 4, 5):
         os.remove(os.path.join(mt._mdir(clone), f"manifest_v{v}"))
     replay = parquet_manifest_history(spark, sf_dir).collect()
     assert [tuple(r) for r in replay] == [tuple(r) for r in first]
+
+
+def test_api_restore_undoes_a_delete(spark, table):
+    t = table
+    d1 = _dig(t)
+    t.delete_where(months=["2001-01"])  # v2
+    assert t.read().count() == 200
+    t.restore(1)  # v3: zero data I/O, files re-referenced
+    assert t.version() == 3
+    assert _dig(t) == d1
+    hist = {r["version"]: r["operation"] for r in t.history().collect()}
+    assert hist[3] == "RESTORE"
+    # the restored head survives a head-only vacuum (files are live)
+    deleted, expired = t.vacuum(grace_seconds=0)
+    assert expired == [1, 2]
+    assert _dig(t) == d1
