@@ -56,8 +56,12 @@ from pyspark.sql import functions as F
 def atomic_write_json(path: str, obj) -> None:
     """Write ``obj`` as JSON at ``path`` via temp-name + ``os.rename``
     (atomic within a POSIX directory): a crash mid-write can never
-    leave a truncated manifest that a replay would trust."""
-    tmp = f"{path}.tmp.{os.getpid()}"
+    leave a truncated manifest that a replay would trust. Temp name
+    unique per (pid, thread), same rationale as
+    :func:`exclusive_write_json`."""
+    import threading
+
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
     with open(tmp, "w") as fh:
         json.dump(obj, fh)
         fh.flush()
@@ -75,8 +79,15 @@ def exclusive_write_json(path: str, obj) -> None:
     earlier commit (the r13 ADVICE item against ``commit_manifest``).
     The payload is still never observable half-written (the link target
     is the fully-fsynced temp inode); a crash between link and unlink
-    leaves only a ``.tmp.`` file the chain walk ignores."""
-    tmp = f"{path}.tmp.{os.getpid()}"
+    leaves only a ``.tmp.`` file the chain walk ignores. The temp name
+    is unique per (pid, thread): a pid-only name let two THREADS racing
+    the same version share one temp file, where the loser died with
+    FileNotFoundError instead of FileExistsError — or worse, the winner
+    could link the loser's payload under its own version (caught by the
+    threaded-appender stress test)."""
+    import threading
+
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
     with open(tmp, "w") as fh:
         json.dump(obj, fh)
         fh.flush()

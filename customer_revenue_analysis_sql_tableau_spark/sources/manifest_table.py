@@ -93,8 +93,46 @@ def _mdir(root: str) -> str:
 
 def manifest_chain(root: str) -> dict[int, dict]:
     """``{version: {"version": N, "files": {month: [names]}}}`` — KB of
-    driver metadata."""
+    driver metadata. Parses EVERY committed manifest: the tool for
+    history/vacuum/diff walks. The hot read path uses
+    :func:`resolve_manifest` instead (one parse, O(1) in chain
+    length)."""
     return json_manifest_chain(_mdir(root))
+
+
+def manifest_versions(root: str) -> list[int]:
+    """Committed version numbers from directory NAMES alone — no JSON
+    parsed. One listing regardless of chain length."""
+    base = _mdir(root)
+    if not os.path.isdir(base):
+        return []
+    return sorted(
+        int(f.removeprefix("manifest_v"))
+        for f in os.listdir(base)
+        if f.startswith("manifest_v")
+        and f.removeprefix("manifest_v").isdigit()
+    )
+
+
+def resolve_manifest(root: str, version: int | None = None) -> dict:
+    """Resolve ONE version (default: head) by listing names and parsing
+    a SINGLE manifest JSON. Because every manifest is a COMPLETE
+    snapshot (never a delta), the read path needs exactly one parse —
+    at 10k commits ``manifest_chain`` would pay 10k JSON reads per
+    query, the difference between O(1) and O(#commits) planning cost
+    on a long-lived 100 TB table. Raises the chain's ``ValueError``
+    contract on a version never committed or already vacuumed."""
+    versions = manifest_versions(root)
+    if not versions:
+        raise ValueError(f"no manifest chain at {root}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(
+            f"manifest version {version} not in chain"
+            f" (available: {versions})"
+        )
+    return read_json(os.path.join(_mdir(root), f"manifest_v{version}"))
 
 
 def scan_partition_files(root: str) -> dict[str, list[str]]:
@@ -174,20 +212,12 @@ def read_manifested(
     concurrent compaction commit is invisible until a reader re-resolves.
     ``basePath`` keeps the hive partition column alive for pruning/DPP.
     Raises the chain's ``ValueError`` contract on a version never
-    committed or already vacuumed."""
-    chain = manifest_chain(root)
-    if not chain:
-        raise ValueError(f"no manifest chain at {root}")
-    if version is None:
-        version = max(chain)
-    if version not in chain:
-        raise ValueError(
-            f"manifest version {version} not in chain"
-            f" (available: {sorted(chain)})"
-        )
+    committed or already vacuumed. One manifest parse, O(1) in chain
+    length (:func:`resolve_manifest`)."""
+    snap = resolve_manifest(root, version)
     paths = [
         f"{root}/{MONTH_COL}={m}/{name}"
-        for m, names in sorted(chain[version]["files"].items())
+        for m, names in sorted(snap["files"].items())
         for name in names
     ]
     reader = spark.read.option("basePath", root)
@@ -196,8 +226,8 @@ def read_manifested(
     # and files predating an added column null-fill it (the r12
     # schema-evolution policy, carried by table metadata instead of a
     # caller-side catalog)
-    if "schema" in chain[version]:
-        reader = reader.schema(chain[version]["schema"])
+    if "schema" in snap:
+        reader = reader.schema(snap["schema"])
     return reader.parquet(*paths)
 
 
@@ -303,7 +333,15 @@ def commit_transaction(
 
     Cost: KB-sized manifest arithmetic per attempt, no data I/O — the
     landed files are reused verbatim across rebases. Returns
-    ``(committed payload, number of rebases)``."""
+    ``(committed payload, number of rebases)``.
+
+    Isolation level: **write-serializable** (the lakehouse default) —
+    conflicts are detected at FILE granularity on the write set. A
+    transaction whose READ predicate would have matched rows an
+    intervening append added (but whose write set is disjoint) still
+    commits; full serializability would additionally check read
+    predicates against added files. Stated so callers know which
+    anomaly class is (deliberately) admitted."""
     removed_sets = {m: set(ns) for m, ns in removed.items() if ns}
     attempt_v = snapshot_version + 1
     rebases = 0
@@ -450,21 +488,17 @@ def incremental_files(
     """File-level DIFF of two committed snapshots — the primitive
     behind incremental consumption (Iceberg incremental scan / Delta
     CDF): ``(added, removed)`` relative paths between ``v_from`` and
-    ``v_to``. Pure manifest arithmetic: KB of driver metadata, cost
-    independent of table size. Raises the chain's ``ValueError``
-    contract on an uncommitted/vacuumed version."""
-    chain = manifest_chain(root)
-    for v in (v_from, v_to):
-        if v not in chain:
-            raise ValueError(
-                f"manifest version {v} not in chain"
-                f" (available: {sorted(chain)})"
-            )
+    ``v_to``. Pure manifest arithmetic: TWO manifest parses (complete
+    snapshots diff directly — no log replay), KB of driver metadata,
+    cost independent of table size and chain length. Raises the
+    chain's ``ValueError`` contract on an uncommitted/vacuumed
+    version."""
+    snaps = {v: resolve_manifest(root, v) for v in (v_from, v_to)}
 
     def rels(v: int) -> set[str]:
         return {
             f"{MONTH_COL}={m}/{name}"
-            for m, names in chain[v]["files"].items()
+            for m, names in snaps[v]["files"].items()
             for name in names
         }
 
@@ -711,10 +745,9 @@ def publish_stream_append_batch(
 
     base = root.removeprefix("file:")
     ver = int(batch_id) + 2
-    cur = manifest_chain(root)
-    if ver in cur:
+    if ver in manifest_versions(root):
         return  # replayed batch: its commit already published
-    head = cur[max(cur)]
+    head = resolve_manifest(root)
     files = {m: list(ns) for m, ns in head["files"].items()}
     if not batch_df.isEmpty():
         tmpd = os.path.join(base, "_stream_tmp", f"b{batch_id}")
@@ -911,10 +944,9 @@ def publish_stream_merge_batch(
 
     base = root.removeprefix("file:")
     ver = int(batch_id) + 2
-    cur = manifest_chain(root)
-    if ver in cur:
+    if ver in manifest_versions(root):
         return  # replayed batch: already published
-    head = cur[max(cur)]
+    head = resolve_manifest(root)
     files = {m: list(ns) for m, ns in head["files"].items()}
     if not batch_df.isEmpty():
         batch = batch_df.withColumn(
@@ -922,7 +954,7 @@ def publish_stream_merge_batch(
         )
         keys = batch.select("o_orderkey")
         if any(files.values()):
-            head_df = read_manifested(spark, root, max(cur))
+            head_df = read_manifested(spark, root, head["version"])
             aff = (
                 head_df.withColumn("fname", F.input_file_name())
                 .join(F.broadcast(keys), "o_orderkey", "left_semi")
@@ -1548,10 +1580,7 @@ def read_manifested_pruned(
     claim via ``df.inputFiles()``. The residual predicate is still
     applied: stats pruning is a superset filter, never a semantics
     change."""
-    chain = manifest_chain(root)
-    if version is None:
-        version = max(chain)
-    snap = chain[version]
+    snap = resolve_manifest(root, version)
     stats = snap.get("stats", {})
     eligible: list[str] = []
     total = 0
@@ -1814,12 +1843,12 @@ def read_change_feed(
     reads covered appends only). Raises the chain's ``ValueError``
     contract on uncommitted versions; commits with no net file change
     contribute nothing."""
-    chain = manifest_chain(root)
+    versions = manifest_versions(root)
     for v in (v_from, v_to):
-        if v not in chain:
+        if v not in versions:
             raise ValueError(
                 f"manifest version {v} not in chain"
-                f" (available: {sorted(chain)})"
+                f" (available: {versions})"
             )
     out: DataFrame | None = None
     for v in range(v_from + 1, v_to + 1):

@@ -91,7 +91,7 @@ class ManifestTable:
         return t
 
     def version(self) -> int:
-        return max(mt.manifest_chain(self.root))
+        return mt.manifest_versions(self.root)[-1]
 
     def read(self, version: int | None = None) -> DataFrame:
         return mt.read_manifested(self.spark, self.root, version)
@@ -163,9 +163,10 @@ class ManifestTable:
         CoW-rewriting only the files that hold matches. One commit
         tagged DELETE."""
         months = months or []
+        if not months and predicate is None:
+            raise ValueError("delete_where needs months and/or a predicate")
         snap = self.version()
-        chain = mt.manifest_chain(self.root)
-        head_files = chain[snap]["files"]
+        head_files = mt.resolve_manifest(self.root, snap)["files"]
         removed = {m: list(head_files[m]) for m in months if m in head_files}
         added: dict[str, list[str]] = {}
         if predicate is not None:
@@ -213,7 +214,7 @@ class ManifestTable:
         ``zorder_by`` — Morton-cluster (range shuffle) the selected
         months; one commit tagged OPTIMIZE / OPTIMIZE_ZORDER."""
         snap = self.version()
-        head_files = mt.manifest_chain(self.root)[snap]["files"]
+        head_files = mt.resolve_manifest(self.root, snap)["files"]
         v = snap + 1
         removed: dict[str, list[str]] = {}
         added: dict[str, list[str]] = {}
@@ -245,9 +246,8 @@ class ManifestTable:
         target must still be within the vacuum retention window: a
         restore to an expired version has nothing to reference."""
         snap = self.version()
-        chain = mt.manifest_chain(self.root)
-        target = chain[version]
-        head_files = chain[snap]["files"]
+        target = mt.resolve_manifest(self.root, version)
+        head_files = mt.resolve_manifest(self.root, snap)["files"]
         tgt_files = target["files"]
         removed = {
             m: [n for n in ns if n not in set(tgt_files.get(m, []))]
