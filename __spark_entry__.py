@@ -39,6 +39,7 @@ from customer_revenue_analysis_sql_tableau_spark import app_layer as _app_layer
 from customer_revenue_analysis_sql_tableau_spark import streaming as _streaming
 from customer_revenue_analysis_sql_tableau_spark.functions import gallery as _gallery
 from customer_revenue_analysis_sql_tableau_spark.sources import compaction as _compaction
+from customer_revenue_analysis_sql_tableau_spark.sources import manifest_stream_source as _manifest_stream_source
 from customer_revenue_analysis_sql_tableau_spark.sources import manifest_table as _manifest_table
 from customer_revenue_analysis_sql_tableau_spark.sources import roundtrips as _roundtrips
 from customer_revenue_analysis_sql_tableau_spark.sources import table_api as _table_api
@@ -73,6 +74,7 @@ _REGISTRY_MODULES = [
     _roundtrips,
     _compaction,
     _manifest_table,
+    _manifest_stream_source,
     _table_api,
 ]
 
@@ -82,7 +84,7 @@ _REGISTRY_MODULES = [
 # (1) the TWO r7-stale budget-spill entries FIRST (r13 Next #3 — both
 # code-unchanged and pytest-pinned, swept before anything else so the
 # registry-wide proof floor finally clears r7);
-# (2) the NINE new r14 entries, first driver proof — transaction
+# (2) the TEN new r14 entries, first driver proof — transaction
 # conflict detection (deterministic merge-vs-stale-compaction abort
 # CAPTURED plus a commuting append rebase, row-level oracle over the
 # final table; r13 Next #1), the MERGE and DELETE commits' row-level
@@ -91,17 +93,17 @@ _REGISTRY_MODULES = [
 # manifest-committed OPTIMIZE ZORDER with footer-measured skipping
 # (r13 Next #6), the multi-commit CDF fold, the five-verb
 # ManifestTable API's DESCRIBE HISTORY, and the manifest-stats pruned
-# read;
-# (3) ONE r13 manifest entry whose bootstrap was restructured this
-# round (torn-v1/v2 resume gating — the riskiest change class, with
-# the ROW-level oracle) re-proves. The other changed manifest entries
-# (schema-evolution twin of the same restructure, compact-atomic,
-# append drain, delete, merge) are pytest-pinned (incl. dedicated
-# clone-and-rip-v2 resume tests), were re-proven locally at sf0.01 AND
-# sf0.1 this round, and are exercised INSIDE the new entries (the
-# change feeds stage through delete/merge; the stream fold drains the
-# merge sink), so they yield their slots;
-# (4) the FULL 40-entry r8 proof-staleness cohort. 2+9+1+40 = 52
+# read, and the Spark-4 Python-DataSource streaming SOURCE over the
+# table's commit chain;
+# (3) the changed r13 manifest entries yield their driver slots to
+# the ten never-proven ones: every change is pytest-pinned (incl.
+# dedicated clone-and-rip-v2 torn-bootstrap resume tests and the
+# threaded CAS stress), re-proven locally at sf0.001/0.01/0.1 AND
+# under shuffle=7 this round, and exercised INSIDE the new entries
+# (the change feeds stage through delete/merge, the stream fold
+# drains the merge sink, the source drain tails the append chain);
+# they head the r15 window;
+# (4) the FULL 40-entry r8 proof-staleness cohort. 2+10+40 = 52
 # slightly overfills the ~50-entry budget; the r8 tail is
 # code-unchanged and pytest-covered, so a <=2-entry spill costs
 # nothing (documented rule; spills sweep first in r15). Guarded
@@ -121,8 +123,7 @@ _PRIORITY = [
     "manifest_cdf_stream_fold",  # CDF composed across the upsert chain
     "parquet_manifest_history",  # DESCRIBE HISTORY over the 5-verb API
     "parquet_manifest_stats_pruned_read",  # manifest-stats file pruning
-    # -- code changed this round: re-prove --
-    "parquet_manifest_incremental_read",  # torn-bootstrap resume gating
+    "stream_manifest_source_drain",  # the table AS a streaming source
     # -- r13 Next #3: the FULL 40-entry r8 proof-staleness cohort --
     "app_any_column_search",
     "app_range_filter",
