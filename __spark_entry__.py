@@ -84,7 +84,7 @@ _REGISTRY_MODULES = [
 # (1) the TWO r7-stale budget-spill entries FIRST (r13 Next #3 — both
 # code-unchanged and pytest-pinned, swept before anything else so the
 # registry-wide proof floor finally clears r7);
-# (2) the TEN new r14 entries, first driver proof — transaction
+# (2) the ELEVEN new r14 entries, first driver proof — transaction
 # conflict detection (deterministic merge-vs-stale-compaction abort
 # CAPTURED plus a commuting append rebase, row-level oracle over the
 # final table; r13 Next #1), the MERGE and DELETE commits' row-level
@@ -103,9 +103,9 @@ _REGISTRY_MODULES = [
 # (the change feeds stage through delete/merge, the stream fold
 # drains the merge sink, the source drain tails the append chain);
 # they head the r15 window;
-# (4) the FULL 40-entry r8 proof-staleness cohort. 2+10+40 = 52
+# (4) the FULL 40-entry r8 proof-staleness cohort. 2+11+40 = 53
 # slightly overfills the ~50-entry budget; the r8 tail is
-# code-unchanged and pytest-covered, so a <=2-entry spill costs
+# code-unchanged and pytest-covered, so a <=3-entry spill costs
 # nothing (documented rule; spills sweep first in r15). Guarded
 # against rot by tests/test_registry_hygiene.py::
 # test_priority_names_exist.
@@ -124,6 +124,7 @@ _PRIORITY = [
     "parquet_manifest_history",  # DESCRIBE HISTORY over the 5-verb API
     "parquet_manifest_stats_pruned_read",  # manifest-stats file pruning
     "stream_manifest_source_drain",  # the table AS a streaming source
+    "stream_manifest_cdf_drain",  # the change feed AS a stream
     # -- r13 Next #3: the FULL 40-entry r8 proof-staleness cohort --
     "app_any_column_search",
     "app_range_filter",
@@ -162,8 +163,8 @@ _PRIORITY = [
     "tableau_g3_revenue_by_category",
     "tableau_g4_late_fees_by_category",
     "temporal_gap_fill",
+    # documented <=3-entry spill tail (code-unchanged, pytest-pinned):
     "temporal_scd2_user_state",
-    # documented <=2-entry spill tail (code-unchanged, pytest-pinned):
     "view_customer_value_summary_bucketed",
     "vocab_topk_containment_check",
 ]
