@@ -10,13 +10,16 @@ the head from directory names (O(1), no JSON parse per commit), and
 commit in the range ADDED — so the read itself is executor-parallel
 (``read`` runs on executors over Arrow), never a driver funnel, and a
 micro-batch's I/O is ∝ the commits it consumes, never a table scan.
-Append commits stream their rows exactly once; content-neutral
-rewrites (OPTIMIZE) contribute their added files too — like Delta,
-the APPEND-ONLY source contract belongs to append tables (the
-registered drain's universe is one). For tables that UPDATE,
-``format("manifest_table_cdf_stream")`` streams classified CHANGE
-rows instead (Delta's streaming ``readChangeFeed``), one partition
-per consumed commit.
+Append commits stream their rows exactly once; a commit that also
+REMOVES files (UPSERT/DELETE/OPTIMIZE rewrites) makes
+``partitions()`` raise — like Delta's ``readStream``, the
+append-only contract is enforced, because re-landed carried rows
+would otherwise re-emit as duplicates (``ignore_changes=true`` opts
+back into streaming the added files anyway). For tables that
+UPDATE, ``format("manifest_table_cdf_stream")`` streams classified
+CHANGE rows instead (Delta's streaming ``readChangeFeed``),
+partitioned by key-range overlap components of each commit's
+removed/added file sets.
 
 Exactly-once: the offset lives in the STREAM's checkpoint (Spark's
 contract), so a restart resumes at the committed version and a commit
@@ -70,6 +73,9 @@ class ManifestTableStreamReader(DataSourceStreamReader):
         self.root = options["root"]
         self.base = self.root.removeprefix("file:")
         self.start_version = int(options.get("start_version", "1"))
+        self.ignore_changes = (
+            options.get("ignore_changes", "false").lower() == "true"
+        )
 
     # offset bookkeeping ------------------------------------------------
     def initialOffset(self) -> dict:
@@ -91,7 +97,22 @@ class ManifestTableStreamReader(DataSourceStreamReader):
 
         out: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            added, _removed = incremental_files(self.root, v - 1, v)
+            added, removed = incremental_files(self.root, v - 1, v)
+            if removed and not self.ignore_changes:
+                # the row source's append-only contract is ENFORCED,
+                # not just documented (r14 ADVICE): an update/delete/
+                # OPTIMIZE commit re-lands carried rows in new files,
+                # which this source would re-emit as duplicates. Fail
+                # loudly like Delta's readStream on a non-append
+                # commit; tables that update stream their CHANGES via
+                # format("manifest_table_cdf_stream") instead.
+                raise ValueError(
+                    f"manifest_table_stream: commit v{v} at {self.root}"
+                    f" removed {len(removed)} file(s) — not append-only."
+                    " Use format('manifest_table_cdf_stream') for"
+                    " updating tables, or set ignore_changes=true to"
+                    " stream added files anyway (may duplicate rows)."
+                )
             for rel in added:
                 month = rel.split("/", 1)[0].split("=", 1)[1]
                 out.append(
@@ -132,10 +153,14 @@ CDF_STREAM_SCHEMA = (
 
 
 class _CommitPartition(InputPartition):
-    """One COMMIT's change computation — pre/post sets must meet to
-    classify, so the commit (not the file) is the unit; a production
-    variant with huge commits would shuffle per-file pre/post through
-    the batch ``read_change_feed`` instead (stated, not hidden)."""
+    """One KEY-RANGE OVERLAP COMPONENT of one commit's removed/added
+    file sets — the unit of parallel change classification. Pre/post
+    rows for one key must meet to classify, and any file holding key k
+    has k inside its footer [min, max], so files whose key ranges
+    overlap transitively form the smallest groups that are safe to
+    classify independently (correct by construction: a key's pre-image
+    file and post-image file always overlap at k, hence share a
+    component)."""
 
     def __init__(
         self, version: int, added: list[str], removed: list[str]
@@ -145,14 +170,86 @@ class _CommitPartition(InputPartition):
         self.removed = removed
 
 
+def _key_range(path: str, key: str):
+    """Footer [min, max] of ``key`` for one parquet file — a driver
+    metadata read (KBs), never a data scan. Returns ``"empty"`` for a
+    zero-row file, ``None`` when the footer has no usable stats (the
+    conservative can't-split signal)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    if md.num_rows == 0:
+        return "empty"
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        for ci in range(rgm.num_columns):
+            col = rgm.column(ci)
+            if col.path_in_schema == key:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
+
+
+def _overlap_components(
+    base: str, added: list[str], removed: list[str], key: str
+) -> list[tuple[list[str], list[str]]]:
+    """Split one commit's (added, removed) file sets into key-range
+    overlap components via a sort-and-sweep over footer intervals —
+    planning cost ∝ the commit's file delta. Any file without key
+    stats collapses the commit to ONE component (correctness over
+    parallelism); zero-row files are their own singletons (no keys,
+    so grouping cannot matter)."""
+    tagged = [(rel, True) for rel in added] + [
+        (rel, False) for rel in removed
+    ]
+    ranged: list[tuple] = []
+    empties: list[tuple[str, bool]] = []
+    for rel, is_add in tagged:
+        r = _key_range(os.path.join(base, rel), key)
+        if r == "empty":
+            empties.append((rel, is_add))
+        elif r is None:
+            return [(list(added), list(removed))]
+        else:
+            ranged.append((r[0], r[1], rel, is_add))
+    ranged.sort(key=lambda t: (t[0], t[1]))
+    comps: list[list[tuple[str, bool]]] = []
+    cur: list[tuple[str, bool]] = []
+    cur_hi = None
+    for lo, hi, rel, is_add in ranged:
+        if cur and lo <= cur_hi:
+            cur.append((rel, is_add))
+            cur_hi = max(cur_hi, hi)
+        else:
+            if cur:
+                comps.append(cur)
+            cur, cur_hi = [(rel, is_add)], hi
+    if cur:
+        comps.append(cur)
+    comps.extend([e] for e in empties)
+    return [
+        (
+            [rel for rel, is_add in comp if is_add],
+            [rel for rel, is_add in comp if not is_add],
+        )
+        for comp in comps
+    ]
+
+
 class ManifestTableCDFStreamReader(DataSourceStreamReader):
     """STREAMING CHANGE DATA FEED: where the row-stream source handles
     append-only tables, this one tails ANY commit chain and emits
     classified change rows (insert / delete / update_pre/postimage) —
     Delta's ``readChangeFeed`` streaming contract. Offsets are manifest
-    versions; each micro-batch's partitions are the commits it
-    consumes; classification runs executor-side in Arrow over the
-    commit's removed (pre-image) and added (post-image) files, keyed
+    versions; each micro-batch's partitions are the KEY-RANGE OVERLAP
+    COMPONENTS of the commits it consumes (``_overlap_components`` —
+    a big commit with disjoint file pairs classifies in parallel);
+    classification runs executor-side in Arrow over the
+    component's removed (pre-image) and added (post-image) files, keyed
     on ``key`` (default ``o_orderkey``), identical semantics to the
     batch ``manifest_table.changes_for_commit`` (carried CoW neighbors
     drop out, so OPTIMIZE commits stream nothing)."""
@@ -180,8 +277,18 @@ class ManifestTableCDFStreamReader(DataSourceStreamReader):
         out: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             added, removed = incremental_files(self.root, v - 1, v)
-            if added or removed:
-                out.append(_CommitPartition(v, added, removed))
+            if not (added or removed):
+                continue
+            # r14's one-partition-per-commit classification was the
+            # last driver-side scale cliff in the streaming story: a
+            # huge commit classified single-threaded. Splitting by
+            # key-range overlap components keeps pre/post for every
+            # key together while letting disjoint file pairs classify
+            # on separate executors.
+            for grp_added, grp_removed in _overlap_components(
+                self.base, added, removed, self.key
+            ):
+                out.append(_CommitPartition(v, grp_added, grp_removed))
         return out or [_CommitPartition(0, [], [])]
 
     def _rows_of(self, rels: list[str]) -> dict:

@@ -360,7 +360,32 @@ def commit_transaction(
         for m, ns in added.items():
             files[m] = files.get(m, []) + list(ns)
         files = {m: ns for m, ns in files.items() if ns}
-        payload = {"version": attempt_v, "files": files, **(extra or {})}
+        # Head metadata CARRIES FORWARD unless the caller overrides it
+        # (r14 ADVICE): a pinned schema is a property of the TABLE, so
+        # a mutation commit must not silently un-pin it (readers would
+        # fall back to one file's footer and null-corrupt evolved
+        # columns on mixed-schema file sets). Per-file stats carry for
+        # the files that survive this commit — added files are simply
+        # stat-less (the pruned reader already treats missing stats as
+        # eligible, so a stale entry can never mis-prune).
+        carried: dict = {}
+        if "schema" in head and "schema" not in (extra or {}):
+            carried["schema"] = head["schema"]
+        if "stats" in head and "stats" not in (extra or {}):
+            live = {
+                m: {
+                    n: st
+                    for n, st in per.items()
+                    if n in set(files.get(m, []))
+                }
+                for m, per in head["stats"].items()
+            }
+            live = {m: per for m, per in live.items() if per}
+            if live:
+                carried["stats"] = live
+        payload = {
+            "version": attempt_v, "files": files, **carried, **(extra or {})
+        }
         try:
             commit_manifest(root, payload)
             return payload, rebases
@@ -1593,9 +1618,16 @@ def read_manifested_pruned(
                 for c, (lo, hi) in box.items()
             ):
                 eligible.append(f"{MONTH_COL}={m}/{n}")
-    df = spark.read.option("basePath", root).parquet(
-        *[f"{root}/{rel}" for rel in eligible]
-    )
+    if eligible:
+        df = spark.read.option("basePath", root).parquet(
+            *[f"{root}/{rel}" for rel in eligible]
+        )
+    else:
+        # a fully-pruned box is a legitimate answer (every file's
+        # range misses it) — return an EMPTY frame with the version's
+        # schema instead of handing spark.read zero paths, which
+        # raises (r14 ADVICE)
+        df = read_manifested(spark, root, version).limit(0)
     for c, (lo, hi) in box.items():
         df = df.filter(F.col(c).between(lo, hi))
     return df, eligible, total

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -118,6 +119,12 @@ class ManifestTable:
                 os.path.basename(r["fname"])
             )
         v = snap + 1
+        # staging is namespaced per WRITER (random token), never shared:
+        # under optimistic concurrency two racers both stage at snap+1,
+        # and a wholesale _pack_tmp cleanup here would rip a racer's
+        # in-flight files out from under it (r14 ADVICE). Each writer
+        # creates, fills, and removes ONLY its own token directory.
+        stage = os.path.join(self.base, "_pack_tmp", uuid.uuid4().hex[:12])
         removed: dict[str, list[str]] = {}
         added: dict[str, list[str]] = {}
         for m, names in sorted(affected.items()):
@@ -125,15 +132,13 @@ class ManifestTable:
             kept = self.spark.read.parquet(
                 *[f"{self.root}/{MONTH_COL}={m}/{n}" for n in names]
             ).join(F.broadcast(keys), key, "left_anti")
-            tmp = os.path.join(self.base, "_pack_tmp", f"u{v}-{m}")
-            shutil.rmtree(tmp, ignore_errors=True)
+            tmp = os.path.join(stage, f"u{v}-{m}")
             kept.coalesce(1).write.mode("overwrite").parquet(tmp)
             removed[m] = names
             added[m] = mt.land_files(
                 tmp, os.path.join(self.base, f"{MONTH_COL}={m}"), f"u{v}-"
             )
-        tmp = os.path.join(self.base, "_pack_tmp", f"i{v}")
-        shutil.rmtree(tmp, ignore_errors=True)
+        tmp = os.path.join(stage, f"i{v}")
         src = source
         if MONTH_COL not in source.columns:
             # the source must carry the partition column; derive it the
@@ -147,7 +152,7 @@ class ManifestTable:
             tmp, self.base, f"i{v}-"
         ).items():
             added.setdefault(m, []).extend(ns)
-        shutil.rmtree(os.path.join(self.base, "_pack_tmp"), ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
         payload, _reb = mt.commit_transaction(
             self.root, snap, removed, added, extra={"operation": "UPSERT"}
         )
@@ -184,21 +189,29 @@ class ManifestTable:
                 affected.setdefault(r[MONTH_COL], []).append(
                     os.path.basename(r["fname"])
                 )
+            # per-writer staging token — see upsert (r14 ADVICE)
+            stage = os.path.join(
+                self.base, "_pack_tmp", uuid.uuid4().hex[:12]
+            )
             for m, names in sorted(affected.items()):
                 names = sorted(set(names))
+                # SQL DELETE removes only rows where the predicate is
+                # TRUE; a NULL predicate (null column) must KEEP the
+                # row, so the keep filter is NOT(coalesce(p, FALSE)),
+                # never the three-valued ~p (r14 ADVICE: ~NULL is
+                # NULL, which would silently delete the row)
                 kept = self.spark.read.option("basePath", self.root).parquet(
                     *[f"{self.root}/{MONTH_COL}={m}/{n}" for n in names]
-                ).filter(~predicate).drop(MONTH_COL)
-                tmp = os.path.join(self.base, "_pack_tmp", f"d{v}-{m}")
-                shutil.rmtree(tmp, ignore_errors=True)
+                ).filter(
+                    ~F.coalesce(predicate, F.lit(False))
+                ).drop(MONTH_COL)
+                tmp = os.path.join(stage, f"d{v}-{m}")
                 kept.coalesce(1).write.mode("overwrite").parquet(tmp)
                 removed.setdefault(m, []).extend(names)
                 added[m] = mt.land_files(
                     tmp, os.path.join(self.base, f"{MONTH_COL}={m}"), f"d{v}-"
                 )
-            shutil.rmtree(
-                os.path.join(self.base, "_pack_tmp"), ignore_errors=True
-            )
+            shutil.rmtree(stage, ignore_errors=True)
         payload, _reb = mt.commit_transaction(
             self.root, snap, removed, added, extra={"operation": "DELETE"}
         )

@@ -187,3 +187,91 @@ def test_cdf_stream_checkpoint_resumes_and_optimize_is_silent(
     assert new_rows.filter(
         F.col("_change_type").isin("insert", "delete")
     ).count() == 0
+
+
+@pytest.fixture()
+def disjoint_table(spark, tmp_path):
+    """A 3-month table whose months own DISJOINT key ranges (month m
+    holds keys in [m*100000, m*100000+600)) — so CoW file pairs from
+    an upsert touching two months form two key-range overlap
+    components."""
+    from customer_revenue_analysis_sql_tableau_spark.sources.table_api import ManifestTable
+
+    df = spark.range(600).select(
+        ((F.col("id") % 3 + 1) * 100000 + F.col("id")).alias("k"),
+        (F.col("id") * 2.0).alias("v"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2001-0"),
+                (F.col("id") % 3 + 1).cast("string"),
+                F.lit("-15"),
+            )
+        ).alias("ts"),
+    )
+    return ManifestTable.create(
+        spark, df, str(tmp_path / "disjoint"), date_col="ts",
+        files_per_month=1,
+    )
+
+
+def test_row_source_rejects_non_append_commit(spark, disjoint_table):
+    """The append-only contract is enforced (r14 ADVICE): a commit
+    that removed files makes partitions() raise, pointing at the CDF
+    source; ignore_changes=true opts back into the old behavior."""
+    from customer_revenue_analysis_sql_tableau_spark.sources.manifest_stream_source import (
+        ManifestTableStreamReader,
+    )
+
+    t = disjoint_table
+    src = t.read().filter(F.col("k") % 5 == 0).withColumn(
+        "v", F.col("v") + 1.0
+    )
+    t.upsert(src, key="k")  # v2: CoW — removes files
+    rdr = ManifestTableStreamReader({"root": t.root})
+    with pytest.raises(ValueError, match="cdf_stream"):
+        rdr.partitions({"version": 1}, {"version": 2})
+    rdr2 = ManifestTableStreamReader(
+        {"root": t.root, "ignore_changes": "true"}
+    )
+    assert len(rdr2.partitions({"version": 1}, {"version": 2})) > 0
+
+
+def test_cdf_partitions_split_commit_by_key_range(spark, disjoint_table):
+    """A commit whose CoW file pairs live in disjoint key ranges
+    classifies in PARALLEL: one partition per overlap component, each
+    component holding a month's pre/post pair — and every file of the
+    commit is in exactly one partition (nothing dropped, nothing
+    duplicated)."""
+    from customer_revenue_analysis_sql_tableau_spark.sources.manifest_stream_source import (
+        ManifestTableCDFStreamReader,
+    )
+
+    t = disjoint_table
+    # touch months 01 and 02 only: their key ranges are disjoint
+    src = t.read().filter(
+        (F.col("k") % 10 == 0)
+        & F.col(mt.MONTH_COL).isin("2001-01", "2001-02")
+    ).withColumn("v", F.col("v") + 100.0)
+    n_src = src.count()
+    assert n_src > 0
+    t.upsert(src, key="k")  # v2
+    added, removed = mt.incremental_files(t.root, 1, 2)
+    rdr = ManifestTableCDFStreamReader({"root": t.root, "key": "k"})
+    parts = [
+        p for p in rdr.partitions({"version": 1}, {"version": 2})
+        if p.added or p.removed
+    ]
+    assert len(parts) == 2, [
+        (p.added, p.removed) for p in parts
+    ]
+    # partition ∝ file-pair locality: each component is single-month
+    for p in parts:
+        months = {
+            rel.split("/", 1)[0] for rel in (p.added + p.removed)
+        }
+        assert len(months) == 1
+    # exact cover of the commit's delta
+    got_added = sorted(rel for p in parts for rel in p.added)
+    got_removed = sorted(rel for p in parts for rel in p.removed)
+    assert got_added == sorted(added)
+    assert got_removed == sorted(removed)

@@ -1054,6 +1054,26 @@ def test_stats_absent_means_eligible(spark, staged):
     assert df.count() == 0  # the residual predicate still applies
 
 
+def test_fully_pruned_box_returns_empty_frame(spark, staged):
+    """A box every priced file's range misses is a legitimate answer:
+    the pruned read returns an EMPTY frame with the table's schema
+    instead of handing spark.read zero paths (r14 ADVICE: that
+    raised)."""
+    root, _d0 = staged
+    chain = mt.manifest_chain(root)
+    v1 = chain[1]
+    stats = mt.collect_file_stats(root, v1["files"], ["k"])
+    mt.commit_manifest(
+        root, {"version": 2, "files": v1["files"], "stats": stats}
+    )
+    df, eligible, total = mt.read_manifested_pruned(
+        spark, root, {"k": (10**9, 10**9 + 1)}, 2
+    )
+    assert eligible == [] and total > 0
+    assert df.count() == 0
+    assert set(df.columns) >= {"k", "v", MONTH_COL}
+
+
 def test_cdf_across_schema_evolution(spark, tmp_path):
     """A CoW rewrite that simultaneously evolves the schema: carried
     rows (new column null on both images after alignment) drop out;

@@ -151,3 +151,107 @@ def test_api_restore_undoes_a_delete(spark, table):
     deleted, expired = t.vacuum(grace_seconds=0)
     assert expired == [1, 2]
     assert _dig(t) == d1
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL DELETE semantics: a predicate that evaluates to NULL must
+    KEEP the row (delete only where TRUE) — r14 ADVICE: the three-
+    valued ~p filter silently dropped NULL-predicate rows in every
+    CoW-rewritten file."""
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("id") * 3)
+        .cast("double")
+        .alias("v"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2001-0"),
+                (F.col("id") % 3 + 1).cast("string"),
+                F.lit("-15"),
+            )
+        ).alias("ts"),
+    )
+    t = ManifestTable.create(spark, df, str(tmp_path / "nulltbl"), date_col="ts")
+    n_null = df.filter(F.col("v").isNull()).count()
+    n_keep_nonnull = df.filter(F.col("v") <= 100).count()
+    assert n_null > 0
+    t.delete_where(predicate=F.col("v") > 100)
+    out = t.read()
+    # every NULL-v row survives, every v>100 row is gone
+    assert out.filter(F.col("v").isNull()).count() == n_null
+    assert out.filter(F.col("v") > 100).count() == 0
+    assert out.count() == n_null + n_keep_nonnull
+
+
+def test_mutations_preserve_schema_pin_and_stats(spark, table):
+    """commit_transaction carries head metadata forward (r14 ADVICE):
+    a pinned schema survives every facade mutation, and per-file stats
+    survive pruned to the files the commit keeps."""
+    t = table
+    pinned = "k bigint, v double, ts timestamp"
+    head = mt.manifest_chain(t.root)[1]
+    stats = {
+        m: {n: {"k": [0, 299]} for n in ns}
+        for m, ns in head["files"].items()
+    }
+    mt.commit_manifest(
+        t.root,
+        {
+            "version": 2,
+            "files": head["files"],
+            "schema": pinned,
+            "stats": stats,
+            "operation": "SET_METADATA",
+        },
+    )
+    t.delete_where(months=["2001-01"])  # v3
+    t.optimize(["2001-02"])  # v4
+    for v in (3, 4):
+        snap = mt.resolve_manifest(t.root, v)
+        assert snap["schema"] == pinned, f"v{v} lost the schema pin"
+        # stats survive exactly for still-live original files
+        live = {
+            (m, n)
+            for m, ns in snap["files"].items()
+            for n in ns
+            if (m, n) in {
+                (m2, n2)
+                for m2, ns2 in head["files"].items()
+                for n2 in ns2
+            }
+        }
+        carried = {
+            (m, n)
+            for m, per in snap.get("stats", {}).items()
+            for n in per
+        }
+        assert carried == live, f"v{v} stats not pruned to live files"
+    # an explicit override still wins
+    p2, _ = mt.commit_transaction(
+        t.root, 4, {}, {}, extra={"schema": "k bigint, v double, ts timestamp, extra int", "operation": "EVOLVE"}
+    )
+    assert p2["schema"].endswith("extra int")
+
+
+def test_writer_staging_is_private(spark, table):
+    """Per-writer staging (r14 ADVICE): a mutation must not rm -rf the
+    shared _pack_tmp dir — another writer's in-flight staging survives,
+    and the writer's own staging is cleaned up."""
+    t = table
+    foreign = os.path.join(t.base, "_pack_tmp", "other-writer", "f.parquet")
+    os.makedirs(os.path.dirname(foreign), exist_ok=True)
+    with open(foreign, "w") as fh:
+        fh.write("in-flight")
+    src = t.read().filter(F.col("k") % 50 == 0).withColumn(
+        "v", F.col("v") + 1.0
+    )
+    t.upsert(src, key="k")
+    t.delete_where(predicate=F.col("k") % 77 == 3)
+    assert os.path.exists(foreign), "foreign staging was destroyed"
+    leftovers = [
+        d
+        for d in os.listdir(os.path.join(t.base, "_pack_tmp"))
+        if d != "other-writer"
+    ]
+    assert leftovers == [], f"writer left staging behind: {leftovers}"
