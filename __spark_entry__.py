@@ -43,6 +43,8 @@ from customer_revenue_analysis_sql_tableau_spark.sources import manifest_stream_
 from customer_revenue_analysis_sql_tableau_spark.sources import manifest_table as _manifest_table
 from customer_revenue_analysis_sql_tableau_spark.sources import roundtrips as _roundtrips
 from customer_revenue_analysis_sql_tableau_spark.sources import table_api as _table_api
+from customer_revenue_analysis_sql_tableau_spark.sources import table_sql as _table_sql
+from customer_revenue_analysis_sql_tableau_spark.sources import multi_writer as _multi_writer
 
 _REGISTRY_MODULES = [
     _pipeline,
@@ -76,97 +78,99 @@ _REGISTRY_MODULES = [
     _manifest_table,
     _manifest_stream_source,
     _table_api,
+    _table_sql,
+    _multi_writer,
 ]
 
 # The driver's correctness run is budgeted (~50 entries per round) and
 # walks the merged dict in insertion order, so the registry is ordered
-# at ENTRY level. Round-14 ordering (VERDICT.md r13, Next #1-#6):
-# (1) the TWO r7-stale budget-spill entries FIRST (r13 Next #3 — both
-# code-unchanged and pytest-pinned, swept before anything else so the
-# registry-wide proof floor finally clears r7);
-# (2) the ELEVEN new r14 entries, first driver proof — transaction
-# conflict detection (deterministic merge-vs-stale-compaction abort
-# CAPTURED plus a commuting append rebase, row-level oracle over the
-# final table; r13 Next #1), the MERGE and DELETE commits' row-level
-# change feeds plus the signed-delta IVM consumer (r13 Next #2), the
-# exactly-once streaming MERGE drain (r13 Next #4), and the
-# manifest-committed OPTIMIZE ZORDER with footer-measured skipping
-# (r13 Next #6), the multi-commit CDF fold, the five-verb
-# ManifestTable API's DESCRIBE HISTORY, and the manifest-stats pruned
-# read, and the Spark-4 Python-DataSource streaming SOURCE over the
-# table's commit chain;
-# (3) the changed r13 manifest entries yield their driver slots to
-# the ten never-proven ones: every change is pytest-pinned (incl.
-# dedicated clone-and-rip-v2 torn-bootstrap resume tests and the
-# threaded CAS stress), re-proven locally at sf0.001/0.01/0.1 AND
-# under shuffle=7 this round, and exercised INSIDE the new entries
-# (the change feeds stage through delete/merge, the stream fold
-# drains the merge sink, the source drain tails the append chain);
-# they head the r15 window;
-# (4) the FULL 40-entry r8 proof-staleness cohort. 2+11+40 = 53
-# slightly overfills the ~50-entry budget; the r8 tail is
-# code-unchanged and pytest-covered, so a <=3-entry spill costs
-# nothing (documented rule; spills sweep first in r15). Guarded
+# at ENTRY level. Round-15 ordering (VERDICT.md r14, Next #1-#6):
+# (1) the documented THREE-entry r14 budget spill FIRST (r14 Next #4 —
+# spills sweep before anything else, so the r8 floor finally clears);
+# (2) the FOUR new r15 entries, first driver proof — the SQL DML
+# front-end driving MERGE INTO on the identical merge oracle plus the
+# five-verb lifecycle and a mid-chain VERSION AS OF read (r14 Next
+# #1/#2), and the two CONCURRENT streaming MERGE writers racing
+# through commit_transaction with engineered abort + rebase markers
+# (r14 Next #6);
+# (3) the entries whose code paths CHANGED this round (r14 ADVICE
+# fixes: commit_transaction now carries schema/stats, delete_where is
+# NULL-safe and per-writer-staged, the CDF stream source partitions
+# by key-range overlap component, the row stream source enforces
+# append-only, the pruned read returns empty frames) — re-proven
+# locally at sf0.001/0.01 this round, re-proven by the driver here;
+# (4) dedup_components_distributed pulled ahead of its cohort (r14
+# Next #5: the driver proves the 100 TB min-label path, not the
+# driver-side union-find twin);
+# (5) the r9 proof-staleness cohort (oldest first in the registry-wide
+# floor sweep). 3+4+5+1+44 = 57 overfills the ~50 budget; the tail is
+# code-unchanged and pytest-covered, so the <=8-entry spill costs
+# nothing (documented rule; spills sweep first in r16). Guarded
 # against rot by tests/test_registry_hygiene.py::
 # test_priority_names_exist.
 _PRIORITY = [
-    # -- the last two r7-stale entries: sweep first (r13 Next #3) --
-    "text_top_terms_per_source",
-    "text_unigram_logprob",
-    # -- new this round (r14), first driver proof --
-    "parquet_manifest_conflict_detect",  # abort captured + commuting rebase
-    "parquet_manifest_change_feed",  # MERGE commit's row-level CDF
-    "parquet_manifest_change_feed_delete",  # both delete tiers as CDF
-    "manifest_cdf_ivm_revenue",  # signed-delta IVM fold == recompute
-    "stream_manifest_merge_drain",  # exactly-once streaming CoW upsert
-    "parquet_manifest_zorder_optimize",  # clustered OPTIMIZE, footer-measured
-    "manifest_cdf_stream_fold",  # CDF composed across the upsert chain
-    "parquet_manifest_history",  # DESCRIBE HISTORY over the 5-verb API
-    "parquet_manifest_stats_pruned_read",  # manifest-stats file pruning
-    "stream_manifest_source_drain",  # the table AS a streaming source
-    "stream_manifest_cdf_drain",  # the change feed AS a stream
-    # -- r13 Next #3: the FULL 40-entry r8 proof-staleness cohort --
-    "app_any_column_search",
-    "app_range_filter",
-    "approx_distinct_error_check",
-    "approx_percentile_error_check",
-    "customers_above_avg_balance",
-    "dedup_exact_substring",
-    "feat_ewma_user_value",
-    "graph_pagerank_directed",
-    "inc_minmax_with_retractions",
-    "mfc_window_top1",
-    "nation_customer_list",
-    "nations_having_many_customers",
-    "q10_revenue_by_nation_region",
-    "q11_avg_revenue_per_customer",
-    "q1_full",
-    "q1_top_revenue_customers",
-    "q2_most_frequent_customers",
-    "q3_top_late_fees",
-    "q4_frequency_segmentation",
-    "q5_churn_risk",
-    "q6_revenue_by_category",
-    "q7_customer_lifetime_value",
-    "q8_customer_cohorts",
-    "q9_revenue_by_nation",
-    "scalar_function_gallery",
-    "sim_delivery_brute_topk",
-    "sim_incremental_recall_check",
-    "sim_ivf_recall_check",
-    "sim_ivfpq_recall_check",
-    "sim_lsh_recall_check",
-    "sim_pq_recall_check",
-    "split_stratified_sample",
-    "stream_crossbatch_dedup_drain",
-    "tableau_g1_country_map",
-    "tableau_g3_revenue_by_category",
-    "tableau_g4_late_fees_by_category",
-    "temporal_gap_fill",
-    # documented <=3-entry spill tail (code-unchanged, pytest-pinned):
+    # -- the r14 spill: sweep first (r14 Next #4) --
     "temporal_scd2_user_state",
     "view_customer_value_summary_bucketed",
     "vocab_topk_containment_check",
+    # -- new this round (r15), first driver proof --
+    "manifest_sql_merge_upsert",  # MERGE INTO statement, identical oracle
+    "manifest_sql_lifecycle_history",  # 5-verb lifecycle via SQL strings
+    "manifest_sql_time_travel",  # mid-chain VERSION AS OF read
+    "stream_manifest_two_writers",  # concurrent writers + abort/rebase
+    # -- changed-in-r15 code paths (r14 ADVICE fixes), re-proven --
+    "parquet_manifest_history",  # delete_where/commit_transaction changed
+    "parquet_manifest_conflict_detect",  # commit_transaction metadata carry
+    "parquet_manifest_stats_pruned_read",  # empty-eligible short-circuit
+    "stream_manifest_source_drain",  # append-only contract enforced
+    "stream_manifest_cdf_drain",  # overlap-component partitioning
+    # -- r14 Next #5: the distributed components path, driver-proven --
+    "dedup_components_distributed",
+    # -- the r9 proof-staleness cohort (registry floor sweep) --
+    "analytics_funnel_stage_counts",
+    "analytics_retention_day_cohorts",
+    "corpus_stats_report",
+    "dedup_components",
+    "dedup_edit_distance",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_grouped",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dq_column_profile",
+    "events_variant_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "parts_never_ordered_anti",
+    "proc_customer_balance",
+    "rollup_minute",
+    "sim_delete_brute_topk",
+    "sim_delete_recall_check",
+    "split_pack_concat",
+    "stream_cdc_latest_drain",
+    "stream_interval_full_join_drain",
+    "stream_interval_join_drain",
+    "stream_interval_join_multibatch_drain",
+    "stream_interval_left_join_drain",
+    "stream_interval_semi_join_drain",
+    "stream_minute_rollup_drain",
+    "stream_session_window_drain",
+    "stream_sliding_window_drain",
+    "stream_tumbling_window_drain",
+    "stream_user_upsert_drain",
+    "tableau_g5_spend_by_type_year",
+    "top_nations_customers_semi",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_count_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
 ]
 
 

@@ -1,0 +1,523 @@
+"""SQL statement front-end for the manifest-committed table.
+
+The reference is a *SQL* project — its entire interface is statement
+text (``sql/queries_shan.sql:5-42`` is DDL+DML; the Tableau workbook
+and the Streamlit app both speak SQL strings) — and every real lake
+format (Delta, Iceberg) exposes its table verbs as SQL. r14 built the
+verbs (``table_api.ManifestTable``); this module is the missing
+statement surface on top of them (r14 VERDICT Next #1): a BOUNDED,
+loudly-rejecting dialect parsed with anchored regexes and dispatched
+onto the facade — never a second implementation of any verb, so a
+statement and its Python twin are the same commit protocol by
+construction.
+
+Supported statements (keywords case-insensitive; one statement per
+call; anything else raises :class:`ManifestSqlError` naming the
+statement)::
+
+    MERGE INTO t USING s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *          -> t.upsert(s, key=k)
+    DELETE FROM t WHERE <pred>                  -> t.delete_where(...)
+        (a  part_month IN (...)  /  part_month = '...'  disjunct is
+         split out as the METADATA-ONLY month drop; the residual
+         predicate CoW-rewrites only matching files)
+    OPTIMIZE t [WHERE part_month IN (...)]
+               [ZORDER BY (a, b)]               -> t.optimize(...)
+    RESTORE [TABLE] t TO VERSION AS OF n        -> t.restore(n)
+    DESCRIBE HISTORY t                          -> t.history()
+    VACUUM t                                    -> t.vacuum()
+    SELECT ... FROM t [VERSION AS OF n] ...     -> temp-view rewrite:
+        each known table (optionally version-pinned — time travel) is
+        registered as a Spark temp view and the statement runs through
+        ``spark.sql`` — full Spark SELECT power, front-end only
+        resolves manifest versions.
+
+The MERGE dialect is deliberately exactly the facade's semantics
+(full-row upsert: ``UPDATE SET *`` + ``INSERT *`` on one equality
+key); clause soups the facade cannot honor (``WHEN MATCHED THEN
+DELETE``, partial ``SET col =``) are rejected loudly rather than
+silently approximated.
+
+Scale posture: the front-end adds ZERO data-path code — parsing is
+driver-side string work, and every statement lands on the facade's
+file-pair-bounded CoW I/O and KB-sized manifest commits.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .parquet import MONTH_COL
+from . import manifest_table as mt
+from .table_api import ManifestTable
+
+
+class ManifestSqlError(ValueError):
+    """A statement outside the supported dialect — always loud."""
+
+
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+ON\s+"
+    r"(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(\S+)\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+(\S+)\s*;?\s*$",
+    re.I | re.S,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$", re.I | re.S
+)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(\w+)"
+    r"(?:\s+WHERE\s+(.+?))??"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*$",
+    re.I | re.S,
+)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)"
+    r"\s*;?\s*$",
+    re.I,
+)
+_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$", re.I
+)
+_VACUUM_RE = re.compile(r"^\s*VACUUM\s+(\w+)\s*;?\s*$", re.I)
+_SELECT_RE = re.compile(r"^\s*(SELECT|WITH)\b", re.I)
+
+#: ``part_month IN ('a', 'b')`` or ``part_month = 'a'`` — the month
+#: disjunct a DELETE/OPTIMIZE WHERE clause may carry.
+_MONTHS_RE = re.compile(
+    rf"^\s*{MONTH_COL}\s*(?:=\s*'([0-9-]+)'"
+    r"|IN\s*\(\s*('[0-9-]+'(?:\s*,\s*'[0-9-]+')*)\s*\))\s*$",
+    re.I,
+)
+_VERSION_AS_OF_RE = re.compile(
+    r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.I
+)
+
+
+def _parse_months(clause: str) -> list[str] | None:
+    """``part_month = 'a'`` / ``part_month IN ('a','b')`` -> months,
+    else None."""
+    m = _MONTHS_RE.match(clause.strip())
+    if not m:
+        return None
+    if m.group(1):
+        return [m.group(1)]
+    return [x.strip().strip("'") for x in m.group(2).split(",")]
+
+
+def _split_month_disjunct(pred: str) -> tuple[list[str], str | None]:
+    """Decompose a DELETE predicate into (metadata-drop months,
+    residual predicate): a top-level ``part_month... OR rest`` (or the
+    whole clause being a month test) peels off as the month drop —
+    the facade then deletes those partitions as pure metadata and CoW
+    only the residual's files. Anything else stays a full predicate."""
+    whole = _parse_months(pred)
+    if whole is not None:
+        return whole, None
+    m = re.match(
+        rf"^\s*(?:\(\s*)?({MONTH_COL}\s*(?:=\s*'[0-9-]+'"
+        r"|IN\s*\([^)]*\)))\s*\)?\s+OR\s+(.+)$",
+        pred,
+        re.I | re.S,
+    )
+    if m:
+        months = _parse_months(m.group(1))
+        if months is not None:
+            rest = m.group(2).strip()
+            if rest.startswith("(") and rest.endswith(")"):
+                rest = rest[1:-1]
+            return months, rest
+    return [], pred
+
+
+def _resolve(
+    name: str, tables: dict[str, "ManifestTable | str"], spark: SparkSession
+) -> ManifestTable:
+    if name not in tables:
+        raise ManifestSqlError(
+            f"unknown manifest table '{name}' (registered:"
+            f" {sorted(tables)})"
+        )
+    t = tables[name]
+    return t if isinstance(t, ManifestTable) else ManifestTable(spark, t)
+
+
+def _run_select(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, "ManifestTable | str"],
+) -> DataFrame:
+    """Rewrite ``t VERSION AS OF n`` references of known tables to
+    version-pinned temp views, register head views for bare known
+    names, and hand the statement to Spark SQL."""
+    rewritten = sql
+
+    def sub(m: re.Match) -> str:
+        name, v = m.group(1), int(m.group(2))
+        if name not in tables:
+            return m.group(0)
+        view = f"{name}__v{v}"
+        _resolve(name, tables, spark).read(v).createOrReplaceTempView(view)
+        return view
+
+    rewritten = _VERSION_AS_OF_RE.sub(sub, rewritten)
+    for name in tables:
+        if re.search(rf"\b{re.escape(name)}\b", rewritten):
+            _resolve(name, tables, spark).read().createOrReplaceTempView(
+                name
+            )
+    return spark.sql(rewritten)
+
+
+def execute_table_sql(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, "ManifestTable | str"],
+    sources: dict[str, DataFrame] | None = None,
+):
+    """Parse ONE statement of the bounded dialect and dispatch it onto
+    the :class:`ManifestTable` facade. ``tables`` maps statement-level
+    table names to handles (or roots); MERGE sources resolve from
+    ``sources`` first, then Spark temp views. Returns the facade's
+    result — a DataFrame for SELECT / DESCRIBE HISTORY, the commit
+    payload dict for DML, the (deleted, expired) pair for VACUUM."""
+    if _SELECT_RE.match(sql):
+        return _run_select(spark, sql, tables)
+
+    m = _MERGE_RE.match(sql)
+    if m:
+        tname, sname, a1, k1, a2, k2, set_spec, ins_spec = m.groups()
+        if set_spec != "*" or ins_spec != "*":
+            raise ManifestSqlError(
+                "MERGE dialect is full-row: UPDATE SET * / INSERT *"
+                f" (got SET {set_spec} / INSERT {ins_spec})"
+            )
+        if {a1, a2} != {tname, sname} or a1 == a2:
+            raise ManifestSqlError(
+                f"MERGE ON must equate {tname}.<key> with {sname}.<key>"
+                f" (got {a1}.{k1} = {a2}.{k2})"
+            )
+        if k1 != k2:
+            raise ManifestSqlError(
+                "MERGE key must be the same column on both sides"
+                f" (got {k1} vs {k2})"
+            )
+        t = _resolve(tname, tables, spark)
+        if sources and sname in sources:
+            src = sources[sname]
+        else:
+            try:
+                src = spark.table(sname)
+            except Exception as exc:  # no such view
+                raise ManifestSqlError(
+                    f"MERGE source '{sname}' is neither a provided"
+                    " source nor a temp view"
+                ) from exc
+        return t.upsert(src, key=k1)
+
+    m = _DELETE_RE.match(sql)
+    if m:
+        tname, pred = m.groups()
+        t = _resolve(tname, tables, spark)
+        months, residual = _split_month_disjunct(pred)
+        try:
+            col = F.expr(residual) if residual else None
+        except Exception as exc:
+            raise ManifestSqlError(
+                f"DELETE predicate not parseable: {residual!r}"
+            ) from exc
+        return t.delete_where(months=months, predicate=col)
+
+    m = _OPTIMIZE_RE.match(sql)
+    if m:
+        tname, where, zx, zy = m.groups()
+        t = _resolve(tname, tables, spark)
+        if where is not None:
+            months = _parse_months(where)
+            if months is None:
+                raise ManifestSqlError(
+                    "OPTIMIZE WHERE must select whole partitions:"
+                    f" {MONTH_COL} = '...' or {MONTH_COL} IN (...)"
+                    f" (got {where!r})"
+                )
+        else:
+            months = sorted(
+                mt.resolve_manifest(t.root)["files"]
+            )
+        zorder = (zx, zy) if zx else None
+        return t.optimize(months, zorder_by=zorder)
+
+    m = _RESTORE_RE.match(sql)
+    if m:
+        t = _resolve(m.group(1), tables, spark)
+        return t.restore(int(m.group(2)))
+
+    m = _HISTORY_RE.match(sql)
+    if m:
+        return _resolve(m.group(1), tables, spark).history()
+
+    m = _VACUUM_RE.match(sql)
+    if m:
+        return _resolve(m.group(1), tables, spark).vacuum()
+
+    raise ManifestSqlError(
+        f"statement outside the manifest-table SQL dialect: {sql!r}"
+    )
+
+# ---------------------------------------------------------------------------
+# Registered entries: the SQL statements landing on the SAME oracles as
+# their Python-facade twins — a statement is correct iff it is the verb.
+# ---------------------------------------------------------------------------
+
+
+def _sql_root(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    from .compaction import _stage_fingerprint
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{warehouse}/manifest_sql{tag}_{_stage_fingerprint(sf_dir)}"
+
+
+def manifest_sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MERGE INTO`` as a STATEMENT: the r14 merge-upsert schedule
+    (same constants as ``parquet_manifest_merge_upsert`` — key mod
+    {mod}, price bump, key-shifted insert twins) driven through
+    :func:`execute_table_sql` instead of the Python facade, landing on
+    the IDENTICAL row-level oracle over the whole merged table. The
+    statement parses to ``ManifestTable.upsert`` — same matched-file
+    discovery, same CoW, same commit protocol — so a parse that binds
+    the wrong key, source, or clause semantics hash-fails against
+    DuckDB's recomputation. Version-gated; torn runs resume."""
+    from ..catalog import load_tables
+    from .manifest_table import (
+        MERGE_INSERT_OFFSET,
+        MERGE_KEY_MOD,
+        MERGE_KEY_REM,
+        MERGE_PRICE_BUMP,
+    )
+
+    root = _sql_root(spark, sf_dir, "merge")
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    t = ManifestTable.create(spark, orders, root, date_col="o_orderdate")
+    if 2 not in mt.manifest_chain(root):
+        hit = t.read(1).filter(
+            F.col("o_orderkey") % MERGE_KEY_MOD == MERGE_KEY_REM
+        )
+        src = hit.withColumn(
+            "o_totalprice", F.col("o_totalprice") + MERGE_PRICE_BUMP
+        ).unionByName(
+            hit.withColumn(
+                "o_orderkey", F.col("o_orderkey") + MERGE_INSERT_OFFSET
+            )
+        )
+        src.createOrReplaceTempView("sql_merge_src")
+        execute_table_sql(
+            spark,
+            "MERGE INTO tbl USING sql_merge_src"
+            " ON tbl.o_orderkey = sql_merge_src.o_orderkey"
+            " WHEN MATCHED THEN UPDATE SET *"
+            " WHEN NOT MATCHED THEN INSERT *",
+            tables={"tbl": t},
+        )
+    return execute_table_sql(
+        spark,
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,"
+        f" {MONTH_COL} AS pm FROM tbl",
+        tables={"tbl": t},
+    )
+
+
+def manifest_sql_lifecycle_history(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FIVE-VERB lifecycle of ``parquet_manifest_history`` driven
+    entirely by SQL statements — MERGE INTO, a two-tier DELETE whose
+    ``part_month = '...' OR <pred>`` WHERE clause decomposes into the
+    metadata month drop + predicate CoW, OPTIMIZE WHERE over the
+    pre-cutoff partitions, RESTORE TO VERSION AS OF, and DESCRIBE
+    HISTORY — landing on the IDENTICAL lifecycle oracle (operation tag
+    + exact per-version row count, every count recomputed by DuckDB;
+    per-version reads go through ``SELECT count(*) ... VERSION AS OF``
+    statements, so the time-travel rewrite is itself under the hash).
+    Same constants as the facade entry (``table_api.py``)."""
+    from ..catalog import load_tables
+    from .table_api import (
+        API_DEL_MOD,
+        API_DEL_REM,
+        API_DROP_MONTH,
+        API_INSERT_OFFSET,
+        API_PRICE_BUMP,
+        API_UPSERT_MOD,
+        API_UPSERT_REM,
+    )
+
+    root = _sql_root(spark, sf_dir, "api")
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    t = ManifestTable.create(spark, orders, root, date_col="o_orderdate")
+    tables = {"tbl": t}
+    if 2 not in mt.manifest_chain(root):
+        hit = t.read(1).filter(
+            F.col("o_custkey") % API_UPSERT_MOD == API_UPSERT_REM
+        )
+        src = hit.withColumn(
+            "o_totalprice", F.col("o_totalprice") + API_PRICE_BUMP
+        ).unionByName(
+            hit.withColumn(
+                "o_orderkey", F.col("o_orderkey") + API_INSERT_OFFSET
+            )
+        )
+        src.createOrReplaceTempView("sql_api_src")
+        execute_table_sql(
+            spark,
+            "MERGE INTO tbl USING sql_api_src"
+            " ON tbl.o_orderkey = sql_api_src.o_orderkey"
+            " WHEN MATCHED THEN UPDATE SET *"
+            " WHEN NOT MATCHED THEN INSERT *",
+            tables=tables,
+        )
+    if 3 not in mt.manifest_chain(root):
+        execute_table_sql(
+            spark,
+            f"DELETE FROM tbl WHERE {MONTH_COL} = '{API_DROP_MONTH}'"
+            f" OR o_custkey % {API_DEL_MOD} = {API_DEL_REM}",
+            tables=tables,
+        )
+    if 4 not in mt.manifest_chain(root):
+        sel = sorted(
+            m
+            for m in mt.manifest_chain(root)[3]["files"]
+            if m < mt.ZORDER_CUTOFF
+        )
+        in_list = ", ".join(f"'{m}'" for m in sel)
+        execute_table_sql(
+            spark,
+            f"OPTIMIZE tbl WHERE {MONTH_COL} IN ({in_list})",
+            tables=tables,
+        )
+    if 5 not in mt.manifest_chain(root):
+        execute_table_sql(
+            spark, "RESTORE TABLE tbl TO VERSION AS OF 2", tables=tables
+        )
+    hist = execute_table_sql(spark, "DESCRIBE HISTORY tbl", tables=tables)
+    counts = [
+        (
+            v,
+            execute_table_sql(
+                spark,
+                f"SELECT count(*) AS n FROM tbl VERSION AS OF {v}",
+                tables=tables,
+            ).collect()[0]["n"],
+        )
+        for v in sorted(mt.manifest_chain(root))
+    ]
+    counts_df = spark.createDataFrame(counts, "version int, n_rows bigint")
+    return (
+        hist.join(counts_df, "version")
+        .select("version", "operation", "n_rows")
+        .orderBy("version")
+    )
+
+
+def manifest_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``VERSION AS OF`` as a READ VERB (r14 VERDICT Next #2): select
+    the MID-CHAIN post-delete state (v3) through the statement
+    front-end AFTER the later OPTIMIZE and RESTORE commits have
+    rewritten and re-referenced files — a row-level oracle where DuckDB
+    recomputes exactly v3 (upsert applied, both delete tiers applied,
+    nothing from v4/v5 visible), so a pin that leaks later rewrites,
+    loses the delete, or resolves the wrong version hash-fails."""
+    from .table_api import (
+        API_DEL_MOD,
+        API_DEL_REM,
+        API_DROP_MONTH,
+        API_UPSERT_MOD,
+        API_UPSERT_REM,
+    )
+
+    manifest_sql_lifecycle_history(spark, sf_dir)  # ensure the universe
+    root = _sql_root(spark, sf_dir, "api")
+    return execute_table_sql(
+        spark,
+        "SELECT o_orderkey, o_custkey, o_totalprice,"
+        f" {MONTH_COL} AS pm FROM tbl VERSION AS OF 3"
+        f" WHERE o_custkey % {API_UPSERT_MOD} = {API_UPSERT_REM}"
+        f" OR o_custkey % {API_DEL_MOD} = {API_DEL_REM}",
+        tables={"tbl": ManifestTable(spark, root)},
+    )
+
+
+QUERIES = {
+    "manifest_sql_merge_upsert": manifest_sql_merge_upsert,
+    "manifest_sql_lifecycle_history": manifest_sql_lifecycle_history,
+    "manifest_sql_time_travel": manifest_sql_time_travel,
+}
+
+
+def _api_const():
+    from .table_api import (
+        API_DEL_MOD,
+        API_DEL_REM,
+        API_DROP_MONTH,
+        API_INSERT_OFFSET,
+        API_PRICE_BUMP,
+        API_UPSERT_MOD,
+        API_UPSERT_REM,
+    )
+
+    return dict(
+        mod=API_UPSERT_MOD,
+        rem=API_UPSERT_REM,
+        bump=API_PRICE_BUMP,
+        off=API_INSERT_OFFSET,
+        dropm=API_DROP_MONTH,
+        dmod=API_DEL_MOD,
+        drem=API_DEL_REM,
+    )
+
+
+_C = _api_const()
+
+ORACLES = {
+    # IDENTICAL oracle to the Python-facade twin: the statement IS the
+    # verb, so it must land on the same row-level recomputation
+    "manifest_sql_merge_upsert": mt.ORACLES["parquet_manifest_merge_upsert"],
+    # v3 exactly, row-level, restricted to the touched congruence
+    # classes (updated mod-9 rows at the bumped price + their insert
+    # twins at the original price + mod-13 rows — minus both delete
+    # tiers); rows from v4/v5 must not leak in
+    "manifest_sql_time_travel": f"""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   strftime(o_orderdate, '%Y-%m') AS pm
+            FROM orders
+        ), v2 AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_custkey % {_C['mod']} = {_C['rem']}
+                        THEN o_totalprice + {_C['bump']}
+                        ELSE o_totalprice END AS o_totalprice,
+                   pm
+            FROM base
+            UNION ALL
+            SELECT o_orderkey + {_C['off']}, o_custkey, o_totalprice, pm
+            FROM base WHERE o_custkey % {_C['mod']} = {_C['rem']}
+        )
+        SELECT o_orderkey, o_custkey, o_totalprice, pm
+        FROM v2
+        WHERE pm <> '{_C['dropm']}'
+          AND NOT (o_custkey % {_C['dmod']} = {_C['drem']})
+          AND (o_custkey % {_C['mod']} = {_C['rem']}
+               OR o_custkey % {_C['dmod']} = {_C['drem']})""",
+}
+
+
+def _lifecycle_oracle() -> str:
+    from .table_api import ORACLES as _API_ORACLES
+
+    return _API_ORACLES["parquet_manifest_history"]
+
+
+ORACLES["manifest_sql_lifecycle_history"] = _lifecycle_oracle()

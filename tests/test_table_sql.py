@@ -1,0 +1,172 @@
+"""SQL statement front-end (r15): the bounded MERGE/DELETE/OPTIMIZE/
+RESTORE/DESCRIBE HISTORY/VERSION AS OF dialect over ManifestTable —
+every statement dispatches onto the facade, out-of-dialect statements
+are rejected loudly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_revenue_analysis_sql_tableau_spark.sources import manifest_table as mt
+from customer_revenue_analysis_sql_tableau_spark.sources.parquet import MONTH_COL
+from customer_revenue_analysis_sql_tableau_spark.sources.table_api import ManifestTable
+from customer_revenue_analysis_sql_tableau_spark.sources.table_sql import (
+    ManifestSqlError,
+    _split_month_disjunct,
+    execute_table_sql,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3.0).alias("v"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2001-0"),
+                (F.col("id") % 3 + 1).cast("string"),
+                F.lit("-15"),
+            )
+        ).alias("ts"),
+    )
+    return ManifestTable.create(
+        spark, df, str(tmp_path / "sqltbl"), date_col="ts"
+    )
+
+
+def test_sql_lifecycle_matches_facade_semantics(spark, table):
+    t = table
+    tables = {"tbl": t}
+    # MERGE: update k%10==0 (v+1000), insert k+5000 twins
+    hit = t.read(1).filter(F.col("k") % 10 == 0)
+    src = hit.withColumn("v", F.col("v") + 1000.0).unionByName(
+        hit.withColumn("k", F.col("k") + 5000)
+    )
+    src.createOrReplaceTempView("merge_src")
+    execute_table_sql(
+        spark,
+        "MERGE INTO tbl USING merge_src ON tbl.k = merge_src.k"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *",
+        tables=tables,
+    )
+    assert t.version() == 2
+    assert t.read().count() == 330
+    assert t.read().filter(
+        (F.col("k") % 10 == 0) & (F.col("k") < 5000) & (F.col("v") < 1000)
+    ).count() == 0
+    # DELETE: month drop (metadata) + predicate CoW in one commit
+    execute_table_sql(
+        spark,
+        f"DELETE FROM tbl WHERE {MONTH_COL} = '2001-01' OR k % 7 = 3",
+        tables=tables,
+    )
+    assert t.version() == 3
+    out = t.read()
+    assert out.filter(F.col(MONTH_COL) == "2001-01").count() == 0
+    assert out.filter(F.col("k") % 7 == 3).count() == 0
+    n3 = out.count()
+    # OPTIMIZE one month (no ZORDER): content-neutral
+    execute_table_sql(
+        spark,
+        f"OPTIMIZE tbl WHERE {MONTH_COL} IN ('2001-02')",
+        tables=tables,
+    )
+    assert t.version() == 4 and t.read().count() == n3
+    # RESTORE to the post-merge state
+    execute_table_sql(
+        spark, "RESTORE TABLE tbl TO VERSION AS OF 2", tables=tables
+    )
+    assert t.version() == 5 and t.read().count() == 330
+    # DESCRIBE HISTORY sees the five operations in order
+    hist = execute_table_sql(spark, "DESCRIBE HISTORY tbl", tables=tables)
+    ops = [r["operation"] for r in hist.orderBy("version").collect()]
+    assert ops == ["CREATE", "UPSERT", "DELETE", "OPTIMIZE", "RESTORE"]
+    # time travel through SELECT
+    n_v3 = execute_table_sql(
+        spark,
+        "SELECT count(*) AS n FROM tbl VERSION AS OF 3",
+        tables=tables,
+    ).collect()[0]["n"]
+    assert n_v3 == n3
+    # mixed: pinned and head reads in ONE statement
+    both = execute_table_sql(
+        spark,
+        "SELECT (SELECT count(*) FROM tbl) -"
+        " (SELECT count(*) FROM tbl VERSION AS OF 3) AS delta",
+        tables=tables,
+    ).collect()[0]["delta"]
+    assert both == 330 - n3
+
+
+def test_sql_optimize_zorder_dispatch(spark, table):
+    t = table
+    execute_table_sql(
+        spark,
+        f"OPTIMIZE tbl WHERE {MONTH_COL} = '2001-01' ZORDER BY (k, v)",
+        tables={"tbl": t},
+    )
+    chain = mt.manifest_chain(t.root)
+    assert chain[2]["operation"] == "OPTIMIZE_ZORDER"
+    assert t.read().count() == 300
+
+
+def test_month_disjunct_decomposition():
+    months, rest = _split_month_disjunct(f"{MONTH_COL} = '1996-01'")
+    assert months == ["1996-01"] and rest is None
+    months, rest = _split_month_disjunct(
+        f"{MONTH_COL} IN ('1996-01', '1996-02')"
+    )
+    assert months == ["1996-01", "1996-02"] and rest is None
+    months, rest = _split_month_disjunct(
+        f"{MONTH_COL} = '1996-01' OR o_custkey % 13 = 6"
+    )
+    assert months == ["1996-01"] and rest == "o_custkey % 13 = 6"
+    months, rest = _split_month_disjunct("o_custkey % 13 = 6")
+    assert months == [] and rest == "o_custkey % 13 = 6"
+
+
+@pytest.mark.parametrize(
+    "stmt",
+    [
+        "UPDATE tbl SET v = 1",  # no UPDATE statement in the dialect
+        "DELETE FROM tbl",  # DELETE needs WHERE
+        "MERGE INTO tbl USING s ON tbl.k = s.k WHEN MATCHED THEN DELETE",
+        "MERGE INTO tbl USING s ON tbl.k > s.k"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *",  # non-equality ON
+        "MERGE INTO tbl USING s ON tbl.k = s.other"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *",  # key name mismatch
+        "MERGE INTO tbl USING s ON x.k = y.k"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *",  # aliases not the operands
+        "OPTIMIZE tbl WHERE k > 5",  # not a partition selector
+        "TRUNCATE TABLE tbl",
+        "DROP TABLE tbl",
+        "CREATE TABLE other AS SELECT 1",
+    ],
+)
+def test_out_of_dialect_statements_raise(spark, table, stmt):
+    with pytest.raises(ManifestSqlError):
+        execute_table_sql(spark, stmt, tables={"tbl": table})
+
+
+def test_unknown_table_raises(spark, table):
+    with pytest.raises(ManifestSqlError, match="unknown"):
+        execute_table_sql(
+            spark, "DESCRIBE HISTORY nope", tables={"tbl": table}
+        )
+
+
+def test_merge_source_must_exist(spark, table):
+    with pytest.raises(ManifestSqlError, match="source"):
+        execute_table_sql(
+            spark,
+            "MERGE INTO tbl USING no_such_view ON tbl.k = no_such_view.k"
+            " WHEN MATCHED THEN UPDATE SET *"
+            " WHEN NOT MATCHED THEN INSERT *",
+            tables={"tbl": table},
+        )
