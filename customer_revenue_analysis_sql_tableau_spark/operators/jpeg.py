@@ -10,10 +10,13 @@ prediction, dequantization, zigzag reordering, and a numpy IDCT — plus
 the encoder twin used to synthesize genuine test containers.
 
 Scope (documented, enforced with ``ValueError``): baseline DCT (SOF0),
-8-bit samples, grayscale or 4:4:4 color (no chroma subsampling — the
-upsample path would be untestable here without a subsampling encoder),
-single interleaved scan. Progressive files are detected by the header
-tier (``multimodal.decode_jpeg_header``) and rejected here.
+8-bit samples, grayscale or color with sampling factors in {1, 2} —
+4:4:4, 4:2:0 (the dominant real-world layout), 4:2:2 and 4:4:0 all
+decode, chroma planes upsampled by sample replication; the encoder
+twin synthesizes genuinely subsampled containers so the interleaved
+multi-block MCU walk and the upsample path sit under real entropy
+bytes. Single interleaved scan; progressive files are detected by the
+header tier (``multimodal.decode_jpeg_header``) and rejected here.
 
 Exactness discipline: DCT/IDCT are lossy in general, so the registered
 driver-hash entry synthesizes images whose 8x8 blocks are UNIFORM with
@@ -218,9 +221,17 @@ def decode_jpeg(payload: bytes) -> dict:
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
-                if hv != 0x11:
-                    raise ValueError("chroma subsampling unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 15
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(
+                        "sampling factors outside 1-2 unsupported"
+                    )
+                comps.append((cid, tq, hi, vi))
+            if ncomp == 1 and (comps[0][2], comps[0][3]) != (1, 1):
+                # a single-component scan is never interleaved: its
+                # factors are irrelevant and read as 1x1 (ITU T.81
+                # A.2.2); normalize so the MCU walk is one block
+                comps[0] = (comps[0][0], comps[0][1], 1, 1)
             frame = (h, w, comps)
         elif marker == 0xC2:
             raise ValueError("progressive JPEG unsupported (baseline only)")
@@ -247,11 +258,20 @@ def decode_jpeg(payload: bytes) -> dict:
     mapping, data_pos = scan
     segs, _end = _split_entropy(payload, data_pos)
 
-    mcu_w = (w + 7) // 8
-    mcu_h = (h + 7) // 8
-    n_mcus = mcu_w * mcu_h
     ncomp = len(comps)
-    planes = [np.zeros((mcu_h * 8, mcu_w * 8)) for _ in range(ncomp)]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    # interleaved-MCU geometry (ITU T.81 A.2.3): an MCU covers
+    # 8*hmax x 8*vmax image samples and holds hi x vi blocks of each
+    # component in raster order — for 4:2:0, four Y blocks then one Cb
+    # then one Cr
+    mcu_w = (w + 8 * hmax - 1) // (8 * hmax)
+    mcu_h = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcus = mcu_w * mcu_h
+    planes = [
+        np.zeros((mcu_h * vi * 8, mcu_w * hi * 8))
+        for (_cid, _tq, hi, vi) in comps
+    ]
     preds = [0] * ncomp
     seg_i = 0
     reader = _BitReader(segs[0])
@@ -263,7 +283,7 @@ def decode_jpeg(payload: bytes) -> dict:
             reader = _BitReader(segs[seg_i])
             preds = [0] * ncomp
         my, mx = divmod(mcu, mcu_w)
-        for ci, (cid, tq) in enumerate(comps):
+        for ci, (cid, tq, hi, vi) in enumerate(comps):
             if cid not in mapping:
                 raise ValueError("scan component not in frame")
             dc_id, ac_id = mapping[cid]
@@ -272,28 +292,44 @@ def decode_jpeg(payload: bytes) -> dict:
             qt = qtables.get(tq)
             if dc_codes is None or ac_codes is None or qt is None:
                 raise ValueError("scan references missing table")
-            coeffs = np.zeros(64)
-            size = reader.read_symbol(dc_codes)
-            preds[ci] += _extend(reader.read_bits(size), size)
-            coeffs[0] = preds[ci]
-            k = 1
-            while k < 64:
-                sym = reader.read_symbol(ac_codes)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL: sixteen zeros
-                    k += 16
-                    continue
-                k += sym >> 4
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                coeffs[ZIGZAG[k]] = _extend(
-                    reader.read_bits(sym & 15), sym & 15
-                )
-                k += 1
-            block = _idct(coeffs.reshape(8, 8) * qt) + 128.0
-            planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = block
-    cropped = [np.clip(np.rint(p[:h, :w]), 0, 255).astype(np.int64) for p in planes]
+            for by in range(vi):
+                for bx in range(hi):
+                    coeffs = np.zeros(64)
+                    size = reader.read_symbol(dc_codes)
+                    preds[ci] += _extend(reader.read_bits(size), size)
+                    coeffs[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        sym = reader.read_symbol(ac_codes)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        if k > 63:
+                            raise ValueError("AC run overflows block")
+                        coeffs[ZIGZAG[k]] = _extend(
+                            reader.read_bits(sym & 15), sym & 15
+                        )
+                        k += 1
+                    block = _idct(coeffs.reshape(8, 8) * qt) + 128.0
+                    r0 = (my * vi + by) * 8
+                    c0 = (mx * hi + bx) * 8
+                    planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
+    # crop each plane to its component resolution, upsample to full
+    # resolution by sample replication (the only upsampling the spec
+    # mandates; smoother filters are an encoder-decoder pair choice),
+    # then crop to the frame
+    full = []
+    for (plane, (_cid, _tq, hi, vi)) in zip(planes, comps):
+        comp_w = (w * hi + hmax - 1) // hmax
+        comp_h = (h * vi + vmax - 1) // vmax
+        p = plane[:comp_h, :comp_w]
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    cropped = [np.clip(np.rint(p), 0, 255).astype(np.int64) for p in full]
     n_px = w * h
     if ncomp == 1:
         y = cropped[0]
@@ -380,34 +416,75 @@ def _csize(v: int) -> int:
     return abs(v).bit_length()
 
 
+def _box_downsample(p: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Mean-pool ``p`` by (fy, fx), edge-replicating odd tails first —
+    the standard chroma downsampler (box filter)."""
+    h, w = p.shape
+    ph, pw = (h + fy - 1) // fy * fy, (w + fx - 1) // fx * fx
+    q = np.empty((ph, pw))
+    q[:h, :w] = p
+    q[h:, :w] = p[h - 1 : h, :]
+    q[:, w:] = q[:, w - 1 : w]
+    return q.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+
 def encode_jpeg(
-    img: np.ndarray, quant: np.ndarray, restart_interval: int = 0
+    img: np.ndarray,
+    quant: np.ndarray,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+    color_space: str = "rgb",
 ) -> bytes:
-    """Encode a grayscale (h, w) or RGB (h, w, 3) uint8 array as a
+    """Encode a grayscale (h, w) or color (h, w, 3) uint8 array as a
     genuine baseline JPEG: level shift, 8x8 forward DCT, quantization
     by ``quant`` (natural order), canonical-Huffman entropy coding with
     byte stuffing, optional DRI/RSTn restart markers. Color converts to
-    ITU YCbCr and encodes 4:4:4 (all sampling factors 1x1)."""
+    ITU YCbCr (or takes the channels AS YCbCr planes when
+    ``color_space="ycbcr"`` — the synth side uses this to build
+    bit-exact uniform-tile containers) and encodes ``subsampling``:
+    ``"444"`` (all factors 1x1), ``"420"`` (Y 2x2, chroma box-mean
+    downsampled 2x2 — the dominant real-world layout) or ``"422"``
+    (Y 2x1, chroma halved horizontally)."""
     if img.ndim == 2:
         planes = [img.astype(np.float64)]
     elif img.ndim == 3 and img.shape[2] == 3:
-        rgb = img.astype(np.float64)
-        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128,
-        ]
+        chans = img.astype(np.float64)
+        if color_space == "ycbcr":
+            planes = [chans[:, :, 0], chans[:, :, 1], chans[:, :, 2]]
+        elif color_space == "rgb":
+            r, g, b = chans[:, :, 0], chans[:, :, 1], chans[:, :, 2]
+            planes = [
+                0.299 * r + 0.587 * g + 0.114 * b,
+                -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
+                0.5 * r - 0.418688 * g - 0.081312 * b + 128,
+            ]
+        else:
+            raise ValueError("color_space must be 'rgb' or 'ycbcr'")
     else:
         raise ValueError("expected (h, w) or (h, w, 3) image array")
     h, w = planes[0].shape
-    mcu_w, mcu_h = (w + 7) // 8, (h + 7) // 8
+    if len(planes) == 1 or subsampling == "444":
+        factors = [(1, 1)] * len(planes)
+    elif subsampling == "420":
+        factors = [(2, 2), (1, 1), (1, 1)]
+    elif subsampling == "422":
+        factors = [(2, 1), (1, 1), (1, 1)]
+    else:
+        raise ValueError("subsampling must be '444', '420' or '422'")
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcu_w = (w + 8 * hmax - 1) // (8 * hmax)
+    mcu_h = (h + 8 * vmax - 1) // (8 * vmax)
     padded = []
-    for p in planes:
-        q = np.empty((mcu_h * 8, mcu_w * 8))
-        q[:h, :w] = p
-        q[h:, :w] = p[h - 1 : h, :]  # edge-replicate padding
-        q[:, w:] = q[:, w - 1 : w]
+    for p, (hi, vi) in zip(planes, factors):
+        if (hi, vi) != (hmax, vmax):
+            p = _box_downsample(p, vmax // vi, hmax // hi)
+        ch, cw = p.shape
+        th, tw = mcu_h * vi * 8, mcu_w * hi * 8
+        q = np.empty((th, tw))
+        q[:ch, :cw] = p
+        q[ch:, :cw] = p[ch - 1 : ch, :]  # edge-replicate padding
+        q[:, cw:] = q[:, cw - 1 : cw]
         padded.append(q)
 
     dc_bits, dc_vals, ac_bits, ac_vals = _encoder_tables()
@@ -433,39 +510,55 @@ def encode_jpeg(
             preds = [0] * ncomp
         my, mx = divmod(mcu, mcu_w)
         for ci in range(ncomp):
-            block = padded[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-            coeffs = np.rint(_fdct(block - 128.0) / quant).astype(np.int64)
-            diff = int(coeffs[0, 0]) - preds[ci]
-            preds[ci] = int(coeffs[0, 0])
-            size = _csize(diff)
-            if size > 11:
-                raise ValueError("DC difference out of category range")
-            ln, code = dc_codes[size]
-            writer.write(code, ln)
-            if size:
-                writer.write(diff if diff > 0 else diff + (1 << size) - 1, size)
-            flat = coeffs.reshape(64)
-            zz = [int(flat[ZIGZAG[k]]) for k in range(64)]
-            run = 0
-            for k in range(1, 64):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    ln, code = ac_codes[0xF0]
+            hi, vi = factors[ci]
+            for by in range(vi):
+                for bx in range(hi):
+                    r0 = (my * vi + by) * 8
+                    c0 = (mx * hi + bx) * 8
+                    block = padded[ci][r0 : r0 + 8, c0 : c0 + 8]
+                    coeffs = np.rint(
+                        _fdct(block - 128.0) / quant
+                    ).astype(np.int64)
+                    diff = int(coeffs[0, 0]) - preds[ci]
+                    preds[ci] = int(coeffs[0, 0])
+                    size = _csize(diff)
+                    if size > 11:
+                        raise ValueError(
+                            "DC difference out of category range"
+                        )
+                    ln, code = dc_codes[size]
                     writer.write(code, ln)
-                    run -= 16
-                size = _csize(zz[k])
-                if size > 8:
-                    raise ValueError("AC coefficient out of encoder range")
-                ln, code = ac_codes[(run << 4) | size]
-                writer.write(code, ln)
-                v = zz[k]
-                writer.write(v if v > 0 else v + (1 << size) - 1, size)
-                run = 0
-            if run:
-                ln, code = ac_codes[0x00]  # EOB
-                writer.write(code, ln)
+                    if size:
+                        writer.write(
+                            diff if diff > 0 else diff + (1 << size) - 1,
+                            size,
+                        )
+                    flat = coeffs.reshape(64)
+                    zz = [int(flat[ZIGZAG[k]]) for k in range(64)]
+                    run = 0
+                    for k in range(1, 64):
+                        if zz[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ln, code = ac_codes[0xF0]
+                            writer.write(code, ln)
+                            run -= 16
+                        size = _csize(zz[k])
+                        if size > 8:
+                            raise ValueError(
+                                "AC coefficient out of encoder range"
+                            )
+                        ln, code = ac_codes[(run << 4) | size]
+                        writer.write(code, ln)
+                        v = zz[k]
+                        writer.write(
+                            v if v > 0 else v + (1 << size) - 1, size
+                        )
+                        run = 0
+                    if run:
+                        ln, code = ac_codes[0x00]  # EOB
+                        writer.write(code, ln)
     segments.append(writer.flush())
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -476,7 +569,12 @@ def encode_jpeg(
     out += seg(
         0xC0,
         struct.pack(">BHHB", 8, h, w, ncomp)
-        + b"".join(struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp)),
+        + b"".join(
+            struct.pack(
+                ">BBB", i + 1, (factors[i][0] << 4) | factors[i][1], 0
+            )
+            for i in range(ncomp)
+        ),
     )
     out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
     out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)

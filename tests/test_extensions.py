@@ -1665,13 +1665,13 @@ def test_jpeg_codec_rejects_out_of_scope_and_malformed():
     )
 
     sub_sof = (
-        b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 16, 16, 1) + b"\x01\x22\x00"
+        b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 16, 16, 1) + b"\x01\x33\x00"
     )
     dqt16 = b"\xff\xdb" + struct.pack(">H", 3 + 128) + b"\x10" + bytes(128)
     cases = (
         b"not a jpeg",
         _make_jpeg(7),  # marker-correct SOF2 → progressive
-        b"\xff\xd8" + sub_sof + b"\xff\xd9",  # 2x2 sampling factors
+        b"\xff\xd8" + sub_sof + b"\xff\xd9",  # 3x3 sampling factors
         b"\xff\xd8" + dqt16 + b"\xff\xd9",  # 16-bit quant table
         _make_jpeg_px(5)[:-40],  # entropy stream cut mid-MCU
         b"\xff\xd8\xff\xd9",  # no SOF/SOS at all
@@ -2607,3 +2607,88 @@ def test_crossbatch_dedup_drain_pins_late_and_expiry_rules(spark, sf_dir):
 
             keys = Counter((r.user_id, r.event_type) for r in rows)
             assert max(keys.values()) == 2, "no expired key was re-admitted"
+
+
+def test_jpeg_codec_420_subsampled_roundtrips():
+    """4:2:0 (r15): uniform-tile containers decode BIT-EXACT through
+    the subsampled path (box downsample of a uniform tile is exact,
+    replication upsample reproduces it); gradient content decodes
+    within a chroma-subsampling tolerance; 4:2:2 and odd (non-MCU-
+    multiple) dimensions work; Y geometry is untouched by subsampling
+    (luma-driven mean is exact on grayscale-content color)."""
+    import numpy as np
+
+    from customer_revenue_analysis_sql_tableau_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from customer_revenue_analysis_sql_tableau_spark.operators.multimodal import (
+        _make_jpeg_420,
+        real_decode,
+    )
+
+    q8 = np.full((8, 8), 8.0)
+    # the registered synth itself, incl. a restart-marker id (id%4==0)
+    for doc_id in (0, 5, 7, 12):
+        got = real_decode(_make_jpeg_420(doc_id), "image/jpeg")
+        wb, hb = 1 + doc_id % 3, 1 + doc_id % 2
+        tr = np.arange(hb)[:, None]
+        tc = np.arange(wb)[None, :]
+        yv = (7 * doc_id + 13 * tr + 29 * tc) % 256
+        cb = 96 + (11 * doc_id + 17 * tr + 5 * tc) % 64
+        cr = 96 + (3 * doc_id + 23 * tr + 7 * tc) % 64
+
+        def rhe(x):
+            return np.clip(np.rint(x), 0, 255).astype(np.int64)
+
+        r = rhe(yv + 1.402 * (cr - 128.0))
+        g = rhe(yv - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0))
+        b = rhe(yv + 1.772 * (cb - 128.0))
+        n = wb * hb
+        assert got == {
+            "width": 16 * wb,
+            "height": 16 * hb,
+            "channels": 3,
+            "n_pixels": 256 * n,
+            "mean_r": int(r.sum()) // n,
+            "mean_g": int(g.sum()) // n,
+            "mean_b": int(b.sum()) // n,
+            "tl": int(r[0, 0]),
+        }
+
+    # gradient content: chroma varies smoothly, so 2x2 box-mean +
+    # replication loses little — means within 1, samples within a
+    # bounded chroma error; odd dims force edge-replicated partial MCUs
+    hgt, wid = 37, 53
+    grad = np.clip(
+        np.fromfunction(
+            lambda y, x, c: 30 + y * 2.0 + x * 1.5 + c * 40, (hgt, wid, 3)
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    for sub in ("420", "422"):
+        d = decode_jpeg(encode_jpeg(grad, q8, subsampling=sub))
+        assert (d["width"], d["height"]) == (wid, hgt)
+        for ch, key in enumerate(("mean_r", "mean_g", "mean_b")):
+            true = int(grad[:, :, ch].astype(np.int64).sum()) // (hgt * wid)
+            assert abs(d[key] - true) <= 1, (sub, key)
+        assert abs(d["tl"] - int(grad[0, 0, 0])) <= 16
+
+    # random color noise through 4:2:0: channel means survive the
+    # chroma smoothing to within a few counts (chroma error is
+    # zero-mean-ish; the bound is loose but catches plane swaps, which
+    # shift means by tens)
+    noise = np.random.default_rng(11).integers(
+        0, 256, size=(32, 48, 3)
+    ).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(noise, q8, subsampling="420"))
+    for ch, key in enumerate(("mean_r", "mean_g", "mean_b")):
+        true = int(noise[:, :, ch].astype(np.int64).sum()) // (32 * 48)
+        assert abs(d[key] - true) <= 6, key
+
+    # 4:2:0 with restart markers on general content still resyncs
+    d2 = decode_jpeg(
+        encode_jpeg(noise, q8, subsampling="420", restart_interval=2)
+    )
+    assert (d2["width"], d2["height"], d2["channels"]) == (48, 32, 3)
