@@ -203,6 +203,15 @@ def _overlap_components(
     stats collapses the commit to ONE component (correctness over
     parallelism); zero-row files are their own singletons (no keys,
     so grouping cannot matter)."""
+    if not removed:
+        # pure APPEND: every post-image key is an insert — no pre/post
+        # meeting needed, so each added file classifies alone (full
+        # per-file parallelism, no footer reads at planning)
+        return [([rel], []) for rel in added]
+    if not added:
+        # pure partition DELETE (metadata month drop): every pre-image
+        # key is a delete — same per-file independence
+        return [([], [rel]) for rel in removed]
     tagged = [(rel, True) for rel in added] + [
         (rel, False) for rel in removed
     ]

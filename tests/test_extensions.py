@@ -100,11 +100,18 @@ def test_distributed_components_equal_unionfind(spark, sf_dir):
     )
 
     uf = {r.doc_id: r.component_id for r in dedup_components(spark, sf_dir).collect()}
-    lp = {
-        r.doc_id: r.component_id
-        for r in dedup_components_distributed(spark, sf_dir).collect()
-    }
+    dist = dedup_components_distributed(spark, sf_dir)
+    lp = {r.doc_id: r.component_id for r in dist.collect()}
     assert uf == lp
+    # the distributed path never collects the edge set to the driver:
+    # its labels are a checkpointed executor-side frame, so the plan
+    # has no LocalTableScan of driver-built rows (the union-find twin
+    # does — that's exactly the difference the registry entry proves)
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan
+    twin = dedup_components(spark, sf_dir)
+    twin_plan = twin._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in twin_plan or "Scan ExistingRDD" in twin_plan
 
 
 def test_bigstar_components_equal_unionfind(spark, sf_dir):
