@@ -87,7 +87,7 @@ _REGISTRY_MODULES = [
 # at ENTRY level. Round-15 ordering (VERDICT.md r14, Next #1-#6):
 # (1) the documented THREE-entry r14 budget spill FIRST (r14 Next #4 —
 # spills sweep before anything else, so the r8 floor finally clears);
-# (2) the FIVE new r15 entries, first driver proof — the SQL DML
+# (2) the SEVEN new r15 entries, first driver proof — the SQL DML
 # front-end driving MERGE INTO on the identical merge oracle plus the
 # five-verb lifecycle and a mid-chain VERSION AS OF read (r14 Next
 # #1/#2), and the two CONCURRENT streaming MERGE writers racing
@@ -104,7 +104,7 @@ _REGISTRY_MODULES = [
 # Next #5: the driver proves the 100 TB min-label path, not the
 # driver-side union-find twin);
 # (5) the r9 proof-staleness cohort (oldest first in the registry-wide
-# floor sweep). 3+5+5+1+44 = 58 overfills the ~50 budget; the tail is
+# floor sweep). 3+7+5+1+44 = 60 overfills the ~50 budget; the tail is
 # code-unchanged and pytest-covered, so the <=8-entry spill costs
 # nothing (documented rule; spills sweep first in r16). Guarded
 # against rot by tests/test_registry_hygiene.py::
@@ -118,6 +118,8 @@ _PRIORITY = [
     "manifest_sql_merge_upsert",  # MERGE INTO statement, identical oracle
     "manifest_sql_lifecycle_history",  # 5-verb lifecycle via SQL strings
     "manifest_sql_time_travel",  # mid-chain VERSION AS OF read
+    "manifest_sql_update_where",  # UPDATE SET ... WHERE statement
+    "manifest_sql_insert_into",  # INSERT INTO with nested time travel
     "stream_manifest_two_writers",  # concurrent writers + abort/rebase
     "multimodal_decode_jpeg_420",  # chroma-subsampled decode (Next #8)
     # -- changed-in-r15 code paths (r14 ADVICE fixes), re-proven --

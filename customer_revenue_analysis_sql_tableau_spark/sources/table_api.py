@@ -217,6 +217,90 @@ class ManifestTable:
         )
         return payload
 
+    def update(
+        self,
+        assignments: dict[str, Column],
+        predicate: Column,
+    ) -> dict:
+        """UPDATE ... SET ... WHERE: CoW-rewrite ONLY the files that
+        hold a TRUE match, applying the assignments to matching rows
+        (NULL-predicate rows are untouched — three-valued semantics,
+        same discipline as DELETE) while neighbor rows ride along
+        unchanged; one commit tagged UPDATE. Assignments to the
+        partition column are rejected (a partition move is a
+        delete+insert, i.e. MERGE territory)."""
+        if MONTH_COL in assignments:
+            raise ValueError(
+                f"UPDATE cannot reassign the partition column"
+                f" {MONTH_COL}; use upsert (delete-old + insert-new)"
+            )
+        snap = self.version()
+        v = snap + 1
+        scope = self.read(snap)
+        aff = (
+            scope.withColumn("fname", F.input_file_name())
+            .filter(predicate)
+            .select(MONTH_COL, "fname")
+            .distinct()
+            .collect()
+        )
+        affected: dict[str, list[str]] = {}
+        for r in aff:
+            affected.setdefault(r[MONTH_COL], []).append(
+                os.path.basename(r["fname"])
+            )
+        stage = os.path.join(self.base, "_pack_tmp", uuid.uuid4().hex[:12])
+        hit = F.coalesce(predicate, F.lit(False))
+        removed: dict[str, list[str]] = {}
+        added: dict[str, list[str]] = {}
+        for m, names in sorted(affected.items()):
+            names = sorted(set(names))
+            df = self.spark.read.option("basePath", self.root).parquet(
+                *[f"{self.root}/{MONTH_COL}={m}/{n}" for n in names]
+            )
+            updated = df.select(
+                *[
+                    F.when(hit, assignments[c]).otherwise(F.col(c)).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            ).drop(MONTH_COL)
+            tmp = os.path.join(stage, f"up{v}-{m}")
+            updated.coalesce(1).write.mode("overwrite").parquet(tmp)
+            removed[m] = names
+            added[m] = mt.land_files(
+                tmp, os.path.join(self.base, f"{MONTH_COL}={m}"), f"up{v}-"
+            )
+        shutil.rmtree(stage, ignore_errors=True)
+        payload, _reb = mt.commit_transaction(
+            self.root, snap, removed, added, extra={"operation": "UPDATE"}
+        )
+        return payload
+
+    def insert_into(self, source: DataFrame) -> dict:
+        """INSERT INTO: land the source rows as new per-partition
+        files and commit APPEND-ONLY (``removed={}``) — the one
+        mutation that always commutes under optimistic concurrency;
+        one commit tagged INSERT. The source must carry the partition
+        column (same contract as upsert)."""
+        if MONTH_COL not in source.columns:
+            raise ValueError(
+                f"insert_into source must carry {MONTH_COL} (use "
+                f"F.date_format(date_col, 'yyyy-MM'))"
+            )
+        snap = self.version()
+        v = snap + 1
+        stage = os.path.join(self.base, "_pack_tmp", uuid.uuid4().hex[:12])
+        tmp = os.path.join(stage, f"a{v}")
+        source.write.mode("overwrite").partitionBy(MONTH_COL).parquet(tmp)
+        added = mt.land_partitioned_files(tmp, self.base, f"a{v}-")
+        shutil.rmtree(stage, ignore_errors=True)
+        payload, _reb = mt.commit_transaction(
+            self.root, snap, {}, added, extra={"operation": "INSERT"}
+        )
+        return payload
+
     def optimize(
         self,
         months: list[str],

@@ -18,6 +18,8 @@ statement)::
     MERGE INTO t USING s ON t.k = s.k
         WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *          -> t.upsert(s, key=k)
+    UPDATE t SET a = e1[, b = e2] WHERE <pred>  -> t.update(...)
+    INSERT INTO t SELECT ... | TABLE s          -> t.insert_into(...)
     DELETE FROM t WHERE <pred>                  -> t.delete_where(...)
         (a  part_month IN (...)  /  part_month = '...'  disjunct is
          split out as the METADATA-ONLY month drop; the residual
@@ -69,6 +71,14 @@ _MERGE_RE = re.compile(
 )
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$", re.I | re.S
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s+((?:SELECT|WITH|TABLE)\b.+?)\s*;?\s*$",
+    re.I | re.S,
 )
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(\w+)"
@@ -133,6 +143,32 @@ def _split_month_disjunct(pred: str) -> tuple[list[str], str | None]:
                 rest = rest[1:-1]
             return months, rest
     return [], pred
+
+
+def _split_assignments(s: str) -> dict[str, str]:
+    """``a = e1, b = e2`` -> {col: expr text}, splitting on top-level
+    commas only (commas inside function calls stay in the expr)."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    out: dict[str, str] = {}
+    for p in parts:
+        m = re.match(r"^\s*(\w+)\s*=\s*(.+?)\s*$", p, re.S)
+        if not m:
+            raise ManifestSqlError(f"bad SET assignment: {p.strip()!r}")
+        out[m.group(1)] = m.group(2)
+    return out
 
 
 def _resolve(
@@ -219,6 +255,45 @@ def execute_table_sql(
                     " source nor a temp view"
                 ) from exc
         return t.upsert(src, key=k1)
+
+    m = _UPDATE_RE.match(sql)
+    if m:
+        tname, set_clause, pred = m.groups()
+        t = _resolve(tname, tables, spark)
+        try:
+            assignments = {
+                c: F.expr(e) for c, e in _split_assignments(set_clause).items()
+            }
+            col = F.expr(pred)
+        except ManifestSqlError:
+            raise
+        except Exception as exc:
+            raise ManifestSqlError(
+                f"UPDATE clause not parseable: SET {set_clause!r}"
+                f" WHERE {pred!r}"
+            ) from exc
+        return t.update(assignments, col)
+
+    m = _INSERT_RE.match(sql)
+    if m:
+        tname, body = m.groups()
+        t = _resolve(tname, tables, spark)
+        tm = re.match(r"^TABLE\s+(\w+)$", body.strip(), re.I)
+        if tm:
+            sname = tm.group(1)
+            if sources and sname in sources:
+                src = sources[sname]
+            else:
+                try:
+                    src = spark.table(sname)
+                except Exception as exc:
+                    raise ManifestSqlError(
+                        f"INSERT source '{sname}' is neither a provided"
+                        " source nor a temp view"
+                    ) from exc
+        else:
+            src = _run_select(spark, body, tables)
+        return t.insert_into(src)
 
     m = _DELETE_RE.match(sql)
     if m:
@@ -450,10 +525,83 @@ def manifest_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQLUPD_MOD, SQLUPD_REM = 11, 3
+SQLUPD_BUMP = 55.5
+SQLINS_OFFSET = 70_000_000
+SQLINS_MOD, SQLINS_REM = 23, 4
+SQLINS_BUMP = 9.25
+
+
+def manifest_sql_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``UPDATE ... SET ... WHERE`` as a STATEMENT — the DML verb
+    MERGE cannot express without a source frame: a multi-assignment
+    SET (numeric bump + string concat, the concat's inner comma
+    exercising the paren-aware splitter) CoW-rewrites only the files
+    holding TRUE matches, neighbors carried. Row-level oracle over the
+    WHOLE table: both assignments applied exactly where the predicate
+    is true, everything else byte-identical — a double-applied bump, a
+    lost neighbor, or an assignment leaking past the predicate
+    hash-fails. Version-gated; torn runs resume. The read is PINNED to
+    v2 (the INSERT entry shares this universe and appends v3 — a head
+    read would leak its twins in)."""
+    from ..catalog import load_tables
+
+    root = _sql_root(spark, sf_dir, "dml")
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    t = ManifestTable.create(spark, orders, root, date_col="o_orderdate")
+    if 2 not in mt.manifest_chain(root):
+        execute_table_sql(
+            spark,
+            f"UPDATE tbl SET o_totalprice = o_totalprice + {SQLUPD_BUMP},"
+            " o_orderpriority = concat(o_orderpriority, '*')"
+            f" WHERE o_custkey % {SQLUPD_MOD} = {SQLUPD_REM}",
+            tables={"tbl": t},
+        )
+    return execute_table_sql(
+        spark,
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,"
+        f" {MONTH_COL} AS pm FROM tbl VERSION AS OF 2",
+        tables={"tbl": t},
+    )
+
+
+def manifest_sql_insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT INTO ... SELECT`` as a STATEMENT — the append verb
+    (``removed={}``: the one mutation that always commutes), with the
+    SELECT itself TIME-TRAVELING (``FROM tbl VERSION AS OF 1``): the
+    inserted twins copy PRE-update prices, so a version-resolution bug
+    in the nested read changes inserted values and hash-fails. The
+    oracle recomputes the whole table row-level: the UPDATE's bumps on
+    the originals, the v1-priced key-shifted twins, nothing else."""
+    manifest_sql_update_where(spark, sf_dir)  # ensure the universe (v2)
+    root = _sql_root(spark, sf_dir, "dml")
+    t = ManifestTable(spark, root)
+    tables = {"tbl": t}
+    if 3 not in mt.manifest_chain(root):
+        execute_table_sql(
+            spark,
+            "INSERT INTO tbl SELECT"
+            f" o_orderkey + {SQLINS_OFFSET} AS o_orderkey, o_custkey,"
+            f" o_orderstatus, o_totalprice + {SQLINS_BUMP} AS o_totalprice,"
+            f" o_orderdate, o_orderpriority, {MONTH_COL}"
+            " FROM tbl VERSION AS OF 1"
+            f" WHERE o_orderkey % {SQLINS_MOD} = {SQLINS_REM}",
+            tables=tables,
+        )
+    return execute_table_sql(
+        spark,
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,"
+        f" {MONTH_COL} AS pm FROM tbl",
+        tables=tables,
+    )
+
+
 QUERIES = {
     "manifest_sql_merge_upsert": manifest_sql_merge_upsert,
     "manifest_sql_lifecycle_history": manifest_sql_lifecycle_history,
     "manifest_sql_time_travel": manifest_sql_time_travel,
+    "manifest_sql_update_where": manifest_sql_update_where,
+    "manifest_sql_insert_into": manifest_sql_insert_into,
 }
 
 
@@ -512,6 +660,37 @@ ORACLES = {
           AND (o_custkey % {_C['mod']} = {_C['rem']}
                OR o_custkey % {_C['dmod']} = {_C['drem']})""",
 }
+
+
+ORACLES["manifest_sql_update_where"] = f"""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_custkey % {SQLUPD_MOD} = {SQLUPD_REM}
+                    THEN o_totalprice + {SQLUPD_BUMP}
+                    ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN o_custkey % {SQLUPD_MOD} = {SQLUPD_REM}
+                    THEN o_orderpriority || '*'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               strftime(o_orderdate, '%Y-%m') AS pm
+        FROM orders"""
+
+ORACLES["manifest_sql_insert_into"] = f"""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_custkey % {SQLUPD_MOD} = {SQLUPD_REM}
+                    THEN o_totalprice + {SQLUPD_BUMP}
+                    ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN o_custkey % {SQLUPD_MOD} = {SQLUPD_REM}
+                    THEN o_orderpriority || '*'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               strftime(o_orderdate, '%Y-%m') AS pm
+        FROM orders
+        UNION ALL
+        -- the twins copy v1 (PRE-update) prices: the nested
+        -- VERSION AS OF 1 read inside the INSERT's SELECT
+        SELECT o_orderkey + {SQLINS_OFFSET}, o_custkey,
+               o_totalprice + {SQLINS_BUMP}, o_orderpriority,
+               strftime(o_orderdate, '%Y-%m') AS pm
+        FROM orders
+        WHERE o_orderkey % {SQLINS_MOD} = {SQLINS_REM}"""
 
 
 def _lifecycle_oracle() -> str:

@@ -131,7 +131,9 @@ def test_month_disjunct_decomposition():
 @pytest.mark.parametrize(
     "stmt",
     [
-        "UPDATE tbl SET v = 1",  # no UPDATE statement in the dialect
+        "UPDATE tbl SET v = 1",  # UPDATE requires WHERE
+        "UPDATE tbl WHERE k = 1",  # UPDATE requires SET
+        "INSERT INTO tbl VALUES (1, 2.0)",  # no VALUES form
         "DELETE FROM tbl",  # DELETE needs WHERE
         "MERGE INTO tbl USING s ON tbl.k = s.k WHEN MATCHED THEN DELETE",
         "MERGE INTO tbl USING s ON tbl.k > s.k"
@@ -170,3 +172,81 @@ def test_merge_source_must_exist(spark, table):
             " WHEN NOT MATCHED THEN INSERT *",
             tables={"tbl": table},
         )
+
+
+def test_sql_update_where_semantics(spark, tmp_path):
+    """UPDATE: multi-assignment SET (comma inside concat survives the
+    paren-aware splitter), rows updated only where the predicate is
+    TRUE — NULL-predicate rows untouched (three-valued semantics) —
+    and the partition column is not assignable."""
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("id") * 3)
+        .cast("double")
+        .alias("v"),
+        F.lit("x").alias("tag"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2001-0"),
+                (F.col("id") % 3 + 1).cast("string"),
+                F.lit("-15"),
+            )
+        ).alias("ts"),
+    )
+    t = ManifestTable.create(spark, df, str(tmp_path / "updtbl"), date_col="ts")
+    tables = {"tbl": t}
+    n_null = df.filter(F.col("v").isNull()).count()
+    execute_table_sql(
+        spark,
+        "UPDATE tbl SET v = v + 1000, tag = concat(tag, '!', 'y')"
+        " WHERE v > 100",
+        tables=tables,
+    )
+    out = t.read()
+    assert out.count() == 300  # UPDATE never changes cardinality
+    assert out.filter(F.col("v").isNull()).count() == n_null
+    hit = out.filter(F.col("v") > 1000)
+    assert hit.count() == df.filter(F.col("v") > 100).count()
+    assert hit.filter(F.col("tag") != "x!y").count() == 0
+    assert out.filter((F.col("v") <= 100) & (F.col("tag") != "x")).count() == 0
+    with pytest.raises(ValueError, match="partition column"):
+        t.update({MONTH_COL: F.lit("1999-01")}, F.col("k") == 1)
+
+
+def test_sql_insert_into_table_and_select(spark, table):
+    """INSERT INTO: both the TABLE <view> form and a SELECT with a
+    nested VERSION AS OF read; the commit is append-only (files of the
+    pre-insert head all survive)."""
+    t = table
+    tables = {"tbl": t}
+    head_files = {
+        (m, n)
+        for m, ns in mt.resolve_manifest(t.root)["files"].items()
+        for n in ns
+    }
+    twins = t.read().filter(F.col("k") % 50 == 0).withColumn(
+        "k", F.col("k") + 9000
+    )
+    twins.createOrReplaceTempView("ins_src")
+    execute_table_sql(spark, "INSERT INTO tbl TABLE ins_src", tables=tables)
+    n1 = t.read().count()
+    assert n1 == 300 + twins.count()
+    execute_table_sql(
+        spark,
+        "INSERT INTO tbl SELECT k + 90000 AS k, v, ts, part_month"
+        " FROM tbl VERSION AS OF 1 WHERE k % 100 = 7",
+        tables=tables,
+    )
+    assert t.read().count() == n1 + 3
+    after = {
+        (m, n)
+        for m, ns in mt.resolve_manifest(t.root)["files"].items()
+        for n in ns
+    }
+    assert head_files <= after  # pure append: nothing removed
+    ops = {
+        r["version"]: r["operation"]
+        for r in t.history().collect()
+    }
+    assert ops[2] == "INSERT" and ops[3] == "INSERT"
