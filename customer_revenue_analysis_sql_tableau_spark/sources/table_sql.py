@@ -107,6 +107,15 @@ _MONTHS_RE = re.compile(
 _VERSION_AS_OF_RE = re.compile(
     r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.I
 )
+#: Delta's CDF table-valued function: ``table_changes(t, from, to
+#: [, key])`` — the optional key names the snapshot-unique column the
+#: CoW diff classifies on (Delta stores change files; this engine
+#: derives them, so it needs the key).
+_TABLE_CHANGES_RE = re.compile(
+    r"\btable_changes\s*\(\s*'?(\w+)'?\s*,\s*(\d+)\s*,\s*(\d+)\s*"
+    r"(?:,\s*'(\w+)'\s*)?\)",
+    re.I,
+)
 
 
 def _parse_months(clause: str) -> list[str] | None:
@@ -201,6 +210,18 @@ def _run_select(
         _resolve(name, tables, spark).read(v).createOrReplaceTempView(view)
         return view
 
+    def sub_changes(m: re.Match) -> str:
+        name, a, b = m.group(1), int(m.group(2)), int(m.group(3))
+        if name not in tables:
+            return m.group(0)
+        key = m.group(4) or "o_orderkey"
+        view = f"{name}__changes_{a}_{b}"
+        _resolve(name, tables, spark).change_feed(
+            a, b, keys=[key]
+        ).createOrReplaceTempView(view)
+        return view
+
+    rewritten = _TABLE_CHANGES_RE.sub(sub_changes, rewritten)
     rewritten = _VERSION_AS_OF_RE.sub(sub, rewritten)
     for name in tables:
         if re.search(rf"\b{re.escape(name)}\b", rewritten):
@@ -596,12 +617,33 @@ def manifest_sql_insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def manifest_sql_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table_changes(t, from, to)`` as a QUERY VERB — Delta's CDF
+    table-valued function on the statement surface: the DML universe's
+    whole change history (the UPDATE commit's pre/post pairs, the
+    INSERT commit's twins) selected through one SQL statement, the TVF
+    rewritten to the facade's ``change_feed`` view. Row-level oracle:
+    DuckDB recomputes every change row of both commits from the
+    statements' semantics — a carried neighbor leaking in, a
+    misclassified image, or a wrong commit tag hash-fails."""
+    manifest_sql_insert_into(spark, sf_dir)  # ensure the universe (v3)
+    root = _sql_root(spark, sf_dir, "dml")
+    return execute_table_sql(
+        spark,
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,"
+        f" {MONTH_COL} AS pm, _change_type, _commit_version"
+        " FROM table_changes(tbl, 1, 3)",
+        tables={"tbl": ManifestTable(spark, root)},
+    )
+
+
 QUERIES = {
     "manifest_sql_merge_upsert": manifest_sql_merge_upsert,
     "manifest_sql_lifecycle_history": manifest_sql_lifecycle_history,
     "manifest_sql_time_travel": manifest_sql_time_travel,
     "manifest_sql_update_where": manifest_sql_update_where,
     "manifest_sql_insert_into": manifest_sql_insert_into,
+    "manifest_sql_table_changes": manifest_sql_table_changes,
 }
 
 
@@ -691,6 +733,26 @@ ORACLES["manifest_sql_insert_into"] = f"""
                strftime(o_orderdate, '%Y-%m') AS pm
         FROM orders
         WHERE o_orderkey % {SQLINS_MOD} = {SQLINS_REM}"""
+
+
+ORACLES["manifest_sql_table_changes"] = f"""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+                   strftime(o_orderdate, '%Y-%m') AS pm
+            FROM orders
+        )
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, pm,
+               'update_preimage' AS _change_type, 2 AS _commit_version
+        FROM base WHERE o_custkey % {SQLUPD_MOD} = {SQLUPD_REM}
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice + {SQLUPD_BUMP},
+               o_orderpriority || '*', pm, 'update_postimage', 2
+        FROM base WHERE o_custkey % {SQLUPD_MOD} = {SQLUPD_REM}
+        UNION ALL
+        SELECT o_orderkey + {SQLINS_OFFSET}, o_custkey,
+               o_totalprice + {SQLINS_BUMP}, o_orderpriority, pm,
+               'insert', 3
+        FROM base WHERE o_orderkey % {SQLINS_MOD} = {SQLINS_REM}"""
 
 
 def _lifecycle_oracle() -> str:

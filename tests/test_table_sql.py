@@ -250,3 +250,44 @@ def test_sql_insert_into_table_and_select(spark, table):
         for r in t.history().collect()
     }
     assert ops[2] == "INSERT" and ops[3] == "INSERT"
+
+
+def test_sql_table_changes_tvf(spark, table):
+    """table_changes(t, a, b[, key]) rewrites to the facade's change
+    feed: a MERGE commit's pre/post pairs select through plain SQL,
+    carried neighbors absent; unknown table names are left untouched
+    and fail resolution loudly."""
+    t = table
+    tables = {"tbl": t}
+    hit = t.read(1).filter(F.col("k") % 10 == 0)
+    src = hit.withColumn("v", F.col("v") + 1000.0).unionByName(
+        hit.withColumn("k", F.col("k") + 5000)
+    )
+    src.createOrReplaceTempView("tvf_merge_src")
+    execute_table_sql(
+        spark,
+        "MERGE INTO tbl USING tvf_merge_src ON tbl.k = tvf_merge_src.k"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *",
+        tables=tables,
+    )
+    ch = execute_table_sql(
+        spark,
+        "SELECT k, v, _change_type, _commit_version"
+        " FROM table_changes(tbl, 1, 2, 'k')"
+        " ORDER BY _change_type, k",
+        tables=tables,
+    )
+    rows = ch.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    n_hit = hit.count()
+    assert len(by_type["insert"]) == n_hit  # the +5000 twins
+    assert len(by_type["update_preimage"]) == n_hit
+    assert len(by_type["update_postimage"]) == n_hit
+    assert all(r["_commit_version"] == 2 for r in rows)
+    assert all(r["k"] >= 5000 for r in by_type["insert"])
+    pre_v = {r["k"]: r["v"] for r in by_type["update_preimage"]}
+    post_v = {r["k"]: r["v"] for r in by_type["update_postimage"]}
+    assert all(post_v[k] == pre_v[k] + 1000.0 for k in pre_v)
