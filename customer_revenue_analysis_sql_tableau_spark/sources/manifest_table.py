@@ -369,8 +369,9 @@ def commit_transaction(
         # stat-less (the pruned reader already treats missing stats as
         # eligible, so a stale entry can never mis-prune).
         carried: dict = {}
-        if "schema" in head and "schema" not in (extra or {}):
-            carried["schema"] = head["schema"]
+        for meta_key in ("schema", "constraints"):
+            if meta_key in head and meta_key not in (extra or {}):
+                carried[meta_key] = head[meta_key]
         if "stats" in head and "stats" not in (extra or {}):
             live = {
                 m: {

@@ -47,6 +47,11 @@ from .parquet import MONTH_COL
 from . import manifest_table as mt
 
 
+class ConstraintViolationError(ValueError):
+    """A write delivered rows that fail a table CHECK constraint —
+    always loud, nothing lands."""
+
+
 class ManifestTable:
     """Handle to a manifest-committed month-partitioned parquet table."""
 
@@ -103,6 +108,7 @@ class ManifestTable:
         """MERGE: full-row upsert — matched files CoW-rewritten without
         the source keys, the source's rows landed as new files (update
         = delete-old + insert-new), one commit tagged UPSERT."""
+        self._enforce(self.constraints(), source, "the MERGE source")
         snap = self.version()
         head = self.read(snap)
         keys = source.select(key)
@@ -217,6 +223,80 @@ class ManifestTable:
         )
         return payload
 
+    # -- CHECK constraints (table metadata, enforced on every write) ----
+
+    def constraints(self) -> dict[str, str]:
+        return dict(
+            mt.resolve_manifest(self.root).get("constraints", {})
+        )
+
+    def add_constraint(self, name: str, check_sql: str) -> dict:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK: validate the CURRENT
+        table against the new check (Delta's contract — a constraint
+        the existing data violates cannot be added), then commit the
+        constraint map as pure metadata; ``commit_transaction``
+        carries it forward through every later mutation. SQL CHECK
+        semantics: a row fails only when the expression is FALSE —
+        NULL passes."""
+        cons = self.constraints()
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        self._enforce({name: check_sql}, self.read(), "existing rows")
+        cons[name] = check_sql
+        payload, _reb = mt.commit_transaction(
+            self.root,
+            self.version(),
+            {},
+            {},
+            extra={"operation": "ADD_CONSTRAINT", "constraints": cons},
+        )
+        return payload
+
+    def drop_constraint(self, name: str) -> dict:
+        cons = self.constraints()
+        if name not in cons:
+            raise ValueError(f"no such constraint {name!r}")
+        del cons[name]
+        payload, _reb = mt.commit_transaction(
+            self.root,
+            self.version(),
+            {},
+            {},
+            extra={"operation": "DROP_CONSTRAINT", "constraints": cons},
+        )
+        return payload
+
+    def _enforce(
+        self, cons: dict[str, str], df: DataFrame, what: str
+    ) -> None:
+        """ONE aggregation pass counting violations of every check
+        over ``df``; raises naming each violated constraint. NULL
+        checks pass (violation == expression IS FALSE)."""
+        if not cons:
+            return
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(sql), F.lit(True)), 1
+                    ).otherwise(0)
+                ).alias(name)
+                for name, sql in sorted(cons.items())
+            ]
+        ).collect()[0]
+        bad = {
+            name: int(counts[name] or 0)
+            for name in sorted(cons)
+            if (counts[name] or 0) > 0
+        }
+        if bad:
+            raise ConstraintViolationError(
+                f"CHECK constraint(s) violated by {what}: "
+                + ", ".join(
+                    f"{n} [{cons[n]}] ({c} rows)" for n, c in bad.items()
+                )
+            )
+
     def update(
         self,
         assignments: dict[str, Column],
@@ -237,6 +317,16 @@ class ManifestTable:
         snap = self.version()
         v = snap + 1
         scope = self.read(snap)
+        hit = F.coalesce(predicate, F.lit(False))
+        cons = self.constraints()
+        if cons:
+            post = scope.filter(hit).select(
+                *[
+                    assignments[c].alias(c) if c in assignments else F.col(c)
+                    for c in scope.columns
+                ]
+            )
+            self._enforce(cons, post, "the UPDATE's post-images")
         aff = (
             scope.withColumn("fname", F.input_file_name())
             .filter(predicate)
@@ -250,7 +340,6 @@ class ManifestTable:
                 os.path.basename(r["fname"])
             )
         stage = os.path.join(self.base, "_pack_tmp", uuid.uuid4().hex[:12])
-        hit = F.coalesce(predicate, F.lit(False))
         removed: dict[str, list[str]] = {}
         added: dict[str, list[str]] = {}
         for m, names in sorted(affected.items()):
@@ -289,6 +378,7 @@ class ManifestTable:
                 f"insert_into source must carry {MONTH_COL} (use "
                 f"F.date_format(date_col, 'yyyy-MM'))"
             )
+        self._enforce(self.constraints(), source, "the INSERT source")
         snap = self.version()
         v = snap + 1
         stage = os.path.join(self.base, "_pack_tmp", uuid.uuid4().hex[:12])

@@ -21,6 +21,8 @@ statement)::
     UPDATE t SET a = e1[, b = e2] WHERE <pred>  -> t.update(...)
     INSERT INTO t SELECT ... | TABLE s          -> t.insert_into(...)
     DELETE FROM t WHERE <pred>                  -> t.delete_where(...)
+    ALTER TABLE t ADD CONSTRAINT n CHECK (e)    -> t.add_constraint(...)
+    ALTER TABLE t DROP CONSTRAINT n             -> t.drop_constraint(n)
         (a  part_month IN (...)  /  part_month = '...'  disjunct is
          split out as the METADATA-ONLY month drop; the residual
          predicate CoW-rewrites only matching files)
@@ -85,6 +87,15 @@ _OPTIMIZE_RE = re.compile(
     r"(?:\s+WHERE\s+(.+?))??"
     r"(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*$",
     re.I | re.S,
+)
+_ADD_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+    r"CHECK\s*\((.+)\)\s*;?\s*$",
+    re.I | re.S,
+)
+_DROP_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$",
+    re.I,
 )
 _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)"
@@ -347,6 +358,16 @@ def execute_table_sql(
             )
         zorder = (zx, zy) if zx else None
         return t.optimize(months, zorder_by=zorder)
+
+    m = _ADD_CONSTRAINT_RE.match(sql)
+    if m:
+        t = _resolve(m.group(1), tables, spark)
+        return t.add_constraint(m.group(2), m.group(3).strip())
+
+    m = _DROP_CONSTRAINT_RE.match(sql)
+    if m:
+        t = _resolve(m.group(1), tables, spark)
+        return t.drop_constraint(m.group(2))
 
     m = _RESTORE_RE.match(sql)
     if m:
@@ -637,6 +658,93 @@ def manifest_sql_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQLCK_OFFSET = 80_000_000
+SQLCK_MOD, SQLCK_REM = 29, 6
+SQLCK_BUMP = 3.5
+
+
+def manifest_sql_check_constraint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECK CONSTRAINTS as table metadata, enforced on every write
+    (Delta's ``ALTER TABLE ADD CONSTRAINT`` contract): a metadata-only
+    commit stores the check, ``commit_transaction`` carries it through
+    later mutations, and each write verb validates its rows in ONE
+    aggregation pass (NULL passes — SQL CHECK three-valued semantics).
+    The entry engineers all three end states deterministically: a
+    valid INSERT lands; a VIOLATING insert must raise
+    ``ConstraintViolationError`` and commit NOTHING (head pinned
+    before/after); an un-addable constraint (existing rows violate it)
+    must also raise — both captured raise-if-absent. Row-level oracle
+    over the final table: the fact ∪ the valid twins, nothing else —
+    a leaked violating row, a lost constraint, or a phantom commit
+    hash-fails."""
+    from ..catalog import load_tables
+    from .table_api import ConstraintViolationError
+
+    root = _sql_root(spark, sf_dir, "ck")
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    t = ManifestTable.create(spark, orders, root, date_col="o_orderdate")
+    tables = {"tbl": t}
+    if 2 not in mt.manifest_chain(root):
+        execute_table_sql(
+            spark,
+            "ALTER TABLE tbl ADD CONSTRAINT positive_price"
+            " CHECK (o_totalprice > 0)",
+            tables=tables,
+        )
+    if 3 not in mt.manifest_chain(root):
+        execute_table_sql(
+            spark,
+            "INSERT INTO tbl SELECT"
+            f" o_orderkey + {SQLCK_OFFSET} AS o_orderkey, o_custkey,"
+            f" o_orderstatus, o_totalprice + {SQLCK_BUMP} AS o_totalprice,"
+            f" o_orderdate, o_orderpriority, {MONTH_COL}"
+            " FROM tbl VERSION AS OF 1"
+            f" WHERE o_orderkey % {SQLCK_MOD} = {SQLCK_REM}",
+            tables=tables,
+        )
+        # -- engineered REJECTIONS, captured (raise-if-absent) --------
+        head_before = t.version()
+        rejected = False
+        try:
+            execute_table_sql(
+                spark,
+                "INSERT INTO tbl SELECT o_orderkey + 99000000 AS"
+                " o_orderkey, o_custkey, o_orderstatus,"
+                " -1.0 AS o_totalprice, o_orderdate, o_orderpriority,"
+                f" {MONTH_COL} FROM tbl VERSION AS OF 1"
+                f" WHERE o_orderkey % {SQLCK_MOD} = {SQLCK_REM}",
+                tables=tables,
+            )
+        except ConstraintViolationError:
+            rejected = True
+        if not rejected:
+            raise RuntimeError("violating INSERT was not rejected")
+        if t.version() != head_before:
+            raise RuntimeError("rejected INSERT still committed")
+        unaddable = False
+        try:
+            execute_table_sql(
+                spark,
+                "ALTER TABLE tbl ADD CONSTRAINT impossible"
+                " CHECK (o_totalprice > 900000)",
+                tables=tables,
+            )
+        except ConstraintViolationError:
+            unaddable = True
+        if not unaddable:
+            raise RuntimeError(
+                "constraint violated by existing rows was added"
+            )
+    return execute_table_sql(
+        spark,
+        "SELECT o_orderkey, o_custkey, o_totalprice,"
+        f" {MONTH_COL} AS pm FROM tbl",
+        tables=tables,
+    )
+
+
 QUERIES = {
     "manifest_sql_merge_upsert": manifest_sql_merge_upsert,
     "manifest_sql_lifecycle_history": manifest_sql_lifecycle_history,
@@ -644,6 +752,7 @@ QUERIES = {
     "manifest_sql_update_where": manifest_sql_update_where,
     "manifest_sql_insert_into": manifest_sql_insert_into,
     "manifest_sql_table_changes": manifest_sql_table_changes,
+    "manifest_sql_check_constraint": manifest_sql_check_constraint,
 }
 
 
@@ -753,6 +862,18 @@ ORACLES["manifest_sql_table_changes"] = f"""
                o_totalprice + {SQLINS_BUMP}, o_orderpriority, pm,
                'insert', 3
         FROM base WHERE o_orderkey % {SQLINS_MOD} = {SQLINS_REM}"""
+
+
+ORACLES["manifest_sql_check_constraint"] = f"""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               strftime(o_orderdate, '%Y-%m') AS pm
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + {SQLCK_OFFSET}, o_custkey,
+               o_totalprice + {SQLCK_BUMP},
+               strftime(o_orderdate, '%Y-%m') AS pm
+        FROM orders
+        WHERE o_orderkey % {SQLCK_MOD} = {SQLCK_REM}"""
 
 
 def _lifecycle_oracle() -> str:

@@ -291,3 +291,73 @@ def test_sql_table_changes_tvf(spark, table):
     pre_v = {r["k"]: r["v"] for r in by_type["update_preimage"]}
     post_v = {r["k"]: r["v"] for r in by_type["update_postimage"]}
     assert all(post_v[k] == pre_v[k] + 1000.0 for k in pre_v)
+
+
+def test_check_constraints_enforced_across_verbs(spark, table):
+    """CHECK constraints: metadata-only ADD commit, carried through
+    later mutations, enforced on INSERT/UPDATE/MERGE (violation =
+    expression FALSE; NULL passes), droppable, un-addable when
+    existing rows violate."""
+    from customer_revenue_analysis_sql_tableau_spark.sources.table_api import (
+        ConstraintViolationError,
+    )
+
+    t = table
+    tables = {"tbl": t}
+    execute_table_sql(
+        spark,
+        "ALTER TABLE tbl ADD CONSTRAINT v_nonneg CHECK (v >= 0)",
+        tables=tables,
+    )
+    assert t.constraints() == {"v_nonneg": "v >= 0"}
+    # un-addable: existing rows violate
+    with pytest.raises(ConstraintViolationError):
+        execute_table_sql(
+            spark,
+            "ALTER TABLE tbl ADD CONSTRAINT impossible CHECK (v > 10000)",
+            tables=tables,
+        )
+    # duplicate name is loud
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint("v_nonneg", "v >= 0")
+    # violating INSERT rejected, nothing committed
+    head = t.version()
+    bad = t.read().limit(5).withColumn("v", F.lit(-3.0)).withColumn(
+        "k", F.col("k") + 7000
+    )
+    bad.createOrReplaceTempView("bad_src")
+    with pytest.raises(ConstraintViolationError, match="v_nonneg"):
+        execute_table_sql(
+            spark, "INSERT INTO tbl TABLE bad_src", tables=tables
+        )
+    assert t.version() == head
+    # violating UPDATE post-image rejected
+    with pytest.raises(ConstraintViolationError):
+        execute_table_sql(
+            spark,
+            "UPDATE tbl SET v = v - 100000 WHERE k < 10",
+            tables=tables,
+        )
+    # violating MERGE source rejected
+    with pytest.raises(ConstraintViolationError):
+        t.upsert(bad, key="k")
+    assert t.version() == head
+    # NULL passes (three-valued CHECK): a null-v insert lands
+    nulls = t.read().limit(3).withColumn(
+        "v", F.lit(None).cast("double")
+    ).withColumn("k", F.col("k") + 8000)
+    t.insert_into(nulls)
+    assert t.version() == head + 1
+    # the constraint CARRIED through that mutation, still enforced
+    with pytest.raises(ConstraintViolationError):
+        t.insert_into(bad)
+    # history records the metadata commit
+    ops = {r["version"]: r["operation"] for r in t.history().collect()}
+    assert ops[2] == "ADD_CONSTRAINT"
+    # drop, then the violating insert succeeds
+    execute_table_sql(
+        spark, "ALTER TABLE tbl DROP CONSTRAINT v_nonneg", tables=tables
+    )
+    assert t.constraints() == {}
+    t.insert_into(bad)
+    assert t.read().filter(F.col("v") < 0).count() == 5
