@@ -87,7 +87,7 @@ _REGISTRY_MODULES = [
 # at ENTRY level. Round-15 ordering (VERDICT.md r14, Next #1-#6):
 # (1) the documented THREE-entry r14 budget spill FIRST (r14 Next #4 —
 # spills sweep before anything else, so the r8 floor finally clears);
-# (2) the NINE new r15 entries, first driver proof — the SQL DML
+# (2) the TEN new r15 entries, first driver proof — the SQL DML
 # front-end driving MERGE INTO on the identical merge oracle plus the
 # five-verb lifecycle and a mid-chain VERSION AS OF read (r14 Next
 # #1/#2), and the two CONCURRENT streaming MERGE writers racing
@@ -104,7 +104,7 @@ _REGISTRY_MODULES = [
 # Next #5: the driver proves the 100 TB min-label path, not the
 # driver-side union-find twin);
 # (5) the r9 proof-staleness cohort (oldest first in the registry-wide
-# floor sweep). 3+9+5+1+44 = 62 overfills the ~50 budget; the tail is
+# floor sweep). 3+10+5+1+44 = 63 overfills the ~50 budget; the tail is
 # code-unchanged and pytest-covered, so the <=8-entry spill costs
 # nothing (documented rule; spills sweep first in r16). Guarded
 # against rot by tests/test_registry_hygiene.py::
@@ -122,6 +122,7 @@ _PRIORITY = [
     "manifest_sql_insert_into",  # INSERT INTO with nested time travel
     "manifest_sql_table_changes",  # Delta-style CDF TVF on the SQL surface
     "manifest_sql_check_constraint",  # CHECK constraints enforced on writes
+    "manifest_sql_ctas",  # CREATE TABLE AS SELECT + OR REPLACE swap
     "stream_manifest_two_writers",  # concurrent writers + abort/rebase
     "multimodal_decode_jpeg_420",  # chroma-subsampled decode (Next #8)
     # -- changed-in-r15 code paths (r14 ADVICE fixes), re-proven --

@@ -96,6 +96,71 @@ class ManifestTable:
             )
         return t
 
+    @classmethod
+    def create_from(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        root: str,
+        files_per_month: int = 2,
+    ) -> "ManifestTable":
+        """CTAS: write a frame that ALREADY CARRIES the partition
+        column and commit CREATE — the `CREATE TABLE ... AS SELECT`
+        verb (the SELECT derives ``part_month`` itself). Idempotent:
+        an existing chain is opened, never re-staged."""
+        if MONTH_COL not in df.columns:
+            raise ValueError(
+                f"create_from frame must carry {MONTH_COL} (derive it"
+                " in the SELECT: date_format(<date>, 'yyyy-MM'))"
+            )
+        t = cls(spark, root)
+        if not mt.manifest_chain(root):
+            (
+                df.repartition(files_per_month)
+                .write.mode("overwrite")
+                .partitionBy(MONTH_COL)
+                .parquet(root)
+            )
+            os.makedirs(mt._mdir(root), exist_ok=True)
+            exclusive_write_json(
+                os.path.join(mt._mdir(root), "manifest_v1"),
+                {
+                    "version": 1,
+                    "files": mt.scan_partition_files(root),
+                    "operation": "CREATE",
+                },
+            )
+        return t
+
+    def replace_with(self, df: DataFrame) -> dict:
+        """CREATE OR REPLACE: land the frame's files, commit ONE
+        transaction removing EVERY current file and adding the new
+        ones — readers pinned to older versions keep the pre-replace
+        table (time travel across the replace), vacuum completes the
+        swap's space reclaim. The frame must carry the partition
+        column (same contract as :meth:`create_from`)."""
+        if MONTH_COL not in df.columns:
+            raise ValueError(
+                f"replace_with frame must carry {MONTH_COL}"
+            )
+        snap = self.version()
+        head_files = mt.resolve_manifest(self.root, snap)["files"]
+        stage = os.path.join(self.base, "_pack_tmp", uuid.uuid4().hex[:12])
+        tmp = os.path.join(stage, f"r{snap + 1}")
+        df.repartition(2).write.mode("overwrite").partitionBy(
+            MONTH_COL
+        ).parquet(tmp)
+        added = mt.land_partitioned_files(tmp, self.base, f"r{snap + 1}-")
+        shutil.rmtree(stage, ignore_errors=True)
+        payload, _reb = mt.commit_transaction(
+            self.root,
+            snap,
+            {m: list(ns) for m, ns in head_files.items()},
+            added,
+            extra={"operation": "REPLACE"},
+        )
+        return payload
+
     def version(self) -> int:
         return mt.manifest_versions(self.root)[-1]
 

@@ -23,6 +23,10 @@ statement)::
     DELETE FROM t WHERE <pred>                  -> t.delete_where(...)
     ALTER TABLE t ADD CONSTRAINT n CHECK (e)    -> t.add_constraint(...)
     ALTER TABLE t DROP CONSTRAINT n             -> t.drop_constraint(n)
+    CREATE [OR REPLACE] TABLE t AS SELECT ...   -> create_from /
+        replace_with (the SELECT must derive part_month; REPLACE is
+        one transaction swapping every file — old versions remain
+        time-travelable until vacuum)
         (a  part_month IN (...)  /  part_month = '...'  disjunct is
          split out as the METADATA-ONLY month drop; the residual
          predicate CoW-rewrites only matching files)
@@ -86,6 +90,11 @@ _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(\w+)"
     r"(?:\s+WHERE\s+(.+?))??"
     r"(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*$",
+    re.I | re.S,
+)
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+AS\s+"
+    r"((?:SELECT|WITH)\b.+?)\s*;?\s*$",
     re.I | re.S,
 )
 _ADD_CONSTRAINT_RE = re.compile(
@@ -287,6 +296,21 @@ def execute_table_sql(
                     " source nor a temp view"
                 ) from exc
         return t.upsert(src, key=k1)
+
+    m = _CTAS_RE.match(sql)
+    if m:
+        or_replace, tname, body = m.groups()
+        t = _resolve(tname, tables, spark)
+        exists = bool(mt.manifest_chain(t.root))
+        if exists and not or_replace:
+            raise ManifestSqlError(
+                f"table '{tname}' already exists (use CREATE OR"
+                " REPLACE TABLE)"
+            )
+        df = _run_select(spark, body, tables)
+        if exists:
+            return t.replace_with(df)
+        return ManifestTable.create_from(spark, df, t.root)
 
     m = _UPDATE_RE.match(sql)
     if m:
@@ -745,6 +769,72 @@ def manifest_sql_check_constraint(
     )
 
 
+SQLCTAS_MOD = 5
+SQLCTAS_BUMP = 1.0
+
+
+def manifest_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CREATE TABLE AS SELECT`` and ``CREATE OR REPLACE`` as
+    statements: the SELECT derives the partition column itself; the
+    REPLACE is ONE transaction swapping every current file for the new
+    frame's — and because manifests are immutable, v1 stays
+    time-travelable across the replace. The registered query reads
+    BOTH snapshots through one statement (``VERSION AS OF 1`` union
+    head) — a replace that leaks old files into the head, loses v1, or
+    mis-derives the partition column hash-fails row-level. A bare
+    CREATE over the existing table must refuse (captured
+    raise-if-absent)."""
+    from ..catalog import load_tables
+
+    root = _sql_root(spark, sf_dir, "ctas")
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    orders.createOrReplaceTempView("ctas_src")
+    t = ManifestTable(spark, root)
+    tables = {"ctbl": t}
+    base_select = (
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,"
+        f" date_format(o_orderdate, 'yyyy-MM') AS {MONTH_COL}"
+        " FROM ctas_src"
+    )
+    if not mt.manifest_chain(root):
+        execute_table_sql(
+            spark,
+            f"CREATE TABLE ctbl AS {base_select}"
+            f" WHERE o_custkey % {SQLCTAS_MOD} = 2",
+            tables=tables,
+        )
+    if 2 not in mt.manifest_chain(root):
+        refused = False
+        try:
+            execute_table_sql(
+                spark,
+                f"CREATE TABLE ctbl AS {base_select}",
+                tables=tables,
+            )
+        except ManifestSqlError:
+            refused = True
+        if not refused:
+            raise RuntimeError("bare CREATE over an existing table ran")
+        execute_table_sql(
+            spark,
+            "CREATE OR REPLACE TABLE ctbl AS SELECT o_orderkey,"
+            f" o_custkey, o_totalprice + {SQLCTAS_BUMP} AS o_totalprice,"
+            f" o_orderdate, date_format(o_orderdate, 'yyyy-MM') AS"
+            f" {MONTH_COL} FROM ctas_src"
+            f" WHERE o_custkey % {SQLCTAS_MOD} IN (2, 4)",
+            tables=tables,
+        )
+    return execute_table_sql(
+        spark,
+        "SELECT 1 AS snapshot, o_orderkey, o_custkey, o_totalprice,"
+        f" {MONTH_COL} AS pm FROM ctbl VERSION AS OF 1"
+        " UNION ALL"
+        " SELECT 2, o_orderkey, o_custkey, o_totalprice,"
+        f" {MONTH_COL} FROM ctbl",
+        tables=tables,
+    )
+
+
 QUERIES = {
     "manifest_sql_merge_upsert": manifest_sql_merge_upsert,
     "manifest_sql_lifecycle_history": manifest_sql_lifecycle_history,
@@ -753,6 +843,7 @@ QUERIES = {
     "manifest_sql_insert_into": manifest_sql_insert_into,
     "manifest_sql_table_changes": manifest_sql_table_changes,
     "manifest_sql_check_constraint": manifest_sql_check_constraint,
+    "manifest_sql_ctas": manifest_sql_ctas,
 }
 
 
@@ -874,6 +965,16 @@ ORACLES["manifest_sql_check_constraint"] = f"""
                strftime(o_orderdate, '%Y-%m') AS pm
         FROM orders
         WHERE o_orderkey % {SQLCK_MOD} = {SQLCK_REM}"""
+
+
+ORACLES["manifest_sql_ctas"] = f"""
+        SELECT 1 AS snapshot, o_orderkey, o_custkey, o_totalprice,
+               strftime(o_orderdate, '%Y-%m') AS pm
+        FROM orders WHERE o_custkey % {SQLCTAS_MOD} = 2
+        UNION ALL
+        SELECT 2, o_orderkey, o_custkey, o_totalprice + {SQLCTAS_BUMP},
+               strftime(o_orderdate, '%Y-%m') AS pm
+        FROM orders WHERE o_custkey % {SQLCTAS_MOD} IN (2, 4)"""
 
 
 def _lifecycle_oracle() -> str:

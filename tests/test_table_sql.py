@@ -361,3 +361,47 @@ def test_check_constraints_enforced_across_verbs(spark, table):
     assert t.constraints() == {}
     t.insert_into(bad)
     assert t.read().filter(F.col("v") < 0).count() == 5
+
+
+def test_sql_ctas_and_replace(spark, table, tmp_path):
+    """CREATE TABLE AS SELECT builds a new manifested table from a
+    statement (the SELECT derives part_month); bare CREATE over an
+    existing table refuses; CREATE OR REPLACE swaps every file in one
+    commit while v1 stays time-travelable; a frame without part_month
+    is rejected."""
+    t = table
+    root2 = str(tmp_path / "clone")
+    tables = {"tbl": t, "t2": root2}
+    execute_table_sql(
+        spark,
+        "CREATE TABLE t2 AS SELECT k, v, part_month FROM tbl"
+        " WHERE k % 2 = 0",
+        tables=tables,
+    )
+    t2 = ManifestTable(spark, root2)
+    assert t2.read().count() == 150
+    assert mt.resolve_manifest(root2, 1)["operation"] == "CREATE"
+    with pytest.raises(ManifestSqlError, match="already exists"):
+        execute_table_sql(
+            spark,
+            "CREATE TABLE t2 AS SELECT k, v, part_month FROM tbl",
+            tables=tables,
+        )
+    execute_table_sql(
+        spark,
+        "CREATE OR REPLACE TABLE t2 AS"
+        " SELECT k, v + 10000 AS v, part_month FROM tbl WHERE k % 3 = 0",
+        tables=tables,
+    )
+    assert t2.version() == 2
+    assert t2.read().count() == 100
+    assert t2.read().filter(F.col("v") < 10000).count() == 0
+    # the replace is time-travelable: v1 content intact
+    assert t2.read(1).count() == 150
+    hist = {r["version"]: r["operation"] for r in t2.history().collect()}
+    assert hist == {1: "CREATE", 2: "REPLACE"}
+    # a CTAS frame without the partition column is loud
+    with pytest.raises(ValueError, match=MONTH_COL):
+        ManifestTable.create_from(
+            spark, t.read().select("k", "v"), str(tmp_path / "bad")
+        )
