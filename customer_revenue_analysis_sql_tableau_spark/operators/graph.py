@@ -63,6 +63,58 @@ N_ITERS = 3
 TOP_N = 100
 
 
+#: Target rows per partition for checkpointed iteration state (~5 MB of
+#: (long, long) rows): partition count derives from the DATA SIZE, not
+#: from a core count or a fixed conf, so the same code picks 8
+#: partitions for the 2.4M-row sf0.1 edge list and saturates the
+#: ``spark.sql.shuffle.partitions`` cap (the conf a cluster deployment
+#: sizes) at 100 TB. Measured at sf0.1 (interleaved min-of-3,
+#: copurchase): 8 parts 1.75 s, 4 parts 2.12 s, 16 parts 2.26 s,
+#: 32 parts 3.13 s, unpartitioned r14 baseline 2.49 s.
+_CKPT_ROWS_PER_PARTITION = 300_000
+
+
+def _checkpoint_partitioned(
+    spark: SparkSession, df: DataFrame, *keys: str
+) -> DataFrame:
+    """Eager ``localCheckpoint`` that PRESERVES hash partitioning.
+
+    ``Dataset.localCheckpoint`` captures the physical plan's output
+    partitioning into the ``LogicalRDD`` leaf — but only when the plan
+    is concrete: under AQE the plan is an ``AdaptiveSparkPlan`` whose
+    output partitioning is ``UnknownPartitioning``, so every checkpoint
+    made with AQE on loses its layout and every downstream join/agg on
+    the checkpoint's own key pays a fresh Exchange (measured: the r14
+    pagerank plans re-shuffled the checkpointed edge list once per
+    iteration — 3 extra edge-sized Exchanges per run, plus one per
+    degree recomputation). With ``keys`` the frame is materialized
+    ONCE with AQE on (the heavy build — self-join + distinct — keeps
+    runtime re-planning), its row count sizes the layout
+    (:data:`_CKPT_ROWS_PER_PARTITION`, capped at
+    ``spark.sql.shuffle.partitions`` so a cluster deployment's conf
+    still bounds it), and the cheap re-key is checkpointed with AQE
+    toggled off so ``hashpartitioning(keys, n)`` is captured;
+    iteration joins/aggs keyed the same way are then exchange-free on
+    this side (guide §2.4 — two operations keyed the same way share
+    one exchange). With no ``keys`` the frame's existing partitioning
+    is captured as-is (used for frames already co-partitioned by
+    construction, e.g. the degree aggregation over the partitioned
+    edge checkpoint).
+    """
+    if keys:
+        raw = df.localCheckpoint()
+        n_rows = raw.count()
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n = max(1, min(cap, -(-n_rows // _CKPT_ROWS_PER_PARTITION)))
+        df = raw.repartition(n, *keys)
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric distinct edge list (src, dst): parts sharing an
     order. Self-join on the order key (bounded basket ⇒ bounded
@@ -93,8 +145,19 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``N_ITERS`` power iterations on the co-purchase graph. Every
     arithmetic step is exact integer math (module docstring), so the
     DuckDB oracle reproduces the ranks bit-for-bit."""
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # edges checkpointed PARTITIONED on src (r15): every iteration's
+    # edges⋈contrib join and the degree aggregation are keyed on src,
+    # so capturing hashpartitioning(src) in the checkpoint makes them
+    # exchange-free on the edge side — the r14 plan paid one edge-sized
+    # Exchange per iteration plus one per deg recomputation (guide
+    # §2.4). deg is checkpointed too (it is read by every iteration's
+    # rank update; uncheckpointed it re-aggregated the edges 4× per
+    # run) — its groupBy needs no exchange over the partitioned edges,
+    # and the checkpoint re-captures hash(src) for the update join.
+    edges = _checkpoint_partitioned(spark, _copurchase_edges(spark, sf_dir), "src")
+    deg = _checkpoint_partitioned(
+        spark, edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    )
     state = deg.withColumn("rank", F.lit(SCALE).cast("long"))
     # both per-iteration joins feed hash aggregates / projections —
     # no sort order is ever needed, so shuffle_hash (build = the
@@ -194,17 +257,27 @@ def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches the co-purchase entry: edges checkpointed once, one
     shuffle_hash join + one aggregation per iteration, plus two
     broadcast-sized scalar frames (dangling sum, node count)."""
-    edges = _supply_return_edges(spark, sf_dir).localCheckpoint()
+    # edges checkpointed PARTITIONED on src, base on id (r15): the
+    # contribution join keys on src and the rank-update left join on
+    # id, so capturing the hash layouts in the checkpoints leaves ONE
+    # exchange per iteration (the groupBy(dst) re-key) instead of
+    # re-shuffling edges + base every iteration (guide §2.4; see
+    # _checkpoint_partitioned for why AQE must be off at capture).
+    edges = _checkpoint_partitioned(
+        spark, _supply_return_edges(spark, sf_dir), "src"
+    )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     nodes = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    base = (
-        nodes.join(outdeg.withColumnRenamed("src", "id"), "id", "left")
-        .select("id", F.coalesce("d", F.lit(0)).alias("d"))
-        .localCheckpoint()  # node set + out-degrees reused every iteration
+    base = _checkpoint_partitioned(  # node set + out-degrees, reused every iteration
+        spark,
+        nodes.join(outdeg.withColumnRenamed("src", "id"), "id", "left").select(
+            "id", F.coalesce("d", F.lit(0)).alias("d")
+        ),
+        "id",
     )
     n_frame = base.agg(F.count(F.lit(1)).alias("n_nodes"))
     state = base.withColumn("rank", F.lit(SCALE).cast("long"))
@@ -238,15 +311,21 @@ def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("rank"),
             )
-            # unlike the co-purchase loop (one state reference per
-            # iteration), this recurrence reads state TWICE (contrib +
-            # dangling sum), so an untruncated lineage doubles per
-            # iteration (28 join nodes in the 3-iteration plan);
-            # checkpointing is a measured wash at sf0.1 (3.06 vs
-            # 3.19 s min-of-4) and removes the 2^iters re-execution
-            # hazard at scale
-            .localCheckpoint()
         )
+        # unlike the co-purchase loop (one state reference per
+        # iteration), this recurrence reads state TWICE (contrib +
+        # dangling sum), so an untruncated lineage doubles per
+        # iteration (28 join nodes in the 3-iteration plan);
+        # checkpointing is a measured wash at sf0.1 (3.06 vs
+        # 3.19 s min-of-4) and removes the 2^iters re-execution
+        # hazard at scale. This stays a PLAIN localCheckpoint (state's
+        # own partitioning is lost, but contrib is node-sized and
+        # re-shuffled cheaply anyway): re-capturing it via the AQE-off
+        # path made iterations 2-3× slower at sf0.1 (0.27 → 0.75 s
+        # each — the un-coalesced 32-partition groupBy exchange), while
+        # the partitioned EDGES + BASE checkpoints alone already drop
+        # the per-iteration edge/base Exchanges (guide §2.4).
+        state = state.localCheckpoint()
     return (
         state.select(
             F.col("id").alias("node_id"), F.col("rank").alias("rank_fp")
