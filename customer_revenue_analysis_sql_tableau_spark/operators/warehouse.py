@@ -115,7 +115,11 @@ def most_frequent_part_type(tables: dict[str, DataFrame]) -> DataFrame:
 
 
 def partial_aggregate(
-    o: DataFrame, l: DataFrame, p: DataFrame, hints: bool = True
+    o: DataFrame,
+    l: DataFrame,
+    p: DataFrame,
+    hints: bool = True,
+    fact_hint: str | None = None,
 ) -> DataFrame:
     """Level 1 of the view: per (customer, part-type) partials over the
     fact join ``orders ⟕ lineitem ⟕ part``.
@@ -136,9 +140,25 @@ def partial_aggregate(
     shuffle bytes of a decimal buffer and stay in primitive codegen;
     overflow needs > 9·10¹⁴ dollars on one customer (documented bound,
     see :func:`sum_revenue`).
+
+    ``fact_hint`` pins the o⋈l strategy (guide §3.1 — pick it
+    deliberately). Left to the optimizer, the sf0.1 plan BROADCASTS
+    lineitem (600 k rows × 6 cols fits the 64 MB threshold): a serial
+    relation build on the critical path locally, and a plan shape that
+    silently flips to sort-merge at real scale. The two callers that
+    know their layout pin it instead (r15 A/B, min-of-5 interleaved):
+    ``shuffle_hash`` on the plain scan layout (orders — always the
+    ¼-size side of o⋈l — builds per partition, bounded by AQE partition
+    sizing, same posture as the geo join below) measured 2.18 → 1.45 s;
+    ``merge`` on the bucketed layout keeps the exchange-free sorted
+    bucket join that the broadcast was silently discarding, 1.45 →
+    1.26 s. Default ``None`` preserves optimizer choice for the
+    incremental/streaming delta paths (tiny batch sides, broadcast is
+    right there).
     """
     fact = (
-        o.join(l, o.o_orderkey == l.l_orderkey, "left")  # J4+J7 twin
+        (o.hint(fact_hint) if fact_hint else o)
+        .join(l, o.o_orderkey == l.l_orderkey, "left")  # J4+J7 twin
         # hints=False leaves strategy choice to the optimizer (the
         # CBO-planned variant feeds ANALYZEd tables instead of hints)
         .join(
@@ -212,7 +232,7 @@ def customer_value_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     c, n, r = t["customer"], t["nation"], t["region"]
     o, l, p = t["orders"], t["lineitem"], t["part"]
 
-    partial = partial_aggregate(o, l, p)
+    partial = partial_aggregate(o, l, p, fact_hint="shuffle_hash")
 
     # Level 2: fold partials per customer. The A1 top-1-per-group
     # ("most frequent part type") folds into the SAME aggregate as an
@@ -430,7 +450,12 @@ def customer_value_summary_bucketed(
         spark, sf_dir, names=("customer", "nation", "region", "part")
     )
     return finalize_summary(
-        partial_aggregate(spark.table(o_name), spark.table(l_name), t["part"]),
+        partial_aggregate(
+            spark.table(o_name),
+            spark.table(l_name),
+            t["part"],
+            fact_hint="merge",
+        ),
         t["customer"],
         t["nation"],
         t["region"],

@@ -31,6 +31,16 @@ RUNTIME_CONFS: dict[str, str] = {
     # under this, which is exactly what we want broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # trust the sort order recorded by bucketed-sorted writes
+    # (save_bucketed's bucketBy+sortBy): off (the Spark 3+ default),
+    # every join/agg over the bucketed facts re-sorts both sides per
+    # query — paying at query time the exact sort the layout already
+    # paid at ingest. On, the scan reports its output ordering (Spark
+    # honors it only when each bucket is a single file, which
+    # save_bucketed's single-writer layout guarantees) and the bucket
+    # SMJ plans with zero Exchange AND zero Sort (r15; plan diff in
+    # plans/r15/view_customer_value_summary_bucketed_after.txt).
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
     # write timestamps as TIMESTAMP_MICROS, not the legacy INT96:
     # INT96 columns carry NO parquet min/max statistics, so every
     # time-predicate loses footer-level data skipping — at 100 TB that
