@@ -116,13 +116,23 @@ def content_digest(df: DataFrame, cols: tuple[str, ...]):
 
 
 def union_segments(
-    spark: SparkSession, paths: list[str], cols: tuple[str, ...]
+    spark: SparkSession,
+    paths: list[str],
+    cols: tuple[str, ...],
+    schema: str | None = None,
 ) -> DataFrame:
     """Union reader over immutable segment parquet paths — each path
-    read exactly once, projected to ``cols``."""
+    read exactly once, projected to ``cols``.
+
+    ``schema`` (optional DDL string) skips per-path schema inference:
+    segment stores write a fixed schema, so the caller can declare it
+    once instead of paying a footer-sampling pass per relation per read
+    (r15; ~90 ms × segments at sf0.1 — pure driver latency, guide §5
+    "the driver should do almost no data work")."""
     live: DataFrame | None = None
     for p in paths:
-        seg = spark.read.parquet(p).select(*cols)
+        reader = spark.read.schema(schema) if schema else spark.read
+        seg = reader.parquet(p).select(*cols)
         live = seg if live is None else live.unionByName(seg)
     return live
 

@@ -94,6 +94,13 @@ VACUUM_RETAIN_LAST = 1
 #: just membership) flips them.
 _POSTING_COLS = ("vec_id", "v", "cell")
 
+#: Writer-contract schema of every postings segment (the ingest
+#: protocol writes exactly this; ``cell`` is the partition column).
+#: Declared so readers skip per-relation schema inference — at sf0.1
+#: each segment dir holds ~100 KB-sized files and the footer-sampling
+#: pass cost ~90 ms of driver latency per relation per read (r15).
+_POSTINGS_SCHEMA = "vec_id bigint, v array<double>, cell int"
+
 
 def _segment_postings_path(d: str, seg: str) -> str:
     """The base segment lives at the index root; delta segments under
@@ -137,6 +144,7 @@ def read_index_asof(
         spark,
         [_segment_postings_path(d, seg) for seg in chain[version]],
         ("vec_id", "v", "cell"),
+        schema=_POSTINGS_SCHEMA,
     )
 
 
@@ -182,7 +190,12 @@ def sim_persisted_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_seg, disjoint = segment_union_stats(
         spark,
         [
-            (seg, spark.read.parquet(_segment_postings_path(d, seg)))
+            (
+                seg,
+                spark.read.schema(_POSTINGS_SCHEMA).parquet(
+                    _segment_postings_path(d, seg)
+                ),
+            )
             for seg in sorted(segs[3])
         ],
     )
@@ -274,7 +287,10 @@ def _vacuum_dir(spark: SparkSession, sf_dir: str) -> str:
 
 def _vac_reader(spark: SparkSession, vd: str, segments: list[str]) -> DataFrame:
     return union_segments(
-        spark, [f"{vd}/{seg}/postings" for seg in segments], _POSTING_COLS
+        spark,
+        [f"{vd}/{seg}/postings" for seg in segments],
+        _POSTING_COLS,
+        schema=_POSTINGS_SCHEMA,
     )
 
 

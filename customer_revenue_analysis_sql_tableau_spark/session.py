@@ -31,6 +31,16 @@ RUNTIME_CONFS: dict[str, str] = {
     # under this, which is exactly what we want broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # list directories on the driver up to 4096 paths before falling
+    # back to a distributed listing JOB (default threshold: 32 paths).
+    # The cell-partitioned segment stores put 100+ partition dirs under
+    # one index, so every fresh read was paying ~3 listing jobs of pure
+    # scheduling overhead (~0.5 s/read at sf0.1) to list a few hundred
+    # local files the driver lists in microseconds. 4096 is still far
+    # below where driver-side listing hurts (object-store tables with
+    # tens of thousands of partitions — re-lower per deployment there;
+    # manifest-backed tables never directory-list at all, SCALE.md).
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "4096",
     # trust the sort order recorded by bucketed-sorted writes
     # (save_bucketed's bucketBy+sortBy): off (the Spark 3+ default),
     # every join/agg over the bucketed facts re-sorts both sides per
