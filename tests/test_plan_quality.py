@@ -178,16 +178,17 @@ def test_q4_exists_is_semi_join(spark, sf_dir):
     assert "NestedLoop" not in p and "CartesianProduct" not in p
 
 
-def test_q21_combines_semi_and_anti_on_one_key(spark, sf_dir):
-    """Q21's EXISTS/NOT-EXISTS pair must appear as a LeftSemi AND a
-    LeftAnti join — both keyed on l_orderkey so at scale they reuse one
-    hash-partitioning of the fact instead of re-scanning per row."""
+def test_q21_quantifiers_fold_into_one_window_pass(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair must run as per-order WINDOW
+    aggregates over ONE pass of the fact (r15): a single lineitem scan
+    and a single l_orderkey exchange, never the semi/anti-join form
+    whose big exchange carried the unfiltered fact three scans wide —
+    and never a per-row re-scan."""
     p = plan(tpch_q21_sole_late_supplier(spark, sf_dir))
-    assert "LeftSemi" in p and "LeftAnti" in p
-    assert "CartesianProduct" not in p
-    # the semi/anti pair runs as hash joins (shuffle_hash hint): no
-    # sort passes over the pair sets — see the operator's comment
-    assert "ShuffledHashJoin" in p
+    assert "Window" in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert p.count("lineitem.parquet") == 1  # one fact scan
+    assert "LeftSemi" not in p and "LeftAnti" not in p
 
 
 def test_q16_not_in_is_anti_join(spark, sf_dir):
