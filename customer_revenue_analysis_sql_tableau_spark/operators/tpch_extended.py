@@ -258,8 +258,16 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 
 def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers whose single orders exceed 300 units —
-    a HAVING-filtered sub-aggregate semi-joining the fact, then a
-    re-aggregation per (customer, order), top-100 under a total order."""
+    a HAVING-filtered per-order aggregate joined to orders/customer,
+    top-100 under a total order.
+
+    The classic form re-joins the fact and re-aggregates per
+    (customer, order) — but o_orderkey is IN the output group, so each
+    group is exactly one order and the re-aggregate reproduces the
+    HAVING aggregate's own sum (decimal-exact, same rows). Computing it
+    once removes the second lineitem scan, the fact-sized semi-join
+    probe and the re-aggregation exchange (guide §2.2 — r15; 1.63 →
+    0.83 s min-of-4 interleaved, rows ORDER-identical at all SFs)."""
     t = load_tables(spark, sf_dir, names=("customer", "orders", "lineitem"))
     c, o, l = t["customer"], t["orders"], t["lineitem"]
     qty_c = cents("l_quantity")
@@ -268,23 +276,19 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.sum(qty_c).alias("okey_qty_c"))
         .filter(F.col("okey_qty_c") > 300 * 100)
     )
-    joined = (
-        l.join(big, l.l_orderkey == F.col("big_okey"))
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+    sum_qty = (F.col("okey_qty_c").cast("decimal(38,0)") / F.lit(100)).cast(
+        "decimal(38,2)"
     )
-    sum_qty = (F.sum(qty_c).cast("decimal(38,0)") / F.lit(100)).cast("decimal(38,2)")
     return (
-        joined.groupBy(
-            c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
-        )
-        .agg(F.round(sum_qty, 2).cast("double").alias("sum_qty"))
-        .orderBy(F.desc(money(o.o_totalprice)), F.asc("o_orderkey"))
-        .limit(100)
+        big.join(o, F.col("big_okey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
-            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
-            F.col("o_totalprice").alias("totalprice"), "sum_qty",
+            c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+            F.col("o_totalprice").alias("totalprice"),
+            F.round(sum_qty, 2).cast("double").alias("sum_qty"),
         )
+        .orderBy(F.desc(money(F.col("totalprice"))), F.asc("o_orderkey"))
+        .limit(100)
     )
 
 
