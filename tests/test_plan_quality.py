@@ -314,9 +314,21 @@ def test_ann_windows_never_rank_full_corpus_per_query(spark, sf_dir):
             fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         )
 
-    # the detector must actually detect the class (brute force IS it)
-    assert _perkey_windows_over_bnlj(executed(sim_bruteforce_topk))
-    # ...and every approximate tier must be free of it
+    # the detector must actually detect the class. Spark >=3.5 plans a
+    # row_number<=k filter as a constant-capped partial
+    # WindowGroupLimit below the exchange — the bounded-selection fix
+    # the detector credits (r15) — so the pathological plan must be
+    # reconstructed with that pushdown disabled; brute force then IS
+    # the class (every query's sort group holds the full corpus).
+    wgl_conf = "spark.sql.optimizer.windowGroupLimitThreshold"
+    prev = spark.conf.get(wgl_conf)
+    spark.conf.set(wgl_conf, "-1")
+    try:
+        assert _perkey_windows_over_bnlj(executed(sim_bruteforce_topk))
+    finally:
+        spark.conf.set(wgl_conf, prev)
+    # ...and every approximate tier must be free of it, WITH the
+    # planner's bound in effect (the shipping configuration)
     for fn in (sim_lsh_topk, sim_ivf_topk, sim_pq_topk, sim_ivfpq_topk):
         assert not _perkey_windows_over_bnlj(executed(fn)), fn.__name__
 

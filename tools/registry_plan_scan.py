@@ -25,9 +25,12 @@ reports scale red flags:
   so one task sorts the whole corpus per key (the round-6 PQ-ADC
   class — VERDICT.md r6, "What's wrong" #1). Equi-joins
   (BroadcastHashJoin) are exempt: their matches are key-bounded.
-  Bounded-selection fixes (a nested per-(key, spark_partition_id)
-  window) break the pattern because the inner window's keys are not
-  broadcast-side-only;
+  Bounded-selection fixes break the pattern: a nested per-(key,
+  spark_partition_id) window (its keys are not broadcast-side-only),
+  or — r15 — a constant-capped PARTIAL ``WindowGroupLimit`` below the
+  exchange (Spark ≥3.5 plans a ``row_number ≤ n`` filter this way:
+  each map task ships at most n rows per key, the exact per-task
+  bound the hand-built pre-rank enforced);
 - plans that fail to build at all.
 
 SortMergeJoin is NOT flagged: it is the correct fact⋈fact strategy at
@@ -364,6 +367,19 @@ def _perkey_windows_over_bnlj(plan: str) -> bool:
             name = _node_name(lines[j])
             if name.startswith("Window "):
                 break  # nested bounded selection below — not this class
+            if name.startswith("WindowGroupLimit"):
+                # a PARTIAL group limit bounds each map task to a
+                # constant number of rows per key BEFORE the exchange —
+                # the same per-task bound as the nested (key, pid)
+                # pre-rank; require the cap itself to be constant-sized
+                # (a row_number <= 10M "bound" is still a volume).
+                import re as _re
+
+                m = _re.search(r", (\d+), Partial\s*$", name)
+                if m and int(m.group(1)) <= GLOBAL_WINDOW_CAP_MAX:
+                    break
+                # Final-mode (or oversized) limits give no map-side
+                # bound — keep walking toward the join.
             if "BroadcastNestedLoopJoin" in name:
                 sides = _children(lines, j)
                 if len(sides) != 2:
