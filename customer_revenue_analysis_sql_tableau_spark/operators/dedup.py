@@ -1018,8 +1018,17 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # core (measured 4.1 s → 0.4 s for the prefix build; same lesson
     # as the r7 codec scans, multimodal.py). doc_id keying keeps each
     # doc's grams co-located for the prefix window's exchange.
-    long_docs = docs.filter(F.length("text") > ED_SHORT_MAX).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    # the explicit isnotnull(doc_id) is vacuous (doc_id is the key) but
+    # load-bearing: the prefix branch infers it from its join/window
+    # keys while the counts branch (which never touches doc_id) does
+    # not, so without it the two consumers' repartition exchanges don't
+    # canonicalize equal and AQE runs TWO corpus scans + shuffles.
+    # Aligned, stage reuse shares one (executed plan: 3 scans -> 2,
+    # measured ~10% on the entry at sf0.1).
+    long_docs = (
+        docs.filter(F.length("text") > ED_SHORT_MAX)
+        .filter(F.col("doc_id").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     # positional grams ride as (xxhash64 long, pos int) — 8-byte
     # shuffle keys; a hash collision can only ADD candidates (it

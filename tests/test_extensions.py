@@ -2352,6 +2352,38 @@ def test_edit_distance_short_doc_fallback_is_exact(spark, tmp_path):
     assert (2, 3, 6) in brute, "short-x-long boundary case missing"
 
 
+def test_edit_distance_corpus_repartition_is_shared(spark, sf_dir):
+    """r15: the prefix branch and the gram-frequency branch must share
+    ONE corpus scan + repartition at runtime. The vacuous
+    isnotnull(doc_id) on long_docs is what lets the two consumers'
+    REPARTITION_BY_NUM exchanges canonicalize equal; without it AQE ran
+    two full corpus scans + shuffles (one per branch). Pinned on the
+    EXECUTED adaptive plan — static explain cannot show stage reuse."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
+        dedup_edit_distance,
+    )
+
+    df = dedup_edit_distance(spark, sf_dir)
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("Initial Plan")[0]
+    )
+    shared = [
+        line
+        for line in final.splitlines()
+        if "ReusedExchange" in line
+        and "hashpartitioning(doc_id" in line
+        and "text" in line
+    ]
+    assert shared, (
+        "corpus repartition no longer reused - the counts branch is "
+        "paying its own scan+shuffle again:\n" + final
+    )
+
+
 def test_incremental_ivf_recall_and_cell_bounded_candidates(spark, sf_dir):
     """The incremental tier must hit the recall floor vs the exact
     delivery-vs-base baseline, never return a delivery vector as a
