@@ -204,24 +204,7 @@ def _supply_return_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the overlapping key ranges): customer → part for every purchase,
     part → customer only for returned high-quantity lines
     (``l_returnflag = 'R'``, quantity ≥ ``RETURN_QTY_MIN``). The two
-    legs are disjoint by parity, so their union is already distinct.
-
-    Both legs come out of ONE pass (r15, guide §1.2/§2.4): instead of
-    two DISTINCTs over two scans of the fact join (the return leg
-    re-scanned lineitem + re-joined orders just to dedup its filtered
-    subset), one groupBy over the (customer, part) pair carries a
-    has-qualifying-return flag via max(), and a conditional explode
-    emits the forward edge always plus the reverse edge when flagged.
-    The explode (not a union of two selects over the aggregate) is
-    load-bearing: a union duplicates the aggregate subtree in the
-    plan and relies on AQE stage reuse to collapse it, which holds at
-    sf0.1 but breaks at tiny SFs where the per-branch join strategies
-    diverge — the explode keeps ONE subtree structurally, so the fact
-    table is scanned, joined and dedup-exchanged exactly once at any
-    size (pinned by test_supply_return_edges_single_fact_pass).
-    Edge-set equality with the two-DISTINCT form is proven at
-    sf0.001/sf0.01/sf0.1 (r15 spike) and the legs stay disjoint by
-    parity."""
+    legs are disjoint by parity, so their union is already distinct."""
     t = load_tables(spark, sf_dir, names=("lineitem", "orders"), register=False)
     li, o = t["lineitem"], t["orders"]
     joined = li.join(
@@ -231,29 +214,22 @@ def _supply_return_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "l_orderkey",
     )
-    g = joined.groupBy("custkey", "l_partkey").agg(
-        F.max(
-            (
-                (F.col("l_returnflag") == "R")
-                & (F.col("l_quantity") >= RETURN_QTY_MIN)
-            ).cast("int")
-        ).alias("has_return")
-    )
-    fwd = F.struct(
+    fwd = joined.select(
         (F.col("custkey") * 2).alias("src"),
         (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    ret = (
+        joined.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_quantity") >= RETURN_QTY_MIN)
+        )
+        .select(
+            (F.col("l_partkey") * 2 + 1).alias("src"),
+            (F.col("custkey") * 2).alias("dst"),
+        )
+        .distinct()
     )
-    ret = F.struct(
-        (F.col("l_partkey") * 2 + 1).alias("src"),
-        (F.col("custkey") * 2).alias("dst"),
-    )
-    return g.select(
-        F.explode(
-            F.when(F.col("has_return") == 1, F.array(fwd, ret)).otherwise(
-                F.array(fwd)
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    return fwd.union(ret)
 
 
 def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:

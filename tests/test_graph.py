@@ -118,34 +118,6 @@ def test_pagerank_directed_handles_teleport_only_and_dangling(spark, sf_dir):
     assert len(ref) == len(srcs | dsts)
 
 
-def test_supply_return_edges_single_fact_pass(spark, sf_dir):
-    """r15: both directed-edge legs derive from ONE pass over the fact
-    join (a groupBy carrying a has-return flag, then a conditional
-    explode) — the earlier form paid a second lineitem scan + orders
-    join + dedup exchange for the return leg. The explode keeps one
-    subtree structurally at ANY scale factor; pin it on the executed
-    plan."""
-    from customer_revenue_analysis_sql_tableau_spark.operators.graph import (
-        _supply_return_edges,
-    )
-
-    df = _supply_return_edges(spark, sf_dir)
-    df.collect()
-    final = (
-        df._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-        .split("Initial Plan")[0]
-    )
-    li_scans = [
-        line
-        for line in final.splitlines()
-        if "FileScan parquet" in line and "lineitem" in line
-    ]
-    assert len(li_scans) == 1, final
-    assert "Generate explode" in final, final
-
-
 def test_pagerank_directed_never_sort_merge_joins_iterations(spark, sf_dir):
     from customer_revenue_analysis_sql_tableau_spark.operators.graph import (
         graph_pagerank_directed,
