@@ -108,11 +108,15 @@ def test_no_oracle_emits_hugeint():
 
 
 def test_registry_plans_have_no_scale_red_flags(spark, sf_dir):
-    """Sweep EVERY registry entry's physical plan: no CartesianProduct
-    anywhere; every BroadcastNestedLoopJoin is on the documented
-    bounded-side allowlist; no unpartitioned Window runs over unbounded
-    input — the single-task global-sort class VERDICT.md r4 flagged
-    (tools/registry_plan_scan.py)."""
+    """Sweep EVERY registry entry's physical plan ONCE and run every
+    plan-wide hygiene rule on it: no CartesianProduct anywhere; every
+    BroadcastNestedLoopJoin is on the documented bounded-side
+    allowlist; no unpartitioned Window runs over unbounded input — the
+    single-task global-sort class VERDICT.md r4 flagged
+    (tools/registry_plan_scan.py) — and no row-at-a-time Python UDF
+    (BatchEvalPython) in any oracle-checked query (formerly the
+    separate sweep in test_plan_quality.py; merged r16 so the ~300
+    expensive plan builds happen once per suite run, not twice)."""
     import sys
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
@@ -123,6 +127,7 @@ def test_registry_plans_have_no_scale_red_flags(spark, sf_dir):
         _unbounded_global_windows,
     )
 
+    oracles = entrymod.oracle_sql()
     flags = {}
     for name, fn in entrymod.queries().items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
@@ -134,6 +139,10 @@ def test_registry_plans_have_no_scale_red_flags(spark, sf_dir):
             flags[name] = "unpartitioned Window over unbounded input"
         elif _oversized_global_window_caps(plan):
             flags[name] = "unpartitioned Window cap above the ceiling"
+        elif name in oracles and "BatchEvalPython" in plan:
+            # rows-only extension ops may use (Arrow) pandas UDFs; the
+            # parity path must stay JVM-side row-at-a-time-free
+            flags[name] = "row-at-a-time Python UDF (BatchEvalPython)"
     assert not flags, flags
 
 
