@@ -752,12 +752,24 @@ def dedup_embedding_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over verified near-dup pairs → keep-list.
 
-    Driver-side union-find over the (small) verified pair set — the
-    small-data twin. Both 100 TB paths are implemented:
-    :func:`dedup_components_distributed` (min-label propagation,
-    O(diameter) rounds) and :func:`dedup_components_bigstar`
-    (large-star/small-star, O(log n) rounds). Returns
-    (doc_id, component_id = min doc_id in component).
+    Registered entry. Since r16 this delegates to the distributed
+    min-label propagation (:func:`dedup_components_distributed`) so no
+    registered query path collects a corpus-shaped frame to the driver
+    (guide §5 — the verified pair set grows with corpus size). The
+    former driver-side union-find lives on as
+    :func:`components_unionfind_driver`, the unregistered small-data
+    cross-check pytest proves row-identical to every distributed twin.
+    Returns (doc_id, component_id = min doc_id in component); same
+    DuckDB oracle as both distributed twins.
+    """
+    return dedup_components_distributed(spark, sf_dir)
+
+
+def components_unionfind_driver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side union-find over the (small) verified pair set — the
+    small-data twin kept as a TEST-ONLY cross-check (not registered:
+    ``collect()`` of the pair set is the driver anti-pattern at corpus
+    scale). Returns (doc_id, component_id = min doc_id in component).
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").collect()
     parent: dict[int, int] = {}
@@ -1024,7 +1036,12 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not, so without it the two consumers' repartition exchanges don't
     # canonicalize equal and AQE runs TWO corpus scans + shuffles.
     # Aligned, stage reuse shares one (executed plan: 3 scans -> 2,
-    # measured ~10% on the entry at sf0.1).
+    # measured ~10% on the entry at sf0.1). This leans on Catalyst
+    # inferring exactly {isnotnull(doc_id)} on the prefix branch — an
+    # optimizer-version-sensitive invariant; the executed-plan test
+    # test_edit_distance_corpus_repartition_is_shared is the tripwire
+    # (if a Spark upgrade breaks canonicalization, make the sharing
+    # structural via persist/localCheckpoint of long_docs instead).
     long_docs = (
         docs.filter(F.length("text") > ED_SHORT_MAX)
         .filter(F.col("doc_id").isNotNull())

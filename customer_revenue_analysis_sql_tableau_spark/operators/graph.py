@@ -538,7 +538,7 @@ def graph_reachability_recursive(
     Scale: the recursion materializes only the frontier bag per step;
     edges build once from the fact join (one shuffle). A production
     unbounded-reachability would switch to the big-star/small-star
-    pattern ``dedup_components`` already implements; the recursive
+    pattern ``dedup_components_bigstar`` already implements; the recursive
     CTE is the right tool for the DEPTH-BOUNDED traversals (fraud
     rings, n-hop features) a pipeline actually runs."""
     load_tables(spark, sf_dir, names=("lineitem", "orders"))

@@ -68,8 +68,8 @@ def training_data_pipeline(
 
     # near-dup components over the full corpus; survivor = component min.
     # Distributed min-label propagation — the driver-side union-find twin
-    # (dedup_components) stays as the test-only cross-check; at 100 TB pair
-    # cardinality collecting the edge set would OOM the driver.
+    # (components_unionfind_driver) stays as the test-only cross-check; at
+    # 100 TB pair cardinality collecting the edge set would OOM the driver.
     comp = dedup_components_distributed(spark, sf_dir)
     near_kept = (
         comp.filter(F.col("doc_id") == F.col("component_id")).select("doc_id")

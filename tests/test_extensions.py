@@ -95,32 +95,43 @@ def test_components_group_planted_dups(spark, sf_dir):
 
 def test_distributed_components_equal_unionfind(spark, sf_dir):
     from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
-        dedup_components,
+        components_unionfind_driver,
         dedup_components_distributed,
     )
 
-    uf = {r.doc_id: r.component_id for r in dedup_components(spark, sf_dir).collect()}
+    uf = {
+        r.doc_id: r.component_id
+        for r in components_unionfind_driver(spark, sf_dir).collect()
+    }
     dist = dedup_components_distributed(spark, sf_dir)
     lp = {r.doc_id: r.component_id for r in dist.collect()}
     assert uf == lp
     # the distributed path never collects the edge set to the driver:
     # its labels are a checkpointed executor-side frame, so the plan
     # has no LocalTableScan of driver-built rows (the union-find twin
-    # does — that's exactly the difference the registry entry proves)
+    # does — that's exactly the difference the registry swap proves)
     plan = dist._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" not in plan
-    twin = dedup_components(spark, sf_dir)
+    twin = components_unionfind_driver(spark, sf_dir)
     twin_plan = twin._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" in twin_plan or "Scan ExistingRDD" in twin_plan
+    # the REGISTERED entry is the distributed form since r16: its plan
+    # must carry no driver-built pair rows either
+    reg = dedup_components(spark, sf_dir)
+    reg_plan = reg._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in reg_plan
 
 
 def test_bigstar_components_equal_unionfind(spark, sf_dir):
     from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
-        dedup_components,
+        components_unionfind_driver,
         dedup_components_bigstar,
     )
 
-    uf = {r.doc_id: r.component_id for r in dedup_components(spark, sf_dir).collect()}
+    uf = {
+        r.doc_id: r.component_id
+        for r in components_unionfind_driver(spark, sf_dir).collect()
+    }
     bs = {
         r.doc_id: r.component_id
         for r in dedup_components_bigstar(spark, sf_dir).collect()
@@ -2365,12 +2376,12 @@ def test_edit_distance_corpus_repartition_is_shared(spark, sf_dir):
 
     df = dedup_edit_distance(spark, sf_dir)
     df.collect()
-    final = (
-        df._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-        .split("Initial Plan")[0]
-    )
+    whole = df._jdf.queryExecution().executedPlan().toString()
+    # guard the probe itself (ADVICE r15): AQE must actually have run
+    # and re-planned, otherwise split() silently degrades to the whole
+    # string and the assertions below test nothing
+    assert "isFinalPlan=true" in whole, whole[:500]
+    final = whole.split("Initial Plan")[0]
     shared = [
         line
         for line in final.splitlines()
@@ -2382,6 +2393,14 @@ def test_edit_distance_corpus_repartition_is_shared(spark, sf_dir):
         "corpus repartition no longer reused - the counts branch is "
         "paying its own scan+shuffle again:\n" + final
     )
+    # second, format-insensitive signal (ADVICE r15): the shared scan
+    # means the FINAL plan reads the documents file at most twice (the
+    # aligned corpus branch once + the fallback's short-docs branch),
+    # never the 3 scans of the pre-r15 unshared form
+    n_scans = sum(
+        1 for ln in final.splitlines() if "FileScan" in ln and "documents" in ln
+    )
+    assert n_scans <= 2, f"{n_scans} documents scans in the final plan:\n{final}"
 
 
 def test_incremental_ivf_recall_and_cell_bounded_candidates(spark, sf_dir):
