@@ -577,6 +577,46 @@ BPE_S1 = chr(30)  # token start sentinel (RS)
 BPE_S2 = chr(31)  # token end sentinel (US)
 
 
+#: Word-type rows per partition for the checkpointed BPE training
+#: table: the partition count derives from the VOCABULARY size, not a
+#: core count — a toy corpus (31 word types at sf0.1) collapses to one
+#: partition so every merge round's pair-count aggregation is
+#: exchange-free (SinglePartition satisfies the groupBy distribution →
+#: one stage per round instead of two), while a corpus-scale vocabulary
+#: (millions of types) keeps the distributed two-stage shape, capped at
+#: ``spark.sql.shuffle.partitions`` like the graph checkpoints.
+BPE_WORDS_PER_PARTITION = 262_144
+
+
+def _bpe_checkpoint_words(spark: SparkSession, wf: DataFrame) -> DataFrame:
+    """Materialize the word-type table once, then (when it is small)
+    re-checkpoint it coalesced to a row-count-derived partition count.
+    The re-checkpoint is made with AQE toggled off so the physical
+    ``SinglePartition`` layout is captured in the LogicalRDD leaf
+    (under AQE every checkpoint reports ``UnknownPartitioning`` — the
+    r15 pagerank lesson); per-round pair-count groupBys over a
+    SinglePartition scan then plan WITHOUT an Exchange."""
+    raw = wf.localCheckpoint()
+    n_rows = raw.count()
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = max(1, min(cap, -(-n_rows // BPE_WORDS_PER_PARTITION)))
+    if n > 1:
+        # vocabulary-scale: keep the distributed two-stage aggregation
+        # (coalescing to n>1 captures only UnknownPartitioning(n) —
+        # no planner benefit, so skip the extra materialization)
+        return raw
+    # n == 1: even when AQE already left one partition, the plain
+    # checkpoint reports UnknownPartitioning(1), which satisfies no
+    # ClusteredDistribution — re-checkpoint AQE-off so the physical
+    # SinglePartition is captured and the Exchange is elided
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return raw.coalesce(1).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def _bpe_word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, cnt, tokstr) over the corpus: lowercased [a-z]+ word
     types with frequencies, each wrapped as per-character sentinel
@@ -669,7 +709,7 @@ def _bpe_fit(
     """Run the training loop; return (merge table, final word-type
     frame with fully-merged ``tokstr``). Shared by the train entry and
     the corpus tokenizer (:func:`text_bpe_tokenize`)."""
-    wf = _bpe_word_freqs(spark, sf_dir).localCheckpoint()
+    wf = _bpe_checkpoint_words(spark, _bpe_word_freqs(spark, sf_dir))
     merges: list[tuple[int, str, str, int]] = []
     cur = wf
     for rank in range(1, BPE_MERGES + 1):
@@ -767,7 +807,7 @@ def _bpe_fit_batched(
     pairs (a fully merged word-type table), instead of raising; the
     checkpoint cadence generalizes the measured (2, 4) rule to every
     other round so recomputation depth stays bounded at any depth."""
-    wf = _bpe_word_freqs(spark, sf_dir).localCheckpoint()
+    wf = _bpe_checkpoint_words(spark, _bpe_word_freqs(spark, sf_dir))
     merges: list[tuple[int, int, str, str, int]] = []  # (rank, round, l, r, c)
     cur = wf
     rank = 0
