@@ -58,9 +58,22 @@ def save_bucketed(
     paid once at write time instead of per query. At 100 TB this is
     the difference between re-shuffling the fact table on every run
     and never shuffling it; asserted shuffle-free in the plan test.
+
+    The write repartitions by the bucket key into exactly ``buckets``
+    partitions first: ``repartition(n, key)`` and Spark-native
+    bucketing share the same placement function (pmod of the Murmur3
+    hash), so every bucket's rows land in ONE task and each bucket is
+    exactly ONE file — the invariant that makes
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``
+    (session.py, r15) sound: Spark honors the recorded bucket sort
+    order only for single-file buckets, and a multi-file bucket served
+    as "sorted" would silently corrupt merge joins. Structural since
+    r16 (was an accident of single-split local inputs); pinned by
+    tests/test_sources.py::test_bucketed_layout_one_file_per_bucket.
     """
     (
-        df.write.mode("overwrite")
+        df.repartition(buckets, key)
+        .write.mode("overwrite")
         .bucketBy(buckets, key)
         .sortBy(key)
         .saveAsTable(table)

@@ -116,10 +116,53 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
             p = _plan(joined)
             assert "SortMergeJoin" in p
             assert "Exchange" not in p, "bucketed join still shuffles"
+            # the recorded bucket sort order must be trusted (r15 conf
+            # legacy.bucketedTableScan.outputOrdering): no per-query
+            # Sort node anywhere in this exchange-free merge join
+            import re
+
+            assert not re.search(r"\(\d+\) Sort\b", p), p
             assert joined.count() == t["lineitem"].count()
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
             spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
+
+
+def test_bucketed_layout_one_file_per_bucket(spark, sf_dir):
+    """The premise of ``legacy.bucketedTableScan.outputOrdering=true``
+    (session.py, r15): Spark honors the bucket sort order recorded by
+    ``bucketBy+sortBy`` only when every bucket is a SINGLE file. Since
+    r16 ``save_bucketed`` makes that structural (repartition by the
+    bucket key into exactly ``buckets`` partitions — the same Murmur3
+    pmod placement native bucketing uses). Pin it: a future writer that
+    produces multi-file buckets would silently fall back to per-query
+    sorts (Spark's own guard) and waste the layout."""
+    import re
+    from collections import Counter
+
+    t = load_tables(spark, sf_dir, names=("orders",), register=False)
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS bfb LOCATION '{tmp}/bfb'")
+        try:
+            # force a multi-partition input so the invariant is the
+            # writer's doing, not an accident of a one-split local scan
+            save_bucketed(t["orders"].repartition(16), "bfb.orders_b", "o_orderkey", buckets=8)
+            loc = (
+                spark.sql("DESCRIBE TABLE EXTENDED bfb.orders_b")
+                .filter("col_name = 'Location'")
+                .collect()[0]["data_type"]
+            ).replace("file:", "")
+            import os
+
+            files = [f for f in os.listdir(loc) if f.endswith(".parquet")]
+            ids = Counter()
+            for f in files:
+                m = re.search(r"_(\d{5})\.", f)
+                assert m, f"bucketed file without bucket id: {f}"
+                ids[m.group(1)] += 1
+            assert len(ids) == 8 and all(v == 1 for v in ids.values()), ids
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS bfb CASCADE")
 
 
 def test_golden_output_materialization(spark):
