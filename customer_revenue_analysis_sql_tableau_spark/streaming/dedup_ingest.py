@@ -89,16 +89,22 @@ def _store_paths(
 
 
 def _read_store(
-    spark: SparkSession, path: str, before_batch: int | None = None
+    spark: SparkSession,
+    path: str,
+    before_batch: int | None = None,
+    schema=None,
 ) -> DataFrame | None:
     """Read a state store laid out as one subdirectory per writer
     (``b_seed``, ``b_<batch_id>``), excluding writers ``>= before_batch``
     so a retried batch never sees its own partial output. Returns None
-    when no eligible subdirectory exists yet."""
+    when no eligible subdirectory exists yet. ``schema`` (the writer's
+    own frame schema, guide §6.2) skips per-batch footer inference —
+    every subdirectory is written by this module with a fixed schema."""
     paths = _store_paths(spark, path, before_batch)
     if not paths:
         return None
-    return spark.read.parquet(*paths)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(*paths)
 
 
 def seed_dedup_index(corpus: DataFrame, work_dir: str) -> None:
@@ -175,7 +181,9 @@ def _dedup_batch(
     index_dir = f"{work_dir}/band_index"
     bsh = _doc_shingles(batch_df).localCheckpoint()
     bband = _band_explode(_minhash_signatures_from(bsh)).localCheckpoint()
-    prior_bands = _read_store(spark, index_dir, before_batch=batch_id)
+    prior_bands = _read_store(
+        spark, index_dir, before_batch=batch_id, schema=bband.schema
+    )
     known = (
         prior_bands.unionByName(bband) if prior_bands is not None else bband
     )
@@ -195,7 +203,9 @@ def _dedup_batch(
         )
         .distinct()
     )
-    prior_sh = _read_store(spark, shingle_dir, before_batch=batch_id)
+    prior_sh = _read_store(
+        spark, shingle_dir, before_batch=batch_id, schema=bsh.schema
+    )
     all_sh = prior_sh.unionByName(bsh) if prior_sh is not None else bsh
     pairs = _jaccard_pairs_from_candidates(all_sh, cand, JACCARD_T)
     pairs.write.mode("overwrite").parquet(f"{work_dir}/pairs/b_{batch_id}")

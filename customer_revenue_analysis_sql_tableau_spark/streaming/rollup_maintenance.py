@@ -50,8 +50,11 @@ def _rollup_state_batch(
     versions = _state_versions(spark, state_dir)
     prev = max((v for v in versions if v < batch_id), default=None)
     if prev is not None:
+        # declared schema (guide §6.2): the state dir is written by
+        # this function — no per-batch footer inference
         merged = (
-            spark.read.parquet(f"{state_dir}/v_{prev}")
+            spark.read.schema(partial.schema)
+            .parquet(f"{state_dir}/v_{prev}")
             .unionByName(partial)
             .groupBy("bucket", "event_type")
             .agg(

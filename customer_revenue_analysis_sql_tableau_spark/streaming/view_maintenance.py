@@ -49,8 +49,12 @@ def _view_state_batch(
     versions = _state_versions(spark, state_dir)
     prev = max((v for v in versions if v < batch_id), default=None)
     if prev is not None:
+        # declared schema (guide §6.2): the state dir is written by
+        # this function — its schema IS the partial frame's schema, so
+        # no per-batch footer inference
         merged = merge_partials(
-            spark.read.parquet(f"{state_dir}/v_{prev}"), partial
+            spark.read.schema(partial.schema).parquet(f"{state_dir}/v_{prev}"),
+            partial,
         )
     else:
         merged = partial

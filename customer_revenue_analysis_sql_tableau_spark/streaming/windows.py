@@ -1337,8 +1337,12 @@ def _upsert_batch(
     versions = _state_versions(spark, state_dir)
     prev = max((v for v in versions if v < batch_id), default=None)
     if prev is not None:
+        # declared schema (guide §6.2, r15 segment-store pattern): the
+        # state dir is written by THIS function, so its schema is the
+        # partial frame's own — no per-batch footer inference
         merged = (
-            spark.read.parquet(f"{state_dir}/v_{prev}")
+            spark.read.schema(part.schema)
+            .parquet(f"{state_dir}/v_{prev}")
             .unionByName(part)
             .groupBy("user_id")
             .agg(
