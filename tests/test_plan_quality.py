@@ -7,9 +7,6 @@ appears anywhere in the parity path.
 
 from __future__ import annotations
 
-import pytest
-
-import __spark_entry__ as entrymod
 from customer_revenue_analysis_sql_tableau_spark.app_layer import top_n_filter
 from customer_revenue_analysis_sql_tableau_spark.catalog import load_tables
 from customer_revenue_analysis_sql_tableau_spark.operators.queries import (
@@ -220,24 +217,10 @@ def test_q2_q9_q20_broadcast_their_dims(spark, sf_dir):
         assert "CartesianProduct" not in p
 
 
-def test_no_python_row_udfs_in_parity_path(spark, sf_dir):
-    """Every oracle-checked query must stay JVM-side: no BatchEvalPython
-    (row-at-a-time UDF). Arrow-batched pandas UDFs (ArrowEvalPython /
-    FlatMapGroupsInPandas) are allowed — they are the designed slow
-    path for the extension operators only."""
-    queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-    offenders = []
-    for name, fn in queries.items():
-        if name not in oracles:
-            continue  # rows-only extension ops may use pandas UDFs
-        try:
-            p = plan(fn(spark, sf_dir))
-        except Exception as exc:  # noqa: BLE001
-            pytest.fail(f"{name}: plan build failed: {exc}")
-        if "BatchEvalPython" in p:
-            offenders.append(name)
-    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+# NOTE r16: the registry-wide no-BatchEvalPython sweep moved into
+# tests/test_registry_hygiene.py::test_registry_plans_have_no_scale_red_flags
+# — both sweeps built all ~300 entry plans (165 s each); merged they
+# build once. Coverage is identical (same predicate over the same set).
 
 
 def test_bm25_topk_is_take_ordered_single_tokenize(spark, sf_dir):
@@ -355,13 +338,70 @@ def test_bucketed_view_fill_joins_without_exchange(spark, sf_dir):
     )
 
     df = customer_value_summary_bucketed(spark, sf_dir)
-    p = plan(df)
+    # simple mode: exchange/sort/join keys print inline on the tree line
+    p = plan(df, mode="simple")
     # the only exchanges allowed are the aggregation shuffles on
     # Customer_ID (partial->final) and the geo join — none keyed on
     # the orderkey join
     import re
 
-    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", p):
-        key = m.group(1).strip()
+    found = re.findall(r"Exchange hashpartitioning\(([^,]+)", p)
+    assert found, "no exchanges parsed — plan format drifted"
+    for key in found:
         assert "orderkey" not in key, f"o⋈l join still shuffles: {key}"
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    # r15 conf legacy.bucketedTableScan.outputOrdering=true: the merge
+    # join must trust the recorded bucket sort order — no per-query
+    # Sort keyed on the orderkey on either fact side
+    for m in re.finditer(r"Sort \[([^\]]*)\]", p):
+        assert "orderkey" not in m.group(1), f"fact side re-sorted: {m.group(0)}"
+
+
+def test_bpe_merge_round_is_single_stage_at_toy_vocab(spark, sf_dir):
+    """r16: the BPE trainers checkpoint the word-type table with a
+    captured SinglePartition layout when the vocabulary fits one
+    partition (row-count-derived, conf-capped), so every merge round's
+    pair-count aggregation plans WITHOUT an Exchange — one stage per
+    round instead of three (measured: 2 jobs/3 stages/2 exchanges →
+    1/1/0 per round, plans/r16/text_bpe_round_*.txt)."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.text import (
+        _bpe_checkpoint_words,
+        _bpe_pair_counts,
+        _bpe_word_freqs,
+    )
+
+    wf = _bpe_checkpoint_words(spark, _bpe_word_freqs(spark, sf_dir))
+    exec_plan = (
+        _bpe_pair_counts(wf)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in exec_plan, exec_plan
+    assert "Scan ExistingRDD" in exec_plan  # still reads the checkpoint
+
+
+def test_q18_single_fact_scan(spark, sf_dir):
+    """Q18's HAVING aggregate IS the output aggregate (o_orderkey is in
+    the output group), so the plan must scan lineitem exactly ONCE
+    (r15: the second scan + fact-sized re-aggregation were provably
+    redundant and deleted)."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.tpch_extended import (
+        tpch_q18_large_volume_customers,
+    )
+
+    p = plan(tpch_q18_large_volume_customers(spark, sf_dir))
+    assert p.count("lineitem.parquet") == 1, "second lineitem scan is back"
+
+
+def test_view_fact_join_strategy_is_pinned(spark, sf_dir):
+    """The plain-scan view fill must run its o⋈l fact join as a
+    ShuffledHashJoin (r15: left to the optimizer it BROADCAST the
+    600 k-row lineitem side — a serial relation build locally and a
+    shape that silently flips to sort-merge at real scale)."""
+    p = plan(customer_value_summary(spark, sf_dir), mode="simple")
+    import re
+
+    m = re.search(r"ShuffledHashJoin \[o_orderkey", p)
+    assert m, "fact join no longer ShuffledHashJoin on the orderkey"
+    # lineitem must not ride a broadcast exchange anywhere
+    assert not re.search(
+        r"BroadcastHashJoin \[[^\]]*l_orderkey", p
+    ), "lineitem side broadcast again"

@@ -53,6 +53,28 @@ def test_asof_unknown_version_raises(spark, sf_dir, chain):
         ss.read_index_asof(spark, sf_dir, 99)
 
 
+def test_asof_read_launches_no_driver_jobs_for_listing_or_schema(
+    spark, sf_dir, chain
+):
+    """r15's persisted-read win must stay structural: building the
+    as-of reader frame (declared writer-contract schema + driver-side
+    file listing via the raised parallelPartitionDiscovery threshold)
+    must launch ZERO Spark jobs — no schema-inference footer reads, no
+    distributed listing jobs. Planning work only; the first job is the
+    query itself."""
+    sc = spark.sparkContext
+    group = "asof-listing-probe"
+    sc.setLocalProperty("spark.jobGroup.id", group)
+    try:
+        df = ss.read_index_asof(spark, sf_dir, 3)
+        _ = df.schema  # forces analysis
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert list(jobs) == [], f"frame build launched jobs: {jobs}"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert df.count() > 0  # the frame is still a real reader
+
+
 def test_vacuum_contract_and_idempotence(spark, sf_dir):
     a = ss.sim_persisted_vacuum(spark, sf_dir).collect()[0]
     assert a["reader_digest_unchanged"]

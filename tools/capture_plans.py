@@ -22,7 +22,9 @@ import __spark_entry__ as entrymod
 from customer_revenue_analysis_sql_tableau_spark.session import get_spark
 
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("PLANS_ROUND", "r16"),
 )
 
 

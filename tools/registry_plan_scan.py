@@ -400,6 +400,73 @@ def _perkey_windows_over_bnlj(plan: str) -> bool:
     return False
 
 
+#: Entries whose EXECUTED plan deliberately scans the same file more
+#: than once (two different consumers whose two-pass partial-agg form
+#: is the skew-robust choice — see each operator's docstring / the r15
+#: runtime duplicate-scan audit).
+DUP_SCAN_ALLOWLIST: frozenset[str] = frozenset(
+    {
+        # per-doc window explode + text-only frequency aggregate: two
+        # consumers; a shared-exchange rewrite would pin hot windows
+        "dedup_exact_substring",
+    }
+)
+
+
+def executed_duplicate_scans(df) -> dict[str, int]:
+    """Execute ``df`` and return {scan identity: count} for every file
+    scan that appears MORE THAN ONCE in the FINAL adaptive plan — the
+    same-file-scanned-twice pattern the r15 session audit hunted by
+    hand (AQE stage reuse collapses most static duplicates at runtime;
+    whatever survives execution is a real extra pass over the data).
+    Only the final plan section is inspected (AdaptiveSparkPlan's
+    toString appends the initial plan, which legitimately shows
+    duplicates that stage reuse later collapses)."""
+    import re
+    from collections import Counter
+
+    df.collect()
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    scans: Counter[str] = Counter()
+    for ln in plan.splitlines():
+        if "FileScan" not in ln:
+            continue
+        m = re.search(r"Location: \S+\[([^\]]*)\]", ln)
+        key = m.group(1) if m else ln.strip()
+        scans[key] += 1
+    return {k: c for k, c in scans.items() if c > 1}
+
+
+def dup_scan(sf_dir: str, names: list[str] | None = None) -> dict[str, dict]:
+    """Run the executed duplicate-scan sweep over ``names`` (default:
+    the bench headline set — the expensive representative paths) and
+    return {entry: {scan: count}} for non-allowlisted offenders."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+    import __spark_entry__ as entrymod
+    from customer_revenue_analysis_sql_tableau_spark.session import get_spark
+
+    spark = get_spark("dup-scan")
+    qs = entrymod.queries()
+    flags: dict[str, dict] = {}
+    for name in names or bench.HEADLINE:
+        if name in DUP_SCAN_ALLOWLIST or name not in qs:
+            continue
+        try:
+            dups = executed_duplicate_scans(qs[name](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            flags[name] = {"execution failed": str(exc)}
+            continue
+        if dups:
+            flags[name] = dups
+    return flags
+
+
 def scan(sf_dir: str) -> dict[str, str]:
     """Return {entry: flag} for every red-flagged registry entry."""
     sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -436,7 +503,17 @@ def scan(sf_dir: str) -> dict[str, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:]]
+    executed = "--executed" in args
+    if executed:
+        args.remove("--executed")
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    if executed:
+        flags = dup_scan(sf_dir, args[1:] or None)
+        for name, dups in sorted(flags.items()):
+            print(f"DUP   {name}: {dups}")
+        print(f"\n{len(flags)} flagged (executed duplicate-scan sweep)")
+        return 1 if flags else 0
     flags = scan(sf_dir)
     for name, why in sorted(flags.items()):
         print(f"FLAG  {name}: {why}")
