@@ -393,9 +393,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     both verify aliases + sizes) — tokenization dominates the pipeline.
     At 100 TB the same role is played by persist(DISK_ONLY) or a
     checkpoint to cluster storage.
+
+    The band self-join is pinned ``shuffle_hash`` (r16, guide §3.1 +
+    §2.1): left to the optimizer it BROADCAST one side of the banded
+    frame — a corpus-sized relation at scale (the r15 view-fill hazard
+    class), and the broadcast subtree rebuilt the final 64-min
+    signature aggregate + band explode a second time. With both sides
+    shuffling on (band, bucket) the two subtrees canonicalize equal and
+    AQE stage reuse shares ONE banded build (executed plan: signature
+    final-aggs 2 → 1, corpus broadcast gone, +1 ReusedExchange;
+    interleaved A/B a wash at sf0.1 — 1.703 vs 1.712 min-of-4 — the
+    win is structural, plans/r16/spike_minhash_shj.py).
     """
     sh, banded = _banded_signatures(spark, sf_dir)
-    a, b = banded.alias("a"), banded.alias("b")
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     candidates = (
         a.join(
             b,

@@ -37,8 +37,10 @@ def main() -> None:
     qs = entrymod.queries()
     for name in sys.argv[1:] or ["dedup_minhash_lsh", "dedup_minhash_lsh_grouped"]:
         df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        executed = df._jdf.queryExecution().executedPlan().toString()
+        df.collect()  # executes df's own QueryExecution so AQE finalizes
+        executed = df._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)), f"probe_{name}_executed.txt")
         with open(out, "w") as f:
             f.write(executed)

@@ -357,6 +357,27 @@ def test_bucketed_view_fill_joins_without_exchange(spark, sf_dir):
         assert "orderkey" not in m.group(1), f"fact side re-sorted: {m.group(0)}"
 
 
+def test_minhash_band_join_shares_one_banded_build(spark, sf_dir):
+    """r16: the LSH band self-join must shuffle BOTH sides on
+    (band, bucket) so AQE stage reuse shares one signature+band
+    subtree — never broadcast one side (a corpus-sized relation at
+    scale, and the broadcast subtree rebuilt the 64-min signature
+    aggregate a second time). Executed plan: exactly ONE final
+    signature aggregate."""
+    from customer_revenue_analysis_sql_tableau_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    df = dedup_minhash_lsh(spark, sf_dir)
+    df.collect()
+    whole = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in whole, whole[:300]
+    final = whole.split("== Initial Plan ==")[0]
+    assert "ShuffledHashJoin [band" in final, final
+    n_sig_aggs = final.count("functions=[min(xxhash64")
+    assert n_sig_aggs == 1, f"{n_sig_aggs} signature final-aggs:\n{final}"
+
+
 def test_bpe_merge_round_is_single_stage_at_toy_vocab(spark, sf_dir):
     """r16: the BPE trainers checkpoint the word-type table with a
     captured SinglePartition layout when the vocabulary fits one
