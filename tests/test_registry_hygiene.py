@@ -146,6 +146,42 @@ def test_registry_plans_have_no_scale_red_flags(spark, sf_dir):
     assert not flags, flags
 
 
+def test_no_duplicate_file_scans_in_executed_plans(spark, sf_dir):
+    """r16 (VERDICT item 8): the r15 one-off session audit — execute an
+    entry, inspect the FINAL adaptive plan for the same file scanned
+    twice (whatever AQE stage reuse did not collapse is a real extra
+    pass over the data) — is now a standing gate via
+    tools/registry_plan_scan.py::executed_duplicate_scans. CI runs the
+    representative pure-read shapes (the full headline sweep runs via
+    `python tools/registry_plan_scan.py --executed`, 0 flagged r16);
+    dedup_edit_distance's 2-scan share is pinned by its own test."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from registry_plan_scan import executed_duplicate_scans
+
+    qs = entrymod.queries()
+    offenders = {}
+    for name in (
+        "flagship_revenue_by_region",
+        "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
+        "tpch_q9_product_type_profit",
+        "tpch_q18_large_volume_customers",
+        "tpch_q21_sole_late_supplier",
+        "text_unigram_logprob",
+        "text_ranked_search",
+        "decontaminate_ngram_overlap",
+        "dedup_ngram_jaccard",
+        "corpus_pack_sequences",
+        "temporal_asof_join",
+    ):
+        dups = executed_duplicate_scans(qs[name](spark, sf_dir))
+        if dups:
+            offenders[name] = dups
+    assert not offenders, offenders
+
+
 def test_global_window_detector_flags_the_r4_shape(spark, sf_dir):
     """The scan's window detector must fire on the exact shape round 4
     shipped (corpus-wide ntile with no PARTITION BY), stay quiet on a
